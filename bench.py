@@ -1,0 +1,67 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line.
+
+Usage: python bench.py [--queries q1,q2] [--warmup]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_stack_spark.session import get_spark  # noqa: E402
+
+# Headline queries: the flagship plus one per operator family once they land.
+HEADLINE = [
+    "t1_tiered_topk",
+    "a1_group_stats",
+    "j5_semi_join",
+]
+
+
+def main() -> None:
+    from etl_stack_spark.queries import all_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("etl-stack-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--queries"):
+        names = sys.argv[1].split("=", 1)[1].split(",")
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            sys.exit(f"error: unknown queries {unknown}; known: {sorted(registry)}")
+
+    # one warmup pass on the smallest table to absorb JVM/codegen startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name](spark, sf_dir)
+        n = df.count()  # forces full execution without driver-side collect of data
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

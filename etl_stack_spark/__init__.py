@@ -1,0 +1,21 @@
+"""etl_stack_spark — a PySpark-native analytics/ETL engine.
+
+Re-expresses the computational semantics of the reference ETL platform
+(acartin/etl-stack, surveyed in SURVEY.md) as idiomatic, composable
+PySpark DataFrame operators, plus the large-scale training-data-pipeline
+operators (dedup, similarity search, multimodal columns, text analysis)
+a 100 TB Spark deployment needs.
+
+Design principles (see SURVEY.md §7):
+- DataFrame/SQL-first: declare logical plans, let Catalyst+AQE pick physical.
+- UDFs only where built-ins genuinely can't express semantics (difflib
+  fuzzy parity, external AI effects) — and then Arrow-batched pandas UDFs.
+- Never recompute expensive effects for unchanged content (content-hash
+  incremental gates, the reference's best idea).
+- Coarse-then-fine staging for geo/fuzzy ops (bbox/geohash before
+  haversine, length-delta before edit distance).
+"""
+
+__version__ = "0.1.0"
+
+from etl_stack_spark.session import get_spark, load_tables  # noqa: F401

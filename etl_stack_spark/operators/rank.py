@@ -1,0 +1,58 @@
+"""Tiered top-k ranking operators (SURVEY.md §2.5 T1-T6).
+
+Reference semantics: ``ORDER BY CASE brand IN anchor -> 0, brand IN priority
+-> 1 ELSE 2 END, distance ASC, quality DESC LIMIT k`` per (property,
+category) — reference `cl_test1.py:90-98,149-157,203-204`.
+
+Spark shape: a window ``row_number`` over ``partitionBy(group)`` with the
+tier CASE as the leading sort key. At 100 TB this is a single hash
+shuffle on the partition keys; AQE splits skewed groups. ``row_number``
+(not ``rank``) + a unique trailing tie-break column keeps results
+deterministic, which both the DuckDB oracle and any rerun require.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tier_column(col: Column, tiers: Sequence[Sequence[str]]) -> Column:
+    """CASE col IN tiers[0] -> 0, IN tiers[1] -> 1, ... ELSE len(tiers).
+
+    ``tiers`` are small curated lists (anchor brands, priority brands) —
+    they compile to literal ``isin`` predicates, fully codegen'd JVM-side,
+    no join needed.
+    """
+    expr = F.lit(len(tiers))
+    for rank in range(len(tiers) - 1, -1, -1):
+        expr = F.when(col.isin(list(tiers[rank])), F.lit(rank)).otherwise(expr)
+    return expr
+
+
+def tiered_top_k(
+    df: DataFrame,
+    partition_by: Sequence[str | Column],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Keep the top-``k`` rows per group under a tiered ordering.
+
+    order_by MUST end with a unique tie-break column for deterministic
+    output (reference relies on Postgres' stable-enough ordering; Spark has
+    no stable row order, so we make determinism explicit).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+    return out if keep_rank else out.drop(rank_col)
+
+
+def top_1_per_group(
+    df: DataFrame, partition_by: Sequence[str | Column], order_by: Sequence[Column]
+) -> DataFrame:
+    """T6/T4 'first of sorted list' — e.g. closest school, main image."""
+    return tiered_top_k(df, partition_by, order_by, k=1, keep_rank=False)

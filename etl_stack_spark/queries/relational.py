@@ -1,0 +1,107 @@
+"""Relational-core queries: ranking, joins, aggregations, sorts, set ops.
+
+Each query maps a SURVEY.md §2 operator onto the driver's TPC-H-ish tables
+and carries a DuckDB oracle. Column aliases match between Spark and SQL
+exactly (the driver hash-compares values under name-sorted columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.rank import tier_column, tiered_top_k
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# T1 — tiered top-k (the signature query; reference cl_test1.py:90-98)
+# Tier CASE over order priority stands in for the brand anchor/priority tiers;
+# totalprice DESC for quality; orderkey as the deterministic tie-break.
+# Scale: one shuffle on o_custkey; row_number window; AQE handles skew.
+# ---------------------------------------------------------------------------
+_T1_ORACLE = """
+WITH ranked AS (
+  SELECT
+    o_custkey,
+    o_orderkey,
+    o_totalprice,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+         WHEN o_orderpriority = '3-MEDIUM' THEN 1
+         ELSE 2 END AS priority_tier,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 1
+                    ELSE 2 END,
+               o_totalprice DESC, o_orderkey
+    ) AS rnk
+  FROM orders
+)
+SELECT c.c_custkey, c.c_name, r.o_orderkey, r.o_totalprice, r.priority_tier, r.rnk
+FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+WHERE r.rnk <= 3
+"""
+
+
+@register("t1_tiered_topk", _T1_ORACLE)
+def t1_tiered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    tier = tier_column(F.col("o_orderpriority"), [["1-URGENT", "2-HIGH"], ["3-MEDIUM"]])
+    ranked = tiered_top_k(
+        orders.withColumn("priority_tier", tier),
+        partition_by=["o_custkey"],
+        order_by=[F.col("priority_tier"), F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    # customer is the small side → broadcast, no shuffle of the ranked stream
+    return ranked.join(F.broadcast(customer), ranked.o_custkey == customer.c_custkey).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice", "priority_tier", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — group-by stats (reference process_pois.py:503-507):
+# GROUP BY category: COUNT(*), AVG(score)::INT — mapped to mktsegment.
+# Scale: partial aggregation map-side, single shuffle on the group key.
+# ---------------------------------------------------------------------------
+_A1_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(AVG(c_acctbal)) AS INT) AS avg_bal_int
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("a1_group_stats", _A1_ORACLE)
+def a1_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        # floor, not cast: Spark cast truncates-toward-zero while DuckDB/
+        # Postgres CAST rounds — floor() agrees everywhere for our ≥0 avgs
+        F.floor(F.avg("c_acctbal")).cast("int").alias("avg_bal_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — semi-join / EXISTS (reference debug_viewer/server.py:191-198):
+# customers having at least one order.
+# ---------------------------------------------------------------------------
+_J5_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("j5_semi_join", _J5_ORACLE)
+def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )

@@ -1,0 +1,71 @@
+"""Order-insensitive exact comparison between a Spark result and a DuckDB
+oracle result — a local replica of the driver's correctness gate
+(row-count + column names + value match under name-sorted columns)."""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+
+def _canon_value(v):
+    """Canonicalize one cell so Spark and DuckDB representations collide."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().isoformat()
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+    if isinstance(v, float):
+        # collapse -0.0 and format at full precision
+        if v == 0.0:
+            return 0.0
+        return v
+    return v
+
+
+def canon_frame(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(_canon_value(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple(repr(x) for x in r))
+    return rows
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "query") -> None:
+    """Raise AssertionError with a useful diff if the two results differ."""
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    assert sc == oc, f"{name}: column mismatch spark={sc} oracle={oc}"
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    srows = canon_frame(spark_pdf)
+    orows = canon_frame(oracle_pdf)
+    mismatches = []
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        if a != b:
+            # tolerate nothing, but report near-misses distinctly
+            mismatches.append((i, a, b))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, f"{name}: {len(mismatches)}+ row mismatches (cols {sc}); first: " + "\n".join(
+        f"  row {i}:\n    spark : {a}\n    oracle: {b}" for i, a, b in mismatches
+    )

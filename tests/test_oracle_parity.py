@@ -1,0 +1,30 @@
+"""The differential gate: run every registered query through Spark AND its
+DuckDB oracle at sf0.01, compare exactly (driver-style).
+
+Any query without an oracle gets a rows-run smoke check instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_stack_spark.queries import all_oracles, all_queries
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+from tests.conftest import duck_with_views
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, duck):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_ORACLE)
+    spark_pdf = sdf.toPandas()
+    if name in ORACLES:
+        con = duck_with_views(duck, SF_ORACLE)
+        oracle_pdf = con.execute(ORACLES[name]).fetchdf()
+        compare(spark_pdf, oracle_pdf, name)
+    else:
+        assert spark_pdf is not None  # rows-only smoke (driver's weaker check)
