@@ -1,0 +1,48 @@
+"""Geo primitives (P21-P25) — haversine-first, no geometry dependency.
+
+The reference's PostGIS surface reduces entirely to point-distance math
+(SURVEY §7): centroids are precomputed at conversion time, geography
+distance ≈ haversine within ~0.3% (fine for 3-30 km radii and ranking
+whose oracle we also define in haversine terms).
+
+Scale: the pattern for every geo op is coarse-then-fine — a cheap
+equi-joinable bucket (bbox grid / geohash prefix) prunes the cross
+product, a codegen'd haversine refines. See operators/geo_join.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km, R=6371 — reference `cl_test1.py:29-35`.
+
+    Formula kept in the exact reference arrangement (asin of sqrt) so the
+    DuckDB oracle (same expression) produces bit-comparable doubles.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def bbox_filter(lat: Column, lon: Column, lat0: float, lon0: float, delta: float = 0.005) -> Column:
+    """P23 cheap bounding-box predicate (reference investigate_poi_db.py:60-75)."""
+    return lat.between(lat0 - delta, lat0 + delta) & lon.between(lon0 - delta, lon0 + delta)
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Integer grid bucket (our geohash stand-in): floor(lat/cell), floor(lon/cell)
+    packed into a single long — an equi-join key both engines compute identically.
+    """
+    return (
+        F.floor(lat / F.lit(cell_deg)).cast("long") * F.lit(100000)
+        + F.floor(lon / F.lit(cell_deg)).cast("long")
+    )

@@ -1,0 +1,77 @@
+"""Content hashing — the reference's idempotency backbone (P9-P11).
+
+`loader_v2.py:84-88` hashes ``title|price|currency|sqm|lat|lng|features_json``
+with features serialized as ``json.dumps(..., sort_keys=True)``.
+`process_pois.py:151-157` hashes ``category|lat:.6f|lon:.6f`` (name
+deliberately excluded so renames don't break identity).
+
+Canonical-JSON subtlety (SURVEY §7): Python's ``json.dumps`` uses
+``", "``/``": "`` separators and sorted keys. ``to_json`` in Spark would
+use compact separators and struct-field order — so we build the canonical
+string manually from sorted map entries. This keeps hashes byte-identical
+with any other engine implementing the same spec (pinned by oracle tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sha256_hex(col: Column) -> Column:
+    """Lowercase hex SHA-256 (works on string and binary)."""
+    return F.sha2(col.cast("binary"), 256)
+
+
+def canonical_json_from_map(m: Column) -> Column:
+    """``json.dumps(dict, sort_keys=True)``-compatible string from a
+    ``map<string,string>`` column: ``{"a": "1", "b": "2"}`` (``{}`` if empty).
+
+    Pure exprs: sort entries, render each as ``"k": "v"``, join with ", ".
+    """
+    entries = F.array_sort(F.map_entries(m))
+    rendered = F.transform(
+        entries,
+        lambda e: F.concat(
+            F.lit('"'), e["key"], F.lit('": '),
+            F.when(e["value"].isNull(), F.lit("null")).otherwise(
+                F.concat(F.lit('"'), e["value"], F.lit('"'))
+            ),
+        ),
+    )
+    return F.when(m.isNull(), F.lit("{}")).otherwise(
+        F.concat(F.lit("{"), F.array_join(rendered, ", "), F.lit("}"))
+    )
+
+
+def content_hash(
+    title: Column,
+    price: Column,
+    currency: Column,
+    sqm: Column,
+    lat: Column,
+    lng: Column,
+    features: Column,
+) -> Column:
+    """P9 property content hash. Nulls render as ``None`` (Python str of
+    ``item.get(...)`` when absent), matching the reference f-string."""
+
+    def s(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), F.lit("None"))
+
+    payload = F.concat_ws(
+        "|", s(title), s(price), s(currency), s(sqm), s(lat), s(lng),
+        canonical_json_from_map(features),
+    )
+    return F.sha2(payload, 256)
+
+
+def poi_stable_hash(category: Column, lat: Column, lon: Column) -> Column:
+    """P10: sha256 of ``category|lat:.6f|lon:.6f`` — name excluded by design."""
+    payload = F.concat_ws(
+        "|",
+        category,
+        F.format_string("%.6f", lat),
+        F.format_string("%.6f", lon),
+    )
+    return F.sha2(payload, 256)

@@ -1,0 +1,53 @@
+"""The engine's entire permanent UDF surface (SURVEY.md §2.9) — kept tiny.
+
+Everything else in the engine is JVM-side Column exprs. These two exist
+because Spark has no builtin with matching semantics:
+
+* ``normalize_text`` — NFD-decompose, strip combining marks, lowercase
+  (reference process_pois.py:159-165). Native approximation: ``lower`` +
+  ``translate`` for a fixed alphabet; the UDF is exact for all of Unicode.
+* ``difflib_ratio`` — ``SequenceMatcher.ratio`` parity (reference
+  process_pois.py:186-213). Native approximation used in hot paths:
+  ``1 - levenshtein/greatest(len)`` (operators use that; this UDF is the
+  exact-parity fallback).
+
+Both are Arrow-batched pandas UDFs — columnar transfer, vectorized loop.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+# NB: type objects, not DDL strings — DDL parsing at import time would
+# require an already-running SparkSession.
+
+
+@pandas_udf(StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    def norm(x):
+        if x is None:
+            return None
+        decomposed = unicodedata.normalize("NFD", str(x))
+        return "".join(c for c in decomposed if unicodedata.category(c) != "Mn").lower()
+
+    return s.map(norm)
+
+
+@pandas_udf(DoubleType())
+def difflib_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    from difflib import SequenceMatcher
+
+    def ratio(pair):
+        x, y = pair
+        if x is None or y is None:
+            return None
+        # reference prefilter: skip when length delta > 50% of the longer
+        if max(len(x), len(y)) > 0 and abs(len(x) - len(y)) / max(len(x), len(y)) > 0.5:
+            return 0.0
+        return SequenceMatcher(None, x, y).ratio()
+
+    return pd.Series([ratio(p) for p in zip(a, b)], dtype="float64")

@@ -51,4 +51,5 @@ def _load_all() -> None:
     _LOADED = True
     from etl_stack_spark.queries import (  # noqa: F401
         relational,
+        scalar_funcs,
     )
