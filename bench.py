@@ -20,6 +20,11 @@ HEADLINE = [
     "t1_tiered_topk",
     "a1_group_stats",
     "j5_semi_join",
+    "j1_broadcast_lookup",
+    "j9_dedup_check",
+    "a2_conditional_counts",
+    "p4_clean_price",
+    "p9_content_hash",
 ]
 
 

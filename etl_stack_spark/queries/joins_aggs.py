@@ -1,0 +1,345 @@
+"""Join / aggregation / sort / set-op queries (SURVEY §2.3-2.6) with oracles.
+
+Join strategy notes for 100 TB:
+- dim-side lookups (J1/J3) are explicit ``broadcast()`` — no shuffle of the
+  fact stream; Catalyst would often pick this anyway below the threshold,
+  we make it deliberate.
+- fact-fact joins shuffle on the join key; AQE skew-split handles hot keys.
+- anti/semi joins (J5/J7/J8) stay anti/semi all the way down (no distinct+
+  outer-join emulation) — Spark executes them as broadcast/shuffled
+  hash-anti-joins without materializing the negation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+
+# --- J1: broadcast lookup join (image_loader.py:38-46 external_id→uuid) ----
+_J1_ORACLE = """
+SELECT l_orderkey, l_linenumber, p.p_name
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("j1_broadcast_lookup", _J1_ORACLE)
+def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_name"
+    )
+
+
+# --- J2: inner equi-join with work filters (image_ai_tagger.py:53-70) ------
+_J2_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+"""
+
+
+@register("j2_inner_filtered", _J2_ORACLE)
+def j2_inner_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer.filter(F.col("c_mktsegment") == "BUILDING"),
+              orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    )
+
+
+# --- J3: inner join + COALESCE default (debug_viewer/server.py:179-187) ----
+_J3_ORACLE = """
+SELECT c.c_custkey, n.n_name,
+       COALESCE(NULLIF(c.c_mktsegment, 'BUILDING'), 'Unknown') AS segment
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+@register("j3_inner_coalesce", _J3_ORACLE)
+def j3_inner_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).select(
+        "c_custkey",
+        "n_name",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("Unknown")).alias(
+            "segment"
+        ),
+    )
+
+
+# --- J4: left outer join (debug_viewer/server.py:230-239) ------------------
+_J4_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 5 = 0) o
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("j4_left_join", _J4_ORACLE)
+def j4_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+# --- J7: anti-join soft-delete scan (loader_v2.py:211-220) -----------------
+_J7_ORACLE = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
+@register("j7_anti_join", _J7_ORACLE)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+# --- J8: set-difference GC, disk vs DB (image_garbage_collector.py) --------
+_J8_ORACLE = """
+SELECT p_partkey FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+@register("j8_orphan_gc", _J8_ORACLE)
+def j8_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti").select(
+        "p_partkey"
+    )
+
+
+# --- J9: dedup-check before write (image_loader.py:48-74) ------------------
+# keep exactly one row per (orderkey, partkey): the lowest linenumber
+_J9_ORACLE = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register("j9_dedup_check", _J9_ORACLE)
+def j9_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    return (
+        lineitem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+# --- A2: conditional counts + walkability score (cl_test1.py:227-236) ------
+# score = min(10, n_nearby // 2); label thresholds 9/7/4
+_A2_ORACLE = """
+SELECT o_custkey,
+  CAST(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END) AS BIGINT) AS n_cheap,
+  CAST(LEAST(10, FLOOR(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END) / 2.0)) AS INT) AS walk_score,
+  CASE WHEN LEAST(10, FLOOR(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END) / 2.0)) >= 9 THEN 'Excelente'
+       WHEN LEAST(10, FLOOR(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END) / 2.0)) >= 7 THEN 'Muy Bueno'
+       WHEN LEAST(10, FLOOR(COUNT(CASE WHEN o_totalprice < 50000 THEN 1 END) / 2.0)) >= 4 THEN 'Bueno'
+       ELSE 'Regular' END AS walk_label
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("a2_conditional_counts", _A2_ORACLE)
+def a2_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n_cheap = F.count(F.when(F.col("o_totalprice") < 50000, 1))
+    score = F.least(F.lit(10), F.floor(n_cheap / 2.0)).cast("int")
+    label = (
+        F.when(score >= 9, "Excelente")
+        .when(score >= 7, "Muy Bueno")
+        .when(score >= 4, "Bueno")
+        .otherwise(F.lit("Regular"))
+    )
+    return orders.groupBy("o_custkey").agg(
+        n_cheap.alias("n_cheap"), score.alias("walk_score"), label.alias("walk_label")
+    )
+
+
+# --- A3: existence flags / premium zone (cl_test1.py:238-272) --------------
+_A3_ORACLE = """
+SELECT o_custkey,
+  COALESCE(bool_or(o_orderpriority = '1-URGENT'), false) AS has_urgent,
+  COALESCE(bool_or(o_totalprice > 150000), false) AS has_big,
+  (COALESCE(bool_or(o_orderpriority = '1-URGENT'), false)
+   AND COALESCE(bool_or(o_totalprice > 150000), false)) AS is_premium
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("a3_existence_flags", _A3_ORACLE)
+def a3_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    has_urgent = F.coalesce(F.bool_or(F.col("o_orderpriority") == "1-URGENT"), F.lit(False))
+    has_big = F.coalesce(F.bool_or(F.col("o_totalprice") > 150000), F.lit(False))
+    return orders.groupBy("o_custkey").agg(
+        has_urgent.alias("has_urgent"),
+        has_big.alias("has_big"),
+        (has_urgent & has_big).alias("is_premium"),
+    )
+
+
+# --- A5: hash-dedup keep-LAST (process_pois.py:495 dict overwrite) ---------
+# Spark has no stable "last"; the engine pins it with an explicit ordering:
+# last = highest (l_orderkey, l_linenumber) per hash bucket.
+_A5_ORACLE = """
+SELECT hash_key, l_orderkey, l_linenumber FROM (
+  SELECT l_orderkey % 1000 AS hash_key, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey % 1000
+                            ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register("a5_hash_dedup_last", _A5_ORACLE)
+def a5_hash_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    df = lineitem.withColumn("hash_key", F.col("l_orderkey") % 1000)
+    w = Window.partitionBy("hash_key").orderBy(
+        F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("hash_key", "l_orderkey", "l_linenumber")
+    )
+
+
+# --- A6/A7: plain counts and size accounting -------------------------------
+_A6_ORACLE = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("a6_count_sum_per_key", _A6_ORACLE)
+def a6_count_sum_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+
+
+# --- T3: ORDER BY ts DESC LIMIT n (image_ai_tagger.py:66) ------------------
+_T3_ORACLE = """
+SELECT event_id, user_id, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+@register("t3_order_limit", _T3_ORACLE)
+def t3_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # TakeOrderedAndProject: per-partition top-100 then driver merge — no sort
+    # of the full table at scale
+    return (
+        events.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --- T4: gallery sort_order + is_main flag (image_loader.py:134) -----------
+_T4_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       (ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) = 1) AS is_main
+FROM lineitem
+"""
+
+
+@register("t4_sort_flag_main", _T4_ORACLE)
+def t4_sort_flag_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return lineitem.select(
+        "l_orderkey", "l_linenumber", (F.row_number().over(w) == 1).alias("is_main")
+    )
+
+
+# --- T5: deterministic LIMIT batch (properties_poi_matcher.py:104-111) -----
+_T5_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 50
+"""
+
+
+@register("t5_limit_batch", _T5_ORACLE)
+def t5_limit_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- U1: union of layers with missing columns (process_pois.py:377) --------
+_U1_ORACLE = """
+SELECT n_nationkey AS key, n_name AS name, n_regionkey AS regionkey, 'nation' AS layer
+FROM nation
+UNION ALL
+SELECT r_regionkey AS key, r_name AS name, NULL AS regionkey, 'region' AS layer
+FROM region
+"""
+
+
+@register("u1_union_layers", _U1_ORACLE)
+def u1_union_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("key"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+        F.lit("nation").alias("layer"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("layer"),
+    )
+    return nation.unionByName(region, allowMissingColumns=True)
+
+
+# --- U2: URL-list union with dedupe (image_realhomes_provider.py:9-50) -----
+# order-preservation is pinned in unit tests; the oracle checks the
+# union+dedupe set via a sorted canonical form
+_U2_ORACLE = """
+SELECT p_partkey,
+  list_sort(list_distinct(list_concat(string_split(p_name, ' '), string_split(p_type, ' ')))) AS tokens
+FROM part
+"""
+
+
+@register("u2_array_union_dedupe", _U2_ORACLE)
+def u2_array_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    merged = F.array_distinct(
+        F.concat(F.split(F.col("p_name"), " "), F.split(F.col("p_type"), " "))
+    )
+    return part.select("p_partkey", F.array_sort(merged).alias("tokens"))
