@@ -1,0 +1,177 @@
+"""Distance-bounded joins and spatial clustering (SURVEY §2.3 J6, §2.4 A4).
+
+The reference answers "POIs within radius r of property p" with a PostGIS
+``ST_DWithin`` per property — 8 SQL round-trips per property
+(`cl_test1.py:69-112`, driven by `properties_poi_matcher.py:121-133`).
+Here it is ONE distributed join:
+
+    props ⨝(grid-cell equi-key) pois  →  haversine ≤ radius refine
+
+Grid prefilter correctness: cell size = max radius in degrees (latitude
+degree ≈ 110.574 km — we use 110 to be conservative); a 3×3 neighborhood
+around a point's cell therefore covers every point within the radius.
+The 9-cell expansion happens on the PROPERTY side (usually the smaller
+stream), keeping the POI table un-replicated.
+
+100 TB notes:
+- the equi-join on cell id is a standard shuffle join → AQE skew-split
+  handles dense urban cells; for pathological hotspots add salt on the
+  POI side within cell.
+- per-category radii come in as a broadcast config DataFrame (config-as-
+  data, like the reference's cl_config_lead_prep.json).
+- at planet scale swap the integer grid for geohash strings of equivalent
+  precision — the join shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.functions.geo import haversine_km
+
+KM_PER_LAT_DEG = 110.0  # conservative (true ≈ 110.574) so cells never under-cover
+
+
+def with_grid_cell(df: DataFrame, lat: str, lon: str, cell_deg: float, prefix: str = "") -> DataFrame:
+    return df.withColumn(f"{prefix}cell_lat", F.floor(F.col(lat) / F.lit(cell_deg)).cast("long")) \
+             .withColumn(f"{prefix}cell_lon", F.floor(F.col(lon) / F.lit(cell_deg)).cast("long"))
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "poi_lat",
+    right_lon: str = "poi_lon",
+    radius_km: Column | float = 10.0,
+    max_radius_km: float | None = None,
+    distance_col: str = "distance_km",
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_km`` (which may be a Column,
+    e.g. a per-category radius), with the distance attached.
+
+    ``max_radius_km`` bounds the grid cell size; required when radius_km is
+    a Column (use the max configured radius).
+    """
+    if max_radius_km is None:
+        if isinstance(radius_km, (int, float)):
+            max_radius_km = float(radius_km)
+        else:
+            raise ValueError("max_radius_km required when radius_km is a Column")
+    cell_deg = max_radius_km / KM_PER_LAT_DEG
+
+    l = with_grid_cell(left, left_lat, left_lon, cell_deg, "l_")
+    r = with_grid_cell(right, right_lat, right_lon, cell_deg, "r_")
+
+    # 3×3 neighborhood on the left side: each left row probes 9 cells
+    three = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    l = (
+        l.withColumn("_di", F.explode(three))
+        .withColumn("_dj", F.explode(three))
+        .withColumn("probe_lat", F.col("l_cell_lat") + F.col("_di"))
+        .withColumn("probe_lon", F.col("l_cell_lon") + F.col("_dj"))
+        .drop("_di", "_dj")
+    )
+
+    joined = l.join(
+        r,
+        (F.col("probe_lat") == F.col("r_cell_lat")) & (F.col("probe_lon") == F.col("r_cell_lon")),
+    )
+    dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon))
+    out = joined.withColumn(distance_col, dist).filter(F.col(distance_col) <= radius_km)
+    return out.drop("l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon", "probe_lat", "probe_lon")
+
+
+def cluster_points(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "poi_id",
+    radius_m: float = 20.0,
+    category_col: str | None = "category",
+    max_iter: int = 20,
+) -> DataFrame:
+    """A4 spatial cluster-merge: group points closer than ``radius_m``
+    (per category) into clusters; returns input + ``cluster_id``.
+
+    Reference semantics (process_pois.py:396-426) are TRANSITIVE connected
+    components (buffer+dissolve chains merge end-to-end). We implement
+    label propagation: every point starts as its own cluster (its id);
+    each round, a point adopts the min cluster id among its ≤radius
+    neighbors (found via the same grid+haversine join); stop when no label
+    changes. Converges in O(cluster diameter) rounds — spatial chains are
+    short in practice (driver caps at ``max_iter``).
+
+    Scale: each round is one radius self-join + one groupBy-min — all
+    shuffle-parallel; no driver-side state beyond the loop counter.
+    """
+    radius_km = radius_m / 1000.0
+    part_cols = [category_col] if category_col else []
+
+    cur = df.select(
+        *([F.col(category_col)] if category_col else []),
+        F.col(id_col).alias("_pid"),
+        F.col(lat).alias("_plat"),
+        F.col(lon).alias("_plon"),
+        F.col(id_col).cast("long").alias("cluster_id"),
+    )
+
+    for _ in range(max_iter):
+        lhs = cur.select(
+            *part_cols, F.col("_pid"), F.col("_plat").alias("lat"), F.col("_plon").alias("lon"),
+            F.col("cluster_id"),
+        )
+        rhs = cur.select(
+            *[F.col(c).alias(f"r_{c}") for c in part_cols],
+            F.col("_pid").alias("r_pid"),
+            F.col("_plat").alias("poi_lat"),
+            F.col("_plon").alias("poi_lon"),
+            F.col("cluster_id").alias("r_cluster_id"),
+        )
+        pairs = radius_join(lhs, rhs, "lat", "lon", "poi_lat", "poi_lon", radius_km)
+        if part_cols:
+            pairs = pairs.filter(F.col(part_cols[0]) == F.col(f"r_{part_cols[0]}"))
+        new_labels = pairs.groupBy("_pid").agg(F.min("r_cluster_id").alias("new_cluster_id"))
+        nxt = (
+            cur.join(new_labels, "_pid", "left")
+            .withColumn("next_id", F.least(F.col("cluster_id"), F.coalesce("new_cluster_id", "cluster_id")))
+            .select(*part_cols, "_pid", "_plat", "_plon", F.col("next_id").alias("cluster_id"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # truncate the iterative lineage
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), "_pid")
+            .filter(F.col("n.cluster_id") != F.col("c.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+
+    return df.join(
+        cur.select(F.col("_pid").alias(id_col), "cluster_id"), on=id_col, how="inner"
+    )
+
+
+def cluster_representatives(
+    clustered: DataFrame,
+    name_col: str = "name",
+    id_col: str = "poi_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """A4 representative selection: per cluster keep the row with the
+    LONGEST name (ties → lowest id), plus the first non-null osm id —
+    reference process_pois.py:415-426."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.length(F.col(name_col)).desc(), F.col(id_col)
+    )
+    return (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

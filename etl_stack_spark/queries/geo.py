@@ -1,0 +1,335 @@
+"""Geo operator queries (P21-P23, J6, A4, A2/A3 geo metrics, T1 lead-prep).
+
+Properties are synthesized from ``customer``, POIs from ``part`` — both as
+deterministic lat/lon grids around the reference's Costa Rica coordinates,
+identically in Spark and the DuckDB oracle. The oracle computes the radius
+join by brute force (fine at sf0.01); the engine uses the grid-cell
+prefilter — parity proves the prefilter loses nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.functions.geo import haversine_km
+from etl_stack_spark.operators.geo_join import radius_join
+from etl_stack_spark.operators.rank import tier_column, tiered_top_k
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# Per-category config — shape mirrors cl_config_lead_prep.json (radius_km,
+# top-k, anchor/priority brand tiers). Small, curated → broadcast literal.
+CATEGORIES = {
+    "Convenience": {"radius_km": 3.0, "k": 5, "anchor": ["Brand#11", "Brand#12"], "priority": ["Brand#13", "Brand#21"]},
+    "Education": {"radius_km": 10.0, "k": 3, "anchor": ["Brand#22", "Brand#23"], "priority": ["Brand#31"]},
+    "Health": {"radius_km": 8.0, "k": 4, "anchor": ["Brand#32", "Brand#33"], "priority": ["Brand#41"]},
+    "Shopping": {"radius_km": 5.0, "k": 5, "anchor": ["Brand#42", "Brand#43"], "priority": ["Brand#51", "Brand#52"]},
+}
+MAX_RADIUS_KM = max(c["radius_km"] for c in CATEGORIES.values())
+
+# --- shared synthesis: Spark side ------------------------------------------
+
+
+def props_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey").alias("prop_id"),
+        (F.lit(9.5) + (F.col("c_custkey") % 250) * 0.0024).alias("lat"),
+        (F.lit(-84.3) + ((F.col("c_custkey") / F.lit(250)).cast("long") % 250) * 0.0024).alias("lon"),
+    )
+
+
+def pois_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    category = (
+        F.when(k == 0, "Convenience").when(k == 1, "Education")
+        .when(k == 2, "Health").otherwise(F.lit("Shopping"))
+    )
+    return part.select(
+        F.col("p_partkey").alias("poi_id"),
+        category.alias("category"),
+        F.col("p_brand").alias("brand"),
+        ((F.col("p_size") % 10) * 5).cast("int").alias("quality_score"),
+        (F.lit(9.5) + (F.col("p_partkey") % 300) * 0.002).alias("poi_lat"),
+        (F.lit(-84.3) + ((F.col("p_partkey") / F.lit(300)).cast("long") % 300) * 0.002).alias("poi_lon"),
+    )
+
+
+# --- shared synthesis: DuckDB side (same math, SQL dialect) ----------------
+
+_PROPS_SQL = """
+  SELECT c_custkey AS prop_id,
+         9.5e0 + (c_custkey % 250) * 2.4e-3 AS lat,
+         -84.3e0 + (CAST(trunc(c_custkey / 250) AS BIGINT) % 250) * 2.4e-3 AS lon
+  FROM customer
+"""
+
+_POIS_SQL = """
+  SELECT p_partkey AS poi_id,
+         CASE p_partkey % 4 WHEN 0 THEN 'Convenience' WHEN 1 THEN 'Education'
+              WHEN 2 THEN 'Health' ELSE 'Shopping' END AS category,
+         p_brand AS brand,
+         CAST((p_size % 10) * 5 AS INT) AS quality_score,
+         9.5e0 + (p_partkey % 300) * 2e-3 AS poi_lat,
+         -84.3e0 + (CAST(trunc(p_partkey / 300) AS BIGINT) % 300) * 2e-3 AS poi_lon
+  FROM part
+"""
+
+_HAVERSINE_SQL = (
+    "2e0 * 6371e0 * asin(sqrt("
+    "sin(radians(poi_lat - lat) / 2e0) * sin(radians(poi_lat - lat) / 2e0)"
+    " + cos(radians(lat)) * cos(radians(poi_lat))"
+    " * sin(radians(poi_lon - lon) / 2e0) * sin(radians(poi_lon - lon) / 2e0)))"
+)
+
+_RADIUS_CASE = (
+    "CASE category WHEN 'Convenience' THEN 3e0 WHEN 'Education' THEN 10e0 "
+    "WHEN 'Health' THEN 8e0 ELSE 5e0 END"
+)
+
+
+# ---------------------------------------------------------------------------
+# P21/P22 — haversine distance + walkable flag against a fixed point (SJO)
+# ---------------------------------------------------------------------------
+_P21_ORACLE = f"""
+WITH props AS ({_PROPS_SQL})
+SELECT prop_id,
+  round(2e0 * 6371e0 * asin(sqrt(
+    sin(radians(9.9281e0 - lat) / 2e0) * sin(radians(9.9281e0 - lat) / 2e0)
+    + cos(radians(lat)) * cos(radians(9.9281e0))
+    * sin(radians(-84.0907e0 - lon) / 2e0) * sin(radians(-84.0907e0 - lon) / 2e0))), 9) AS dist_km,
+  (2e0 * 6371e0 * asin(sqrt(
+    sin(radians(9.9281e0 - lat) / 2e0) * sin(radians(9.9281e0 - lat) / 2e0)
+    + cos(radians(lat)) * cos(radians(9.9281e0))
+    * sin(radians(-84.0907e0 - lon) / 2e0) * sin(radians(-84.0907e0 - lon) / 2e0))) < 1e0) AS is_walkable
+FROM props
+"""
+
+
+@register("p21_haversine", _P21_ORACLE)
+def p21_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    props = props_df(spark, sf_dir)
+    d = haversine_km(F.col("lat"), F.col("lon"), F.lit(9.9281), F.lit(-84.0907))
+    return props.select(
+        "prop_id", F.round(d, 9).alias("dist_km"), (d < 1.0).alias("is_walkable")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P23 — bounding-box prefilter (cheap coarse stage)
+# ---------------------------------------------------------------------------
+_P23_ORACLE = f"""
+WITH props AS ({_PROPS_SQL})
+SELECT prop_id FROM props
+WHERE lat BETWEEN 9.7e0 - 5e-2 AND 9.7e0 + 5e-2 AND lon BETWEEN -84.1e0 - 5e-2 AND -84.1e0 + 5e-2
+"""
+
+
+@register("p23_bbox_filter", _P23_ORACLE)
+def p23_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.functions.geo import bbox_filter
+
+    props = props_df(spark, sf_dir)
+    return props.filter(bbox_filter(F.col("lat"), F.col("lon"), 9.7, -84.1, 0.05)).select("prop_id")
+
+
+# ---------------------------------------------------------------------------
+# J6 — distance-bounded join with per-category radius: the central
+# analytical join. Oracle = brute-force theta join; engine = grid prefilter.
+# ---------------------------------------------------------------------------
+_J6_ORACLE = f"""
+WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL})
+SELECT prop_id, poi_id, category, round({_HAVERSINE_SQL}, 9) AS distance_km
+FROM props CROSS JOIN pois
+WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+"""
+
+
+@register("j6_radius_join", _J6_ORACLE)
+def j6_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    props = props_df(spark, sf_dir)
+    pois = pois_df(spark, sf_dir)
+    radius = F.element_at(
+        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["radius_km"]))]),
+        F.col("category"),
+    )
+    joined = radius_join(
+        props, pois, "lat", "lon", "poi_lat", "poi_lon",
+        radius_km=radius, max_radius_km=MAX_RADIUS_KM,
+    )
+    return joined.select(
+        "prop_id", "poi_id", "category", F.round("distance_km", 9).alias("distance_km")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 (geo form) — the Lead-Prep tiered top-k: per (property, category),
+# rank anchor brands first, then priority, then rest; distance ASC,
+# quality DESC; per-category k. THE showcase query (cl_test1.py:63-218
+# as one distributed job instead of 8 queries × N properties).
+# ---------------------------------------------------------------------------
+def _tier_sql() -> str:
+    lines = []
+    for cat, cfg in CATEGORIES.items():
+        anchors = ", ".join(f"'{b}'" for b in cfg["anchor"])
+        prios = ", ".join(f"'{b}'" for b in cfg["priority"])
+        lines.append(f"WHEN category = '{cat}' AND brand IN ({anchors}) THEN 0")
+        lines.append(f"WHEN category = '{cat}' AND brand IN ({prios}) THEN 1")
+    return "CASE " + " ".join(lines) + " ELSE 2 END"
+
+
+_K_CASE = (
+    "CASE category WHEN 'Convenience' THEN 5 WHEN 'Education' THEN 3 "
+    "WHEN 'Health' THEN 4 ELSE 5 END"
+)
+
+_LEAD_TOPK_ORACLE = f"""
+WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
+matched AS (
+  SELECT prop_id, poi_id, category, brand, quality_score,
+         {_HAVERSINE_SQL} AS distance_km
+  FROM props CROSS JOIN pois
+  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+),
+ranked AS (
+  SELECT *, {_tier_sql()} AS tier,
+    ROW_NUMBER() OVER (
+      PARTITION BY prop_id, category
+      ORDER BY {_tier_sql()}, distance_km, quality_score DESC, poi_id
+    ) AS rnk
+  FROM matched
+)
+SELECT prop_id, category, poi_id, brand, tier, rnk, round(distance_km, 9) AS distance_km
+FROM ranked WHERE rnk <= {_K_CASE}
+"""
+
+
+@register("t1_lead_prep_topk", _LEAD_TOPK_ORACLE)
+def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = j6_base(spark, sf_dir)
+    tier = F.lit(2)
+    for cat, cfg in CATEGORIES.items():
+        is_cat = F.col("category") == cat
+        tier = (
+            F.when(is_cat & F.col("brand").isin(cfg["anchor"]), 0)
+            .when(is_cat & F.col("brand").isin(cfg["priority"]), 1)
+            .otherwise(tier)
+        )
+    k_col = F.element_at(
+        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["k"]))]),
+        F.col("category"),
+    )
+    ranked = tiered_top_k(
+        matched.withColumn("tier", tier),
+        partition_by=["prop_id", "category"],
+        order_by=[F.col("tier"), F.col("distance_km"), F.col("quality_score").desc(), F.col("poi_id")],
+        k=10**9,  # filter below on the per-category k column
+        rank_col="rnk",
+    )
+    return ranked.filter(F.col("rnk") <= k_col).select(
+        "prop_id", "category", "poi_id", "brand", "tier", "rnk",
+        F.round("distance_km", 9).alias("distance_km"),
+    )
+
+
+def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded radius-join result reused by the ranked/metric queries."""
+    props = props_df(spark, sf_dir)
+    pois = pois_df(spark, sf_dir)
+    radius = F.element_at(
+        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["radius_km"]))]),
+        F.col("category"),
+    )
+    return radius_join(
+        props, pois, "lat", "lon", "poi_lat", "poi_lon",
+        radius_km=radius, max_radius_km=MAX_RADIUS_KM,
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 (geo form) — walkability + premium-zone metrics per property,
+# aggregated from the radius join in the same job.
+# ---------------------------------------------------------------------------
+_LEAD_METRICS_ORACLE = f"""
+WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
+matched AS (
+  SELECT prop_id, category, brand, {_HAVERSINE_SQL} AS distance_km
+  FROM props CROSS JOIN pois
+  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+)
+SELECT prop_id,
+  CAST(COUNT(CASE WHEN distance_km < 1e0 THEN 1 END) AS BIGINT) AS n_walkable,
+  CAST(LEAST(10, FLOOR(COUNT(CASE WHEN distance_km < 1e0 THEN 1 END) / 2.0)) AS INT) AS walk_score,
+  COALESCE(bool_or(category = 'Convenience' AND brand IN ('Brand#11', 'Brand#12')
+                   AND distance_km < 3e0), false) AS has_premium_grocery,
+  COALESCE(bool_or(category = 'Education'), false) AS has_education,
+  (COALESCE(bool_or(category = 'Convenience' AND brand IN ('Brand#11', 'Brand#12')
+                    AND distance_km < 3e0), false)
+   AND COALESCE(bool_or(category = 'Education'), false)) AS is_premium_zone
+FROM matched GROUP BY prop_id
+"""
+
+
+@register("a2a3_lead_metrics", _LEAD_METRICS_ORACLE)
+def a2a3_lead_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = j6_base(spark, sf_dir)
+    walkable = F.count(F.when(F.col("distance_km") < 1.0, 1))
+    grocery = F.coalesce(
+        F.bool_or(
+            (F.col("category") == "Convenience")
+            & F.col("brand").isin(["Brand#11", "Brand#12"])
+            & (F.col("distance_km") < 3.0)
+        ),
+        F.lit(False),
+    )
+    education = F.coalesce(F.bool_or(F.col("category") == "Education"), F.lit(False))
+    return matched.groupBy("prop_id").agg(
+        walkable.alias("n_walkable"),
+        F.least(F.lit(10), F.floor(walkable / 2.0)).cast("int").alias("walk_score"),
+        grocery.alias("has_premium_grocery"),
+        education.alias("has_education"),
+        (grocery & education).alias("is_premium_zone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — cluster representative selection (single-cell form, SQL-checkable).
+# Transitive connected-component clustering is operators/geo_join.py::
+# cluster_points, pinned by unit tests (not SQL-expressible in one query).
+# ---------------------------------------------------------------------------
+_A4_ORACLE = f"""
+WITH pois AS ({_POIS_SQL}),
+cells AS (
+  SELECT *, CAST(floor(poi_lat / 1.8e-4) AS BIGINT) * 100000
+            + CAST(floor(poi_lon / 1.8e-4) AS BIGINT) AS cell
+  FROM pois
+),
+ranked AS (
+  SELECT category, cell, poi_id, brand,
+    ROW_NUMBER() OVER (PARTITION BY category, cell
+                       ORDER BY len(brand) DESC, poi_id) AS rn
+  FROM cells
+)
+SELECT category, cell, poi_id AS rep_poi_id, brand AS rep_brand
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("a4_cluster_representative", _A4_ORACLE)
+def a4_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pois = pois_df(spark, sf_dir)
+    cell = (
+        F.floor(F.col("poi_lat") / 0.00018).cast("long") * 100000
+        + F.floor(F.col("poi_lon") / 0.00018).cast("long")
+    )
+    w = Window.partitionBy("category", "cell").orderBy(
+        F.length("brand").desc(), F.col("poi_id")
+    )
+    return (
+        pois.withColumn("cell", cell)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("category", "cell", F.col("poi_id").alias("rep_poi_id"), F.col("brand").alias("rep_brand"))
+    )
