@@ -1,0 +1,163 @@
+"""Deduplication operators for 100 TB training-data pipelines:
+exact (hash), MinHash+LSH banding, n-gram Jaccard, SimHash, embedding
+cosine near-dup.
+
+Shapes chosen for scale:
+- exact: one shuffle on the 256-bit fingerprint; survivor = min(id) per
+  group (deterministic; the reference's keep-last variant is A5).
+- MinHash/LSH: shingle explode → 16 min-aggregations (ONE shuffle on
+  doc_id), band explode → self-join on (band_idx, band_key) — the classic
+  shuffle-bounded near-dup join; candidate verification re-joins the
+  16-slot signatures and counts agreements. No O(n²) stage anywhere.
+- n-gram Jaccard: shingle-inverted-index self-join (pairs sharing ≥1
+  shingle) then |∩|/|∪| — exact but heavier than LSH; use on candidate
+  subsets or small corpora.
+- embedding: cosine over normalized vectors; brute force here, LSH-bucketed
+  variant in operators/similarity.py for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import (
+    BAND_SIZE,
+    N_MINHASH,
+    fingerprint,
+    minhash_terms,
+    portable_hash60,
+    word_shingles,
+)
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows + ``canonical_id`` (min id among rows sharing a fingerprint)
+    + ``is_duplicate`` flag. One shuffle on the fingerprint."""
+    with_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fp")
+    return (
+        with_fp.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+        .drop("fp")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """doc → 16 minhash columns mh0..mh15. Docs with no shingles drop out
+    (shorter than n tokens ⇒ not near-dup-detectable)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+    h = portable_hash60(F.col("shingle"))
+    terms = minhash_terms(h)
+    return sh.groupBy(id_col).agg(
+        *[F.min(t).alias(f"mh{i}") for i, t in enumerate(terms)]
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    n_bands = N_MINHASH // BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)]
+        )
+        bands.append(
+            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for LSH candidates whose signature
+    agreement ≥ threshold. est_jaccard = fraction of equal minhash slots."""
+    sigs = minhash_signatures(df, text_col, id_col, n)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    est = (agree / F.lit(float(N_MINHASH))).alias("est_jaccard")
+    return joined.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles for every pair sharing
+    at least one shingle. |∪| = |A| + |B| - |∩|."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs above threshold — brute force O(n²)
+    pair generation; for scale use the LSH-bucketed ANN in similarity.py."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    with_v = df.select(F.col(id_col), v.alias("v"))
+    a = with_v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = with_v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB engine needs:
+- ``brute_force_topk``: exact cosine top-k — query set × corpus, a
+  broadcast of the (small) query side, per-partition scoring, window
+  top-k. Right answer at any corpus size IF the query set is small.
+- ``lsh_bucketed_topk``: sign-random-projection LSH — 16 deterministic
+  hyperplanes hash every vector to a bucket; candidates = same bucket;
+  exact cosine re-rank inside. Sub-linear candidate sets at the cost of
+  recall (multi-probe = widen with neighboring buckets at Hamming
+  distance 1 if recall matters).
+
+Hyperplane constants derive from a fixed integer formula so the DuckDB
+oracle regenerates them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+EMB_DIM = 64
+
+
+def hyperplane(k: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane: ((k*37 + d*13) % 17) - 8."""
+    return [float(((k * 37 + d * 13) % 17) - 8) for d in range(dim)]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
+    Self-matches (same id) excluded."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def lsh_bucket(vec_col, dim: int = EMB_DIM):
+    """Sign-projection bucket id: bit k = 1 iff dot(v, hyperplane_k) > 0."""
+    bucket = F.lit(0)
+    for hk in range(N_HYPERPLANES):
+        h = hyperplane(hk, dim)
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in h]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << hk)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank. The bucket join replaces the cross join — the
+    scale path (equi-join on bucket, AQE handles bucket skew)."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = c.withColumn("bucket", lsh_bucket(F.col("cv")))
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv")))
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

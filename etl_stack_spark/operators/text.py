@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines (net-new surface
+beyond the reference, mandated by BASELINE.json's north star):
+language-ID, quality scoring, token counting, fingerprinting, shingling.
+
+All pure Column exprs over ``documents.text`` — no Python in the path.
+Portability contract: every constant here is shared with the DuckDB oracle
+generators in queries/text_dedup.py, and numeric hashing goes through
+sha256-hex prefixes (identical in any engine) rather than engine-native
+hash functions.
+
+100 TB notes: these are embarrassingly parallel scans; the only shuffle in
+the whole family is the groupBy(doc) in shingle aggregation. Fingerprints/
+minhash signatures should be computed once and persisted next to the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language markers: tiny stopword sets with high mutual exclusivity.
+# Order = tie-break priority (first wins on equal counts).
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "with"]),
+    ("es", ["el", "la", "de", "los"]),
+    ("de", ["der", "die", "und", "nicht"]),
+    ("fr", ["le", "les", "des", "est"]),
+    ("zh", ["de5", "shi4", "le5", "bu4"]),
+]
+
+# MinHash: 16 permutations (a*x + b) mod P over a 60-bit sha-derived base
+# hash; constants from a fixed LCG seed so both engines share them.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+N_MINHASH = 16
+BAND_SIZE = 2  # 8 bands of 2 → catches jaccard ≳ 0.5 reliably
+
+
+def _lcg_constants(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    out, state = [], seed
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state | 1  # odd, nonzero
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state
+        out.append((a % MINHASH_PRIME, b % MINHASH_PRIME))
+    return out
+
+
+MINHASH_AB = _lcg_constants(N_MINHASH)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored count: word-pieces of ≤4 chars — every run of up to 4
+    word characters or one non-space symbol counts as a token. A cheap,
+    deterministic stand-in for subword tokenizers when budgeting LLM data."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\w{1,4}|[^\w\s]"), 0))
+
+
+def stopword_count(text: Column, words: list[str]) -> Column:
+    pat = "(" + "|".join(words) + ")"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{pat}\b"), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-word counts; ties resolve in
+    LANG_MARKERS order; zero hits ⇒ 'unknown'."""
+    counts = [(lang, stopword_count(text, words)) for lang, words in LANG_MARKERS]
+    best = F.lit("unknown")
+    best_n = F.lit(0)
+    # iterate reversed so earlier languages win ties (> beats later's >=)
+    for lang, n in reversed(counts):
+        is_better = n > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return best
+
+
+def punct_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/stopword/punctuation heuristic in [0,1], rounded to 6dp.
+    Components: length band (50..5000 chars), stopword presence, moderate
+    punctuation density. Deterministic arithmetic — same formula in SQL."""
+    n_chars = F.length(text)
+    n_tok = token_count(text)
+    sw = stopword_count(text, [w for _, ws in LANG_MARKERS for w in ws])
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 5000), 1.0).otherwise(0.0)
+    sw_ratio = F.least(F.lit(1.0), sw * 5.0 / F.greatest(n_tok, F.lit(1)))
+    punct_ratio = punct_count(text) / F.greatest(n_chars, F.lit(1))
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    return F.round(0.4 * len_ok + 0.4 * sw_ratio + 0.2 * punct_ok, 6)
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """lowercase, strip non-word/space, collapse whitespace."""
+    s = F.lower(text)
+    s = F.regexp_replace(s, r"[^\w\s]", "")
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def fingerprint(text: Column) -> Column:
+    """P11-style document fingerprint: sha256 of the normalized text."""
+    return F.sha2(normalize_for_fingerprint(text), 256)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles as an array<string>."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(sh)
+
+
+def portable_hash60(s: Column) -> Column:
+    """60-bit integer hash from the sha256 hex prefix — identical in any
+    engine that has sha256 (DuckDB: ('0x'||substr(sha256(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
+
+
+def minhash_terms(shingle_hash: Column) -> list[Column]:
+    """The 16 permuted values for one shingle; aggregate with min() per doc."""
+    h = shingle_hash % MINHASH_PRIME
+    return [(h * F.lit(a) + F.lit(b)) % MINHASH_PRIME for a, b in MINHASH_AB]
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over token hashes: bit j of the result is 1 iff the
+    majority of tokens have bit j set in their 60-bit hash. Distinct tokens
+    weighted once (set semantics) for cross-engine determinism."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: portable_hash60(t) % MINHASH_PRIME)
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1),
+        )
+        out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out

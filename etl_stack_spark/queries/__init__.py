@@ -54,4 +54,6 @@ def _load_all() -> None:
         joins_aggs,
         relational,
         scalar_funcs,
+        similarity,
+        text_dedup,
     )

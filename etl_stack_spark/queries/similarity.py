@@ -1,0 +1,116 @@
+"""Similarity-search queries over ``embeddings`` with DuckDB oracles.
+
+Query set = vec_id < 10. Cosine parity note: both engines compute the dot
+product as a sequential left-to-right fold over doubles (Spark
+``aggregate``; DuckDB ``list_dot_product``), so scores match bitwise and
+ranks agree; scores are rounded to 6dp in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.dedup import embedding_near_duplicates
+from etl_stack_spark.operators.similarity import (
+    N_HYPERPLANES,
+    brute_force_topk,
+    hyperplane,
+    lsh_bucketed_topk,
+)
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# SS1 — brute-force cosine top-k
+# ---------------------------------------------------------------------------
+_SS1_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 6) AS cosine
+  FROM corpus CROSS JOIN q WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ss1_bruteforce_topk", _SS1_ORACLE)
+def ss1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# SS2 — LSH-bucketed approximate top-k (sign random projection)
+# ---------------------------------------------------------------------------
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for hk in range(N_HYPERPLANES):
+        h = hyperplane(hk)
+        lits = ", ".join(f"{x:.1f}e0" for x in h)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{lits}]::DOUBLE[]) > 0 THEN {1 << hk} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_SS2_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cb AS (SELECT *, {_bucket_sql('cv')} AS bucket FROM corpus),
+qb AS (SELECT *, {_bucket_sql('qv')} AS bucket FROM q),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 6) AS cosine
+  FROM cb JOIN qb USING (bucket) WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ss2_lsh_topk", _SS2_ORACLE)
+def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# DD5 — embedding cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+_DD5_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.9
+"""
+
+
+@register("dd5_embedding_neardup", _DD5_ORACLE)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.9)

@@ -1,0 +1,262 @@
+"""Text-analysis + dedup queries over ``documents`` with DuckDB oracles.
+
+The oracle SQL is GENERATED from the same constants as the Spark operators
+(LANG_MARKERS, MINHASH_AB, …) — one source of truth, no drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from etl_stack_spark.operators.text import (
+    BAND_SIZE,
+    LANG_MARKERS,
+    MINHASH_AB,
+    MINHASH_PRIME,
+    N_MINHASH,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash16,
+    token_count,
+)
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# --- shared DuckDB fragments (match operators/text.py semantics) -----------
+
+_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKS}) - 2, 0) + 1), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+_H60 = "('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+def _marker_count(words: list[str]) -> str:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+# ---------------------------------------------------------------------------
+# TX1 — language ID (argmax marker counts, tie → LANG_MARKERS order)
+# ---------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    cols = ", ".join(
+        f"{_marker_count(ws)} AS c_{lang}" for lang, ws in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    cases = []
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        cond = (geq + " AND " if geq else "") + f"c_{lang} > 0"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+WITH counts AS (SELECT doc_id, lang AS true_lang, {cols} FROM documents)
+SELECT doc_id, true_lang, {case_sql} AS pred_lang FROM counts
+"""
+
+
+@register("tx1_lang_id", _lang_oracle())
+def tx1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("true_lang"), lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX2 — quality score
+# ---------------------------------------------------------------------------
+_ALL_MARKERS = [w for _, ws in LANG_MARKERS for w in ws]
+
+_TX2_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len({_TOKS}) AS n_tok,
+    {_marker_count(_ALL_MARKERS)} AS sw,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+  round(4e-1 * (CASE WHEN n_chars >= 50 AND n_chars <= 5000 THEN 1e0 ELSE 0e0 END)
+      + 4e-1 * least(1e0, sw * 5e0 / greatest(n_tok, 1))
+      + 2e-1 * (CASE WHEN n_punct / greatest(n_chars, 1) <= 2e-1 THEN 1e0 ELSE 0e0 END), 6)
+  AS quality
+FROM feats
+"""
+
+
+@register("tx2_quality_score", _TX2_ORACLE)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# TX3 — token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+_TX3_ORACLE = f"""
+SELECT doc_id,
+  len({_TOKS}) AS n_tokens,
+  len(regexp_extract_all(text, '\\w{{1,4}}|[^\\w\\s]')) AS n_bpe_ish
+FROM documents
+"""
+
+
+@register("tx3_token_counts", _TX3_ORACLE)
+def tx3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX4 — document fingerprint (rolling-normalized sha256)
+# ---------------------------------------------------------------------------
+_TX4_ORACLE = r"""
+SELECT doc_id,
+  sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                             '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+@register("tx4_fingerprint", _TX4_ORACLE)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# DD1 — exact dedup by fingerprint
+# ---------------------------------------------------------------------------
+_DD1_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id,
+    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       (doc_id <> MIN(doc_id) OVER (PARTITION BY fp)) AS is_duplicate
+FROM fp
+"""
+
+
+@register("dd1_exact_dedup", _DD1_ORACLE)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("doc_id", "canonical_id", "is_duplicate")
+
+
+# ---------------------------------------------------------------------------
+# DD2 — MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    mh_cols = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    n_bands = N_MINHASH // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, mh{i}::VARCHAR || '_' || mh{j}::VARCHAR AS band_key FROM sig".format(
+            b=b, i=b * BAND_SIZE, j=b * BAND_SIZE + 1
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    h_expr = _H60.format(expr="shingle")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+),
+h AS (SELECT doc_id, ({h_expr} % {MINHASH_PRIME}) AS h FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(({agree}) / {float(N_MINHASH)}, 6) AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({agree}) / {float(N_MINHASH)} >= 0.5
+"""
+
+
+@register("dd2_minhash_lsh", _minhash_oracle())
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# DD3 — exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+_DD3_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+  round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.4
+"""
+
+
+@register("dd3_ngram_jaccard", _DD3_ORACLE)
+def dd3_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# DD4 — SimHash (16-bit) per document
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    h_expr = _H60.format(expr="t")
+    bits = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+),
+th AS (SELECT doc_id, ({h_expr} % {MINHASH_PRIME}) AS h FROM tok)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM th GROUP BY doc_id
+"""
+
+
+@register("dd4_simhash", _simhash_oracle())
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
