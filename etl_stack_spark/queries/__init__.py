@@ -56,4 +56,5 @@ def _load_all() -> None:
         scalar_funcs,
         similarity,
         text_dedup,
+        windows_q,
     )

@@ -1,0 +1,86 @@
+"""Event-time window queries over ``events`` with DuckDB oracles.
+
+Tumbling = time_bucket; sliding = union of the slide-phase buckets;
+session = gaps-and-islands with lag(). Sums of doubles round to 2dp
+(both engines accumulate in different orders; the data has 2dp values so
+1e-9-scale error never straddles a rounding boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+from etl_stack_spark.streaming.windows import session_counts, sliding_counts, tumbling_counts
+
+# ---------------------------------------------------------------------------
+# ST-W1 — tumbling window (1 hour)
+# ---------------------------------------------------------------------------
+_W1_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stw1_tumbling_window", _W1_ORACLE)
+def stw1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# ST-W2 — sliding window (1 hour, slide 30 min): every event belongs to the
+# window starting at its 30-min bucket and the one 30 min earlier.
+# ---------------------------------------------------------------------------
+_W2_ORACLE = """
+WITH phased AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM phased GROUP BY 1, 2
+"""
+
+
+@register("stw2_sliding_window", _W2_ORACLE)
+def stw2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# ST-W3 — session window (5-minute gap) per user; end = last event + gap
+# ---------------------------------------------------------------------------
+_W3_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '5 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@register("stw3_session_window", _W3_ORACLE)
+def stw3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(load_table(spark, sf_dir, "events"), "5 minutes")

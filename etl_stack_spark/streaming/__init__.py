@@ -1,0 +1,8 @@
+"""Streaming & incremental-batch surface (SURVEY §2.8).
+
+The reference has no true stream processing — its streaming-shaped
+behaviors are queue-driven micro-batches over state tables. This package
+keeps that model (incremental batch over Parquet state, idempotent by
+content hash) and adds Spark's native event-time windowing as net-new
+surface over the ``events`` table.
+"""

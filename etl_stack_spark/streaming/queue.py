@@ -1,0 +1,107 @@
+"""Queue-driven micro-batch runner (SURVEY ST1-ST3).
+
+The reference enqueues jobs in Redis/RQ and a worker drains them
+(`api/routers/docs.py:105-122`, `worker_service.py:23-31`); job state
+lives in a status table. Here the queue is a request state table
+(ParquetMergeTable) and the worker is either:
+
+- ``drain_pending``: poll-until-empty incremental batches (ST3 —
+  deterministic, test-friendly), or
+- ``run_stream``: a Structured Streaming file source + ``foreachBatch``
+  (ST1 — the production shape; each micro-batch is exactly the same
+  function the batch path uses).
+
+Job dependencies (ST2) = sequential stages inside one batch function.
+Idempotency = the content-hash gate (changed_only), so at-least-once
+delivery is safe — the reference's own model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+
+PENDING, PROCESSING, SYNCED, FAILED = "PENDING", "PROCESSING", "SYNCED", "FAILED"
+
+
+def enqueue(table: ParquetMergeTable, requests: DataFrame) -> None:
+    """Register requests as PENDING (idempotent on job_id via merge)."""
+    src = requests.withColumn("status", F.lit(PENDING)).withColumn(
+        "error_message", F.lit(None).cast("string")
+    )
+    if "content_hash" not in src.columns:
+        src = src.withColumn("content_hash", F.sha2(F.col("job_id"), 256))
+    table.merge(src, keys=["job_id"])
+
+
+def drain_pending(
+    table: ParquetMergeTable,
+    process: Callable[[DataFrame], DataFrame],
+    batch_size: int = 20,
+    max_batches: int = 1000,
+) -> int:
+    """ST3 poll-until-empty loop: take up to ``batch_size`` PENDING jobs
+    (deterministic order), run ``process`` (must return job_id + status
+    [+ error_message]), write statuses back; repeat until no work.
+
+    Returns the number of processed jobs."""
+    total = 0
+    for _ in range(max_batches):
+        pending = (
+            table.read()
+            .filter(F.col("status") == PENDING)
+            .orderBy("job_id")
+            .limit(batch_size)
+        )
+        if pending.isEmpty():
+            break
+        processed = process(pending)
+        results = processed.select(
+            "job_id",
+            F.col("status"),
+            (F.col("error_message") if "error_message" in processed.columns
+             else F.lit(None).cast("string")).alias("error_message"),
+        )
+        target = table.read()
+        r = results.select(
+            "job_id",
+            F.col("status").alias("_ns"),
+            F.col("error_message").alias("_ne"),
+        )
+        merged = (
+            target.join(r, "job_id", "left")
+            .withColumn("status", F.coalesce("_ns", "status"))
+            .withColumn("error_message", F.coalesce("_ne", "error_message"))
+            .drop("_ns", "_ne")
+        )
+        table.overwrite(merged)
+        total += results.count()
+    return total
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """ST1 production shape: file-source stream → foreachBatch(batch_fn).
+
+    With ``available_now`` the stream processes the backlog and stops —
+    the driver-friendly trigger; on a cluster use a continuous trigger and
+    the same ``batch_fn`` handles each micro-batch incrementally."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query

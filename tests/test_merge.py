@@ -1,0 +1,111 @@
+"""Unit tests for the MERGE layer — the reference's idempotency contract:
+ingest twice ⇒ zero changes; mutate one field ⇒ exactly one update
+(SURVEY §7 P2 milestone)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_stack_spark.operators.merge import ParquetMergeTable, changed_only
+
+
+def props(spark, rows):
+    return spark.createDataFrame(
+        rows, "client_id string, external_id string, title string, content_hash string, status string"
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ParquetMergeTable(spark, str(tmp_path / "lead_properties"))
+
+
+BATCH1 = [
+    ("c1", "p1", "Casa A", "h1", "active"),
+    ("c1", "p2", "Casa B", "h2", "active"),
+    ("c2", "p9", "Casa Z", "h9", "active"),
+]
+
+
+def test_first_merge_inserts_all(spark, table):
+    stats = table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    assert stats == {"inserted": 3, "updated": 0, "unchanged": 0, "soft_deleted": 0}
+    assert table.read().count() == 3
+
+
+def test_idempotent_remerge_changes_nothing(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    stats = table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    assert stats["inserted"] == 0 and stats["updated"] == 0 and stats["unchanged"] == 3
+
+
+def test_hash_change_updates_exactly_one(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    batch2 = [
+        ("c1", "p1", "Casa A renovada", "h1_new", "active"),  # changed
+        ("c1", "p2", "Casa B", "h2", "active"),  # unchanged
+        ("c2", "p9", "Casa Z", "h9", "active"),  # unchanged
+    ]
+    stats = table.merge(props(spark, batch2), keys=["client_id", "external_id"])
+    assert stats["updated"] == 1 and stats["unchanged"] == 2 and stats["inserted"] == 0
+    row = table.read().filter(F.col("external_id") == "p1").first()
+    assert row["title"] == "Casa A renovada"
+
+
+def test_soft_delete_scoped_to_client(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    # client c1's new batch lacks p2 → p2 soft-deletes; c2 rows untouched
+    batch2 = [("c1", "p1", "Casa A", "h1", "active")]
+    stats = table.merge(
+        props(spark, batch2),
+        keys=["client_id", "external_id"],
+        soft_delete_scope=F.col("t.client_id") == "c1",
+    )
+    assert stats["soft_deleted"] == 1
+    out = {r["external_id"]: r["status"] for r in table.read().collect()}
+    assert out == {"p1": "active", "p2": "deleted", "p9": "active"}
+
+
+def test_resurrect_deleted_row_even_with_same_hash(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(
+        props(spark, [("c1", "p1", "Casa A", "h1", "active")]),
+        keys=["client_id", "external_id"],
+        soft_delete_scope=F.col("t.client_id") == "c1",
+    )
+    # p2 comes back with the SAME hash → must still flip to active (M1's
+    # `OR target.status = 'deleted'` clause)
+    stats = table.merge(
+        props(spark, [("c1", "p2", "Casa B", "h2", "active")]),
+        keys=["client_id", "external_id"],
+    )
+    assert stats["updated"] == 1
+    assert table.read().filter(F.col("external_id") == "p2").first()["status"] == "active"
+
+
+def test_changed_only_filters_unchanged(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    batch2 = props(
+        spark,
+        [
+            ("c1", "p1", "Casa A", "h1", "active"),  # same hash → skip
+            ("c1", "p2", "Casa B", "h2_new", "active"),  # changed → keep
+            ("c3", "p5", "Casa N", "h5", "active"),  # new → keep
+        ],
+    )
+    delta = changed_only(batch2, table, keys=["client_id", "external_id"])
+    got = {r["external_id"] for r in delta.collect()}
+    assert got == {"p2", "p5"}
+
+
+def test_delete_where_like_pattern(spark, table):
+    docs = spark.createDataFrame(
+        [("d1", "x"), ("d1_part_1", "y"), ("d1_part_2", "z"), ("d2", "w")],
+        "content_id string, content_hash string",
+    )
+    t = ParquetMergeTable(spark, table.root + "_docs")
+    t.overwrite(docs)
+    n = t.delete_where(F.col("content_id").like("d1_part_%"))
+    assert n == 2
+    assert {r["content_id"] for r in t.read().collect()} == {"d1", "d2"}

@@ -1,0 +1,69 @@
+"""Streaming-surface tests: watermarked windowed agg over a real stream
+(file source, availableNow) and the foreachBatch queue runner."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.streaming.queue import PENDING, SYNCED, drain_pending, enqueue
+from etl_stack_spark.streaming.windows import streaming_tumbling_counts
+
+
+def test_streaming_tumbling_watermark(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "click"),
+            (2, "2024-01-01 00:40:00", "click"),
+            (3, "2024-01-01 01:10:00", "view"),
+            (4, "2024-01-01 02:05:00", "click"),
+        ],
+        "event_id long, ts_s string, event_type string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    events.write.parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = streaming_tumbling_counts(stream, "1 hour", "2 hours")
+    sink = []
+
+    def collect_batch(df, _epoch):
+        sink.extend((r["window_start"].isoformat(), r["event_type"], r["n"]) for r in df.collect())
+
+    # complete mode: every batch emits the full window state (append would
+    # only flush windows the watermark passed before the final batch)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert ("2024-01-01T00:00:00", "click", 2) in sink
+    assert ("2024-01-01T01:00:00", "view", 1) in sink
+
+
+def test_queue_drain_pending(spark, tmp_path):
+    table = ParquetMergeTable(spark, str(tmp_path / "jobs"))
+    reqs = spark.createDataFrame(
+        [(f"job_{i}", f"doc_{i}") for i in range(7)], "job_id string, content_id string"
+    )
+    enqueue(table, reqs)
+    assert table.read().filter(F.col("status") == PENDING).count() == 7
+
+    def process(batch):
+        return batch.select("job_id", F.lit(SYNCED).alias("status"))
+
+    n = drain_pending(table, process, batch_size=3)
+    assert n == 7
+    statuses = {r["status"] for r in table.read().collect()}
+    assert statuses == {SYNCED}
+
+
+def test_queue_enqueue_idempotent(spark, tmp_path):
+    table = ParquetMergeTable(spark, str(tmp_path / "jobs2"))
+    reqs = spark.createDataFrame([("job_1", "doc_1")], "job_id string, content_id string")
+    enqueue(table, reqs)
+    enqueue(table, reqs)  # re-enqueue same job → no duplicate
+    assert table.read().count() == 1
