@@ -1,0 +1,128 @@
+"""AI-effect provider surface (SURVEY P30-P33): OCR, image transcode,
+vision tagging, embedding — pluggable providers behind Arrow-batched
+pandas UDFs, with deterministic mocks as the default.
+
+Contract (from the reference's design, kept deliberately):
+- These NEVER sit in the correctness path: every caller gates them behind
+  the content-hash delta (operators/merge.changed_only) so unchanged rows
+  never re-trigger an external effect (vector_store.py:109-205).
+- Mocks are keyed on the content hash → byte-deterministic outputs,
+  testable with oracles.
+- Real providers (network calls) would plug in via the same interface;
+  they are NOT implemented here (no external services in this
+  environment) — the Spark-side plumbing (batching, schema, gating) is
+  identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+)
+
+EMBEDDING_DIM = 64  # matches the testdata embeddings table (ref uses 3072)
+
+ROOM_TYPES = [
+    "living_room", "kitchen", "bedroom", "bathroom", "garage", "garden",
+    "pool", "terrace", "dining_room", "office", "hall", "laundry",
+    "facade", "aerial", "floor_plan", "balcony", "other",
+]
+CONDITIONS = ["new", "excellent", "good", "fair", "needs_work", "poor", "unknown"]
+
+
+def _hash_ints(payload: bytes, n: int, mod: int) -> list[int]:
+    """Deterministic integer stream from sha256(payload)."""
+    out, counter = [], 0
+    while len(out) < n:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(b % mod for b in h)
+        counter += 1
+    return out[:n]
+
+
+# --- P33: embedding provider ------------------------------------------------
+
+
+@pandas_udf(ArrayType(FloatType()))
+def mock_embed(text: pd.Series) -> pd.Series:
+    """Deterministic unit-norm embedding from the text hash. Arrow-batched;
+    a real provider would POST the batch to a model API here (M4 gating
+    ensures only changed rows reach this UDF)."""
+
+    def embed(t):
+        if t is None:
+            return None
+        ints = _hash_ints(t.encode("utf-8"), EMBEDDING_DIM, 2000)
+        vec = [(x - 1000.0) / 1000.0 for x in ints]
+        norm = sum(x * x for x in vec) ** 0.5 or 1.0
+        return [float(x / norm) for x in vec]
+
+    return text.map(embed)
+
+
+# --- P32: vision tagging ----------------------------------------------------
+
+
+@pandas_udf(StringType())
+def mock_vision_tag(content_hash: pd.Series) -> pd.Series:
+    """Deterministic vision labels (strict JSON, like the reference's
+    markdown-fence-stripped Gemini output: room_type, features≤8,
+    condition, quality_score 1-10 — image_ai_tagger.py:87-117)."""
+
+    def tag(h):
+        if h is None:
+            return None
+        ints = _hash_ints(h.encode("utf-8"), 4, 256)
+        return json.dumps(
+            {
+                "room_type": ROOM_TYPES[ints[0] % len(ROOM_TYPES)],
+                "features": [f"feature_{i}" for i in range(ints[1] % 4)],
+                "condition": CONDITIONS[ints[2] % len(CONDITIONS)],
+                "quality_score": (ints[3] % 10) + 1,
+            },
+            sort_keys=True,
+        )
+
+    return content_hash.map(tag)
+
+
+VISION_SCHEMA = (
+    "room_type string, features array<string>, condition string, quality_score int"
+)
+
+
+# --- P30: OCR ---------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def mock_ocr(content_hash: pd.Series) -> pd.Series:
+    """Deterministic OCR stand-in (the real path needs pdf2image+tesseract,
+    absent here): yields a reproducible pseudo-text per content hash."""
+
+    def ocr(h):
+        if h is None:
+            return None
+        words = [f"w{x}" for x in _hash_ints(h.encode("utf-8"), 24, 997)]
+        return " ".join(words)
+
+    return content_hash.map(ocr)
+
+
+# --- P31: image transcode ---------------------------------------------------
+
+
+def transcode_image_batch(content: pd.Series) -> pd.Series:  # pragma: no cover
+    """Image → WebP resize. STUB: PIL is not in this container. The Spark
+    plumbing (BinaryType in/out via mapInPandas, see
+    operators/multimodal.py) is real and tested with fake bytes."""
+    raise NotImplementedError(
+        "image transcode requires PIL; plug a real provider into "
+        "operators/multimodal.decode_stage"
+    )

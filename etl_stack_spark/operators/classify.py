@@ -1,0 +1,80 @@
+"""Rule-driven classification & brand detection (SURVEY P14-P16, P18).
+
+The reference classifies POIs by (1) word-boundary keyword regexes on the
+normalized name per category, in config order, first match wins; then
+(2) an exclusion-keyword veto (`process_pois.py:271-313` driven by
+``config_poi_filtering.json``). Brand detection tries exact map → substring
+→ fuzzy (`process_pois.py:215-246`). Quality scoring is additive flags
+(`process_pois.py:30-35,248-269`).
+
+All compile to literal ``when``/``rlike`` chains — broadcast-free,
+codegen'd, and identical-by-construction to the SQL the oracle runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def classify_by_rules(
+    name: Column,
+    rules: Sequence[tuple[str, Sequence[str]]],
+    exclusions: Sequence[str] = (),
+    default: str = "Other",
+) -> Column:
+    """First category (config order) whose keyword matches on a word
+    boundary; vetoed to default if any exclusion keyword matches."""
+    lowered = F.lower(name)
+    expr = F.lit(default)
+    for category, keywords in reversed(list(rules)):
+        pat = r"\b(" + "|".join(keywords) + r")\b"
+        expr = F.when(lowered.rlike(pat), F.lit(category)).otherwise(expr)
+    if exclusions:
+        veto = r"\b(" + "|".join(exclusions) + r")\b"
+        expr = F.when(lowered.rlike(veto), F.lit(default)).otherwise(expr)
+    return expr
+
+
+def detect_brand(
+    name: Column,
+    brand_tag: Column,
+    exact_map: Mapping[str, str],
+    whitelist: Sequence[str],
+) -> Column:
+    """P16 tiered brand detect: explicit tag mapped through exact_map ▷
+    exact lowercase map hit on the name ▷ whitelist substring scan.
+    (The fuzzy ≥0.90 tier lives in functions.udfs.difflib_ratio /
+    the levenshtein approximation — kept out of the exact chain.)"""
+    lowered = F.lower(name)
+    tag_hit = F.lit(None).cast("string")
+    for k, v in reversed(list(exact_map.items())):
+        tag_hit = F.when(F.lower(brand_tag) == k.lower(), F.lit(v)).otherwise(tag_hit)
+    name_hit = F.lit(None).cast("string")
+    for k, v in reversed(list(exact_map.items())):
+        name_hit = F.when(lowered == k.lower(), F.lit(v)).otherwise(name_hit)
+    substr_hit = F.lit(None).cast("string")
+    for b in reversed(list(whitelist)):
+        substr_hit = F.when(
+            F.instr(lowered, b.lower()) > 0, F.lit(b)
+        ).otherwise(substr_hit)
+    return F.coalesce(tag_hit, name_hit, substr_hit)
+
+
+def poi_quality_score(
+    has_amenity_tag: Column,
+    has_real_name: Column,
+    has_known_brand: Column,
+    n_contact_fields: Column,
+) -> Column:
+    """P18: +10 amenity/shop tag, +5 real name else −5, +15 known brand,
+    +3 × contact fields present; floored at 0."""
+    score = (
+        F.when(has_amenity_tag, 10).otherwise(0)
+        + F.when(has_real_name, 5).otherwise(-5)
+        + F.when(has_known_brand, 15).otherwise(0)
+        + n_contact_fields * 3
+    )
+    return F.greatest(score, F.lit(0)).cast("int")

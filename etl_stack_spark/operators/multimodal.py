@@ -1,0 +1,114 @@
+"""Multimodal column operators (image/audio/video as opaque binary +
+typed metadata) — the Spark-side plumbing a 100 TB media pipeline needs.
+
+Pattern (per the driver's mandate): media lives in ``binary`` columns with
+a ``kind`` discriminator and a typed metadata struct. Decode / feature
+extraction / resize / frame sampling run as Arrow-batched functions over
+``mapInPandas`` — the batch shape, schemas and partitioning here are real;
+the actual codec step is a deterministic fake (this container has no
+image/audio libraries) behind the same interface a real decoder plugs
+into (see ai.transcode_image_batch for the NotImplementedError stub).
+
+Scale notes:
+- binary payloads ride in Arrow record batches; keep
+  ``spark.sql.files.maxPartitionBytes`` at 64-128 MB so a partition of
+  media rows fits executor memory.
+- feature extraction is stateless map-side work — zero shuffle; only the
+  optional groupBy(media) after frame-explode shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, width int, height int, duration_ms int"
+)
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def _h60(payload: bytes) -> int:
+    """60-bit int from the sha256 hex prefix — matches the engines'
+    portable_hash60 so oracles can recompute features in SQL."""
+    return int(hashlib.sha256(payload).hexdigest()[:15], 16)
+
+
+def fake_decode_features(content: bytes, kind: str) -> dict:
+    """Deterministic decode stand-in: pseudo width/height/duration derived
+    from the content hash. A real decoder returns the same schema."""
+    h = _h60(content)
+    if kind == "image":
+        return {"width": 64 + h % 1920, "height": 64 + (h // 1920) % 1080, "duration_ms": 0}
+    if kind == "audio":
+        return {"width": 0, "height": 0, "duration_ms": 1000 + h % 600000}
+    return {  # video
+        "width": 64 + h % 1280,
+        "height": 64 + (h // 1280) % 720,
+        "duration_ms": 1000 + h % 120000,
+    }
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media(media_id, kind, content binary) → typed feature rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                fake_decode_features(bytes(c), k)
+                for c, k in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(c)) for c in pdf["content"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 5) -> DataFrame:
+    """video rows → (media_id, frame_idx, frame bytes): frame count =
+    1 + hash%max_frames; each frame is a deterministic pseudo-frame
+    (sha256 of content + index) — the explode/batch shape of a real
+    ffmpeg-backed sampler."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, c, k in zip(pdf["media_id"], pdf["content"], pdf["kind"]):
+                if k != "video":
+                    continue
+                payload = bytes(c)
+                n = 1 + _h60(payload) % max_frames
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(hashlib.sha256(payload + b"#" + str(i).encode()).digest())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Test/bench media table synthesized from ``documents``: the utf-8
+    text bytes act as the opaque payload; kind cycles image/audio/video."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )

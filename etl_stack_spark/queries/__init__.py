@@ -50,7 +50,9 @@ def _load_all() -> None:
         return
     _LOADED = True
     from etl_stack_spark.queries import (  # noqa: F401
+        classify_merge,
         geo,
+        multimodal_q,
         joins_aggs,
         relational,
         scalar_funcs,

@@ -1,0 +1,156 @@
+"""Classification (P14/P16/P18) and merge-as-query (M1) oracle entries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.classify import (
+    classify_by_rules,
+    detect_brand,
+    poi_quality_score,
+)
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# P14 — rule-driven classification with exclusion veto over p_name.
+# Config order matters: first matching category wins; 'used' vetoes.
+# ---------------------------------------------------------------------------
+_RULES = [
+    ("Hardware", ["bolt", "screw", "nut"]),
+    ("Gadgets", ["widget", "gear", "device"]),
+    ("Materials", ["rod", "plate", "sheet"]),
+]
+_EXCLUSIONS = ["broken", "scrap"]
+
+_P14_ORACLE = """
+SELECT p_partkey,
+  CASE WHEN regexp_matches(lower(p_name), '\\b(broken|scrap)\\b') THEN 'Other'
+       WHEN regexp_matches(lower(p_name), '\\b(bolt|screw|nut)\\b') THEN 'Hardware'
+       WHEN regexp_matches(lower(p_name), '\\b(widget|gear|device)\\b') THEN 'Gadgets'
+       WHEN regexp_matches(lower(p_name), '\\b(rod|plate|sheet)\\b') THEN 'Materials'
+       ELSE 'Other' END AS category
+FROM part
+"""
+
+
+@register("p14_rule_classify", _P14_ORACLE)
+def p14_rule_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cat = classify_by_rules(F.col("p_name"), _RULES, _EXCLUSIONS)
+    return part.select("p_partkey", cat.alias("category"))
+
+
+# ---------------------------------------------------------------------------
+# P16 — tiered brand detection: tag map ▷ exact name ▷ substring whitelist
+# ---------------------------------------------------------------------------
+_EXACT_MAP = {"Brand#11": "MegaMart", "Brand#22": "SuperShop", "Brand#33": "QuickStop"}
+_WHITELIST = ["widget", "bolt"]
+
+_P16_ORACLE = """
+SELECT p_partkey,
+  COALESCE(
+    CASE lower(p_brand) WHEN 'brand#11' THEN 'MegaMart' WHEN 'brand#22' THEN 'SuperShop'
+         WHEN 'brand#33' THEN 'QuickStop' END,
+    CASE lower(p_name) WHEN 'brand#11' THEN 'MegaMart' WHEN 'brand#22' THEN 'SuperShop'
+         WHEN 'brand#33' THEN 'QuickStop' END,
+    CASE WHEN instr(lower(p_name), 'widget') > 0 THEN 'widget'
+         WHEN instr(lower(p_name), 'bolt') > 0 THEN 'bolt' END
+  ) AS brand
+FROM part
+"""
+
+
+@register("p16_brand_detect", _P16_ORACLE)
+def p16_brand_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    brand = detect_brand(F.col("p_name"), F.col("p_brand"), _EXACT_MAP, _WHITELIST)
+    return part.select("p_partkey", brand.alias("brand"))
+
+
+# ---------------------------------------------------------------------------
+# P18 — additive POI quality score, floored at 0
+# ---------------------------------------------------------------------------
+_P18_ORACLE = """
+SELECT p_partkey,
+  CAST(greatest(
+    (CASE WHEN p_size % 2 = 0 THEN 10 ELSE 0 END)
+    + (CASE WHEN p_partkey % 3 <> 0 THEN 5 ELSE -5 END)
+    + (CASE WHEN p_brand IN ('Brand#11', 'Brand#22', 'Brand#33') THEN 15 ELSE 0 END)
+    + (p_partkey % 4) * 3, 0) AS INT) AS quality_score
+FROM part
+"""
+
+
+@register("p18_quality_score", _P18_ORACLE)
+def p18_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    score = poi_quality_score(
+        has_amenity_tag=F.col("p_size") % 2 == 0,
+        has_real_name=F.col("p_partkey") % 3 != 0,
+        has_known_brand=F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"),
+        n_contact_fields=F.col("p_partkey") % 4,
+    )
+    return part.select("p_partkey", score.alias("quality_score"))
+
+
+# ---------------------------------------------------------------------------
+# M1 — hash-gated MERGE as a pure query: target = even orderkeys (stale
+# prices for %10=0), source = orderkeys %3=0 (fresh). Expected: source-only
+# rows insert, hash-diff rows update, others keep target values.
+# ---------------------------------------------------------------------------
+_M1_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey AS key,
+    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1e0 ELSE o_totalprice END AS price,
+    sha256(printf('%.2f', CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1e0
+                               ELSE o_totalprice END)) AS content_hash
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+source AS (
+  SELECT o_orderkey AS key, o_totalprice AS price,
+         sha256(printf('%.2f', o_totalprice)) AS content_hash
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(t.key, s.key) AS key,
+  CASE WHEN s.key IS NOT NULL AND (t.key IS NULL OR t.content_hash <> s.content_hash)
+       THEN s.price ELSE t.price END AS price,
+  CASE WHEN t.key IS NULL THEN 'insert'
+       WHEN s.key IS NULL THEN 'keep'
+       WHEN t.content_hash <> s.content_hash THEN 'update'
+       ELSE 'unchanged' END AS action
+FROM target t FULL OUTER JOIN source s ON t.key = s.key
+"""
+
+
+@register("m1_hash_gated_merge", _M1_ORACLE)
+def m1_hash_gated_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stale_price = F.when(
+        F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        stale_price.alias("price"),
+        F.sha2(F.format_string("%.2f", stale_price), 256).alias("content_hash"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.sha2(F.format_string("%.2f", F.col("o_totalprice")), 256).alias("content_hash"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, F.col("t.key") == F.col("s.key"), "full_outer")
+    in_t, in_s = F.col("t.key").isNotNull(), F.col("s.key").isNotNull()
+    changed = F.col("t.content_hash") != F.col("s.content_hash")
+    take_source = in_s & (~in_t | changed)
+    return joined.select(
+        F.coalesce(F.col("t.key"), F.col("s.key")).alias("key"),
+        F.when(take_source, F.col("s.price")).otherwise(F.col("t.price")).alias("price"),
+        F.when(~in_t, "insert")
+        .when(~in_s, "keep")
+        .when(changed, "update")
+        .otherwise(F.lit("unchanged"))
+        .alias("action"),
+    )

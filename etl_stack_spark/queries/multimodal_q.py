@@ -1,0 +1,75 @@
+"""Multimodal-column queries: feature extraction and frame sampling over
+binary media (synthesized from documents' utf-8 bytes), with oracles
+recomputing the deterministic fake-decode arithmetic in SQL.
+
+What the oracle proves: the mapInPandas binary plumbing (Arrow batches of
+bytes in, typed rows out, explode shapes) produces exactly the declared
+schema and values. The codec itself is the documented fake (no media libs
+in this container) behind the same interface as a real decoder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.multimodal import (
+    extract_media_features,
+    media_from_documents,
+    sample_frames,
+)
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+_H_SQL = "('0x' || substr(sha256(text), 1, 15))::BIGINT"
+
+# ---------------------------------------------------------------------------
+# MM1 — media feature extraction (decode stage shape)
+# ---------------------------------------------------------------------------
+_MM1_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_KIND_SQL} AS kind, text, {_H_SQL} AS h,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+  CAST(CASE kind WHEN 'image' THEN 64 + h % 1920
+                 WHEN 'audio' THEN 0
+                 ELSE 64 + h % 1280 END AS INT) AS width,
+  CAST(CASE kind WHEN 'image' THEN 64 + (h // 1920) % 1080
+                 WHEN 'audio' THEN 0
+                 ELSE 64 + (h // 1280) % 720 END AS INT) AS height,
+  CAST(CASE kind WHEN 'image' THEN 0
+                 WHEN 'audio' THEN 1000 + h % 600000
+                 ELSE 1000 + h % 120000 END AS INT) AS duration_ms
+FROM media
+"""
+
+
+@register("mm1_media_features", _MM1_ORACLE)
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(media_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# MM2 — video frame sampling (explode shape): n_frames = 1 + h % 5,
+# frame bytes = sha256(content + '#' + idx) — compared via hex digest.
+# ---------------------------------------------------------------------------
+_MM2_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, text, {_H_SQL} AS h FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, CAST(unnest(range(0, 1 + h % 5)) AS INT) AS frame_idx
+FROM media
+"""
+
+
+@register("mm2_frame_sample", _MM2_ORACLE)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(media_from_documents(docs), max_frames=5)
+    return frames.select("media_id", "frame_idx")

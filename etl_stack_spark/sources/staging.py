@@ -1,0 +1,51 @@
+"""JSON staging envelope reader/writer (SURVEY S3/S4) and binary sources
+(S9/S10 plumbing).
+
+The reference stages one ``{metadata{...}, properties[...]}`` JSON file
+per site between extract and load (`base_provider.py:61-78`,
+`loader_v2.py:90-100`). Spark shape: multiLine JSON read → explode the
+properties array, carrying the metadata fields alongside.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_staging_envelope(spark: SparkSession, path: str) -> DataFrame:
+    """S3: envelope file(s) → one row per property + metadata columns."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    return raw.select(
+        F.col("metadata.client_id").alias("client_id"),
+        F.col("metadata.site").alias("source_site"),
+        F.col("metadata.timestamp").alias("staged_at"),
+        F.explode("properties").alias("p"),
+    ).select("client_id", "source_site", "staged_at", "p.*")
+
+
+def write_staging_envelope(df: DataFrame, path: str, metadata: dict) -> None:
+    """S4: exact envelope shape (driver-side collect — staging files are
+    per-site batches of ≤ thousands of rows in the reference; for larger
+    exports write plain ``df.write.json`` and skip the envelope)."""
+    props = [row.asDict(recursive=True) for row in df.collect()]
+    envelope = {
+        "metadata": {**metadata, "total_count": len(props)},
+        "properties": props,
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(envelope, f, ensure_ascii=False, default=str)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """S9/S10: binary assets as (path, modificationTime, length, content)
+    + sha256 content hash — the content-addressed identity the image/PDF
+    pipelines key on."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return df.withColumn("content_hash", F.sha2(F.col("content"), 256))
