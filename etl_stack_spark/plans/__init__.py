@@ -1,0 +1,2 @@
+"""End-to-end pipeline compositions of the three reference entry points
+(SURVEY §3): property ingestion, document→vector, POI enrichment."""

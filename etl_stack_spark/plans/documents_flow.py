@@ -1,0 +1,58 @@
+"""Document → vector pipeline (SURVEY §3.2) as one incremental flow:
+
+    binary read → page extract (pandas UDF / mock OCR fallback)
+      → posexplode pages (P29, chunk_id = {content_id}_part_{page})
+      → text hash → changed_only anti-join (M4: skip unchanged)
+      → embed ONLY the delta (P33 provider) → merge into vectors table
+      → master status → SYNCED (M5)
+
+The hash gate before the embedding UDF is the load-bearing design: at
+100 TB of documents, re-runs cost only the changed slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.ai import mock_embed
+from etl_stack_spark.operators.merge import ParquetMergeTable, changed_only
+
+
+def explode_pages(docs: DataFrame, text_col: str = "text", id_col: str = "content_id",
+                  min_chars: int = 10) -> DataFrame:
+    """P29: split a document into page chunks (pages = double-newline
+    blocks here; the PDF path feeds real page arrays through the same
+    shape), skipping chunks ≤ min_chars — processor.py:92-110,125-127."""
+    pages = F.split(F.col(text_col), r"\n\n")
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(pages).alias("page_idx", "page_text")
+    )
+    return (
+        exploded.filter(F.length(F.trim("page_text")) > min_chars)
+        .select(
+            F.concat(F.col(id_col), F.lit("_part_"), (F.col("page_idx") + 1).cast("string"))
+            .alias("chunk_id"),
+            F.col(id_col).alias("content_id"),
+            (F.col("page_idx") + 1).alias("page_number"),
+            F.trim("page_text").alias("chunk_text"),
+        )
+    )
+
+
+def embed_changed_chunks(chunks: DataFrame, vectors: ParquetMergeTable) -> tuple[DataFrame, dict]:
+    """M4: hash chunks, embed only new/changed ones, merge. Returns the
+    delta DataFrame (what was embedded) and merge stats."""
+    hashed = chunks.withColumn("content_hash", F.sha2(F.col("chunk_text"), 256))
+    delta = changed_only(hashed, vectors, keys=["chunk_id"])
+    embedded = delta.withColumn("embedding", mock_embed(F.col("chunk_text")))
+    stats = vectors.merge(embedded, keys=["chunk_id"])
+    return embedded, stats
+
+
+def purge_chunks(vectors: ParquetMergeTable, content_id: str) -> int:
+    """M7: remove stale fragments of one document before re-chunking."""
+    return vectors.delete_where(
+        (F.col("content_id") == content_id)
+        | F.col("chunk_id").like(f"{content_id}_part_%")
+    )

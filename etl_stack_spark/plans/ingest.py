@@ -1,0 +1,71 @@
+"""Property ingestion pipeline (SURVEY §3.1) — one linear DataFrame flow:
+
+    links (REST scan) → incremental gate (P26 anti-join on watermark)
+      → detail fetch/normalize → cleaners (P3-P8) → content hash (P9)
+      → stage write → hash-gated MERGE (M1) → scoped soft-delete (M2)
+      → watermark bump (M9)
+
+The reference runs this as two processes with a JSON file handoff
+(`run_ingest.py` → `loader_v2.py`); here the staging file is an optional
+checkpoint, not a process boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.functions import clean_area, clean_price, clean_smallint, content_hash
+from etl_stack_spark.functions.cleaners import clean_numeric_small, title_truncate
+from etl_stack_spark.operators.merge import ParquetMergeTable
+
+
+def incremental_gate(links: DataFrame, known: DataFrame, tolerance_s: int = 60) -> DataFrame:
+    """P26: keep links never seen, or modified > tolerance past the known
+    watermark; a known row with no source date is skipped."""
+    k = known.select(
+        F.col("external_id").alias("k_external_id"), F.col("updated_at").alias("known_ts")
+    )
+    j = links.join(k, links.external_id == k.k_external_id, "left")
+    needs = F.col("known_ts").isNull() | (
+        F.col("modified_gmt").isNotNull()
+        & (F.unix_timestamp("modified_gmt") > F.unix_timestamp("known_ts") + tolerance_s)
+    )
+    return j.filter(needs).drop("k_external_id", "known_ts")
+
+
+def clean_and_hash(staged: DataFrame) -> DataFrame:
+    """P3-P9 over the canonical staged rows (string-typed raw fields)."""
+    status = F.lower(F.coalesce(F.col("status"), F.lit("active")))
+    df = staged.filter(status.isin("publish", "active", "published"))
+    price, currency = clean_price(F.col("price_raw"), F.col("currency_raw"))
+    return df.select(
+        "client_id",
+        "external_id",
+        title_truncate(F.col("title")).alias("title"),
+        price.alias("price"),
+        currency.alias("currency"),
+        clean_area(F.col("sqm_raw")).alias("area_sqm"),
+        clean_smallint(F.col("bedrooms_raw"), 100).alias("bedrooms"),
+        clean_numeric_small(F.col("bathrooms_raw"), 99).alias("bathrooms"),
+        F.col("lat").cast("double").alias("location_lat"),
+        F.col("lng").cast("double").alias("location_lng"),
+        F.col("features").alias("features"),
+        content_hash(
+            F.col("title"), F.col("price_raw"), F.col("currency_raw"), F.col("sqm_raw"),
+            F.col("lat"), F.col("lng"), F.col("features"),
+        ).alias("content_hash"),
+        F.lit("active").alias("status"),
+    )
+
+
+def load_to_lead_properties(
+    cleaned: DataFrame, table: ParquetMergeTable, client_id: str
+) -> dict:
+    """M1 + M2: hash-gated merge scoped to one client batch, absent rows
+    soft-delete (the reference's per-client batch contract)."""
+    return table.merge(
+        cleaned,
+        keys=["client_id", "external_id"],
+        soft_delete_scope=F.col("t.client_id") == client_id,
+    )

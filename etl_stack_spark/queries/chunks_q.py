@@ -1,0 +1,44 @@
+"""P29 — chunk explode query: fixed-width 120-char chunks with the
+reference's chunk-id scheme (``{content_id}_part_{n}``) and ≤10-char skip.
+(The pipeline's page-based splitter is plans/documents_flow.explode_pages,
+unit-tested; this query pins the explode/id/skip semantics via SQL.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_P29_ORACLE = """
+WITH chunks AS (
+  SELECT doc_id, unnest(range(0, CAST(ceil(strlen(text) / 120e0) AS BIGINT))) AS i, text
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, i, substr(text, CAST(i * 120 + 1 AS INT), 120) AS chunk_text FROM chunks
+)
+SELECT doc_id || '_part_' || (i + 1) AS chunk_id,
+       doc_id, CAST(i + 1 AS BIGINT) AS page_number, chunk_text,
+       sha256(chunk_text) AS chunk_hash
+FROM cut
+WHERE length(trim(chunk_text)) > 10
+"""
+
+
+@register("p29_chunk_explode", _P29_ORACLE)
+def p29_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / 120.0).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    exploded = docs.select(
+        "doc_id", "text", F.explode(idx).alias("i")
+    ).withColumn("chunk_text", F.expr("substr(text, cast(i * 120 + 1 as int), 120)"))
+    return exploded.filter(F.length(F.trim("chunk_text")) > 10).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_part_"), (F.col("i") + 1).cast("string")).alias("chunk_id"),
+        "doc_id",
+        (F.col("i") + 1).alias("page_number"),
+        "chunk_text",
+        F.sha2("chunk_text", 256).alias("chunk_hash"),
+    )

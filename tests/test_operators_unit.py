@@ -1,0 +1,184 @@
+"""Unit tests pinning reference-semantics edge cases that the SQL oracles
+can't express (SURVEY §5's implication list): transitive spatial
+clustering, difflib parity, accent normalization, cleaner quirks,
+order-preserving array union, pipelines end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_stack_spark.functions.cleaners import clean_price, clean_smallint
+from etl_stack_spark.functions.udfs import difflib_ratio, normalize_text
+from etl_stack_spark.operators.geo_join import cluster_points, cluster_representatives
+from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.plans.documents_flow import embed_changed_chunks, explode_pages, purge_chunks
+from etl_stack_spark.plans.ingest import clean_and_hash, incremental_gate, load_to_lead_properties
+from etl_stack_spark.sources.rest import fake_transport_factory, paginated_rest_scan
+from etl_stack_spark.sources.staging import read_staging_envelope, write_staging_envelope
+
+
+# --- A4 transitive clustering: a 3-point chain 15 m apart must merge into
+# ONE cluster even though the ends are 30 m apart (buffer+dissolve parity).
+def test_cluster_points_transitive_chain(spark):
+    # ~15 m in latitude ≈ 0.000135°
+    pts = spark.createDataFrame(
+        [
+            (1, "Cafe", 9.900000, -84.0),
+            (2, "Cafe Central Grande", 9.900135, -84.0),  # 15 m from 1
+            (3, "Cafeteria", 9.900270, -84.0),  # 15 m from 2, 30 m from 1
+            (4, "Lejano", 9.910000, -84.0),  # ~1.1 km away
+        ],
+        "poi_id long, name string, lat double, lon double",
+    )
+    clustered = cluster_points(pts, radius_m=20.0, category_col=None)
+    groups = {r["poi_id"]: r["cluster_id"] for r in clustered.collect()}
+    assert groups[1] == groups[2] == groups[3], "chain must merge transitively"
+    assert groups[4] != groups[1]
+
+    reps = cluster_representatives(clustered)
+    rep_names = {r["name"] for r in reps.collect()}
+    # longest name wins the merged cluster
+    assert rep_names == {"Cafe Central Grande", "Lejano"}
+
+
+def test_difflib_ratio_matches_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [("walmart", "walmart"), ("walmart", "wallmart"), ("ab", "abcdefghij")],
+        "a string, b string",
+    )
+    out = df.select(difflib_ratio("a", "b").alias("r")).collect()
+    assert out[0]["r"] == 1.0
+    assert abs(out[1]["r"] - 0.9333333333333333) < 1e-12  # SequenceMatcher value
+    assert out[2]["r"] == 0.0  # length-delta prefilter short-circuits
+
+
+def test_normalize_text_accents(spark):
+    df = spark.createDataFrame([("Café Ñandú ÜBER",)], "s string")
+    assert df.select(normalize_text("s").alias("n")).first()["n"] == "cafe nandu uber"
+
+
+def test_clean_price_reference_quirks(spark):
+    rows = [
+        ("285,000", "USD"),      # comma-as-decimal → 285.0 (yes, really)
+        ("$1.200.500,75", "usd"),  # thousands dots + comma decimal
+        ("", "EUR"),             # falsy → price 0, currency passes RAW
+        ("abc", "CRC"),          # unparseable → 0 / USD
+        ("2000000", "USD"),      # > 1e6 heuristic → CRC
+    ]
+    df = spark.createDataFrame(rows, "p string, c string")
+    price, currency = clean_price(F.col("p"), F.col("c"))
+    got = df.select(price.alias("p2"), currency.alias("c2")).collect()
+    assert (got[0]["p2"], got[0]["c2"]) == (285.0, "USD")
+    assert (got[1]["p2"], got[1]["c2"]) == (1200500.75, "CRC")
+    assert (got[2]["p2"], got[2]["c2"]) == (0.0, "EUR")  # raw passthrough
+    assert (got[3]["p2"], got[3]["c2"]) == (0.0, "USD")
+    assert (got[4]["p2"], got[4]["c2"]) == (2000000.0, "CRC")
+
+
+def test_clean_smallint_first_digit_run(spark):
+    df = spark.createDataFrame([("3 + den",), ("no digits",), ("500",)], "v string")
+    out = [r["n"] for r in df.select(clean_smallint(F.col("v"), 100).alias("n")).collect()]
+    assert out == [3, None, None]  # 500 > cap 100
+
+
+def test_array_union_preserves_first_occurrence_order(spark):
+    # U2: normalized ∪ gallery keeps insertion order (reference
+    # image_realhomes_provider.py:9-50); array_distinct(concat(...)) does.
+    df = spark.createDataFrame([(["b", "a"], ["a", "c", "b", "d"])], "x array<string>, y array<string>")
+    merged = df.select(F.array_distinct(F.concat("x", "y")).alias("m")).first()["m"]
+    assert merged == ["b", "a", "c", "d"]
+
+
+# --- sources ----------------------------------------------------------------
+
+def test_rest_source_fake_transport(spark):
+    df = paginated_rest_scan(
+        spark,
+        "https://example.test/wp-json/wp/v2/propiedad",
+        total_pages=3,
+        per_page=5,
+        parallelism=2,
+        transport=fake_transport_factory(per_page=5),
+    )
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r["id"] for r in rows} == set(range(15))
+    assert all(r["slug"].startswith("prop-") for r in rows)
+
+
+def test_staging_envelope_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("1", "Casa A", "100000"), ("2", "Casa B", "200000")],
+        "external_id string, title string, price string",
+    )
+    path = str(tmp_path / "site.json")
+    write_staging_envelope(df, path, {"site": "Test", "client_id": "c1", "timestamp": "2026-01-01T00:00:00"})
+    back = read_staging_envelope(spark, path)
+    assert back.count() == 2
+    row = back.orderBy("external_id").first()
+    assert row["client_id"] == "c1" and row["title"] == "Casa A"
+
+
+# --- pipelines end-to-end ---------------------------------------------------
+
+def test_ingest_pipeline_end_to_end(spark, tmp_path):
+    staged = spark.createDataFrame(
+        [
+            ("c1", "1", "Casa A", "285,000", "USD", "180 m2", "3", "2.5", "9.9", "-84.0", {"g": "2"}, "publish"),
+            ("c1", "2", "Casa B", "", "CRC", "x", "99 bed", "1", "9.8", "-84.1", {}, "draft"),  # filtered
+            ("c1", "3", None, "1500000", None, "300", "2", "2", "0", "0", {}, "active"),
+        ],
+        "client_id string, external_id string, title string, price_raw string, currency_raw string, "
+        "sqm_raw string, bedrooms_raw string, bathrooms_raw string, lat string, lng string, "
+        "features map<string,string>, status string",
+    )
+    cleaned = clean_and_hash(staged)
+    rows = {r["external_id"]: r for r in cleaned.collect()}
+    assert set(rows) == {"1", "3"}  # draft filtered out
+    assert rows["1"]["price"] == 285.0
+    assert rows["3"]["title"] == "Sin Título"
+    assert rows["3"]["currency"] == "CRC"  # 1.5e6 heuristic
+
+    table = ParquetMergeTable(spark, str(tmp_path / "lead_properties"))
+    stats = load_to_lead_properties(cleaned, table, "c1")
+    assert stats["inserted"] == 2
+    stats2 = load_to_lead_properties(cleaned, table, "c1")
+    assert stats2["updated"] == 0 and stats2["unchanged"] == 2  # idempotent
+
+
+def test_incremental_gate_60s_tolerance(spark):
+    links = spark.createDataFrame(
+        [
+            ("1", "2026-01-01 00:02:00"),  # 120 s newer → extract
+            ("2", "2026-01-01 00:00:30"),  # 30 s newer → skip (tolerance)
+            ("3", None),                    # known, no source date → skip
+            ("4", "2026-01-01 00:00:00"),  # unknown → extract
+        ],
+        "external_id string, modified_gmt string",
+    ).withColumn("modified_gmt", F.col("modified_gmt").cast("timestamp"))
+    known = spark.createDataFrame(
+        [("1", "2026-01-01 00:00:00"), ("2", "2026-01-01 00:00:00"), ("3", "2026-01-01 00:00:00")],
+        "external_id string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    got = {r["external_id"] for r in incremental_gate(links, known).collect()}
+    assert got == {"1", "4"}
+
+
+def test_document_flow_hash_gate_skips_unchanged(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "page one text here\n\npage two text here"), ("d2", "another doc body text")],
+        "content_id string, text string",
+    )
+    chunks = explode_pages(docs)
+    assert chunks.count() == 3
+    vectors = ParquetMergeTable(spark, str(tmp_path / "vectors"))
+    embedded, stats = embed_changed_chunks(chunks, vectors)
+    assert stats["inserted"] == 3
+    # second run: nothing changed → embedding UDF sees ZERO rows
+    embedded2, stats2 = embed_changed_chunks(chunks, vectors)
+    assert embedded2.count() == 0 and stats2["inserted"] == 0
+    # purge + re-run restores
+    assert purge_chunks(vectors, "d1") == 2
+    _, stats3 = embed_changed_chunks(chunks, vectors)
+    assert stats3["inserted"] == 2
