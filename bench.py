@@ -17,14 +17,28 @@ from etl_stack_spark.session import get_spark  # noqa: E402
 
 # Headline queries: the flagship plus one per operator family once they land.
 HEADLINE = [
+    # relational spine
     "t1_tiered_topk",
     "a1_group_stats",
-    "j5_semi_join",
     "j1_broadcast_lookup",
     "j9_dedup_check",
     "a2_conditional_counts",
+    # scalar/codegen
     "p4_clean_price",
     "p9_content_hash",
+    # geo showcase
+    "j6_radius_join",
+    "t1_lead_prep_topk",
+    "a2a3_lead_metrics",
+    # LLM-pipeline ops
+    "dd2_minhash_lsh",
+    "ss1_bruteforce_topk",
+    "tx2_quality_score",
+    # event-time windows
+    "stw1_tumbling_window",
+    "stw3_session_window",
+    # merge emulation
+    "m1_hash_gated_merge",
 ]
 
 

@@ -74,14 +74,52 @@ def radius_join(
         .withColumn("probe_lon", F.col("l_cell_lon") + F.col("_dj"))
         .drop("_di", "_dj")
     )
+    # spread the probe stream across the cluster: when the right side
+    # broadcasts, join parallelism = left partition count, and a small
+    # parquet input otherwise pins the whole 9× fan-out to a few tasks
+    l = l.repartition(F.col("probe_lat"), F.col("probe_lon"))
 
     joined = l.join(
         r,
         (F.col("probe_lat") == F.col("r_cell_lat")) & (F.col("probe_lon") == F.col("r_cell_lon")),
     )
+    # cheap arithmetic band prune before the trig: any point within r km is
+    # within r/110 lat-degrees (conservative) — cuts ~2/3 of the 3×3-cell
+    # candidates without a single sin/cos
+    band = (F.abs(F.col(left_lat) - F.col(right_lat)) * F.lit(KM_PER_LAT_DEG)) <= radius_km
     dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon))
-    out = joined.withColumn(distance_col, dist).filter(F.col(distance_col) <= radius_km)
+    out = joined.filter(band).withColumn(distance_col, dist).filter(F.col(distance_col) <= radius_km)
     return out.drop("l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon", "probe_lat", "probe_lon")
+
+
+def radius_join_by_category(
+    left: DataFrame,
+    right: DataFrame,
+    radii_km: dict[str, float],
+    category_col: str = "category",
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "poi_lat",
+    right_lon: str = "poi_lon",
+    distance_col: str = "distance_km",
+) -> DataFrame:
+    """Per-category radius join with a grid sized to EACH category's radius
+    (not the global max): a 3 km category probes 3 km cells, shrinking its
+    candidate set ~(max_r/r)² versus one shared coarse grid. One
+    radius_join per category (small config), unioned — each is an
+    independent shuffle stage, so AQE sizes them separately.
+    """
+    out = None
+    for cat, r in radii_km.items():
+        piece = radius_join(
+            left,
+            right.filter(F.col(category_col) == cat),
+            left_lat, left_lon, right_lat, right_lon,
+            radius_km=float(r),
+            distance_col=distance_col,
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
 
 
 def cluster_points(

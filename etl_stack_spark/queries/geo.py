@@ -149,17 +149,7 @@ WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
 
 @register("j6_radius_join", _J6_ORACLE)
 def j6_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    props = props_df(spark, sf_dir)
-    pois = pois_df(spark, sf_dir)
-    radius = F.element_at(
-        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["radius_km"]))]),
-        F.col("category"),
-    )
-    joined = radius_join(
-        props, pois, "lat", "lon", "poi_lat", "poi_lon",
-        radius_km=radius, max_radius_km=MAX_RADIUS_KM,
-    )
-    return joined.select(
+    return j6_base(spark, sf_dir).select(
         "prop_id", "poi_id", "category", F.round("distance_km", 9).alias("distance_km")
     )
 
@@ -221,6 +211,12 @@ def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["k"]))]),
         F.col("category"),
     )
+    # project down to the window's working set BEFORE the rank shuffle —
+    # the matched stream is tens of millions of rows at sf0.1 (billions at
+    # 100 TB); every dropped column is shuffle bytes saved
+    matched = matched.select(
+        "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
+    )
     ranked = tiered_top_k(
         matched.withColumn("tier", tier),
         partition_by=["prop_id", "category"],
@@ -235,16 +231,15 @@ def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unrounded radius-join result reused by the ranked/metric queries."""
+    """Unrounded radius-join result reused by the ranked/metric queries.
+    Uses the per-category grid (each category's cells sized to its own
+    radius) — the scale-optimal form."""
+    from etl_stack_spark.operators.geo_join import radius_join_by_category
+
     props = props_df(spark, sf_dir)
     pois = pois_df(spark, sf_dir)
-    radius = F.element_at(
-        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["radius_km"]))]),
-        F.col("category"),
-    )
-    return radius_join(
-        props, pois, "lat", "lon", "poi_lat", "poi_lon",
-        radius_km=radius, max_radius_km=MAX_RADIUS_KM,
+    return radius_join_by_category(
+        props, pois, {k: c["radius_km"] for k, c in CATEGORIES.items()}
     )
 
 
