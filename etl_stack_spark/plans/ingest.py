@@ -59,6 +59,20 @@ def clean_and_hash(staged: DataFrame) -> DataFrame:
     )
 
 
+def bump_watermark(config_table: ParquetMergeTable, client_id: str) -> None:
+    """M9: record a successful run on the source-config row
+    (`run_ingest.py:121-124`'s ``SET last_run_at = now()``)."""
+    cfg = config_table.read()
+    config_table.overwrite(
+        cfg.withColumn(
+            "last_run_at",
+            F.when(F.col("client_id") == client_id, F.current_timestamp()).otherwise(
+                F.col("last_run_at")
+            ),
+        )
+    )
+
+
 def load_to_lead_properties(
     cleaned: DataFrame, table: ParquetMergeTable, client_id: str
 ) -> dict:

@@ -59,5 +59,6 @@ def _load_all() -> None:
         scalar_funcs,
         similarity,
         text_dedup,
+        tpch_like,
         windows_q,
     )

@@ -244,6 +244,73 @@ def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T2 — top-5-per-category slice (frontend map payload) — same window, k=5
+# ---------------------------------------------------------------------------
+_T2_ORACLE = f"""
+WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
+matched AS (
+  SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS distance_km
+  FROM props CROSS JOIN pois
+  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY prop_id, category ORDER BY distance_km, poi_id) AS rnk
+  FROM matched
+)
+SELECT prop_id, category, poi_id, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@register("t2_top5_slice", _T2_ORACLE)
+def t2_top5_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    matched = j6_base(spark, sf_dir).select("prop_id", "category", "poi_id", "distance_km")
+    ranked = tiered_top_k(
+        matched,
+        partition_by=["prop_id", "category"],
+        order_by=[F.col("distance_km"), F.col("poi_id")],
+        k=5,
+        rank_col="rnk",
+    )
+    return ranked.select("prop_id", "category", "poi_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# T6 — closest-of-category pick (closest school = first of sorted list)
+# ---------------------------------------------------------------------------
+_T6_ORACLE = f"""
+WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
+matched AS (
+  SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS distance_km
+  FROM props CROSS JOIN pois
+  WHERE category = 'Education' AND {_HAVERSINE_SQL} <= 10e0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY prop_id ORDER BY distance_km, poi_id) AS rn
+  FROM matched
+)
+SELECT prop_id, poi_id AS closest_school, round(distance_km, 9) AS distance_km
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("t6_closest_pick", _T6_ORACLE)
+def t6_closest_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.rank import top_1_per_group
+
+    props = props_df(spark, sf_dir)
+    pois = pois_df(spark, sf_dir).filter(F.col("category") == "Education")
+    matched = radius_join(props, pois, "lat", "lon", "poi_lat", "poi_lon", radius_km=10.0)
+    best = top_1_per_group(
+        matched, ["prop_id"], [F.col("distance_km"), F.col("poi_id")]
+    )
+    return best.select(
+        "prop_id", F.col("poi_id").alias("closest_school"),
+        F.round("distance_km", 9).alias("distance_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2/A3 (geo form) — walkability + premium-zone metrics per property,
 # aggregated from the radius join in the same job.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,56 @@
+"""GeoJSON FeatureCollection writer (SURVEY S11).
+
+Reference packages ranked POIs as a styled FeatureCollection
+(`cl_test1.py:359-424`: marker-color per category). Output sizes are
+per-property map payloads (≤ hundreds of features) — built as a JSON
+string column distributively, or collected for a single file.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_COLORS = {
+    "Convenience": "#1f77b4",
+    "Education": "#2ca02c",
+    "Health": "#d62728",
+    "Shopping": "#9467bd",
+}
+
+
+def feature_column(
+    lat: Column, lon: Column, name: Column, category: Column,
+    colors: dict[str, str] | None = None,
+) -> Column:
+    """One GeoJSON Feature per row as a JSON string column (distributed —
+    no driver round-trip; `to_json` handles quoting)."""
+    colors = colors or DEFAULT_COLORS
+    color = F.lit("#777777")
+    for cat, c in reversed(list(colors.items())):
+        color = F.when(category == cat, F.lit(c)).otherwise(color)
+    return F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Point").alias("type"),
+                F.array(lon, lat).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                name.alias("name"),
+                category.alias("category"),
+                color.alias("marker-color"),
+            ).alias("properties"),
+        )
+    )
+
+
+def write_feature_collection(df: DataFrame, feature_col: str, path: str) -> int:
+    """Collect feature JSON strings into one FeatureCollection file
+    (small per-property payloads by design)."""
+    features = [json.loads(r[feature_col]) for r in df.select(feature_col).collect()]
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f, ensure_ascii=False)
+    return len(features)

@@ -182,3 +182,40 @@ def test_document_flow_hash_gate_skips_unchanged(spark, tmp_path):
     assert purge_chunks(vectors, "d1") == 2
     _, stats3 = embed_changed_chunks(chunks, vectors)
     assert stats3["inserted"] == 2
+
+
+def test_geojson_feature_collection(spark, tmp_path):
+    from etl_stack_spark.sources.geojson import feature_column, write_feature_collection
+
+    df = spark.createDataFrame(
+        [(9.9, -84.0, "Escuela Central", "Education"), (9.8, -84.1, "Mini Super", "Convenience")],
+        "lat double, lon double, name string, category string",
+    )
+    feat = feature_column(F.col("lat"), F.col("lon"), F.col("name"), F.col("category"))
+    out = df.withColumn("feature", feat)
+    path = str(tmp_path / "out.geojson")
+    n = write_feature_collection(out, "feature", path)
+    assert n == 2
+    import json
+
+    fc = json.load(open(path))
+    assert fc["type"] == "FeatureCollection"
+    by_name = {f["properties"]["name"]: f for f in fc["features"]}
+    assert by_name["Escuela Central"]["properties"]["marker-color"] == "#2ca02c"
+    assert by_name["Mini Super"]["geometry"]["coordinates"] == [-84.1, 9.8]
+
+
+def test_watermark_bump_scoped(spark, tmp_path):
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.ingest import bump_watermark
+
+    cfg = ParquetMergeTable(spark, str(tmp_path / "sources_config"))
+    cfg.overwrite(
+        spark.createDataFrame(
+            [("c1", "SiteA", None), ("c2", "SiteB", None)],
+            "client_id string, name string, last_run_at timestamp",
+        )
+    )
+    bump_watermark(cfg, "c1")
+    rows = {r["client_id"]: r["last_run_at"] for r in cfg.read().collect()}
+    assert rows["c1"] is not None and rows["c2"] is None
