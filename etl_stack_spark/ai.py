@@ -74,18 +74,22 @@ def mock_embed(text: pd.Series) -> pd.Series:
 def mock_vision_tag(content_hash: pd.Series) -> pd.Series:
     """Deterministic vision labels (strict JSON, like the reference's
     markdown-fence-stripped Gemini output: room_type, features≤8,
-    condition, quality_score 1-10 — image_ai_tagger.py:87-117)."""
+    condition, quality_score 1-10 — image_ai_tagger.py:87-117).
+
+    Label indices derive from the sha256-hex-prefix int of the content
+    hash (same portable_hash60 recipe as the text operators) so a SQL
+    oracle can recompute them."""
 
     def tag(h):
         if h is None:
             return None
-        ints = _hash_ints(h.encode("utf-8"), 4, 256)
+        v = int(hashlib.sha256(h.encode("utf-8")).hexdigest()[:15], 16)
         return json.dumps(
             {
-                "room_type": ROOM_TYPES[ints[0] % len(ROOM_TYPES)],
-                "features": [f"feature_{i}" for i in range(ints[1] % 4)],
-                "condition": CONDITIONS[ints[2] % len(CONDITIONS)],
-                "quality_score": (ints[3] % 10) + 1,
+                "room_type": ROOM_TYPES[v % len(ROOM_TYPES)],
+                "features": [f"feature_{i}" for i in range((v // 17) % 4)],
+                "condition": CONDITIONS[(v // 68) % len(CONDITIONS)],
+                "quality_score": (v // 476) % 10 + 1,
             },
             sort_keys=True,
         )

@@ -50,6 +50,7 @@ def _load_all() -> None:
         return
     _LOADED = True
     from etl_stack_spark.queries import (  # noqa: F401
+        ai_q,
         chunks_q,
         classify_merge,
         geo,

@@ -1,0 +1,124 @@
+"""AI-effect and JSON-extraction queries (P20, P32, P33).
+
+P32's oracle recomputes the mock provider's label arithmetic in SQL —
+proving the UDF plumbing (batching, JSON emission, strict-schema parse)
+end to end. P33's oracle checks the invariants a real embedding provider
+must satisfy (dimension, unit norm) — the vector values themselves are
+provider-specific by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.ai import CONDITIONS, ROOM_TYPES, VISION_SCHEMA, mock_embed, mock_vision_tag
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# P20 — JSONB field extraction + cast with NULLIF (loader_v2.py:168-175)
+# ---------------------------------------------------------------------------
+_P20_ORACLE = """
+WITH j AS (
+  SELECT p_partkey,
+    '{"sqm_clean": "' || printf('%d', p_size) || '", "price_raw": "' ||
+    CASE WHEN p_partkey % 5 = 0 THEN 'None' ELSE printf('%.2f', p_retailprice) END ||
+    '", "lat": "' || CASE WHEN p_partkey % 3 = 0 THEN '' ELSE '9.93' END || '"}' AS features_json
+  FROM part
+)
+SELECT p_partkey,
+  TRY_CAST(json_extract_string(features_json, '$.sqm_clean') AS DOUBLE) AS sqm,
+  TRY_CAST(NULLIF(json_extract_string(features_json, '$.price_raw'), 'None') AS DOUBLE) AS price,
+  TRY_CAST(NULLIF(json_extract_string(features_json, '$.lat'), '') AS DOUBLE) AS lat
+FROM j
+"""
+
+
+@register("p20_json_extract", _P20_ORACLE)
+def p20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    features_json = F.concat(
+        F.lit('{"sqm_clean": "'), F.format_string("%d", F.col("p_size")),
+        F.lit('", "price_raw": "'),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("None")).otherwise(
+            F.format_string("%.2f", F.col("p_retailprice"))
+        ),
+        F.lit('", "lat": "'),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("")).otherwise(F.lit("9.93")),
+        F.lit('"}'),
+    )
+    df = part.select("p_partkey", features_json.alias("features_json"))
+    return df.select(
+        "p_partkey",
+        F.get_json_object("features_json", "$.sqm_clean").try_cast("double").alias("sqm"),
+        F.nullif(F.get_json_object("features_json", "$.price_raw"), F.lit("None"))
+        .try_cast("double").alias("price"),
+        F.nullif(F.get_json_object("features_json", "$.lat"), F.lit(""))
+        .try_cast("double").alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P32 — vision tagging: UDF emits strict JSON, engine parses with a strict
+# schema (from_json), oracle recomputes the mock's label arithmetic.
+# ---------------------------------------------------------------------------
+def _vision_oracle() -> str:
+    room_cases = " ".join(f"WHEN {i} THEN '{r}'" for i, r in enumerate(ROOM_TYPES))
+    cond_cases = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(CONDITIONS))
+    return f"""
+WITH h AS (
+  SELECT doc_id, sha256(text) AS content_hash FROM documents
+),
+v AS (
+  SELECT doc_id, ('0x' || substr(sha256(content_hash), 1, 15))::BIGINT AS v FROM h
+)
+SELECT doc_id,
+  CASE v % {len(ROOM_TYPES)} {room_cases} END AS room_type,
+  CAST((v // 17) % 4 AS INT) AS n_features,
+  CASE (v // 68) % {len(CONDITIONS)} {cond_cases} END AS condition,
+  CAST((v // 476) % 10 + 1 AS INT) AS quality_score
+FROM v
+"""
+
+
+@register("p32_vision_tags", _vision_oracle())
+def p32_vision_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", mock_vision_tag(F.sha2(F.col("text"), 256)).alias("tag_json")
+    )
+    parsed = tagged.select(
+        "doc_id", F.from_json("tag_json", VISION_SCHEMA).alias("t")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("t.room_type").alias("room_type"),
+        F.size("t.features").alias("n_features"),
+        F.col("t.condition").alias("condition"),
+        F.col("t.quality_score").alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P33 — embedding provider invariants: dimension + unit norm. (Vector
+# values are provider-specific; the oracle pins the contract every
+# provider must meet, the unit tests pin the mock's determinism.)
+# ---------------------------------------------------------------------------
+_P33_ORACLE = """
+SELECT doc_id, CAST(64 AS INT) AS dim, 1e0 AS norm FROM documents
+"""
+
+
+@register("p33_embedding_contract", _P33_ORACLE)
+def p33_embedding_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select("doc_id", mock_embed(F.col("text")).alias("v"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select("doc_id", F.size("v").alias("dim"), F.round(norm, 6).alias("norm"))
