@@ -191,7 +191,7 @@ ranked AS (
     ) AS rnk
   FROM matched
 )
-SELECT prop_id, category, poi_id, brand, tier, rnk, round(distance_km, 9) AS distance_km
+SELECT prop_id, category, poi_id, brand, tier, CAST(rnk AS INT) AS rnk, round(distance_km, 9) AS distance_km
 FROM ranked WHERE rnk <= {_K_CASE}
 """
 
@@ -258,7 +258,7 @@ ranked AS (
     PARTITION BY prop_id, category ORDER BY distance_km, poi_id) AS rnk
   FROM matched
 )
-SELECT prop_id, category, poi_id, rnk FROM ranked WHERE rnk <= 5
+SELECT prop_id, category, poi_id, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
 """
 
 

@@ -39,7 +39,7 @@ WITH ranked AS (
     ) AS rnk
   FROM orders
 )
-SELECT c.c_custkey, c.c_name, r.o_orderkey, r.o_totalprice, r.priority_tier, r.rnk
+SELECT c.c_custkey, c.c_name, r.o_orderkey, r.o_totalprice, r.priority_tier, CAST(r.rnk AS INT) AS rnk
 FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
 WHERE r.rnk <= 3
 """

@@ -109,8 +109,8 @@ def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _TX3_ORACLE = f"""
 SELECT doc_id,
-  len({_TOKS}) AS n_tokens,
-  len(regexp_extract_all(text, '\\w{{1,4}}|[^\\w\\s]')) AS n_bpe_ish
+  CAST(len({_TOKS}) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\\w{{1,4}}|[^\\w\\s]')) AS INT) AS n_bpe_ish
 FROM documents
 """
 

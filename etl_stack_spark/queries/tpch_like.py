@@ -87,7 +87,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "revenue", "o_orderdate")
+        # parquet stores the date as timestamp-ntz; normalize to session-tz
+        # timestamp so the schema matches the oracle's TIMESTAMP
+        .select("o_orderkey", "revenue", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
     )
 
 
