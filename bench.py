@@ -39,6 +39,10 @@ HEADLINE = [
     "stw3_session_window",
     # merge emulation
     "m1_hash_gated_merge",
+    # TPC-H anchors
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
 ]
 
 

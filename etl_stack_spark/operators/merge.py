@@ -182,6 +182,25 @@ class ParquetMergeTable:
         self._write_snapshot(keep)
         return n
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop snapshot directories older than the last ``keep_last``
+        versions (the emulation's answer to Delta VACUUM). The manifest is
+        rewritten first, so a concurrent reader of the current version
+        never loses its snapshot."""
+        import shutil
+
+        manifest = self._read_manifest()
+        history = manifest["history"]
+        to_drop = [v for v in history[:-keep_last] if v != manifest["current"]]
+        manifest["history"] = [v for v in history if v not in to_drop]
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path)
+        for v in to_drop:
+            shutil.rmtree(os.path.join(self.root, v), ignore_errors=True)
+        return to_drop
+
     def append(self, df: DataFrame) -> None:
         if self.exists():
             self._write_snapshot(self.read().unionByName(df, allowMissingColumns=True))

@@ -41,6 +41,15 @@ def get_spark(app_name: str = "etl-stack-spark", cpus: int | None = None) -> Spa
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # make this package importable on Python workers regardless of the
+    # driver's cwd — mapInPandas/pandas_udf closures deserialize by module
+    # reference (on a real cluster, ship a wheel / addPyFile instead)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

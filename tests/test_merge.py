@@ -109,3 +109,12 @@ def test_delete_where_like_pattern(spark, table):
     n = t.delete_where(F.col("content_id").like("d1_part_%"))
     assert n == 2
     assert {r["content_id"] for r in t.read().collect()} == {"d1", "d2"}
+
+
+def test_vacuum_keeps_current_and_recent(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    dropped = table.vacuum(keep_last=2)
+    assert len(dropped) == 1
+    assert table.read().count() == 3  # current snapshot still readable
