@@ -1,0 +1,92 @@
+"""Temporal joins the engine adds beyond the reference: as-of join and
+range (interval) join — staples of event/timeseries processing at scale.
+
+As-of join (``left`` row matched to the latest ``right`` row at or before
+its timestamp, per key) is implemented WITHOUT a windowed self-cross:
+union both sides tagged, one window sorted by (key, ts) carries the last
+right-row forward (``last(..., ignorenulls)``), then keep left rows. One
+shuffle on the key — the same cost as a plain grouped sort, regardless of
+how many right rows precede each left row.
+
+Range join: equi-bucket on coarse time cells + refine, exactly the geo
+radius-join shape in one dimension (see operators/geo_join.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: values from the latest right row with
+    ``right.ts <= left.ts`` on the same key (null if none).
+
+    Ties (equal ts): the right row sorts before the left row (matches
+    ASOF JOIN's <= semantics); among equal-ts right rows the last by
+    (ts, side-order) wins deterministically.
+    """
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r_tag = right.withColumn("_side", F.lit(0)).withColumn("_ats", F.col(right_ts))
+    for c in right_value_cols:
+        l_tag = l_tag.withColumn(f"_rv_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+        r_tag = r_tag.withColumn(f"_rv_{c}", F.col(c))
+    keep = [on, "_side", "_ats"] + [f"_rv_{c}" for c in right_value_cols]
+    l_cols = [c for c in left.columns if c != on]
+    unioned = l_tag.select(*keep, *l_cols).unionByName(
+        r_tag.select(*keep, *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols])
+    )
+    # right rows sort before left rows at equal ts → <= semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).drop(
+        "_side", "_ats", *[f"_rv_{c}" for c in right_value_cols]
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """points ⨝ intervals where start ≤ ts < end — coarse time-bucket
+    equi-join + refine (intervals explode to the buckets they span).
+    Scale: candidate pairs ∝ interval length / bucket, never |points|×|intervals|."""
+    secs = {"1 hour": 3600, "30 minutes": 1800, "1 day": 86400}[bucket]
+    p = points.withColumn("_b", (F.unix_timestamp(point_ts) / secs).cast("long"))
+    iv = intervals.withColumn(
+        "_bs",
+        F.sequence(
+            (F.unix_timestamp(start_col) / secs).cast("long"),
+            (F.unix_timestamp(end_col) / secs).cast("long"),
+        ),
+    ).withColumn("_b", F.explode("_bs")).drop("_bs")
+    joined = p.join(iv, "_b").filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_b")

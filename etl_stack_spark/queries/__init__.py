@@ -59,6 +59,7 @@ def _load_all() -> None:
         relational,
         scalar_funcs,
         similarity,
+        temporal_q,
         text_dedup,
         tpch_like,
         windows_q,

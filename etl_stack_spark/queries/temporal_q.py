@@ -1,0 +1,128 @@
+"""Temporal-join, pivot, and distinct-agg queries over ``events``.
+
+The as-of oracle uses DuckDB's native ASOF JOIN — a strong independent
+check that the union+window implementation reproduces real as-of
+semantics (<= match, latest prior row wins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.temporal import asof_join, range_join
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# one row per (user, ts) on the right side keeps both engines' tie
+# handling out of play (see operators/temporal.py docstring)
+_SIGNUPS = """
+  SELECT user_id, ts, MAX(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+"""
+_PURCHASES = "SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'"
+
+
+# ---------------------------------------------------------------------------
+# AJ1 — as-of join: each purchase ↤ latest prior-or-equal signup per user
+# ---------------------------------------------------------------------------
+_AJ1_ORACLE = f"""
+WITH signups AS ({_SIGNUPS}), purchases AS ({_PURCHASES})
+SELECT p.event_id, p.user_id, s.signup_value AS signup_value_asof
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND s.ts <= p.ts
+"""
+
+
+@register("aj1_asof_join", _AJ1_ORACLE)
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, signups, on="user_id", right_value_cols=["signup_value"])
+    return out.select("event_id", "user_id", "signup_value_asof")
+
+
+# ---------------------------------------------------------------------------
+# RJ1 — range join: purchases falling inside [signup, signup + 2h)
+# ---------------------------------------------------------------------------
+_RJ1_ORACLE = """
+WITH iv AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL '2 hours' AS end_ts
+  FROM events WHERE event_type = 'signup'
+),
+p AS (SELECT event_id, user_id AS p_user, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, iv.user_id, iv.start_ts
+FROM p JOIN iv ON p.ts >= iv.start_ts AND p.ts < iv.end_ts
+"""
+
+
+@register("rj1_range_join", _RJ1_ORACLE)
+def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_add("HOUR", F.lit(2), F.col("ts")).alias("end_ts"),
+    )
+    points = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), "ts"
+    )
+    joined = range_join(points, intervals, bucket="1 hour")
+    return joined.select("event_id", "user_id", "start_ts")
+
+
+# ---------------------------------------------------------------------------
+# PV1 — pivot: users × event types matrix (fixed column set)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PV1_ORACLE = """
+SELECT user_id,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@register("pv1_pivot", _PV1_ORACLE)
+def pv1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # explicit value list → no discovery pass over the data (scale rule)
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ADX1 — distinct aggregation (net-new; the reference has none)
+# ---------------------------------------------------------------------------
+_ADX1_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("adx1_count_distinct", _ADX1_ORACLE)
+def adx1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
