@@ -1,0 +1,41 @@
+"""Bucketed-table helpers: shuffle-free co-located joins (SCALE.md storage
+layout lever).
+
+Writing both sides of a recurring join bucketed on the join key lets
+Spark's SortMergeJoin read the buckets co-located — the `.explain` plan
+has NO Exchange on either side. At 100 TB this converts the nightly
+fact-fact join from a full shuffle into a local merge per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed managed table (bucket count must match on
+    both sides of a co-located join)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table_name, format="parquet")
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs Spark
+    plans a shuffle-free SortMergeJoin (assert via has_shuffle())."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains any Exchange (shuffle/broadcast
+    exchanges count separately — this looks for shuffle exchanges only)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

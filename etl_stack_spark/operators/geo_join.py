@@ -48,12 +48,18 @@ def radius_join(
     radius_km: Column | float = 10.0,
     max_radius_km: float | None = None,
     distance_col: str = "distance_km",
+    salt: int = 1,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` (which may be a Column,
     e.g. a per-category radius), with the distance attached.
 
     ``max_radius_km`` bounds the grid cell size; required when radius_km is
     a Column (use the max configured radius).
+
+    ``salt`` > 1 splits every right-side cell into ``salt`` sub-buckets and
+    probes them all from the left — the skew lever for pathological hot
+    cells (dense city centers) when AQE's skew-split isn't enough.
+    Results are identical for any salt value (pinned by tests).
     """
     if max_radius_km is None:
         if isinstance(radius_km, (int, float)):
@@ -79,10 +85,17 @@ def radius_join(
     # parquet input otherwise pins the whole 9× fan-out to a few tasks
     l = l.repartition(F.col("probe_lat"), F.col("probe_lon"))
 
-    joined = l.join(
-        r,
-        (F.col("probe_lat") == F.col("r_cell_lat")) & (F.col("probe_lon") == F.col("r_cell_lon")),
+    join_cond = (F.col("probe_lat") == F.col("r_cell_lat")) & (
+        F.col("probe_lon") == F.col("r_cell_lon")
     )
+    if salt > 1:
+        r = r.withColumn("_rsalt", F.abs(F.hash(F.col(right_lat), F.col(right_lon))) % salt)
+        l = l.withColumn("_lsalt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+        join_cond = join_cond & (F.col("_lsalt") == F.col("_rsalt"))
+
+    joined = l.join(r, join_cond)
+    if salt > 1:
+        joined = joined.drop("_lsalt", "_rsalt")
     # cheap arithmetic band prune before the trig: any point within r km is
     # within r/110 lat-degrees (conservative) — cuts ~2/3 of the 3×3-cell
     # candidates without a single sin/cos

@@ -51,6 +51,7 @@ def _load_all() -> None:
     _LOADED = True
     from etl_stack_spark.queries import (  # noqa: F401
         ai_q,
+        analytics_q,
         chunks_q,
         classify_merge,
         geo,

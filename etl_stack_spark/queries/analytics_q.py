@@ -1,0 +1,140 @@
+"""Analytic-function coverage: running windows (lag/lead/cumsum), rollup,
+percentiles, and time-series gap filling — engine surface any analytics
+user of the platform expects, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# WF1 — running/cumulative window functions per user over event time
+# ---------------------------------------------------------------------------
+_WF1_ORACLE = """
+SELECT event_id, user_id,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+FROM events
+"""
+
+
+@register("wf1_running_windows", _WF1_ORACLE)
+def wf1_running_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RU1 — rollup (subtotals + grand total); GROUPING() disambiguates the
+# null-vs-subtotal rows exactly as ANSI does.
+# ---------------------------------------------------------------------------
+_RU1_ORACLE = """
+SELECT
+  CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>' ELSE l_returnflag END AS returnflag,
+  CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>' ELSE l_linestatus END AS linestatus,
+  ROUND(SUM(l_extendedprice), 2) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("ru1_rollup", _RU1_ORACLE)
+def ru1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").alias("g1"),
+        F.grouping("l_linestatus").alias("g2"),
+    )
+    return out.select(
+        F.when(F.col("g1") == 1, "<all>").otherwise(F.col("l_returnflag")).alias("returnflag"),
+        F.when(F.col("g2") == 1, "<all>").otherwise(F.col("l_linestatus")).alias("linestatus"),
+        "total",
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PC1 — exact percentiles (interpolated): Spark percentile == DuckDB
+# quantile_cont semantics.
+# ---------------------------------------------------------------------------
+_PC1_ORACLE = """
+SELECT o_orderstatus,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("pc1_percentiles", _PC1_ORACLE)
+def pc1_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS1 — time-series resample + gap fill: hourly spine per user (first→last
+# active hour), event counts left-joined; missing hours = 0.
+# Spine = sequence+explode (distributed generate_series).
+# ---------------------------------------------------------------------------
+_TS1_ORACLE = """
+WITH bounds AS (
+  SELECT user_id,
+    time_bucket(INTERVAL '1 hour', MIN(ts)) AS h0,
+    time_bucket(INTERVAL '1 hour', MAX(ts)) AS h1
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+  FROM bounds
+),
+actual AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, s.hour, COALESCE(a.n, 0) AS n
+FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.hour = a.hour
+"""
+
+
+@register("ts1_resample_gapfill", _TS1_ORACLE)
+def ts1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = events.groupBy("user_id").agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    actual = events.groupBy("user_id", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_actual")
+    )
+    return spine.join(actual, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("n_actual", F.lit(0)).alias("n")
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan regression tests — the scale levers must actually show
+up in `.explain`, not just in SCALE.md prose."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.bucketing import bucketed_join, has_shuffle, write_bucketed
+from etl_stack_spark.operators.geo_join import radius_join
+from etl_stack_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_pushdown_reaches_scan(spark):
+    """A 2-column projection must not read the full table schema."""
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df_string = li._jdf.queryExecution().optimizedPlan().toString()
+    scan = _plan(li)
+    assert "l_extendedprice" not in scan.split("ReadSchema")[-1]
+    assert "l_orderkey" in scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey"
+    )
+    scan = _plan(li)
+    assert "PushedFilters" in scan and "GreaterThan(l_quantity" in scan
+
+
+def test_broadcast_join_for_dim_side(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("l_orderkey", "p_name")
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_radius_join_salt_invariance(spark):
+    """salt=3 must produce the identical pair set as salt=1."""
+    props = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("prop_id"),
+        (F.lit(9.5) + (F.col("c_custkey") % 50) * 0.01).alias("lat"),
+        F.lit(-84.0).alias("lon"),
+    ).limit(200)
+    pois = load_table(spark, SF_SMOKE, "supplier").select(
+        F.col("s_suppkey").alias("poi_id"),
+        (F.lit(9.5) + (F.col("s_suppkey") % 60) * 0.008).alias("poi_lat"),
+        F.lit(-84.0).alias("poi_lon"),
+    )
+    base = radius_join(props, pois, radius_km=5.0).select("prop_id", "poi_id")
+    salted = radius_join(props, pois, radius_km=5.0, salt=3).select("prop_id", "poi_id")
+    assert base.exceptAll(salted).isEmpty() and salted.exceptAll(base).isEmpty()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed(
+        orders.select(F.col("o_custkey").alias("custkey"), "o_orderkey"),
+        "b_orders", ["custkey"], 8,
+    )
+    write_bucketed(
+        customer.select(F.col("c_custkey").alias("custkey"), "c_name"),
+        "b_customer", ["custkey"], 8,
+    )
+    j = bucketed_join(spark, "b_orders", "b_customer", on=["custkey"])
+    assert j.count() > 0
+    assert not has_shuffle(j), "bucketed co-located join must not shuffle"
+    # contrast: the same join on plain (non-bucketed) reads DOES shuffle
+    plain = orders.withColumnRenamed("o_custkey", "custkey").join(
+        customer.withColumnRenamed("c_custkey", "custkey").hint("merge"), "custkey"
+    )
+    assert has_shuffle(plain)
