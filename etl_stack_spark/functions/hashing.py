@@ -28,6 +28,11 @@ def canonical_json_from_map(m: Column) -> Column:
     ``map<string,string>`` column: ``{"a": "1", "b": "2"}`` (``{}`` if empty).
 
     Pure exprs: sort entries, render each as ``"k": "v"``, join with ", ".
+
+    Deviation note: non-ASCII values render raw (``ensure_ascii=False``
+    semantics), whereas Python's default escapes to ``\\uXXXX``. Hashes are
+    stable within this engine and its oracles either way; pinned by
+    tests/test_operators_unit.py::test_canonical_json_matches_python_dumps.
     """
     entries = F.array_sort(F.map_entries(m))
     rendered = F.transform(

@@ -91,7 +91,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for LSH candidates whose signature
     agreement ≥ threshold. est_jaccard = fraction of equal minhash slots."""
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    # sigs feeds the band explode AND both sides of the verification join —
+    # cache it or the shingle explode + 16 min-aggs run three times
+    sigs = minhash_signatures(df, text_col, id_col, n).cache()
     pairs = lsh_candidate_pairs(sigs, id_col)
     a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])

@@ -1,0 +1,107 @@
+"""POI-enrichment pipeline (SURVEY §3.3) — the reference's 8-queries-per-
+property loop as ONE distributed job ending in a JSON write-back:
+
+    props ⨝(grid+haversine) pois → per-(property,category) tiered top-k
+      → per-property metrics (walkability, premium zone)
+      → talking points (string templating from the top rows)
+      → one nested JSON package per property → MERGE into poi_data
+
+Reference: properties_poi_matcher.py:98-163 + cl_test1.py:46-326.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.geo_join import radius_join_by_category
+from etl_stack_spark.operators.rank import tiered_top_k
+
+
+def lead_prep_packages(
+    props: DataFrame,
+    pois: DataFrame,
+    categories: dict,
+) -> DataFrame:
+    """One row per property: ``prop_id, poi_data`` (nested JSON string with
+    per-category ranked POIs, metrics and talking points) — the complete
+    write-back payload of the reference loop."""
+    radii = {cat: cfg["radius_km"] for cat, cfg in categories.items()}
+    matched = radius_join_by_category(props, pois, radii)
+
+    tier = F.lit(2)
+    for cat, cfg in categories.items():
+        is_cat = F.col("category") == cat
+        tier = (
+            F.when(is_cat & F.col("brand").isin(cfg["anchor"]), 0)
+            .when(is_cat & F.col("brand").isin(cfg["priority"]), 1)
+            .otherwise(tier)
+        )
+    k_col = F.element_at(
+        F.create_map(*[x for c, cfg in categories.items() for x in (F.lit(c), F.lit(cfg["k"]))]),
+        F.col("category"),
+    )
+    slim = matched.select(
+        "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
+    ).withColumn("tier", tier)
+    ranked = tiered_top_k(
+        slim,
+        partition_by=["prop_id", "category"],
+        order_by=[F.col("tier"), F.col("distance_km"), F.col("quality_score").desc(), F.col("poi_id")],
+        k=10**9,
+        rank_col="rnk",
+    ).filter(F.col("rnk") <= k_col)
+
+    # per-category ranked arrays
+    per_cat = ranked.groupBy("prop_id", "category").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rnk"), F.col("poi_id"), F.col("brand"),
+                    F.round("distance_km", 3).alias("distance_km"),
+                    F.col("quality_score"),
+                )
+            )
+        ).alias("ranked")
+    )
+    cats = per_cat.groupBy("prop_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("category"), F.col("ranked"))))
+        ).alias("categories")
+    )
+
+    # property-level metrics from the full matched set (not just top-k)
+    walkable = F.count(F.when(F.col("distance_km") < 1.0, 1))
+    metrics = matched.groupBy("prop_id").agg(
+        walkable.alias("n_walkable"),
+        F.least(F.lit(10), F.floor(walkable / 2.0)).cast("int").alias("walk_score"),
+    )
+
+    # talking point: closest top-ranked POI overall (string templating from
+    # top rows, cl_test1.py:279-296)
+    best = ranked.filter(F.col("rnk") == 1)
+    talking = best.groupBy("prop_id").agg(
+        F.min(F.struct(F.col("distance_km"), F.col("category"), F.col("brand"))).alias("b")
+    ).select(
+        "prop_id",
+        F.concat(
+            F.lit("A "), F.format_number(F.col("b.distance_km"), 1),
+            F.lit(" km: "), F.coalesce(F.col("b.brand"), F.lit("punto de interés")),
+            F.lit(" ("), F.col("b.category"), F.lit(")"),
+        ).alias("talking_point"),
+    )
+
+    package = (
+        cats.join(metrics, "prop_id", "left")
+        .join(talking, "prop_id", "left")
+        .select(
+            "prop_id",
+            F.to_json(
+                F.struct(
+                    F.col("categories"), F.col("n_walkable"), F.col("walk_score"),
+                    F.col("talking_point"),
+                )
+            ).alias("poi_data"),
+        )
+    )
+    return package

@@ -58,6 +58,7 @@ def _load_all() -> None:
         multimodal_q,
         joins_aggs,
         relational,
+        sampling_q,
         scalar_funcs,
         similarity,
         temporal_q,

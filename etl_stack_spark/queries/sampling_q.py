@@ -1,0 +1,153 @@
+"""Training-data sampling + blocked fuzzy join + IVF ANN variant.
+
+- Hash sampling: ``portable_hash60(key) % 100 < rate`` — deterministic,
+  reproducible across runs/engines (never ``rand()`` in a data pipeline
+  that must be auditable), and stable under repartitioning.
+- Stratified sampling: fixed quota per stratum via ranked window.
+- Blocked fuzzy join: first-token blocking then levenshtein refine — the
+  scale shape for P17-style matching (block ≈ O(n), never n²).
+- IVF-style ANN: coarse partition (here the corpus' cluster label) limits
+  candidates; exact cosine re-rank inside the cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.similarity import _as_double, cosine
+from etl_stack_spark.operators.text import portable_hash60
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# SP1 — deterministic 10% hash sample of documents
+# ---------------------------------------------------------------------------
+_SP1_ORACLE = """
+SELECT doc_id FROM documents
+WHERE (('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 100 < 10
+"""
+
+
+@register("sp1_hash_sample", _SP1_ORACLE)
+def sp1_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
+    return docs.filter(bucket < 10).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SP2 — stratified sample: 20 docs per language, deterministic rank order
+# ---------------------------------------------------------------------------
+_SP2_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+  ) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
+@register("sp2_stratified_sample", _SP2_ORACLE)
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FZ1 — blocked fuzzy join: part names matched to supplier names sharing a
+# first token, similarity = 1 - lev/maxlen ≥ 0.25 (blocking first: the
+# P17 scale shape — candidates ∝ block size, not |A|×|B|).
+# ---------------------------------------------------------------------------
+_FZ1_ORACLE = """
+WITH a AS (
+  SELECT p_partkey, lower(p_name) AS name_a,
+         string_split(lower(p_name), ' ')[1] AS blk
+  FROM part
+),
+b AS (
+  SELECT s_suppkey, lower(s_name) AS name_b,
+         string_split(lower(s_name), ' ')[1] AS blk
+  FROM supplier
+)
+SELECT p_partkey, s_suppkey,
+  round(1e0 - levenshtein(name_a, name_b) / greatest(len(name_a), len(name_b)), 6) AS sim
+FROM a JOIN b USING (blk)
+WHERE 1e0 - levenshtein(name_a, name_b) / greatest(len(name_a), len(name_b)) >= 0.25
+"""
+
+
+@register("fz1_fuzzy_blocked_join", _FZ1_ORACLE)
+def fz1_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_a"),
+        F.get(F.split(F.lower("p_name"), " "), 0).alias("blk"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.lower("s_name").alias("name_b"),
+        F.get(F.split(F.lower("s_name"), " "), 0).alias("blk"),
+    )
+    sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    return (
+        part.join(supp, "blk")
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= 0.25)
+        .select("p_partkey", "s_suppkey", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS3 — IVF-style ANN: candidates limited to the query's coarse cell (the
+# embeddings table's cluster label stands in for learned IVF centroids);
+# exact cosine re-rank within the cell.
+# ---------------------------------------------------------------------------
+_SS3_ORACLE = """
+WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id,
+    round(list_dot_product(qv, cv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM corpus JOIN q ON corpus.label = q.q_label AND vec_id <> query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ss3_ivf_topk", _SS3_ORACLE)
+def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("cv"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), corpus.label == q.q_label)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

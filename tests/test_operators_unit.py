@@ -219,3 +219,43 @@ def test_watermark_bump_scoped(spark, tmp_path):
     bump_watermark(cfg, "c1")
     rows = {r["client_id"]: r["last_run_at"] for r in cfg.read().collect()}
     assert rows["c1"] is not None and rows["c2"] is None
+
+
+def test_lead_prep_package_assembly(spark):
+    import json
+
+    from etl_stack_spark.plans.lead_prep import lead_prep_packages
+    from etl_stack_spark.queries.geo import CATEGORIES, pois_df, props_df
+
+    props = props_df(spark, "/root/testdata/sf0.001").limit(50)
+    pois = pois_df(spark, "/root/testdata/sf0.001")
+    pkg = lead_prep_packages(props, pois, CATEGORIES)
+    rows = pkg.collect()
+    assert 0 < len(rows) <= 50
+    payload = json.loads(rows[0]["poi_data"])
+    assert set(payload) == {"categories", "n_walkable", "walk_score", "talking_point"}
+    some_cat = next(iter(payload["categories"].values()))
+    assert [e["rnk"] for e in some_cat] == sorted(e["rnk"] for e in some_cat)
+    assert 0 <= payload["walk_score"] <= 10
+
+
+def test_canonical_json_matches_python_dumps(spark):
+    """P9 hash canonicalization: the expression must reproduce
+    json.dumps(d, sort_keys=True) byte-for-byte for flat string dicts."""
+    import json
+    import random
+
+    from etl_stack_spark.functions import canonical_json_from_map
+
+    rng = random.Random(42)
+    dicts = []
+    for _ in range(60):
+        d = {
+            f"k{rng.randint(0, 30)}": rng.choice(["v", "", "x y", "ñé", "123", None])
+            for _ in range(rng.randint(0, 6))
+        }
+        dicts.append(d)
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(dicts)], "i int, m map<string,string>")
+    got = {r["i"]: r["j"] for r in df.select("i", canonical_json_from_map(F.col("m")).alias("j")).collect()}
+    for i, d in enumerate(dicts):
+        assert got[i] == json.dumps(d, sort_keys=True, ensure_ascii=False), f"dict {i}: {d}"

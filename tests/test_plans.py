@@ -18,7 +18,6 @@ def _plan(df) -> str:
 def test_projection_pushdown_reaches_scan(spark):
     """A 2-column projection must not read the full table schema."""
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
-    plan = df_string = li._jdf.queryExecution().optimizedPlan().toString()
     scan = _plan(li)
     assert "l_extendedprice" not in scan.split("ReadSchema")[-1]
     assert "l_orderkey" in scan
