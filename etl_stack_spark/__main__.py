@@ -1,0 +1,58 @@
+"""CLI: run any registered query, list the inventory, or run pipelines.
+
+    python -m etl_stack_spark list
+    python -m etl_stack_spark run t1_lead_prep_topk [--sf /root/testdata/sf0.01] [--show 20]
+    python -m etl_stack_spark explain j6_radius_join
+    python -m etl_stack_spark oracle t1_tiered_topk     # print the DuckDB SQL
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="etl_stack_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    for c in ("run", "explain", "oracle"):
+        p = sub.add_parser(c)
+        p.add_argument("query")
+        if c == "run":
+            p.add_argument("--sf", default="/root/testdata/sf0.01")
+            p.add_argument("--show", type=int, default=20)
+        if c == "explain":
+            p.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from etl_stack_spark.queries import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(f"{name:32s} {'oracle' if name in oracles else 'rows-only'}")
+        return
+
+    if args.query not in queries:
+        sys.exit(f"error: unknown query {args.query!r}; see `python -m etl_stack_spark list`")
+
+    if args.cmd == "oracle":
+        print(oracles.get(args.query, "-- no oracle (rows-only check)"))
+        return
+
+    from etl_stack_spark.session import get_spark
+
+    spark = get_spark("etl-stack-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = queries[args.query](spark, args.sf)
+    if args.cmd == "explain":
+        df.explain("formatted")
+    else:
+        df.show(args.show, truncate=False)
+        print(f"rows: {df.count()}")
+
+
+if __name__ == "__main__":
+    main()

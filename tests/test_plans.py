@@ -57,6 +57,13 @@ def test_radius_join_salt_invariance(spark):
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # managed-table locations persist across runs — drop leftovers first
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/b_orders", ignore_errors=True)
+    shutil.rmtree("spark-warehouse/b_customer", ignore_errors=True)
     orders = load_table(spark, SF_SMOKE, "orders")
     customer = load_table(spark, SF_SMOKE, "customer")
     write_bucketed(
