@@ -97,3 +97,81 @@ def paginated_rest_scan(
         f"{f} string" if f != "id" else "id long" for f in fields
     )
     return pages.mapInPandas(fetch, schema=schema)
+
+
+DETAIL_SCHEMA = (
+    "external_id string, title string, price string, currency string, "
+    "lat string, lng string, status string, modified_gmt string"
+)
+
+
+def fake_detail_transport(url: str) -> str:
+    """Deterministic per-slug detail document (WP-style nested meta:
+    list-wrapped values, 'lat,lng' coordinate string)."""
+    slug = url.rstrip("/").rsplit("/", 1)[-1].split("?")[0]
+    n = int("".join(c for c in slug if c.isdigit()) or 0)
+    return json.dumps(
+        {
+            "id": n,
+            "title": {"rendered": f"Propiedad {n}"},
+            "status": "publish" if n % 5 else "draft",
+            "modified_gmt": f"2026-02-{(n % 28) + 1:02d}T00:00:00",
+            "property_meta": {
+                "price": [f"{100000 + n * 13}"],  # list-wrapped (get_first)
+                "currency": ["USD"],
+                "location": [f"{9.5 + n * 0.001:.6f},{-84.0 - n * 0.001:.6f}"],
+            },
+        }
+    )
+
+
+def detail_fetch(
+    links: DataFrame,
+    base_url: str,
+    parallelism: int = 8,
+    min_delay_s: float = 0.0,
+    transport: Transport = default_transport,
+) -> DataFrame:
+    """S2: per-row detail fetch + flatten. Takes the link DF from
+    paginated_rest_scan (needs ``slug``), GETs each detail document with a
+    per-partition politeness clock, and flattens the WP-style nesting:
+    ``get_first`` list-unwrap (houzez_provider.py:88-90) and the
+    ``"lat,lng"`` split handled downstream by P28."""
+
+    def get_first(v):
+        return v[0] if isinstance(v, list) and v else v
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_call = 0.0
+        for pdf in batches:
+            rows = []
+            for slug in pdf["slug"]:
+                wait = min_delay_s - (time.monotonic() - last_call)
+                if wait > 0:
+                    time.sleep(wait)
+                body = transport(f"{base_url}/{slug}?_embed=true")
+                last_call = time.monotonic()
+                doc = json.loads(body)
+                meta = doc.get("property_meta", {})
+                loc = get_first(meta.get("location")) or ","
+                rows.append(
+                    {
+                        "external_id": str(doc.get("id")),
+                        "title": (doc.get("title") or {}).get("rendered"),
+                        "price": get_first(meta.get("price")),
+                        "currency": get_first(meta.get("currency")),
+                        "lat": loc.split(",")[0],
+                        "lng": loc.split(",")[1] if "," in loc else None,
+                        "status": doc.get("status"),
+                        "modified_gmt": doc.get("modified_gmt"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "external_id", "title", "price", "currency",
+                    "lat", "lng", "status", "modified_gmt",
+                ],
+            )
+
+    return links.repartition(parallelism).mapInPandas(fetch, schema=DETAIL_SCHEMA)

@@ -1,0 +1,115 @@
+"""Property-based differential fuzzing of the cleaners: hypothesis
+generates arbitrary dirty strings; each batch runs through the Spark
+expressions AND the DuckDB rendering of the same semantics, compared
+exactly. This is the adversarial tier above the fixed-input oracle gate.
+
+Strategy note: examples are collected first and run as ONE DataFrame /
+one DuckDB VALUES relation per test (a Spark job per hypothesis example
+would take minutes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from etl_stack_spark.functions.cleaners import clean_area, clean_price, clean_smallint
+
+# characters the reference's cleaners actually face: digits, separators,
+# currency junk, spaces, letters (quotes excluded — they'd need escaping
+# in the VALUES literal, and never appear in scraped price fields)
+DIRTY = st.text(
+    alphabet="0123456789.,$€ abcm²/-+e",
+    min_size=0,
+    max_size=24,
+)
+
+_PRICE_SQL = """
+WITH raw(i, val) AS (VALUES {values}),
+scrub AS (
+  SELECT i, val, regexp_replace(replace(trim(val), ',', '.'), '[^0-9.]', '', 'g') AS s
+  FROM raw
+),
+collapsed AS (
+  SELECT *, CASE WHEN len(string_split(s, '.')) > 2
+    THEN array_to_string(list_slice(string_split(s, '.'), 1, len(string_split(s, '.')) - 1), '')
+         || '.' || string_split(s, '.')[-1]
+    ELSE s END AS s2
+  FROM scrub
+),
+parsed AS (SELECT *, TRY_CAST(s2 AS DOUBLE) AS num FROM collapsed)
+SELECT i,
+  CASE WHEN val IS NULL OR val = '' THEN 0.0
+       WHEN num IS NULL OR num > 9999999999999.99 THEN 0.0
+       ELSE num END AS price
+FROM parsed
+"""
+
+_AREA_SQL = """
+WITH raw(i, val) AS (VALUES {values}),
+parsed AS (
+  SELECT i, val,
+    TRY_CAST(regexp_replace(replace(trim(val), ',', '.'), '[^0-9.]', '', 'g') AS DOUBLE) AS num
+  FROM raw
+)
+SELECT i,
+  CASE WHEN val IS NULL OR val = '' THEN NULL
+       WHEN num IS NULL OR num <= 0 OR num > 9999999.99 THEN NULL
+       ELSE num END AS area
+FROM parsed
+"""
+
+_SMALLINT_SQL = """
+WITH raw(i, val) AS (VALUES {values}),
+parsed AS (SELECT i, val, TRY_CAST(regexp_extract(val, '([0-9]+)', 1) AS INT) AS num FROM raw)
+SELECT i,
+  CASE WHEN val IS NULL OR val = '' THEN NULL
+       WHEN num IS NULL OR num > 100 THEN NULL
+       ELSE num END AS n
+FROM parsed
+"""
+
+
+def _values_sql(samples: list[str]) -> str:
+    return ", ".join(f"({i}, '{s}')" for i, s in enumerate(samples))
+
+
+def _run_duck(sql_tmpl: str, samples: list[str], col: str) -> dict:
+    con = duckdb.connect()
+    out = con.execute(sql_tmpl.format(values=_values_sql(samples))).fetchall()
+    return {i: v for i, v in out}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DIRTY, min_size=1, max_size=300))
+def test_fuzz_clean_price_matches_duckdb(spark, samples):
+    df = spark.createDataFrame(list(enumerate(samples)), "i int, val string")
+    price, _cur = clean_price(F.col("val"), F.lit("USD"))
+    got = {r["i"]: r["p"] for r in df.select("i", price.alias("p")).collect()}
+    want = _run_duck(_PRICE_SQL, samples, "price")
+    for i, s in enumerate(samples):
+        assert got[i] == want[i], f"clean_price({s!r}): spark={got[i]} duck={want[i]}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DIRTY, min_size=1, max_size=300))
+def test_fuzz_clean_area_matches_duckdb(spark, samples):
+    df = spark.createDataFrame(list(enumerate(samples)), "i int, val string")
+    got = {r["i"]: r["a"] for r in df.select("i", clean_area(F.col("val")).alias("a")).collect()}
+    want = _run_duck(_AREA_SQL, samples, "area")
+    for i, s in enumerate(samples):
+        assert got[i] == want[i], f"clean_area({s!r}): spark={got[i]} duck={want[i]}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(DIRTY, min_size=1, max_size=300))
+def test_fuzz_clean_smallint_matches_duckdb(spark, samples):
+    df = spark.createDataFrame(list(enumerate(samples)), "i int, val string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", clean_smallint(F.col("val"), 100).alias("n")).collect()
+    }
+    want = _run_duck(_SMALLINT_SQL, samples, "n")
+    for i, s in enumerate(samples):
+        assert got[i] == want[i], f"clean_smallint({s!r}): spark={got[i]} duck={want[i]}"

@@ -259,3 +259,22 @@ def test_canonical_json_matches_python_dumps(spark):
     got = {r["i"]: r["j"] for r in df.select("i", canonical_json_from_map(F.col("m")).alias("j")).collect()}
     for i, d in enumerate(dicts):
         assert got[i] == json.dumps(d, sort_keys=True, ensure_ascii=False), f"dict {i}: {d}"
+
+
+def test_detail_fetch_flattens_wp_nesting(spark):
+    from etl_stack_spark.sources.rest import detail_fetch, fake_detail_transport
+
+    links = spark.createDataFrame(
+        [(f"prop-{i}",) for i in range(1, 8)], "slug string"
+    )
+    out = detail_fetch(
+        links, "https://example.test/wp-json/wp/v2/propiedad",
+        parallelism=2, transport=fake_detail_transport,
+    )
+    rows = {r["external_id"]: r for r in out.collect()}
+    assert len(rows) == 7
+    r3 = rows["3"]
+    assert r3["title"] == "Propiedad 3"
+    assert r3["price"] == "100039"          # list-unwrapped
+    assert r3["lat"].startswith("9.503")    # "lat,lng" split
+    assert rows["5"]["status"] == "draft"   # n % 5 == 0
