@@ -121,6 +121,27 @@ FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.hour = a.hour
 """
 
 
+_JR1_ORACLE = """
+SELECT event_id,
+  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  (json_valid(props)) AS is_valid
+FROM events
+"""
+
+
+@register("jr1_json_schema_on_read", _JR1_ORACLE)
+def jr1_json_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the events.props JSON column: typed extraction
+    with graceful null on malformed input (the engine's JSONB surface)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
+        parsed.isNotNull().alias("is_valid"),
+    )
+
+
 @register("ts1_resample_gapfill", _TS1_ORACLE)
 def ts1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
