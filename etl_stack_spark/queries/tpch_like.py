@@ -108,6 +108,70 @@ GROUP BY n.n_name
 """
 
 
+_Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+  ROUND(SUM(l.l_extendedprice), 2) AS small_lot_revenue,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5e0 * a.aq
+GROUP BY l.l_partkey
+"""
+
+
+@register("q17_small_lot", _Q17_ORACLE)
+def q17_small_lot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shape: correlated avg subquery, decorrelated to an aggregate
+    self-join (what Catalyst does to the subquery form anyway — written
+    explicitly so the shuffle count is visible and intentional)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(F.avg("l_quantity").alias("aq"))
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.ak)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_custkey, o.o_orderkey, ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_custkey, o.o_orderkey
+"""
+
+
+@register("q18_large_orders", _Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape: HAVING-filtered semi join into a grouped join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
 @register("q5_nation_volume", _Q5_ORACLE)
 def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -1,0 +1,50 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The flagship: cross-micro-batch first-seen dedup — the streaming form of
+the engine's content-hash idempotency. Per key, the state holds the set
+of hashes already emitted; later micro-batches drop rows whose hash was
+seen in ANY earlier batch. This is what turns an at-least-once ingest
+feed into an exactly-once-downstream stream without a transactional sink.
+
+Scale notes: state is per-key and bounded by distinct hashes per key —
+for unbounded keys add a state TTL (GroupStateTimeout) so idle keys
+evict; state lives in the state store (RocksDB on a real cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, content_hash string, batch_seq long"
+STATE_SCHEMA = "seen array<string>"
+
+
+def _dedupe_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    out = []
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            h = row["content_hash"]
+            if h not in seen:
+                seen.add(h)
+                out.append((key[0], h, int(row["batch_seq"])))
+    state.update((list(seen),))
+    yield pd.DataFrame(out, columns=["key", "content_hash", "batch_seq"])
+
+
+def streaming_first_seen(stream: DataFrame) -> DataFrame:
+    """stream(key, content_hash, batch_seq) → only first-seen
+    (key, content_hash) rows across the whole stream lifetime."""
+    return stream.groupBy("key").applyInPandasWithState(
+        _dedupe_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,43 @@ def test_queue_enqueue_idempotent(spark, tmp_path):
     enqueue(table, reqs)
     enqueue(table, reqs)  # re-enqueue same job → no duplicate
     assert table.read().count() == 1
+
+
+def test_stateful_first_seen_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates arriving in a LATER micro-batch
+    must be dropped by the state carried from the earlier one."""
+    from etl_stack_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "stateful_in"
+    src.mkdir()
+    schema = "key string, content_hash string, batch_seq long"
+    b1 = spark.createDataFrame(
+        [("k1", "h1", 1), ("k1", "h2", 1), ("k2", "h9", 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [("k1", "h1", 2), ("k1", "h3", 2), ("k2", "h9", 2)], schema  # h1,h9 dups
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_first_seen(stream)
+    sink: list[tuple] = []
+
+    def collect(df, _epoch):
+        sink.extend((r["key"], r["content_hash"]) for r in df.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # every (key, hash) exactly once despite duplicates in the second batch
+    assert sorted(sink) == [("k1", "h1"), ("k1", "h2"), ("k1", "h3"), ("k2", "h9")]
