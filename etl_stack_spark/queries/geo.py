@@ -244,6 +244,61 @@ def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A4b — TRANSITIVE cluster-merge against a recursive-CTE oracle.
+# Points form chains: groups of 10, consecutive points ~13 m apart (merge
+# pairwise) but chain ends ~120 m apart — exactly the buffer+dissolve
+# semantics the reference's GeoPandas dissolve produces and a plain
+# grid-cell grouping would get wrong. The oracle computes true connected
+# components with WITH RECURSIVE over the ≤20 m edge set.
+# ---------------------------------------------------------------------------
+_A4B_POINTS_SQL = """
+  SELECT p_partkey AS poi_id,
+         9.5e0 + CAST(p_partkey // 10 AS BIGINT) * 5e-3
+               + (p_partkey % 10) * 1.2e-4 AS lat,
+         -84e0 AS lon
+  FROM part WHERE p_partkey < 400
+"""
+
+_A4B_ORACLE = f"""
+WITH RECURSIVE pts AS ({_A4B_POINTS_SQL}),
+edges AS (
+  SELECT a.poi_id AS a, b.poi_id AS b
+  FROM pts a JOIN pts b ON
+    2e0 * 6371e0 * asin(sqrt(
+      sin(radians(b.lat - a.lat) / 2e0) * sin(radians(b.lat - a.lat) / 2e0)
+      + cos(radians(a.lat)) * cos(radians(b.lat))
+      * sin(radians(b.lon - a.lon) / 2e0) * sin(radians(b.lon - a.lon) / 2e0)
+    )) <= 0.02e0
+),
+reach AS (
+  SELECT poi_id AS p, poi_id AS q FROM pts
+  UNION
+  SELECT r.p, e.b FROM reach r JOIN edges e ON r.q = e.a
+)
+SELECT p AS poi_id, CAST(MIN(q) AS BIGINT) AS cluster_id
+FROM reach GROUP BY p
+"""
+
+
+@register("a4b_transitive_clusters", _A4B_ORACLE)
+def a4b_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.geo_join import cluster_points
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    pts = part.select(
+        F.col("p_partkey").alias("poi_id"),
+        (
+            F.lit(9.5)
+            + (F.col("p_partkey") / F.lit(10)).cast("long") * 0.005
+            + (F.col("p_partkey") % 10) * 0.00012
+        ).alias("lat"),
+        F.lit(-84.0).alias("lon"),
+    )
+    clustered = cluster_points(pts, radius_m=20.0, category_col=None)
+    return clustered.select("poi_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # T2 — top-5-per-category slice (frontend map payload) — same window, k=5
 # ---------------------------------------------------------------------------
 _T2_ORACLE = f"""
