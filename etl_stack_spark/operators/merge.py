@@ -64,8 +64,15 @@ class ParquetMergeTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        cur = self.current_version()
+    def read(self, version: str | int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel: ``version`` may be a
+        snapshot name or a negative index into history (-2 = previous)."""
+        if version is None:
+            cur = self.current_version()
+        elif isinstance(version, int):
+            cur = self._read_manifest()["history"][version]
+        else:
+            cur = version
         if cur is None:
             raise FileNotFoundError(f"no current snapshot in {self.root}")
         return self.spark.read.parquet(os.path.join(self.root, cur))

@@ -118,3 +118,14 @@ def test_vacuum_keeps_current_and_recent(spark, table):
     dropped = table.vacuum(keep_last=2)
     assert len(dropped) == 1
     assert table.read().count() == 3  # current snapshot still readable
+
+
+def test_time_travel_read(spark, table):
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(
+        props(spark, [("c1", "p1", "Casa A v2", "h1x", "active")]),
+        keys=["client_id", "external_id"],
+    )
+    now = table.read().filter(F.col("external_id") == "p1").first()["title"]
+    before = table.read(version=-2).filter(F.col("external_id") == "p1").first()["title"]
+    assert (now, before) == ("Casa A v2", "Casa A")
