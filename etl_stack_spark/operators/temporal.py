@@ -14,7 +14,7 @@ radius-join shape in one dimension (see operators/geo_join.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

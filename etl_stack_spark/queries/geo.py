@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_stack_spark.functions.geo import haversine_km
 from etl_stack_spark.operators.geo_join import radius_join
-from etl_stack_spark.operators.rank import tier_column, tiered_top_k
+from etl_stack_spark.operators.rank import tiered_top_k
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 

@@ -11,7 +11,6 @@ in this container) behind the same interface as a real decoder.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_stack_spark.operators.multimodal import (
     extract_media_features,

@@ -96,6 +96,41 @@ def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SS4 — multi-probe LSH: query probes its bucket + all Hamming-1 neighbors
+# ---------------------------------------------------------------------------
+def _probe_list_sql(bucket_expr: str) -> str:
+    xs = ", ".join(f"xor({bucket_expr}, {1 << hk})" for hk in range(N_HYPERPLANES))
+    return f"[{bucket_expr}, {xs}]"
+
+
+_SS4_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+cb AS (SELECT *, {_bucket_sql('cv')} AS bucket FROM corpus),
+qb AS (SELECT query_id, qv, unnest({_probe_list_sql(_bucket_sql('qv'))}) AS bucket FROM q0),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 6) AS cosine
+  FROM cb JOIN qb USING (bucket) WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("ss4_multiprobe_topk", _SS4_ORACLE)
+def ss4_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_bucketed_topk(emb, queries, k=10, multi_probe=True)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
 # DD5 — embedding cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 _DD5_ORACLE = f"""

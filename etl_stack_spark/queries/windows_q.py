@@ -9,7 +9,6 @@ session = gaps-and-islands with lag(). Sums of doubles round to 2dp
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
