@@ -121,6 +121,93 @@ FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.hour = a.hour
 """
 
 
+_FN1_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_signup f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts >= f.signup_ts AND e.ts < f.signup_ts + INTERVAL '1 hour'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_converted,
+       ROUND(COUNT(c.user_id) * 1e0 / COUNT(*), 6) AS conversion_rate
+FROM first_signup f LEFT JOIN converted c ON f.user_id = c.user_id
+"""
+
+
+@register("fn1_funnel_conversion", _FN1_ORACLE)
+def fn1_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: share of users purchasing within 1 h of their FIRST signup —
+    the event-sequence analysis shape (first-touch + windowed follow-up)."""
+    events = load_table(spark, sf_dir, "events")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.timestamp_add("HOUR", F.lit(1), F.col("signup_ts"))),
+            "left_semi",
+        )
+        .select("user_id")
+    )
+    joined = first_signup.join(
+        converted.withColumn("is_conv", F.lit(1)), "user_id", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count("is_conv").alias("n_converted"),
+        F.round(F.count("is_conv") * 1.0 / F.count(F.lit(1)), 6).alias("conversion_rate"),
+    )
+
+
+_U3_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("u3_intersect", _U3_ORACLE)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.intersect(open_orders)
+
+
+_U4_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("u4_except", _U4_ORACLE)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    open_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(open_orders).distinct()
+
+
 _JR1_ORACLE = """
 SELECT event_id,
   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
