@@ -38,6 +38,47 @@ def bbox_filter(lat: Column, lon: Column, lat0: float, lon0: float, delta: float
     return lat.between(lat0 - delta, lat0 + delta) & lon.between(lon0 - delta, lon0 + delta)
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 8) -> Column:
+    """Standard geohash (base32, interleaved lon/lat bits) as a PURE column
+    expression — no UDF; the whole thing codegens.
+
+    This is the planet-scale replacement for the integer ``grid_cell``:
+    same equi-join usage, string keys whose prefixes nest (a precision-p
+    prefix IS the containing cell). Precision 8 ≈ 19 m × 38 m cells, the
+    reference's POI dedup radius (process_pois.py:24-28).
+    """
+    n_bits = 5 * precision
+    lon_bits = (n_bits + 1) // 2
+    lat_bits = n_bits // 2
+    # quantized cell indices in [0, 2^bits)
+    ix = F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))).cast("long")
+    iy = F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))).cast("long")
+    ix = F.least(ix, F.lit((1 << lon_bits) - 1))  # lon=180 edge
+    iy = F.least(iy, F.lit((1 << lat_bits) - 1))
+    # interleave: even bit positions (0,2,..) from lon, odd from lat,
+    # counting from the MOST significant of the 5p-bit word
+    z = F.lit(0).cast("long")
+    for pos in range(n_bits):  # pos 0 = most significant
+        if pos % 2 == 0:
+            src, src_bits, idx = ix, lon_bits, pos // 2
+        else:
+            src, src_bits, idx = iy, lat_bits, pos // 2
+        bit = F.shiftright(src, src_bits - 1 - idx).bitwiseAND(F.lit(1))
+        z = z + (bit * F.lit(1 << (n_bits - 1 - pos)))
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_BASE32),
+            F.shiftright(z, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)).cast("int") + 1,
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def grid_cell(lat: Column, lon: Column, cell_deg: float) -> Column:
     """Integer grid bucket (our geohash stand-in): floor(lat/cell), floor(lon/cell)
     packed into a single long — an equi-join key both engines compute identically.

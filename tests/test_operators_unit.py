@@ -305,3 +305,20 @@ def test_multiprobe_improves_recall(spark):
     # the synthetic embeddings are near-uniform (worst case for LSH); even
     # so, probing 9/256 buckets must beat the 9/256 ≈ 3.5% random baseline
     assert r_multi > 0.1
+
+
+def test_geohash_encode_public_vectors(spark):
+    """Pure-expr geohash vs published test vectors (geohash.org example
+    57.64911,10.40744 → u4pruydqqvj) + prefix-nesting property."""
+    from etl_stack_spark.functions.geo import geohash_encode
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (0.0, 0.0), (-25.382708, -49.265506)],
+        "lat double, lon double",
+    )
+    g11 = df.select(geohash_encode(F.col("lat"), F.col("lon"), 11).alias("g")).collect()
+    assert g11[0]["g"] == "u4pruydqqvj"
+    assert g11[1]["g"] == "s0000000000"
+    assert g11[2]["g"] == "6gkzwgjzn82"  # Curitiba (public geohash example)
+    g5 = df.select(geohash_encode(F.col("lat"), F.col("lon"), 5).alias("g")).collect()
+    assert all(long["g"].startswith(short["g"]) for long, short in zip(g11, g5))
