@@ -43,6 +43,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_volume",
+    "q10_returned_revenue",
+    # event analytics
+    "fn1_funnel_conversion",
+    "aj1_asof_join",
 ]
 
 
