@@ -51,6 +51,43 @@ def tiered_top_k(
     return out if keep_rank else out.drop(rank_col)
 
 
+def local_topk_prune(
+    df: DataFrame,
+    group_cols: list[str],
+    order_spec: list[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """Map-side partial top-k: within each PARTITION, keep only the best
+    ``k`` rows per group under ``order_spec`` [(col, ascending), ...].
+
+    Lossless for a subsequent grouped row_number≤k under the same
+    ordering (any row outside a partition-local top-k can never be in the
+    global top-k). Purpose: shrink the window's shuffle input — a group
+    spread over P partitions sends ≤ P·k rows instead of all matches.
+    Arrow-batched pandas does the partition-local work (vectorized sort +
+    groupby-head); at cluster scale the shuffle bytes saved dwarf the
+    Python pass.
+    """
+    cols = [c for c, _ in order_spec]
+    asc = [a for _, a in order_spec]
+    out_schema = df.schema
+
+    def prune(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            yield (
+                pdf.sort_values(cols, ascending=asc, kind="mergesort")
+                .groupby(group_cols, sort=False)
+                .head(k)
+            )
+
+    return df.mapInPandas(prune, schema=out_schema)
+
+
 def top_1_per_group(
     df: DataFrame, partition_by: Sequence[str | Column], order_by: Sequence[Column]
 ) -> DataFrame:

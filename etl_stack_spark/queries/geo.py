@@ -217,6 +217,10 @@ def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = matched.select(
         "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
     )
+    # NB: operators/rank.local_topk_prune can pre-shrink the window input
+    # ~10× (lossless); measured SLOWER on local[32] (Arrow transfer of the
+    # 33M-row stream beats the in-memory shuffle it saves) so it stays
+    # opt-in for network-shuffle-bound clusters — see SCALE.md.
     ranked = tiered_top_k(
         matched.withColumn("tier", tier),
         partition_by=["prop_id", "category"],
