@@ -322,3 +322,18 @@ def test_geohash_encode_public_vectors(spark):
     assert g11[2]["g"] == "6gkzwgjzn82"  # Curitiba (public geohash example)
     g5 = df.select(geohash_encode(F.col("lat"), F.col("lon"), 5).alias("g")).collect()
     assert all(long["g"].startswith(short["g"]) for long, short in zip(g11, g5))
+
+
+def test_local_topk_prune_is_lossless(spark):
+    """prune → window top-k must equal window top-k without the prune."""
+    from etl_stack_spark.operators.rank import local_topk_prune, tiered_top_k
+
+    df = spark.createDataFrame(
+        [(g, i, float((i * 37) % 100)) for g in range(20) for i in range(50)],
+        "g int, i int, score double",
+    ).repartition(8)
+    order = [F.col("score").desc(), F.col("i")]
+    direct = tiered_top_k(df, ["g"], order, k=3, keep_rank=False)
+    pruned = local_topk_prune(df, ["g"], [("score", False), ("i", True)], k=3)
+    via_prune = tiered_top_k(pruned, ["g"], order, k=3, keep_rank=False)
+    assert direct.exceptAll(via_prune).isEmpty() and via_prune.exceptAll(direct).isEmpty()
