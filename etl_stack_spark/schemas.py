@@ -1,0 +1,119 @@
+"""Canonical StructTypes for the engine's domain tables (SURVEY.md §1,
+FIXTURES.md) — the fixed-schema core with one MapType escape hatch per
+table, exactly the reference's hybrid (rigid warehouse, dynamic edges).
+
+Pipelines and tests build DataFrames against these so schema drift is a
+type error, not a runtime surprise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _f(name: str, t, nullable: bool = True) -> StructField:
+    return StructField(name, t, nullable)
+
+
+# stage_sources_config — provider registry (FIXTURES §1)
+SOURCES_CONFIG = StructType([
+    _f("client_id", StringType(), False),
+    _f("name", StringType()),
+    _f("provider_type", StringType()),
+    _f("base_url", StringType()),
+    _f("api_endpoint", StringType()),
+    _f("is_active", StringType()),
+    _f("last_run_at", TimestampType()),
+])
+
+# canonical staged property (FIXTURES §2 flattened; raw string fields)
+STAGED_PROPERTY = StructType([
+    _f("client_id", StringType(), False),
+    _f("source_site", StringType()),
+    _f("external_id", StringType(), False),
+    _f("title", StringType()),
+    _f("price_raw", StringType()),
+    _f("currency_raw", StringType()),
+    _f("sqm_raw", StringType()),
+    _f("bedrooms_raw", StringType()),
+    _f("bathrooms_raw", StringType()),
+    _f("lat", StringType()),
+    _f("lng", StringType()),
+    _f("address", StringType()),
+    _f("features", MapType(StringType(), StringType())),
+    _f("images", ArrayType(StringType())),
+    _f("url", StringType()),
+    _f("status", StringType()),
+    _f("modified_gmt", TimestampType()),
+])
+
+# lead_properties — final property table (FIXTURES §3)
+LEAD_PROPERTY = StructType([
+    _f("client_id", StringType(), False),
+    _f("external_id", StringType(), False),
+    _f("title", StringType()),
+    _f("price", DecimalType(15, 2)),
+    _f("currency", StringType()),
+    _f("area_sqm", DoubleType()),
+    _f("bedrooms", ShortType()),
+    _f("bathrooms", DecimalType(4, 1)),
+    _f("location_lat", DoubleType()),
+    _f("location_lng", DoubleType()),
+    _f("features", MapType(StringType(), StringType())),
+    _f("status", StringType()),
+    _f("content_hash", StringType()),
+    _f("property_type_id", IntegerType()),
+    _f("poi_data", StringType()),  # nested JSON package, null = needs work
+    _f("updated_at", TimestampType()),
+])
+
+# stage_pois_osm (FIXTURES §4)
+POI = StructType([
+    _f("osm_id", LongType()),
+    _f("name", StringType()),
+    _f("brand", StringType()),
+    _f("re_category", StringType()),
+    _f("lat", DoubleType(), False),
+    _f("lon", DoubleType(), False),
+    _f("quality_score", IntegerType()),
+    _f("is_chain", StringType()),
+    _f("tags", MapType(StringType(), StringType())),
+    _f("hash", StringType(), False),
+])
+
+# ai_vectors — chunk embeddings (FIXTURES-adjacent; vector_store.py shape)
+AI_VECTOR = StructType([
+    _f("chunk_id", StringType(), False),
+    _f("content_id", StringType(), False),
+    _f("page_number", LongType()),
+    _f("chunk_text", StringType()),
+    _f("content_hash", StringType(), False),
+    _f("embedding", ArrayType(FloatType())),
+    _f("status", StringType()),
+    _f("updated_at", TimestampType()),
+])
+
+# media — multimodal binary columns with typed metadata
+MEDIA = StructType([
+    _f("media_id", LongType(), False),
+    _f("kind", StringType(), False),  # image | audio | video
+    _f("content", BinaryType()),
+    _f("content_hash", StringType()),
+    _f("width", IntegerType()),
+    _f("height", IntegerType()),
+    _f("duration_ms", IntegerType()),
+])

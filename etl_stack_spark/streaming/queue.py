@@ -59,13 +59,22 @@ def drain_pending(
         )
         if pending.isEmpty():
             break
-        processed = process(pending)
-        results = processed.select(
-            "job_id",
-            F.col("status"),
-            (F.col("error_message") if "error_message" in processed.columns
-             else F.lit(None).cast("string")).alias("error_message"),
-        )
+        try:
+            processed = process(pending)
+            results = processed.select(
+                "job_id",
+                F.col("status"),
+                (F.col("error_message") if "error_message" in processed.columns
+                 else F.lit(None).cast("string")).alias("error_message"),
+            )
+            results.count()  # force execution so failures surface here
+        except Exception as e:  # noqa: BLE001 — any batch failure → FAILED rows
+            msg = str(e)[:500]
+            results = pending.select(
+                "job_id",
+                F.lit(FAILED).alias("status"),
+                F.lit(msg).alias("error_message"),
+            )
         target = table.read()
         r = results.select(
             "job_id",

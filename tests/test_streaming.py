@@ -107,3 +107,28 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
     q.awaitTermination(180)
     # every (key, hash) exactly once despite duplicates in the second batch
     assert sorted(sink) == [("k1", "h1"), ("k1", "h2"), ("k1", "h3"), ("k2", "h9")]
+
+
+def test_queue_batch_failure_marks_failed(spark, tmp_path):
+    """A process() crash must mark that batch FAILED (with the message),
+    not kill the drain loop or wedge jobs in PENDING forever."""
+    from etl_stack_spark.streaming.queue import FAILED, SYNCED, drain_pending, enqueue
+
+    table = ParquetMergeTable(spark, str(tmp_path / "jobs3"))
+    enqueue(table, spark.createDataFrame(
+        [("job_a", "x"), ("job_b", "y")], "job_id string, content_id string"
+    ))
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom: upstream 500")
+        return batch.select("job_id", F.lit(SYNCED).alias("status"))
+
+    drain_pending(table, flaky, batch_size=1)
+    rows = {r["job_id"]: (r["status"], r["error_message"]) for r in table.read().collect()}
+    statuses = sorted(s for s, _ in rows.values())
+    assert statuses == [FAILED, SYNCED]
+    failed_msg = next(m for s, m in rows.values() if s == FAILED)
+    assert "boom" in failed_msg
