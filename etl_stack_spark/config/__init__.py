@@ -1,0 +1,3 @@
+"""Config-as-data for the classification/ranking operators (SURVEY §1.1
+last row): rule sets drive behavior; the operators compile them to
+codegen'd expressions. Swap these dicts to retarget the engine."""

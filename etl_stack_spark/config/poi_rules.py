@@ -1,0 +1,87 @@
+"""POI classification config — same structure as the reference's
+``config_poi_filtering.json`` (9 categories; per-category name keywords,
+OSM tag/value memberships, exclusion-keyword vetoes; config order = match
+priority, reference `process_pois.py:271-313`) and ``topbrands.json``
+(ideal-brand → raw-OSM-name mappings per category).
+
+Keyword lists here are representative subsets re-expressed from the
+reference semantics (full curated lists are deployment data, loaded the
+same way from JSON). The engine compiles this via
+``operators/classify.py`` — config is swappable without code changes.
+"""
+
+from __future__ import annotations
+
+# category → (name keywords, {tag: [values]}, exclusion keywords);
+# dict order is match priority — first hit wins, like the reference.
+POI_CATEGORIES: dict[str, dict] = {
+    "Sport_Leisure": {
+        "keywords": ["cancha", "estadio", "gym", "gimnasio", "fitness", "piscina"],
+        "tags": {"leisure": ["pitch", "sports_centre", "stadium", "fitness_centre", "swimming_pool"],
+                 "sport": ["soccer", "fitness", "swimming", "tennis", "basketball"]},
+        "exclude": [],
+    },
+    "Charging_Infrastructure": {
+        "keywords": ["carga electrica", "charging station", "cargador", "punto de recarga"],
+        "tags": {"amenity": ["charging_station"]},
+        "exclude": [],
+    },
+    "Education": {
+        "keywords": ["escuela", "colegio", "universidad", "kinder", "liceo"],
+        "tags": {"amenity": ["school", "university", "kindergarten", "college"]},
+        "exclude": ["autoescuela", "manejo"],
+    },
+    "Health": {
+        "keywords": ["hospital", "clinica", "farmacia", "ebais", "laboratorio"],
+        "tags": {"amenity": ["hospital", "clinic", "pharmacy", "doctors"],
+                 "healthcare": ["hospital", "clinic", "pharmacy", "laboratory"]},
+        "exclude": ["veterinaria"],
+    },
+    "Convenience": {
+        "keywords": ["supermercado", "mini super", "pulperia", "abastecedor"],
+        "tags": {"shop": ["supermarket", "convenience", "grocery"]},
+        "exclude": [],
+    },
+    "Restaurant_Cafe": {
+        "keywords": ["restaurante", "soda", "cafeteria", "pizzeria"],
+        "tags": {"amenity": ["restaurant", "cafe", "fast_food", "bar"]},
+        "exclude": [],
+    },
+    "Nature_Tourism": {
+        "keywords": ["parque", "sendero", "mirador", "cascada"],
+        "tags": {"leisure": ["park", "nature_reserve"], "tourism": ["viewpoint", "attraction"],
+                 "natural": ["peak", "waterfall"]},
+        "exclude": [],
+    },
+    "Safety": {
+        "keywords": ["policia", "bomberos", "cruz roja"],
+        "tags": {"amenity": ["police", "fire_station"], "emergency": ["ambulance_station"]},
+        "exclude": [],
+    },
+    "Shopping": {
+        "keywords": ["centro comercial", "mall", "plaza comercial", "tienda"],
+        "tags": {"shop": ["mall", "department_store", "clothes", "electronics"]},
+        "exclude": [],
+    },
+}
+
+# ideal brand → raw OSM name (topbrands.json shape, representative rows)
+BRAND_MAPPINGS: dict[str, dict[str, str]] = {
+    "Education": {"Lincoln School": "Lincoln School", "Country Day": "Country Day School"},
+    "Convenience": {"Auto Mercado": "Auto Mercado", "Mas x Menos": "Más x Menos"},
+    "Health": {"Clinica Biblica": "Clínica Bíblica", "Hospital CIMA": "Hospital CIMA"},
+}
+
+
+def rules_for_classifier() -> list[tuple[str, list[str]]]:
+    """Flatten to the (category, keywords) sequence classify_by_rules
+    takes; order preserved = priority preserved."""
+    return [(cat, cfg["keywords"]) for cat, cfg in POI_CATEGORIES.items()]
+
+
+def tag_rules() -> dict[str, dict[str, list[str]]]:
+    return {cat: cfg["tags"] for cat, cfg in POI_CATEGORIES.items()}
+
+
+def exclusions() -> list[str]:
+    return [kw for cfg in POI_CATEGORIES.values() for kw in cfg["exclude"]]

@@ -38,6 +38,43 @@ def classify_by_rules(
     return expr
 
 
+def classify_by_tags(
+    tags: Column,
+    tag_rules: Mapping[str, Mapping[str, Sequence[str]]],
+    default: str = "Other",
+) -> Column:
+    """Strategy 2 (process_pois.py:271-313): first category (config order)
+    with any OSM tag whose value is in the category's allowed set.
+    ``tags`` is a map<string,string> (see functions.misc.hstore_parse)."""
+    expr = F.lit(default)
+    for category, rules in reversed(list(tag_rules.items())):
+        cond = F.lit(False)
+        for tag, values in rules.items():
+            cond = cond | F.element_at(tags, tag).isin(list(values))
+        expr = F.when(cond, F.lit(category)).otherwise(expr)
+    return expr
+
+
+def classify_poi(
+    name: Column,
+    tags: Column,
+    keyword_rules: Sequence[tuple[str, Sequence[str]]],
+    tag_rules: Mapping[str, Mapping[str, Sequence[str]]],
+    exclusions: Sequence[str] = (),
+    default: str = "Other",
+) -> Column:
+    """The reference's full two-strategy classification: keyword match on
+    the normalized name wins first; tag membership backs it up; the
+    exclusion veto applies last over the name."""
+    by_name = classify_by_rules(name, keyword_rules, exclusions=(), default=default)
+    by_tag = classify_by_tags(tags, tag_rules, default=default)
+    combined = F.when(by_name != default, by_name).otherwise(by_tag)
+    if exclusions:
+        veto = r"\b(" + "|".join(exclusions) + r")\b"
+        combined = F.when(F.lower(name).rlike(veto), F.lit(default)).otherwise(combined)
+    return combined
+
+
 def detect_brand(
     name: Column,
     brand_tag: Column,

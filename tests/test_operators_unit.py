@@ -337,3 +337,30 @@ def test_local_topk_prune_is_lossless(spark):
     pruned = local_topk_prune(df, ["g"], [("score", False), ("i", True)], k=3)
     via_prune = tiered_top_k(pruned, ["g"], order, k=3, keep_rank=False)
     assert direct.exceptAll(via_prune).isEmpty() and via_prune.exceptAll(direct).isEmpty()
+
+
+def test_classify_poi_two_strategy_with_veto(spark):
+    """Reference two-strategy classification over the real config shape:
+    name keywords win, tags back up, exclusion vetoes (process_pois.py)."""
+    from etl_stack_spark.config.poi_rules import POI_CATEGORIES, exclusions, rules_for_classifier, tag_rules
+    from etl_stack_spark.operators.classify import classify_poi
+
+    rows = [
+        ("Escuela Central", {}),                              # keyword → Education
+        ("Punto X", {"amenity": "pharmacy"}),                 # tag → Health
+        ("Autoescuela Rapida", {"amenity": "school"}),        # veto → Other
+        ("Gimnasio Fuerte", {"shop": "mall"}),                # keyword beats tag
+        ("Sin Señas", {}),                                    # nothing → Other
+    ]
+    df = spark.createDataFrame(rows, "name string, tags map<string,string>")
+    out = [
+        r["cat"]
+        for r in df.select(
+            classify_poi(
+                F.col("name"), F.col("tags"),
+                rules_for_classifier(), tag_rules(), exclusions(),
+            ).alias("cat")
+        ).collect()
+    ]
+    assert out == ["Education", "Health", "Other", "Sport_Leisure", "Other"]
+    assert len(POI_CATEGORIES) == 9  # full reference category set
