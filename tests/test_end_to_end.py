@@ -1,0 +1,115 @@
+"""The switch-over proof: every reference pipeline end to end on this
+engine — REST extract → incremental gate → clean/hash → MERGE →
+geo enrichment write-back → image flow → GC. One test per §3 flow plus
+the full chain.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.plans.images_flow import (
+    fetch_images,
+    load_images,
+    merged_image_urls,
+    orphan_files,
+    tag_untagged,
+)
+from etl_stack_spark.plans.ingest import clean_and_hash, load_to_lead_properties
+from etl_stack_spark.plans.lead_prep import lead_prep_packages
+from etl_stack_spark.queries.geo import CATEGORIES, pois_df
+from etl_stack_spark.sources.rest import (
+    detail_fetch,
+    fake_detail_transport,
+    fake_transport_factory,
+    paginated_rest_scan,
+)
+
+
+def test_full_property_chain(spark, tmp_path):
+    """REST links → details → clean → merge → lead-prep write-back."""
+    links = paginated_rest_scan(
+        spark, "https://example.test/api", total_pages=2, per_page=10,
+        parallelism=2, transport=fake_transport_factory(per_page=10),
+    )
+    details = detail_fetch(
+        links.select("slug"), "https://example.test/api",
+        parallelism=2, transport=fake_detail_transport,
+    )
+    staged = details.select(
+        F.lit("c1").alias("client_id"),
+        "external_id",
+        "title",
+        F.col("price").alias("price_raw"),
+        F.col("currency").alias("currency_raw"),
+        F.lit(None).cast("string").alias("sqm_raw"),
+        F.lit("3").alias("bedrooms_raw"),
+        F.lit("2").alias("bathrooms_raw"),
+        "lat", "lng",
+        F.create_map(F.lit("src"), F.lit("rest")).alias("features"),
+        "status",
+    )
+    cleaned = clean_and_hash(staged)
+    n_clean = cleaned.count()
+    assert 0 < n_clean < 20  # drafts (n % 5 == 0) filtered
+
+    table = ParquetMergeTable(spark, str(tmp_path / "lead_properties"))
+    stats = load_to_lead_properties(cleaned, table, "c1")
+    assert stats["inserted"] == n_clean
+    # re-running the whole chain is a no-op (the idempotency contract)
+    stats2 = load_to_lead_properties(cleaned, table, "c1")
+    assert stats2["updated"] == 0 and stats2["inserted"] == 0
+
+    # geo enrichment: properties with coords get a poi_data package merged back
+    props = table.read().select(
+        F.col("external_id").cast("long").alias("prop_id"),
+        (F.lit(9.5) + (F.col("external_id").cast("long") % 100) * 0.002).alias("lat"),
+        F.lit(-84.3).alias("lon"),
+    )
+    pois = pois_df(spark, "/root/testdata/sf0.001")
+    packages = lead_prep_packages(props, pois, CATEGORIES)
+    enriched = table.read().join(
+        packages.select(F.col("prop_id").cast("string").alias("external_id"), "poi_data"),
+        "external_id", "left",
+    )
+    table.overwrite(enriched)
+    got = table.read().filter(F.col("poi_data").isNotNull())
+    assert got.count() > 0
+    payload = json.loads(got.first()["poi_data"])
+    assert "walk_score" in payload
+
+
+def test_image_flow_end_to_end(spark, tmp_path):
+    props = spark.createDataFrame(
+        [
+            ("p1", ["https://x/a.jpg"], ["https://x/b.jpg", "https://x/a.jpg"]),
+            ("p2", ["https://x/c.jpg"], []),
+        ],
+        "property_id string, main array<string>, gallery array<string>",
+    )
+    urls = merged_image_urls(props, "main", "gallery")
+    assert urls.count() == 3  # a.jpg deduped, order preserved
+
+    images = fetch_images(urls)
+    table = ParquetMergeTable(spark, str(tmp_path / "images"))
+    stats = load_images(images, table)
+    assert stats["inserted"] == 3
+    mains = {r["property_id"]: r["is_main"] for r in table.read().filter("is_main").collect()}
+    assert set(mains) == {"p1", "p2"}
+
+    # vision tagging: only untagged rows, deterministic labels
+    n = tag_untagged(table, batch_cap=50)
+    assert n == 3
+    assert tag_untagged(table, batch_cap=50) == 0  # second run: nothing to do
+    labels = json.loads(table.read().first()["vision_labels"])
+    assert set(labels) == {"condition", "features", "quality_score", "room_type"}
+
+    # GC: a stored file whose hash no row references is an orphan
+    stored = table.read().select("content_hash").union(
+        spark.createDataFrame([("deadbeef",)], "content_hash string")
+    )
+    orphans = orphan_files(stored, table)
+    assert [r["content_hash"] for r in orphans.collect()] == ["deadbeef"]
