@@ -15,15 +15,20 @@ from etl_stack_spark.session import load_table
 # ---------------------------------------------------------------------------
 # Q1-shaped pricing summary: the canonical wide aggregation over lineitem.
 # ---------------------------------------------------------------------------
+# Money sums run in DECIMAL: at sf0.1 the charge sum (~2.8e9 with 6
+# decimals) already exceeds double's 16 significant digits, so float sums
+# disagree across engines at ANY rounding — decimal aggregation is exact
+# and identical everywhere; only the final display cast goes to double.
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1e0 - l_discount)), 4) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1e0 - l_discount) * (1e0 + l_tax)), 6) AS sum_charge,
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(1 - l_discount AS DECIMAL(4,2))
+           * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -34,19 +39,23 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", _Q1_ORACLE)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    qty_d = F.col("l_quantity").cast("decimal(12,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (F.lit(1.0) + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
+            F.sum(price_d * disc_d * tax_d).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty_d).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(price_d).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
