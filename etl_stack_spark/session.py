@@ -64,6 +64,9 @@ def get_spark(app_name: str = "etl-stack-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # verification flows collect full results (33M rows for the radius
+        # join at sf0.1) — default 1g cap aborts the collect, not the query
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # the events table stores TIMESTAMP(NANOS) which Spark has no native
