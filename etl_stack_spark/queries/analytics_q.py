@@ -73,6 +73,31 @@ def ru1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RU2_ORACLE = """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("ru2_cube", _RU2_ORACLE)
+def ru2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").alias("g1"),
+        F.grouping("o_orderpriority").alias("g2"),
+    )
+    return out.select(
+        F.when(F.col("g1") == 1, "<all>").otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(F.col("g2") == 1, "<all>").otherwise(F.col("o_orderpriority")).alias("priority"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PC1 — exact percentiles (interpolated): Spark percentile == DuckDB
 # quantile_cont semantics.

@@ -82,3 +82,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         customer.withColumnRenamed("c_custkey", "custkey").hint("merge"), "custkey"
     )
     assert has_shuffle(plain)
+
+
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Engine invariant (SCALE.md Python boundary): NO query plan may
+    contain BatchEvalPython (pickled row-at-a-time UDF). Python is allowed
+    only as ArrowEvalPython / mapInPandas, and only in the declared
+    UDF-surface queries."""
+    from etl_stack_spark.queries import all_queries
+
+    arrow_allowed = {
+        "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
+        "mm1_media_features", "mm2_frame_sample",
+    }
+    for name, fn in sorted(all_queries().items()):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+        if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            assert name in arrow_allowed, (
+                f"{name}: unexpected Python stage — hot paths must stay JVM-side"
+            )
