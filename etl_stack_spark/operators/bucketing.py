@@ -34,6 +34,22 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
+) -> None:
+    """SCALE.md storage layout: hive-partition by the dominant filter key
+    (client_id / date / grid cell) and sort within partitions — per-key
+    jobs then read only their partitions (PartitionFilters) and row-group
+    min/max prunes within files."""
+    out = df.repartition(*[df[c] for c in partition_cols])
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains any Exchange (shuffle/broadcast
     exchanges count separately — this looks for shuffle exchanges only)."""

@@ -102,3 +102,21 @@ def test_no_row_at_a_time_python_anywhere(spark):
             assert name in arrow_allowed, (
                 f"{name}: unexpected Python stage — hot paths must stay JVM-side"
             )
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from etl_stack_spark.operators.bucketing import write_partitioned
+
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "bucket", (F.col("o_custkey") % 10).cast("int")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["bucket"], sort_within=["o_orderkey"])
+    back = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "PartitionFilters: [" in plan
+    # the scan must touch only the one partition directory
+    files = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() > 0
+    n_all = spark.read.parquet(path).count()
+    assert back.count() < n_all
