@@ -34,6 +34,7 @@ HEADLINE = [
     "dd2_minhash_lsh",
     "ss1_bruteforce_topk",
     "tx2_quality_score",
+    "llm1_corpus_clean",
     # event-time windows
     "stw1_tumbling_window",
     "stw3_session_window",

@@ -1,0 +1,64 @@
+"""The canonical training-data cleaning pipeline, composed from the
+engine's text/dedup/sampling operators into ONE declarative flow:
+
+    documents → quality floor (tx2) → language keep-list (tx1)
+      → exact dedup survivor selection (dd1, keep lowest id)
+      → near-dup removal (MinHash LSH, dd2: drop the higher id of
+        each confirmed pair)
+      → deterministic hash sample to the target rate (sp1)
+
+Every stage is a Column-expression operator — the whole pipeline is one
+Catalyst plan (scan → maps → 3 shuffles: fingerprint group, minhash agg,
+band join). This is what a 100 TB corpus wash actually runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.dedup import minhash_near_duplicates
+from etl_stack_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    portable_hash60,
+    quality_score,
+)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.4,
+    keep_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    near_dup_threshold: float = 0.5,
+    sample_pct: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the surviving documents with their quality/lang metadata."""
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
+    )
+
+    # exact dedup: lowest id per fingerprint survives
+    w = Window.partitionBy("fp")
+    exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
+        F.col(id_col) == F.col("canon")
+    ).drop("canon", "fp")
+
+    # near-dup removal: for each confirmed pair, the higher id drops
+    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    near = exact.join(losers, id_col, "left_anti")
+
+    if sample_pct < 100:
+        bucket = portable_hash60(F.col(id_col).cast("string")) % 100
+        near = near.filter(bucket < sample_pct)
+    return near.select(id_col, "quality", "pred_lang")

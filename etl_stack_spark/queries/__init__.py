@@ -54,6 +54,7 @@ def _load_all() -> None:
         analytics_q,
         chunks_q,
         classify_merge,
+        corpus_q,
         geo,
         multimodal_q,
         joins_aggs,

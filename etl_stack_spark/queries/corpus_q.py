@@ -1,0 +1,60 @@
+"""LLM corpus-cleaning pipeline as ONE oracle-checked query: the full
+quality → language → exact-dedup → near-dup → sample chain expressed in
+SQL on the DuckDB side (CTE per stage, same constants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_stack_spark.plans.corpus_clean import clean_corpus
+from etl_stack_spark.queries import register
+from etl_stack_spark.queries.text_dedup import _lang_oracle, _minhash_oracle, _TOKS, _marker_count
+from etl_stack_spark.operators.text import LANG_MARKERS
+from etl_stack_spark.session import load_table
+
+
+def _corpus_oracle() -> str:
+    # quality + lang stage (reuse the tx1/tx2 logic inline)
+    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+    langs = [lang for lang, _ in LANG_MARKERS]
+    count_cols = ", ".join(f"{_marker_count(ws)} AS c_{lang}" for lang, ws in LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1:])
+        cond = (geq + " AND " if geq else "") + f"c_{lang} > 0"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+    minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM exact")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    round(4e-1 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1e0 ELSE 0e0 END)
+        + 4e-1 * least(1e0, {_marker_count(all_markers)} * 5e0 / greatest(len({_TOKS}), 1))
+        + 2e-1 * (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 2e-1
+                  THEN 1e0 ELSE 0e0 END), 6) AS quality,
+    {count_cols},
+    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text, quality, {lang_case} AS pred_lang, fp FROM scored
+  WHERE quality >= 0.4 AND ({lang_case}) IN ('en', 'es', 'de', 'fr')
+),
+exact AS (
+  SELECT doc_id, text, quality, pred_lang FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM kept
+  ) WHERE doc_id = canon
+),
+pairs AS ({minhash_pairs}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT e.doc_id, e.quality, e.pred_lang
+FROM exact e LEFT JOIN losers l ON e.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+@register("llm1_corpus_clean", _corpus_oracle())
+def llm1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus(docs)
