@@ -1,6 +1,13 @@
 """Order-insensitive exact comparison between a Spark result and a DuckDB
 oracle result — a local replica of the driver's correctness gate
-(row-count + column names + value match under name-sorted columns)."""
+(row-count + column names + value match under name-sorted columns).
+
+Vectorized for large frames: numeric dtypes are harmonized across the two
+frames first (int vs float promotion), rows sort on native dtypes, and
+canonicalization (datetime→string, NaN→None, -0→0) runs per column. The
+scalar fallback handles object columns (arrays, mixed) for both frames or
+neither, so row orders always align.
+"""
 
 from __future__ import annotations
 
@@ -14,12 +21,14 @@ import pandas as pd
 
 def _canon_value(v):
     """Canonicalize one cell so Spark and DuckDB representations collide."""
-    if v is None:
+    if v is None or v is pd.NA:
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, (np.floating,)):
         v = float(v)
+        if math.isnan(v):
+            return None
     if isinstance(v, (np.integer,)):
         v = int(v)
     if isinstance(v, np.bool_):
@@ -27,26 +36,53 @@ def _canon_value(v):
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().isoformat()
-    if isinstance(v, (datetime, date)):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f").rstrip("0").rstrip(".")
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
-    if isinstance(v, float):
-        # collapse -0.0 and format at full precision
-        if v == 0.0:
-            return 0.0
-        return v
+    if isinstance(v, float) and v == 0.0:
+        return 0.0
     return v
 
 
-def canon_frame(df: pd.DataFrame) -> list[tuple]:
+def _canon_series(s: pd.Series) -> pd.Series:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        out = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f").str.rstrip("0").str.rstrip(".")
+        return out.astype(object).where(s.notna(), None)
+    if pd.api.types.is_float_dtype(s):
+        f = s.astype("float64") + 0.0  # collapses -0.0 to +0.0
+        return f.astype(object).where(f.notna(), None)
+    if pd.api.types.is_bool_dtype(s) or pd.api.types.is_integer_dtype(s):
+        return s.astype(object).where(s.notna(), None)
+    return s.map(_canon_value)
+
+
+def _harmonize(a: pd.DataFrame, b: pd.DataFrame) -> None:
+    """Promote int↔float column pairs to float64 in BOTH frames so values
+    and sort orders agree (nullable ints surface as float64 on one side)."""
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        num_a = pd.api.types.is_float_dtype(sa) or pd.api.types.is_integer_dtype(sa)
+        num_b = pd.api.types.is_float_dtype(sb) or pd.api.types.is_integer_dtype(sb)
+        if num_a and num_b and (
+            pd.api.types.is_float_dtype(sa) != pd.api.types.is_float_dtype(sb)
+        ):
+            a[c] = sa.astype("float64")
+            b[c] = sb.astype("float64")
+
+
+def canon_frame(df: pd.DataFrame, presorted: bool) -> list[tuple]:
     cols = sorted(df.columns)
     df = df[cols]
-    rows = [tuple(_canon_value(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort(key=lambda r: tuple(repr(x) for x in r))
+    out = pd.DataFrame({c: _canon_series(df[c]) for c in cols})
+    rows = list(out.itertuples(index=False, name=None))
+    if not presorted:
+        rows.sort(key=lambda r: tuple(repr(x) for x in r))
     return rows
 
 
@@ -57,15 +93,23 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "quer
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
-    srows = canon_frame(spark_pdf)
-    orows = canon_frame(oracle_pdf)
+    a, b = spark_pdf[sc].copy(), oracle_pdf[sc].copy()
+    _harmonize(a, b)
+    # sort both on native dtypes; if EITHER can't, repr-sort both
+    try:
+        a_sorted = a.sort_values(sc, kind="mergesort", na_position="last")
+        b_sorted = b.sort_values(sc, kind="mergesort", na_position="last")
+        presorted = True
+    except TypeError:
+        a_sorted, b_sorted, presorted = a, b, False
+    srows = canon_frame(a_sorted, presorted)
+    orows = canon_frame(b_sorted, presorted)
     mismatches = []
-    for i, (a, b) in enumerate(zip(srows, orows)):
-        if a != b:
-            # tolerate nothing, but report near-misses distinctly
-            mismatches.append((i, a, b))
+    for i, (x, y) in enumerate(zip(srows, orows)):
+        if x != y:
+            mismatches.append((i, x, y))
             if len(mismatches) >= 5:
                 break
     assert not mismatches, f"{name}: {len(mismatches)}+ row mismatches (cols {sc}); first: " + "\n".join(
-        f"  row {i}:\n    spark : {a}\n    oracle: {b}" for i, a, b in mismatches
+        f"  row {i}:\n    spark : {x}\n    oracle: {y}" for i, x, y in mismatches
     )
