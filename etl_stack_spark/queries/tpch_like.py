@@ -117,6 +117,37 @@ GROUP BY n.n_name
 """
 
 
+_Q2_ORACLE = """
+WITH min_bal AS (
+  SELECT s_nationkey, MIN(s_acctbal) AS mb FROM supplier GROUP BY s_nationkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN min_bal m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.mb
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+@register("q2_correlated_min", _Q2_ORACLE)
+def q2_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shape: correlated MIN subquery (cheapest supplier per nation),
+    decorrelated to an aggregate join — ties keep all minimal rows,
+    exactly the subquery semantics."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    min_bal = supp.groupBy(F.col("s_nationkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return (
+        supp.join(
+            F.broadcast(min_bal),
+            (supp.s_nationkey == F.col("mk")) & (supp.s_acctbal == F.col("mb")),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 _Q4_ORACLE = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o
