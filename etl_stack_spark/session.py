@@ -76,8 +76,27 @@ def get_spark(app_name: str = "etl-stack-spark", cpus: int | None = None) -> Spa
     return builder.getOrCreate()
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an arbitrary (possibly externally-built) session able to run the
+    engine deterministically. Both confs are runtime-settable:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which Spark
+      has no native type for — without this a vanilla session dies with
+      PARQUET_TYPE_ILLEGAL before any query logic runs.
+    - UTC session timezone: collected TIMESTAMP values render in session-
+      local wall time; the engine declares UTC semantics so result hashes
+      are stable regardless of the host timezone.
+
+    ``get_spark`` sets both at build time; this covers sessions we did not
+    build (e.g. a verification harness passing its own SparkSession).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain parquet scan → full pushdown/pruning."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # nanosAsLong surfaces ts as epoch-nanos int64; `div` keeps the
@@ -96,7 +115,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            # load_table handles the events nanos→timestamp conversion and
+            # session-conf hardening; raw reads here would register an
+            # int64 `ts` view under get_spark and fail outright elsewhere
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
