@@ -7,11 +7,28 @@ Here it is ONE distributed join:
 
     props ⨝(grid-cell equi-key) pois  →  haversine ≤ radius refine
 
-Grid prefilter correctness: cell size = max radius in degrees (latitude
-degree ≈ 110.574 km — we use 110 to be conservative); a 3×3 neighborhood
-around a point's cell therefore covers every point within the radius.
-The 9-cell expansion happens on the PROPERTY side (usually the smaller
-stream), keeping the POI table un-replicated.
+Grid prefilter correctness: cell size = max radius in latitude degrees
+(latitude degree ≈ 110.574 km — we use 110 to be conservative). Each left
+row probes exactly the cells overlapped by its bounding box
+[lat-Δlat, lat+Δlat] × [lon-Δlon, lon+Δlon], where Δlat = r/110 deg and
+Δlon comes from inverting the haversine at the row's latitude:
+
+    sin²(Δλ/2)·cosφ₁·cosφ₂ ≤ sin²(r/2R)
+    ⇒ Δλ ≤ 2·asin( sin(r/2R) / cos(φ_edge) ),  φ_edge = |lat| + Δlat
+
+(cos φ is decreasing on [0°,90°] and both endpoints' |lat| ≤ φ_edge, so
+cos φ₁·cos φ₂ ≥ cos²(φ_edge) — the bound is conservative.) Longitude
+degrees shrink by cos(lat), so a fixed 3×3 neighborhood under-covers for
+|lat| ≳ 8.4°; the per-row Δlon range fixes that at every latitude while
+probing FEWER cells on average (the box overlaps ~2×3 cells, not 9).
+The expansion happens on the PROPERTY side (usually the smaller stream),
+keeping the POI table un-replicated.
+
+Known domain limits (documented, asserted where cheap): longitude does
+not wrap across the ±180° antimeridian, and |lat| beyond ~89.9° (or any
+row whose Δlon span exceeds ``max_lon_cells`` cells per side) would need
+a polar fallback — at r ≤ 100 km that's ≳ 89.5°N/S, far outside the
+data this engine targets.
 
 100 TB notes:
 - the equi-join on cell id is a standard shuffle join → AQE skew-split
@@ -25,12 +42,28 @@ stream), keeping the POI table un-replicated.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_stack_spark.functions.geo import haversine_km
+from etl_stack_spark.functions.geo import EARTH_RADIUS_KM, haversine_km
 
 KM_PER_LAT_DEG = 110.0  # conservative (true ≈ 110.574) so cells never under-cover
+
+
+def max_dlon_deg(lat: Column, radius_km: float, dlat_deg: float) -> Column:
+    """Per-row conservative bound on |Δlongitude| (degrees) between two
+    points ≤ ``radius_km`` apart when one of them sits at ``lat``.
+
+    Exact haversine inversion at the worst-case latitude the OTHER point
+    can reach (|lat| + dlat_deg); see module docstring for the derivation.
+    Clamped below 89.99° so cos() stays positive — callers cap the
+    resulting probe span anyway.
+    """
+    lat_edge = F.least(F.abs(lat) + F.lit(dlat_deg), F.lit(89.99))
+    half_sin = F.lit(math.sin(radius_km / (2.0 * EARTH_RADIUS_KM))) / F.cos(F.radians(lat_edge))
+    return F.degrees(F.lit(2.0) * F.asin(F.least(F.lit(1.0), half_sin)))
 
 
 def with_grid_cell(df: DataFrame, lat: str, lon: str, cell_deg: float, prefix: str = "") -> DataFrame:
@@ -49,6 +82,7 @@ def radius_join(
     max_radius_km: float | None = None,
     distance_col: str = "distance_km",
     salt: int = 1,
+    max_lon_cells: int = 64,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` (which may be a Column,
     e.g. a per-category radius), with the distance attached.
@@ -60,6 +94,10 @@ def radius_join(
     probes them all from the left — the skew lever for pathological hot
     cells (dense city centers) when AQE's skew-split isn't enough.
     Results are identical for any salt value (pinned by tests).
+
+    ``max_lon_cells`` caps the per-row longitude probe span (each side) as a
+    runaway guard near the poles; at r ≤ 100 km the cap only binds beyond
+    ~89.5° latitude (documented domain limit, see module docstring).
     """
     if max_radius_km is None:
         if isinstance(radius_km, (int, float)):
@@ -71,14 +109,35 @@ def radius_join(
     l = with_grid_cell(left, left_lat, left_lon, cell_deg, "l_")
     r = with_grid_cell(right, right_lat, right_lon, cell_deg, "r_")
 
-    # 3×3 neighborhood on the left side: each left row probes 9 cells
+    # Probe the cells the row's bounding box overlaps. Latitude: the true
+    # Δlat bound (r/111.195 deg) is strictly under one cell (r/110 deg), so
+    # the fixed ±1 neighborhood is provably sufficient. Longitude: the span
+    # widens with latitude (see max_dlon_deg), so the probe range is exact
+    # per-row — floor((lon ± Δlon)/cell) − floor(lon/cell) — clamped by
+    # max_lon_cells. Bounds are materialized as columns BEFORE the explodes
+    # so the trig evaluates once per input row, not per generated row.
+    c = F.lit(cell_deg)
+    l = l.withColumn("_dlon_max", max_dlon_deg(F.col(left_lat), max_radius_km, cell_deg))
+    l = l.withColumn(
+        "_lo_j",
+        F.greatest(
+            F.floor((F.col(left_lon) - F.col("_dlon_max")) / c) - F.col("l_cell_lon"),
+            F.lit(-max_lon_cells),
+        ).cast("int"),
+    ).withColumn(
+        "_hi_j",
+        F.least(
+            F.floor((F.col(left_lon) + F.col("_dlon_max")) / c) - F.col("l_cell_lon"),
+            F.lit(max_lon_cells),
+        ).cast("int"),
+    )
     three = F.array(F.lit(-1), F.lit(0), F.lit(1))
     l = (
         l.withColumn("_di", F.explode(three))
-        .withColumn("_dj", F.explode(three))
+        .withColumn("_dj", F.explode(F.sequence(F.col("_lo_j"), F.col("_hi_j"))))
         .withColumn("probe_lat", F.col("l_cell_lat") + F.col("_di"))
         .withColumn("probe_lon", F.col("l_cell_lon") + F.col("_dj"))
-        .drop("_di", "_dj")
+        .drop("_di", "_dj", "_lo_j", "_hi_j")
     )
     # spread the probe stream across the cluster: when the right side
     # broadcasts, join parallelism = left partition count, and a small
@@ -96,13 +155,21 @@ def radius_join(
     joined = l.join(r, join_cond)
     if salt > 1:
         joined = joined.drop("_lsalt", "_rsalt")
-    # cheap arithmetic band prune before the trig: any point within r km is
-    # within r/110 lat-degrees (conservative) — cuts ~2/3 of the 3×3-cell
-    # candidates without a single sin/cos
+    # cheap arithmetic band prunes before the trig: any in-radius pair is
+    # within r/110 lat-degrees AND within the row's Δlon bound — cuts most
+    # cell candidates without a single sin/cos in the hot path
     band = (F.abs(F.col(left_lat) - F.col(right_lat)) * F.lit(KM_PER_LAT_DEG)) <= radius_km
+    lon_band = F.abs(F.col(left_lon) - F.col(right_lon)) <= F.col("_dlon_max")
     dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon))
-    out = joined.filter(band).withColumn(distance_col, dist).filter(F.col(distance_col) <= radius_km)
-    return out.drop("l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon", "probe_lat", "probe_lon")
+    out = (
+        joined.filter(band & lon_band)
+        .withColumn(distance_col, dist)
+        .filter(F.col(distance_col) <= radius_km)
+    )
+    return out.drop(
+        "l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon",
+        "probe_lat", "probe_lon", "_dlon_max",
+    )
 
 
 def radius_join_by_category(

@@ -1,0 +1,91 @@
+"""Grid-prefilter coverage: radius_join must return EXACTLY the brute-force
+haversine pair set at any latitude.
+
+Round-1 bug (ADVICE): a fixed 3×3 cell neighborhood only covers r/110 deg
+of longitude, but in-radius pairs span r/(111.195·cos(lat)) deg — silently
+dropping matches for |lat| ≳ 8.4°. These tests pin the fix with adversarial
+latitudes (up to 80°) and cell-edge-aligned coordinates.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.functions.geo import haversine_km
+from etl_stack_spark.operators.geo_join import KM_PER_LAT_DEG, radius_join
+
+
+def _brute_pairs(spark, left_rows, right_rows, radius_km):
+    left = spark.createDataFrame(left_rows, "prop_id int, lat double, lon double")
+    right = spark.createDataFrame(right_rows, "poi_id int, poi_lat double, poi_lon double")
+    dist = haversine_km(F.col("lat"), F.col("lon"), F.col("poi_lat"), F.col("poi_lon"))
+    brute = (
+        left.crossJoin(right)
+        .withColumn("d", dist)
+        .filter(F.col("d") <= radius_km)
+        .select("prop_id", "poi_id")
+    )
+    return {(r.prop_id, r.poi_id) for r in brute.collect()}
+
+
+def _grid_pairs(spark, left_rows, right_rows, radius_km):
+    left = spark.createDataFrame(left_rows, "prop_id int, lat double, lon double")
+    right = spark.createDataFrame(right_rows, "poi_id int, poi_lat double, poi_lon double")
+    out = radius_join(left, right, radius_km=radius_km).select("prop_id", "poi_id")
+    return {(r.prop_id, r.poi_id) for r in out.collect()}
+
+
+@pytest.mark.parametrize("center_lat", [0.0, 9.8, 45.0, 60.0, 75.0, 80.0, -67.3])
+def test_radius_join_matches_brute_force_across_latitudes(spark, center_lat):
+    rng = random.Random(int(center_lat * 10) + 7)
+    radius_km = 8.0
+    # spread points over a few cell-widths in lat and (shrunken) lon so
+    # plenty of pairs straddle cell boundaries in both axes
+    lat_span = 4 * radius_km / KM_PER_LAT_DEG
+    lon_span = lat_span / max(math.cos(math.radians(center_lat)), 1e-6)
+    left = [
+        (i, center_lat + (rng.random() - 0.5) * lat_span, 30.0 + (rng.random() - 0.5) * lon_span)
+        for i in range(120)
+    ]
+    right = [
+        (i, center_lat + (rng.random() - 0.5) * lat_span, 30.0 + (rng.random() - 0.5) * lon_span)
+        for i in range(120)
+    ]
+    brute = _brute_pairs(spark, left, right, radius_km)
+    grid = _grid_pairs(spark, left, right, radius_km)
+    assert grid == brute
+    assert len(brute) > 0  # the fixture actually exercises matches
+
+
+def test_radius_join_cell_edge_alignment_high_lat(spark):
+    """Adversarial: right points sitting exactly at the lon distance that
+    the old 3×3 probe missed — just under r km away but ≥ 2 lon cells over
+    at 60°N (cos ≈ 0.5 ⇒ in-radius pairs span ~2 lon cells)."""
+    radius_km = 10.0
+    cell_deg = radius_km / KM_PER_LAT_DEG
+    lat = 60.0
+    km_per_lon_deg = (math.pi / 180.0) * 6371.0 * math.cos(math.radians(lat))
+    # target Δlon ≈ 9.9 km of east-west distance ≈ 1.95 cells at this lat
+    dlon = 9.9 / km_per_lon_deg
+    assert dlon / cell_deg > 1.5  # the old probe window ended at 1 cell
+    left = [(1, lat, 30.0)]
+    right = [(1, lat, 30.0 + dlon), (2, lat, 30.0 - dlon), (3, lat, 30.0 + 3 * dlon)]
+    brute = _brute_pairs(spark, left, right, radius_km)
+    grid = _grid_pairs(spark, left, right, radius_km)
+    assert brute == {(1, 1), (1, 2)}
+    assert grid == brute
+
+
+def test_radius_join_low_lat_unchanged(spark):
+    """Regression guard at the test-data band (~10°N): exact parity."""
+    rng = random.Random(42)
+    radius_km = 5.0
+    left = [(i, 9.5 + rng.random() * 0.6, 76.0 + rng.random() * 0.6) for i in range(150)]
+    right = [(i, 9.5 + rng.random() * 0.6, 76.0 + rng.random() * 0.6) for i in range(150)]
+    assert _grid_pairs(spark, left, right, radius_km) == _brute_pairs(
+        spark, left, right, radius_km
+    )
