@@ -31,7 +31,7 @@ import os
 import time
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -113,7 +113,18 @@ class ParquetMergeTable:
           from source get ``status = deleted`` instead of being kept as-is.
 
         Returns counters {inserted, updated, unchanged, soft_deleted}.
+
+        Source rows with a NULL in any merge key are rejected (a null key
+        can never match under SQL equality, so such a row would silently
+        land as a phantom insert — the reference's Postgres upsert rejects
+        them at the PK constraint).
         """
+        null_key = None
+        for k in keys:
+            piece = F.col(k).isNull()
+            null_key = piece if null_key is None else (null_key | piece)
+        if source.filter(null_key).limit(1).count() > 0:
+            raise ValueError(f"merge source contains NULL in merge key(s) {list(keys)}")
         if not self.exists():
             out = source
             if audit_ts_col and audit_ts_col not in source.columns:
@@ -131,16 +142,19 @@ class ParquetMergeTable:
                 src = src.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
         src = src.select(*target.columns)
 
-        t = target.alias("t")
-        s = src.alias("s")
+        # presence flags, not key null-ness: a legacy null-keyed row already
+        # IN the target (e.g. via append) must still classify as "keep",
+        # not collapse into an all-null phantom
+        t = target.withColumn("_t_present", F.lit(True)).alias("t")
+        s = src.withColumn("_s_present", F.lit(True)).alias("s")
         cond = None
         for k in keys:
             piece = F.col(f"t.{k}") == F.col(f"s.{k}")
             cond = piece if cond is None else (cond & piece)
         joined = t.join(s, cond, "full_outer")
 
-        in_src = F.col(f"s.{keys[0]}").isNotNull()
-        in_tgt = F.col(f"t.{keys[0]}").isNotNull()
+        in_src = F.col("s._s_present").isNotNull()
+        in_tgt = F.col("t._t_present").isNotNull()
         hash_changed = F.col(f"t.{hash_col}") != F.col(f"s.{hash_col}")
         resurrect = (
             (F.col(f"t.{status_col}") == deleted_value) if status_col in target.columns else F.lit(False)
@@ -227,6 +241,22 @@ def changed_only(
     return source.join(existing, on=[*keys, hash_col], how="left_anti")
 
 
+def dedup_status_results(
+    df: DataFrame, keys: Sequence[str], status_col: str, error_col: str
+) -> DataFrame:
+    """One row per key from a status-results frame, deterministically:
+    FAILED reports win (never mark a job SYNCED when any attempt failed),
+    ties break on status then error text. Guards the status write-back
+    joins — a duplicate key would fan out queue rows and the rewritten
+    snapshot would silently gain duplicates."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.when(F.col(status_col) == "FAILED", F.lit(0)).otherwise(F.lit(1)),
+        F.col(status_col),
+        F.col(error_col).asc_nulls_last(),
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def status_lifecycle_update(
     table: ParquetMergeTable,
     keys: Sequence[str],
@@ -241,6 +271,7 @@ def status_lifecycle_update(
         *keys, F.col(status_col).alias("_new_status"),
         (F.col(error_col) if error_col in results.columns else F.lit(None).cast("string")).alias("_new_error"),
     )
+    r = dedup_status_results(r, keys, "_new_status", "_new_error")
     joined = target.join(r, on=list(keys), how="left")
     out = joined.withColumn(
         status_col, F.coalesce(F.col("_new_status"), F.col(status_col))

@@ -67,23 +67,29 @@ def local_topk_prune(
     Arrow-batched pandas does the partition-local work (vectorized sort +
     groupby-head); at cluster scale the shuffle bytes saved dwarf the
     Python pass.
+
+    Null ordering matches Spark's window semantics exactly (NULLS FIRST
+    for ascending keys, NULLS LAST for descending) — pandas' single
+    ``na_position`` can't express that per key, so the sort is applied as
+    a chain of stable single-key sorts from the minor key up.
     """
-    cols = [c for c, _ in order_spec]
-    asc = [a for _, a in order_spec]
     out_schema = df.schema
 
     def prune(batches):
-        import pandas as pd
-
         for pdf in batches:
             if pdf.empty:
                 yield pdf
                 continue
-            yield (
-                pdf.sort_values(cols, ascending=asc, kind="mergesort")
-                .groupby(group_cols, sort=False)
-                .head(k)
-            )
+            # lexicographic sort = stable sorts minor-to-major; Spark
+            # ascending ⇒ NULLS FIRST, descending ⇒ NULLS LAST
+            for col, asc in reversed(order_spec):
+                pdf = pdf.sort_values(
+                    col,
+                    ascending=asc,
+                    kind="mergesort",
+                    na_position="first" if asc else "last",
+                )
+            yield pdf.groupby(group_cols, sort=False).head(k)
 
     return df.mapInPandas(prune, schema=out_schema)
 

@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.operators.merge import ParquetMergeTable, dedup_status_results
 
 PENDING, PROCESSING, SYNCED, FAILED = "PENDING", "PROCESSING", "SYNCED", "FAILED"
 
@@ -67,7 +67,9 @@ def drain_pending(
                 (F.col("error_message") if "error_message" in processed.columns
                  else F.lit(None).cast("string")).alias("error_message"),
             )
-            results.count()  # force execution so failures surface here
+            # materialize once: failures surface here AND process() (which
+            # may not be idempotent) doesn't recompute per downstream action
+            results = results.localCheckpoint(eager=True)
         except Exception as e:  # noqa: BLE001 — any batch failure → FAILED rows
             msg = str(e)[:500]
             results = pending.select(
@@ -81,6 +83,9 @@ def drain_pending(
             F.col("status").alias("_ns"),
             F.col("error_message").alias("_ne"),
         )
+        # a process() returning duplicate job_ids would fan out the queue
+        # rows through this join — collapse to one deterministic row per job
+        r = dedup_status_results(r, ["job_id"], "_ns", "_ne")
         merged = (
             target.join(r, "job_id", "left")
             .withColumn("status", F.coalesce("_ns", "status"))
@@ -88,7 +93,7 @@ def drain_pending(
             .drop("_ns", "_ne")
         )
         table.overwrite(merged)
-        total += results.count()
+        total += r.count()
     return total
 
 

@@ -34,7 +34,11 @@ def _canon_value(v):
     if isinstance(v, np.bool_):
         v = bool(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        # exact: a decimal column that reaches here has a Decimal-typed
+        # counterpart on the other side (compare() float-casts one-sided
+        # decimals), so canonical fixed-point strings compare beyond the
+        # 16 significant digits a double round-trip would cap us at
+        return format(v.normalize(), "f")
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, datetime):
@@ -62,11 +66,31 @@ def _canon_series(s: pd.Series) -> pd.Series:
     return s.map(_canon_value)
 
 
+def _is_decimal_series(s: pd.Series) -> bool:
+    if s.dtype != object:
+        return False
+    nn = s.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], Decimal)
+
+
 def _harmonize(a: pd.DataFrame, b: pd.DataFrame) -> None:
     """Promote int↔float column pairs to float64 in BOTH frames so values
-    and sort orders agree (nullable ints surface as float64 on one side)."""
+    and sort orders agree (nullable ints surface as float64 on one side).
+
+    Decimal columns: exact when BOTH sides are Decimal (left for
+    _canon_value's fixed-point string); when only ONE side is Decimal the
+    gate can't be exact anyway, so that side demotes to float64."""
     for c in a.columns:
         sa, sb = a[c], b[c]
+        dec_a, dec_b = _is_decimal_series(sa), _is_decimal_series(sb)
+        if dec_a and dec_b:
+            continue
+        if dec_a:
+            a[c] = sa.astype("float64")
+            sa = a[c]
+        if dec_b:
+            b[c] = sb.astype("float64")
+            sb = b[c]
         num_a = pd.api.types.is_float_dtype(sa) or pd.api.types.is_integer_dtype(sa)
         num_b = pd.api.types.is_float_dtype(sb) or pd.api.types.is_integer_dtype(sb)
         if num_a and num_b and (

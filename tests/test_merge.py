@@ -129,3 +129,30 @@ def test_time_travel_read(spark, table):
     now = table.read().filter(F.col("external_id") == "p1").first()["title"]
     before = table.read(version=-2).filter(F.col("external_id") == "p1").first()["title"]
     assert (now, before) == ("Casa A v2", "Casa A")
+
+
+def test_merge_rejects_null_merge_keys(spark, table):
+    """ADVICE round 1: a null-keyed source row used to slip through the
+    full-outer join as an all-null phantom 'keep' row with wrong counters."""
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    bad = props(spark, [("c1", None, "Casa ?", "hX", "active")])
+    with pytest.raises(ValueError, match="NULL in merge key"):
+        table.merge(bad, keys=["client_id", "external_id"])
+    assert table.read().count() == 3  # untouched
+
+
+def test_merge_keeps_legacy_null_key_target_rows(spark, table):
+    """Presence flags (not key null-ness) classify rows: a null-keyed row
+    already in the target (via append) survives a merge as 'keep'."""
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.append(props(spark, [("c9", None, "Legacy", "hL", "active")]))
+    stats = table.merge(
+        props(spark, [("c1", "p1", "Casa A v2", "h1b", "active")]),
+        keys=["client_id", "external_id"],
+    )
+    assert stats["updated"] == 1 and stats["inserted"] == 0
+    out = table.read()
+    assert out.count() == 4
+    assert out.filter(F.col("title") == "Legacy").count() == 1
+    # no all-null phantom rows
+    assert out.filter(F.col("client_id").isNull() & F.col("title").isNull()).count() == 0

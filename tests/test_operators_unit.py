@@ -339,6 +339,28 @@ def test_local_topk_prune_is_lossless(spark):
     assert direct.exceptAll(via_prune).isEmpty() and via_prune.exceptAll(direct).isEmpty()
 
 
+def test_local_topk_prune_lossless_with_null_order_keys(spark):
+    """ADVICE round 1: ascending Spark windows put NULLS FIRST; the prune
+    must keep null-key rows that belong to the global top-k."""
+    from etl_stack_spark.operators.rank import local_topk_prune, tiered_top_k
+
+    rows = []
+    for g in range(10):
+        for i in range(40):
+            score = None if (i * 7 + g) % 5 == 0 else float((i * 37 + g) % 100)
+            rows.append((g, i, score))
+    df = spark.createDataFrame(rows, "g int, i int, score double").repartition(8)
+    for order, spec in [
+        ([F.col("score").asc(), F.col("i")], [("score", True), ("i", True)]),
+        ([F.col("score").desc(), F.col("i")], [("score", False), ("i", True)]),
+    ]:
+        direct = tiered_top_k(df, ["g"], order, k=3, keep_rank=False)
+        via = tiered_top_k(
+            local_topk_prune(df, ["g"], spec, k=3), ["g"], order, k=3, keep_rank=False
+        )
+        assert direct.exceptAll(via).isEmpty() and via.exceptAll(direct).isEmpty()
+
+
 def test_classify_poi_two_strategy_with_veto(spark):
     """Reference two-strategy classification over the real config shape:
     name keywords win, tags back up, exclusion vetoes (process_pois.py)."""

@@ -1,0 +1,39 @@
+"""The comparator itself must be trustworthy: Decimal cells compare
+EXACTLY (ADVICE round 1 — a float round-trip silently capped the gate at
+double precision, defeating the DECIMAL-aggregation rationale for q1)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+import pytest
+
+from tests.oracle import compare
+
+
+def test_decimal_exact_beyond_double_precision_mismatch():
+    # differ only in the 19th significant digit — identical as doubles
+    a = pd.DataFrame({"k": [1], "v": [Decimal("1234567890123456789.01")]})
+    b = pd.DataFrame({"k": [1], "v": [Decimal("1234567890123456789.02")]})
+    assert float(a["v"][0]) == float(b["v"][0])  # the old gate saw equality
+    with pytest.raises(AssertionError):
+        compare(a, b, "decimal-exact")
+
+
+def test_decimal_equal_values_different_scale_match():
+    a = pd.DataFrame({"v": [Decimal("10.50"), Decimal("3")]})
+    b = pd.DataFrame({"v": [Decimal("10.5"), Decimal("3.00")]})
+    compare(a, b, "decimal-scale")
+
+
+def test_decimal_vs_float_column_falls_back_to_float():
+    a = pd.DataFrame({"v": [Decimal("2.5"), None]})
+    b = pd.DataFrame({"v": [2.5, None]})
+    compare(a, b, "decimal-float-fallback")
+
+
+def test_decimal_with_nulls_sorts_and_matches():
+    a = pd.DataFrame({"v": [Decimal("1.1"), None, Decimal("-2")]})
+    b = pd.DataFrame({"v": [None, Decimal("-2.0"), Decimal("1.10")]})
+    compare(a, b, "decimal-nulls")

@@ -61,6 +61,32 @@ def test_queue_drain_pending(spark, tmp_path):
     assert statuses == {SYNCED}
 
 
+def test_queue_drain_duplicate_results_no_fanout(spark, tmp_path):
+    """ADVICE round 1: a process() emitting duplicate job_ids must not fan
+    out queue rows through the write-back join; FAILED reports win."""
+    from etl_stack_spark.streaming.queue import FAILED
+
+    table = ParquetMergeTable(spark, str(tmp_path / "jobs_dup"))
+    reqs = spark.createDataFrame(
+        [(f"job_{i}", f"doc_{i}") for i in range(4)], "job_id string, content_id string"
+    )
+    enqueue(table, reqs)
+
+    def process(batch):
+        ok = batch.select("job_id", F.lit(SYNCED).alias("status"))
+        dup = batch.filter(F.col("job_id") == "job_1").select(
+            "job_id", F.lit(FAILED).alias("status")
+        )
+        return ok.unionByName(dup).unionByName(dup)  # job_1 reported 3x
+
+    drain_pending(table, process, batch_size=10)
+    out = table.read()
+    assert out.count() == 4  # no fan-out duplicates
+    by_job = {r["job_id"]: r["status"] for r in out.collect()}
+    assert by_job["job_1"] == FAILED  # conflicting reports resolve to FAILED
+    assert by_job["job_0"] == SYNCED
+
+
 def test_queue_enqueue_idempotent(spark, tmp_path):
     table = ParquetMergeTable(spark, str(tmp_path / "jobs2"))
     reqs = spark.createDataFrame([("job_1", "doc_1")], "job_id string, content_id string")
