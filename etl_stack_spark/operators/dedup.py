@@ -142,9 +142,24 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int = 100_000,
 ) -> DataFrame:
-    """(id_a < id_b, cosine) pairs above threshold — brute force O(n²)
-    pair generation; for scale use the LSH-bucketed ANN in similarity.py."""
+    """(id_a < id_b, cosine) pairs above threshold — EXACT all-pairs mode.
+
+    O(n²) by construction, so it refuses corpora above ``max_rows`` (the
+    guard the round-1 review asked for): at 100 TB this shape is a
+    scale-killer. The default engine path is
+    ``embedding_near_duplicates_lsh`` — bucketed candidates, no cross
+    join; use this exact mode only to measure the LSH variant's recall on
+    a sampled subset.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_duplicates is all-pairs (O(n²)); corpus has {n} rows "
+            f"> max_rows={max_rows}. Use embedding_near_duplicates_lsh, or raise "
+            "max_rows explicitly for a deliberate small-corpus exact run."
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     with_v = df.select(F.col(id_col), v.alias("v"))
     a = with_v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
@@ -160,6 +175,48 @@ def embedding_near_duplicates(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_duplicates_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(id_a < id_b, cosine ≥ threshold) near-dup pairs via sign-projection
+    LSH — the 100 TB shape: no O(n²) stage.
+
+    Candidate generation: every vector explodes to its own bucket plus the
+    8 buckets at Hamming distance 1 (one flipped hyperplane sign); a
+    self-equi-join on the probe key yields every pair whose buckets differ
+    in ≤ 2 signs. Exact cosine then filters candidates, so precision is 1;
+    recall misses only pairs ≥ 3 hyperplane signs apart (high-cosine pairs
+    rarely are — measure with the exact variant on a sample). Shuffle-
+    bounded: 9 probe rows per vector, equi-join on bucket id, AQE splits
+    skewed buckets. Deterministic hyperplanes ⇒ SQL-expressible oracle.
+    """
+    from etl_stack_spark.operators.similarity import N_HYPERPLANES, cosine, lsh_bucket
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("v")).withColumn("bucket", lsh_bucket(F.col("v")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],
+    )
+    p = base.withColumn("probe", F.explode(probes))
+    a = p.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "probe")
+    b = p.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "probe")
+    cand = (
+        a.join(b, "probe")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
