@@ -1,0 +1,95 @@
+"""S7 JDBC round-trip against embedded Apache Derby — the real
+``spark.read.jdbc`` / ``df.write.jdbc`` code path, no external database.
+
+Derby ships in Spark's own jars (it backs the Hive metastore), so the JVM
+can always load it; the database lives in a pytest tmp dir.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.session import load_table
+from etl_stack_spark.sources.jdbc import (
+    read_active_sources,
+    read_jdbc_table,
+    write_jdbc_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_jdbc_write_then_partitioned_read_roundtrip(spark, derby_url):
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(120)
+    )
+    write_jdbc_table(cust, derby_url, "customers", mode="overwrite", batchsize=50,
+                     num_partitions=2)
+
+    back = read_jdbc_table(
+        spark,
+        derby_url,
+        "customers",
+        partition_column="c_custkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=10_000,
+        fetchsize=100,
+    )
+    assert back.rdd.getNumPartitions() == 4  # the read is actually ranged
+    assert back.count() == 120
+    a = cust.orderBy("c_custkey").collect()
+    b = back.orderBy("c_custkey").collect()
+    assert [r.c_custkey for r in a] == [r.c_custkey for r in b]
+    assert [r.c_name for r in a] == [r.c_name for r in b]
+
+
+def test_jdbc_predicate_partitioned_read(spark, derby_url):
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    write_jdbc_table(df, derby_url, "bucketed", mode="overwrite")
+    # Derby folds unquoted identifiers to uppercase while Spark creates
+    # quoted lowercase columns — predicates are passed through verbatim,
+    # so quote them as the target database requires
+    back = read_jdbc_table(
+        spark,
+        derby_url,
+        "bucketed",
+        predicates=['"bucket" = 0', '"bucket" = 1', '"bucket" = 2'],
+    )
+    assert back.rdd.getNumPartitions() == 3
+    assert back.count() == 100
+
+
+def test_jdbc_source_registry_poll(spark, derby_url):
+    cfg = spark.createDataFrame(
+        [
+            (1, "site_a", "rest", "https://a.example", True),
+            (2, "site_b", "rest", "https://b.example", False),
+            (3, "site_c", "jdbc", "jdbc:derby:x", True),
+        ],
+        "client_id int, name string, provider_type string, base_url string, is_active boolean",
+    )
+    write_jdbc_table(cfg, derby_url, "stage_sources_config", mode="overwrite")
+    active = read_active_sources(spark, derby_url)
+    assert {r["name"] for r in active} == {"site_a", "site_c"}
+
+
+def test_jdbc_pushdown_filter_reaches_db(spark, derby_url):
+    """Catalyst pushes the filter into the JDBC query (PushedFilters),
+    so the database — not Spark — does the row elimination."""
+    df = spark.range(0, 50).select(F.col("id").cast("int").alias("k"))
+    write_jdbc_table(df, derby_url, "nums", mode="overwrite")
+    back = read_jdbc_table(spark, derby_url, "nums").filter(F.col("k") > 40)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(k,40)" in plan.replace(" ", "")
+    assert back.count() == 9
