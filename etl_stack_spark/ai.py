@@ -122,11 +122,61 @@ def mock_ocr(content_hash: pd.Series) -> pd.Series:
 # --- P31: image transcode ---------------------------------------------------
 
 
-def transcode_image_batch(content: pd.Series) -> pd.Series:  # pragma: no cover
-    """Image → WebP resize. STUB: PIL is not in this container. The Spark
-    plumbing (BinaryType in/out via mapInPandas, see
-    operators/multimodal.py) is real and tested with fake bytes."""
-    raise NotImplementedError(
-        "image transcode requires PIL; plug a real provider into "
-        "operators/multimodal.decode_stage"
-    )
+def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
+    """P31 real transcode: decode → bound longest side by ``max_dim`` →
+    re-encode (reference resizes + re-encodes WebP q=80,
+    image_base_provider.py:94-106). The working codec is binary PPM (P6),
+    implemented in pure numpy (functions/imaging.py) — no PIL in this
+    container; JPEG/WebP payloads raise instead of pretending."""
+    from etl_stack_spark.functions.imaging import PPM_MAGIC, transcode_ppm
+
+    def one(b):
+        if b is None:
+            return None
+        data = bytes(b)
+        if not data.startswith(PPM_MAGIC):
+            raise NotImplementedError(
+                "only PPM(P6) decodes in this environment (no PIL/libwebp); "
+                "plug a codec-backed provider for JPEG/WebP payloads"
+            )
+        out, _, _ = transcode_ppm(data, max_dim=max_dim)
+        return out
+
+    return content.map(one)
+
+
+# --- P30: PDF text extraction (real engine) + OCR fallback -------------------
+
+OCR_FALLBACK_MIN_CHARS = 50  # reference processor.py:52 quality check
+
+
+def pdf_text_or_ocr_batch(content: pd.Series) -> pd.DataFrame:
+    """P30 real path: pure-Python text-layer extraction
+    (functions/pdf.py); pages join with blank lines so
+    plans.documents_flow.explode_pages re-splits them. Documents whose
+    text layer is thinner than 50 chars fall back to the OCR provider
+    (mock here — tesseract absent), exactly the reference's quality gate
+    (processor.py:46-57). Returns columns (text, n_pages, used_ocr)."""
+    from etl_stack_spark.functions.pdf import extract_pdf_pages
+
+    texts, n_pages, used_ocr = [], [], []
+    for b in content:
+        if b is None:
+            texts.append(None)
+            n_pages.append(0)
+            used_ocr.append(False)
+            continue
+        data = bytes(b)
+        pages = extract_pdf_pages(data)
+        text = "\n\n".join(pages).strip()
+        if len(text) < OCR_FALLBACK_MIN_CHARS:
+            h = hashlib.sha256(data).hexdigest()
+            words = [f"w{x}" for x in _hash_ints(h.encode("utf-8"), 24, 997)]
+            texts.append(" ".join(words))
+            n_pages.append(max(len(pages), 1))
+            used_ocr.append(True)
+        else:
+            texts.append(text)
+            n_pages.append(len(pages))
+            used_ocr.append(False)
+    return pd.DataFrame({"text": texts, "n_pages": n_pages, "used_ocr": used_ocr})

@@ -1,0 +1,69 @@
+"""Pure-numpy image codec + resize — the REAL engine behind the P31
+transcode provider (reference:
+`/root/reference/src/ETL_IMAGES/providers/image_base_provider.py:94-106`
+resizes and re-encodes to WebP q=80 via PIL; PIL/libwebp are absent in
+this container, so the real codec here is binary PPM (P6) — a complete
+decode → resample → encode path with the identical provider interface.
+JPEG/WebP payloads raise with a clear message rather than faking it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+PPM_MAGIC = b"P6"
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """P6 binary PPM → (H, W, 3) uint8 array. Honors comment lines."""
+    if not data.startswith(PPM_MAGIC):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments; pixel data starts after exactly one whitespace
+    # char following maxval
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            i = data.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # the single whitespace after maxval
+    pixels = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pixels.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    if c != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm wants (H, W, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_rgb(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (pixel-center mapping)."""
+    h, w, _ = arr.shape
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
+
+
+def transcode_ppm(data: bytes, max_dim: int = 512) -> tuple[bytes, int, int]:
+    """Decode → bound the longest side by ``max_dim`` (aspect preserved,
+    never upscales) → re-encode. Returns (bytes, out_w, out_h)."""
+    arr = decode_ppm(data)
+    h, w, _ = arr.shape
+    scale = min(1.0, max_dim / max(h, w))
+    out_w, out_h = max(1, round(w * scale)), max(1, round(h * scale))
+    if (out_w, out_h) != (w, h):
+        arr = resize_rgb(arr, out_w, out_h)
+    return encode_ppm(arr), out_w, out_h

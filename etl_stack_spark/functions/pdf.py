@@ -1,0 +1,176 @@
+"""Minimal pure-Python PDF text-layer extractor — the REAL engine behind
+the P30 document-text provider (reference:
+`/root/reference/src/ETL_DOCS/processor.py:40-57` does pypdf
+``extract_text`` per page, then OCR-falls-back when the text layer is
+thin; pypdf/tesseract are absent in this container, so the text-layer
+step is implemented from the PDF spec directly).
+
+Supported subset (documented, deliberately small):
+- objects located by ``N G obj … endobj`` scan (no xref dependence — xref
+  damage is the most common real-world corruption anyway),
+- ``/Type /Page`` objects with direct or array ``/Contents`` references,
+- content streams raw or FlateDecode (zlib is stdlib),
+- text shown via ``Tj``, ``'``, ``"`` and ``TJ`` arrays; literal
+  ``( )`` strings with escapes + octal, and ``<hex>`` strings,
+- ``Td/TD/T*`` line moves become newlines.
+
+Out of scope (return empty text → callers OCR-fallback): encrypted PDFs,
+object streams (/ObjStm), non-Flate filters, CID/Type0 composite fonts.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+
+def _read_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ``(…)`` string starting at ``i`` (which points at '(')."""
+    out: list[str] = []
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth > 0:
+        c = data[i:i + 1]
+        if c == b"\\":
+            nxt = data[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():  # octal \ddd (1-3 digits)
+                m = re.match(rb"\\([0-7]{1,3})", data[i:])
+                out.append(chr(int(m.group(1), 8)))
+                i += len(m.group(0))
+            else:  # line continuation or unknown escape → drop backslash
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth > 0:
+                out.append(")")
+            i += 1
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out), i
+
+
+def _read_hex(data: bytes, i: int) -> tuple[str, int]:
+    end = data.find(b">", i)
+    if end == -1:
+        return "", len(data)
+    digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1:end])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1"), end + 1
+
+
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+
+def text_from_content_stream(content: bytes) -> str:
+    """Walk a content stream's tokens and collect shown text in order."""
+    out: list[str] = []
+    pending: list[str] = []
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i:i + 1]
+        if c == b"(":
+            s, i = _read_literal(content, i)
+            pending.append(s)
+        elif c == b"<" and content[i + 1:i + 2] != b"<":
+            s, i = _read_hex(content, i)
+            pending.append(s)
+        elif c == b"<":  # dictionary << … just skip the delimiters
+            i += 2
+        elif c == b"/":  # name token (e.g. /F1) — operand, not text
+            m = _OP_RE.match(content, i + 1)
+            i = m.end() if m else i + 1
+        elif (m := _OP_RE.match(content, i)) is not None:
+            op = m.group(0)
+            if op in (b"Tj", b"'", b'"', b"TJ"):
+                out.extend(pending)
+            elif op in (b"Td", b"TD", b"T*") and out and not out[-1].endswith("\n"):
+                out.append("\n")
+            pending = []
+            i = m.end()
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in re.finditer(rb"(?m)^\s*(\d+)\s+\d+\s+obj\b", data):
+        end = data.find(b"endobj", m.end())
+        if end != -1:
+            objs[int(m.group(1))] = data[m.end():end]
+    return objs
+
+
+def _stream_bytes(obj: bytes) -> bytes | None:
+    i = obj.find(b"stream")
+    if i == -1:
+        return None
+    j = i + len(b"stream")
+    if obj[j:j + 2] == b"\r\n":
+        j += 2
+    elif obj[j:j + 1] == b"\n":
+        j += 1
+    k = obj.rfind(b"endstream")
+    raw = obj[j:k] if k != -1 else obj[j:]
+    if b"/FlateDecode" in obj[:i]:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return None
+    return raw
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """Per-page text (stripped). Pages in document object order; a PDF with
+    no parseable /Page objects degrades to one pseudo-page per text-bearing
+    stream; anything unparseable → [] (caller decides on OCR fallback)."""
+    if not data.startswith(b"%PDF"):
+        return []
+    objs = _objects(data)
+    pages: list[str] = []
+    for num in sorted(objs):
+        obj = objs[num]
+        if re.search(rb"/Type\s*/Page\b", obj) is None:
+            continue
+        cm = re.search(rb"/Contents\s+(\[[^\]]*\]|\d+\s+\d+\s+R)", obj)
+        if cm is None:
+            pages.append("")
+            continue
+        refs = [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1))]
+        texts = []
+        for ref in refs:
+            stream = _stream_bytes(objs.get(ref, b""))
+            if stream:
+                texts.append(text_from_content_stream(stream))
+        pages.append("".join(texts).strip())
+    if pages:
+        return pages
+    # degraded mode: no page tree found — mine every stream for text ops
+    for num in sorted(objs):
+        stream = _stream_bytes(objs[num])
+        if stream and (b"Tj" in stream or b"TJ" in stream):
+            t = text_from_content_stream(stream).strip()
+            if t:
+                pages.append(t)
+    return pages
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """Whole-document text: pages joined by blank lines (the shape
+    ``plans.documents_flow.explode_pages`` re-splits on)."""
+    return "\n\n".join(extract_pdf_pages(data))

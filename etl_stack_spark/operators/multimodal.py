@@ -5,9 +5,11 @@ Pattern (per the driver's mandate): media lives in ``binary`` columns with
 a ``kind`` discriminator and a typed metadata struct. Decode / feature
 extraction / resize / frame sampling run as Arrow-batched functions over
 ``mapInPandas`` — the batch shape, schemas and partitioning here are real;
-the actual codec step is a deterministic fake (this container has no
+the generic feature step is a deterministic fake (this container has no
 image/audio libraries) behind the same interface a real decoder plugs
-into (see ai.transcode_image_batch for the NotImplementedError stub).
+into. A REAL codec path exists for PPM images:
+``ai.transcode_image_batch`` decodes/resizes/re-encodes in pure numpy
+(functions/imaging.py); JPEG/WebP still raise for honesty.
 
 Scale notes:
 - binary payloads ride in Arrow record batches; keep

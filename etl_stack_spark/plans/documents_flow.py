@@ -15,8 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_stack_spark.ai import mock_embed
+from etl_stack_spark.ai import mock_embed, pdf_text_or_ocr_batch
 from etl_stack_spark.operators.merge import ParquetMergeTable, changed_only
+
+DOC_TEXT_SCHEMA = "content_id string, text string, n_pages int, used_ocr boolean"
+
+
+def extract_document_text(docs: DataFrame, id_col: str = "content_id",
+                          content_col: str = "content") -> DataFrame:
+    """P30 stage: (id, pdf bytes) → (id, text, n_pages, used_ocr) via the
+    real pure-Python text-layer extractor, mock-OCR fallback for thin text
+    layers. Arrow-batched mapInPandas — stateless map-side work, no
+    shuffle; at 100 TB this stage scales with input splits alone."""
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf_text_or_ocr_batch(pdf[content_col])
+            out.insert(0, "content_id", pdf[id_col].values)
+            yield out
+
+    return docs.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=DOC_TEXT_SCHEMA
+    )
 
 
 def explode_pages(docs: DataFrame, text_col: str = "text", id_col: str = "content_id",

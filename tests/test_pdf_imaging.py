@@ -1,0 +1,220 @@
+"""Real P30/P31 providers: pure-Python PDF text-layer extraction and
+pure-numpy PPM transcode — including the doc-flow e2e with the NON-mock
+provider selected (round-1 review item #5)."""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.functions.imaging import (
+    decode_ppm,
+    encode_ppm,
+    resize_rgb,
+    transcode_ppm,
+)
+from etl_stack_spark.functions.pdf import extract_pdf_pages, extract_pdf_text
+
+
+# --- tiny PDF writer (valid xref) for fixtures -------------------------------
+
+def build_pdf(page_streams: list[bytes], compress: bool = False) -> bytes:
+    """A syntactically complete PDF: catalog → pages → N pages, each with
+    its own content stream; real xref table and trailer."""
+    objs: list[bytes] = []
+    n_pages = len(page_streams)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, stream in enumerate(page_streams):
+        content_ref = 5 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> "
+            f"/MediaBox [0 0 612 792] /Contents {content_ref} 0 R >>".encode()
+        )
+        data = zlib.compress(stream) if compress else stream
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"<< " + filt + b"/Length " + str(len(data)).encode() + b" >>\n"
+            b"stream\n" + data + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def text_stream(*lines: str) -> bytes:
+    body = " ".join(f"({ln}) Tj T*" for ln in lines)
+    return f"BT /F1 12 Tf 72 720 Td {body} ET".encode()
+
+
+# --- P30: extraction ---------------------------------------------------------
+
+def test_pdf_extract_uncompressed_and_flate():
+    for compress in (False, True):
+        pdf = build_pdf(
+            [text_stream("Hello PySpark engine"), text_stream("Second page text")],
+            compress=compress,
+        )
+        pages = extract_pdf_pages(pdf)
+        assert len(pages) == 2
+        assert "Hello PySpark engine" in pages[0]
+        assert "Second page text" in pages[1]
+
+
+def test_pdf_extract_escapes_hex_and_tj_arrays():
+    stream = (
+        b"BT /F1 12 Tf "
+        b"(par\\(en\\)s and \\\\slash) Tj T* "
+        b"[(kerned ) -120 (array)] TJ T* "
+        b"<48657820737472696E67> Tj "
+        b"ET"
+    )
+    pdf = build_pdf([stream])
+    text = extract_pdf_text(pdf)
+    assert "par(en)s and \\slash" in text
+    assert "kerned array" in text
+    assert "Hex string" in text
+
+
+def test_pdf_extract_octal_and_newlines():
+    pdf = build_pdf([b"BT (line\\0551) Tj T* (line2) Tj ET"])  # \055 = '-'
+    text = extract_pdf_text(pdf)
+    assert "line-1" in text and "line2" in text
+    assert "\n" in text  # T* became a line break
+
+
+def test_non_pdf_and_garbage_degrade_to_empty():
+    assert extract_pdf_pages(b"not a pdf at all") == []
+    assert extract_pdf_pages(b"%PDF-1.4\ngarbage with no objects") == []
+
+
+# --- P30: provider with OCR fallback ----------------------------------------
+
+def test_pdf_text_or_ocr_batch_fallback_gate():
+    from etl_stack_spark.ai import pdf_text_or_ocr_batch
+
+    rich = build_pdf([text_stream("Plenty of selectable text on this page, well over fifty characters total.")])
+    scanned = build_pdf([b"q 612 0 0 792 0 0 cm /Im0 Do Q"])  # image-only page
+    out = pdf_text_or_ocr_batch(pd.Series([rich, scanned, None]))
+    assert list(out["used_ocr"]) == [False, True, False]
+    assert "selectable text" in out["text"][0]
+    assert out["text"][1].startswith("w")  # deterministic mock-OCR words
+    assert out["text"][2] is None
+    # fallback is deterministic on content bytes
+    again = pdf_text_or_ocr_batch(pd.Series([scanned]))
+    assert again["text"][0] == out["text"][1]
+
+
+def test_doc_flow_e2e_with_real_provider(spark, tmp_path):
+    """Round-1 review item: the doc flow must run with the NON-mock text
+    provider — binary PDFs → extract → page explode → hash-gated embed."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.documents_flow import (
+        embed_changed_chunks,
+        explode_pages,
+        extract_document_text,
+    )
+
+    pdfs = [
+        ("doc_a", build_pdf([text_stream("First page of document A with enough text."),
+                             text_stream("Second page of document A, also long enough.")],
+                            compress=True)),
+        ("doc_b", build_pdf([b"q /Im0 Do Q"])),  # scanned → OCR fallback
+    ]
+    docs = spark.createDataFrame(pdfs, "content_id string, content binary")
+    extracted = extract_document_text(docs)
+    rows = {r["content_id"]: r for r in extracted.collect()}
+    assert rows["doc_a"]["used_ocr"] is False and rows["doc_a"]["n_pages"] == 2
+    assert rows["doc_b"]["used_ocr"] is True
+
+    chunks = explode_pages(extracted, text_col="text")
+    assert chunks.filter(F.col("content_id") == "doc_a").count() == 2
+
+    vectors = ParquetMergeTable(spark, str(tmp_path / "vectors"))
+    _, stats = embed_changed_chunks(chunks, vectors)
+    assert stats["inserted"] == chunks.count()
+    # idempotent re-run: hash gate skips everything
+    _, stats2 = embed_changed_chunks(chunks, vectors)
+    assert stats2["inserted"] == 0 and stats2["updated"] == 0
+
+
+# --- P31: transcode ----------------------------------------------------------
+
+def make_ppm(w: int, h: int, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    return encode_ppm(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.uint8))
+
+
+def test_ppm_roundtrip_and_comments():
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = encode_ppm(arr)
+    assert np.array_equal(decode_ppm(data), arr)
+    commented = b"P6\n# a comment\n3 2\n# more\n255\n" + arr.tobytes()
+    assert np.array_equal(decode_ppm(commented), arr)
+
+
+def test_transcode_bounds_longest_side_keeps_aspect():
+    data = make_ppm(800, 200)
+    out, w, h = transcode_ppm(data, max_dim=400)
+    assert (w, h) == (400, 100)
+    arr = decode_ppm(out)
+    assert arr.shape == (100, 400, 3)
+    # never upscales
+    small = make_ppm(60, 40)
+    out2, w2, h2 = transcode_ppm(small, max_dim=512)
+    assert (w2, h2) == (60, 40)
+    assert decode_ppm(out2).shape == (40, 60, 3)
+
+
+def test_resize_nearest_is_exact_on_integer_downscale():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[0::2, 0::2] = 255
+    out = resize_rgb(arr, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert set(np.unique(out)) <= {0, 255}
+
+
+def test_transcode_image_batch_spark_stage(spark):
+    """The provider runs inside mapInPandas over a binary column —
+    the real Spark-side shape."""
+    from etl_stack_spark.ai import transcode_image_batch
+
+    rows = [(1, make_ppm(300, 100, seed=1)), (2, make_ppm(100, 700, seed=2))]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "content": transcode_image_batch(pdf["content"], max_dim=256)}
+            )
+
+    out = df.mapInPandas(run, schema="media_id int, content binary").collect()
+    shapes = {r["media_id"]: decode_ppm(bytes(r["content"])).shape for r in out}
+    assert shapes[1] == (85, 256, 3)   # 300x100 → 256x85
+    assert shapes[2] == (256, 37, 3)   # 100x700 → 37x256
+
+
+def test_transcode_refuses_unknown_codec():
+    from etl_stack_spark.ai import transcode_image_batch
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    with pytest.raises(NotImplementedError, match="PPM"):
+        transcode_image_batch(pd.Series([jpeg_magic]))
