@@ -77,24 +77,119 @@ def drain_pending(
                 F.lit(FAILED).alias("status"),
                 F.lit(msg).alias("error_message"),
             )
-        target = table.read()
-        r = results.select(
-            "job_id",
-            F.col("status").alias("_ns"),
-            F.col("error_message").alias("_ne"),
-        )
-        # a process() returning duplicate job_ids would fan out the queue
-        # rows through this join — collapse to one deterministic row per job
-        r = dedup_status_results(r, ["job_id"], "_ns", "_ne")
-        merged = (
-            target.join(r, "job_id", "left")
-            .withColumn("status", F.coalesce("_ns", "status"))
-            .withColumn("error_message", F.coalesce("_ne", "error_message"))
-            .drop("_ns", "_ne")
-        )
-        table.overwrite(merged)
-        total += r.count()
+        total += _write_back(table, results)
     return total
+
+
+def _write_back(table: ParquetMergeTable, results: DataFrame) -> int:
+    """Apply (job_id, status, error_message) results onto the queue
+    snapshot; collapses duplicate job_ids first (a process() returning
+    dupes would fan out queue rows through the join). Returns #jobs."""
+    target = table.read()
+    r = results.select(
+        "job_id",
+        F.col("status").alias("_ns"),
+        F.col("error_message").alias("_ne"),
+    )
+    r = dedup_status_results(r, ["job_id"], "_ns", "_ne")
+    merged = (
+        target.join(r, "job_id", "left")
+        .withColumn("status", F.coalesce("_ns", "status"))
+        .withColumn("error_message", F.coalesce("_ne", "error_message"))
+        .drop("_ns", "_ne")
+    )
+    table.overwrite(merged)
+    return r.count()
+
+
+def run_with_dependencies(
+    table: ParquetMergeTable,
+    process: Callable[[DataFrame], DataFrame],
+    dep_col: str = "depends_on",
+    batch_size: int = 20,
+    max_rounds: int = 1000,
+) -> dict:
+    """ST2 job-dependency orchestration over the queue table (reference
+    ``trigger_restoration.py:39-53``: ``depends_on=job`` ⇒ the dependent
+    runs only after its dependency finishes successfully).
+
+    Scheduling rules per round:
+    - eligible = PENDING with no dependency, or dependency SYNCED → run
+      through ``process`` (same contract as drain_pending);
+    - dependency FAILED or dangling (unknown job_id) → the dependent is
+      marked FAILED without running (the reference's 'solo corre si el
+      restore termina bien');
+    - no eligible work but PENDING jobs remain (dependency cycle) → those
+      are FAILED rather than spinning forever.
+
+    Returns {"processed": n, "dep_failed": n}.
+    """
+    totals = {"processed": 0, "dep_failed": 0}
+    for _ in range(max_rounds):
+        snap = table.read()
+        pending = snap.filter(F.col("status") == PENDING)
+        if pending.isEmpty():
+            break
+        dep_status = snap.select(
+            F.col("job_id").alias("_dep_id"), F.col("status").alias("_dep_status")
+        )
+        annotated = pending.join(
+            dep_status, pending[dep_col] == F.col("_dep_id"), "left"
+        ).cache()
+        no_dep = F.col(dep_col).isNull()
+        dep_ok = F.col("_dep_status") == SYNCED
+        dep_dead = F.col(dep_col).isNotNull() & (
+            F.col("_dep_status").isNull() | (F.col("_dep_status") == FAILED)
+        )
+
+        dead = annotated.filter(dep_dead).select(
+            "job_id",
+            F.lit(FAILED).alias("status"),
+            F.concat(F.lit("dependency failed or unknown: "), F.col(dep_col)).alias(
+                "error_message"
+            ),
+        )
+        n_dead = dead.count()
+        if n_dead:
+            totals["dep_failed"] += _write_back(table, dead)
+
+        eligible = (
+            annotated.filter(no_dep | dep_ok)
+            .select(*snap.columns)
+            .orderBy("job_id")
+            .limit(batch_size)
+        )
+        n_eligible = eligible.count()
+        annotated.unpersist()
+        if n_eligible == 0:
+            if n_dead == 0:
+                # PENDING jobs remain but none can ever run → cycle
+                stuck = table.read().filter(F.col("status") == PENDING).select(
+                    "job_id",
+                    F.lit(FAILED).alias("status"),
+                    F.lit("unresolvable dependency (cycle?)").alias("error_message"),
+                )
+                if not stuck.isEmpty():
+                    totals["dep_failed"] += _write_back(table, stuck)
+                break
+            continue
+        try:
+            processed = process(eligible)
+            results = processed.select(
+                "job_id",
+                F.col("status"),
+                (F.col("error_message") if "error_message" in processed.columns
+                 else F.lit(None).cast("string")).alias("error_message"),
+            )
+            results = results.localCheckpoint(eager=True)
+        except Exception as e:  # noqa: BLE001
+            results = eligible.select(
+                "job_id",
+                F.lit(FAILED).alias("status"),
+                F.lit(str(e)[:500]).alias("error_message"),
+            )
+        totals["processed"] += _write_back(table, results)
+    return totals
 
 
 def run_stream(

@@ -158,3 +158,118 @@ def test_queue_batch_failure_marks_failed(spark, tmp_path):
     assert statuses == [FAILED, SYNCED]
     failed_msg = next(m for s, m in rows.values() if s == FAILED)
     assert "boom" in failed_msg
+
+
+def test_run_with_dependencies_orders_and_propagates(spark, tmp_path):
+    """ST2: a dependent job enqueued BEFORE its dependency completes runs
+    only after it; failed/dangling dependencies propagate FAILED without
+    running the dependent."""
+    from etl_stack_spark.streaming.queue import (
+        FAILED,
+        run_with_dependencies,
+    )
+
+    table = ParquetMergeTable(spark, str(tmp_path / "depjobs"))
+    reqs = spark.createDataFrame(
+        [
+            ("restore_av", None),
+            ("tag_av", "restore_av"),        # runs after restore_av SYNCED
+            ("restore_zp", None),
+            ("tag_zp", "restore_zp"),        # its dependency FAILS
+            ("tag_ghost", "no_such_job"),    # dangling dependency
+        ],
+        "job_id string, depends_on string",
+    )
+    enqueue(table, reqs)
+
+    ran_order = []
+
+    def process(batch):
+        ids = [r["job_id"] for r in batch.select("job_id").orderBy("job_id").collect()]
+        ran_order.extend(ids)
+        return batch.select(
+            "job_id",
+            F.when(F.col("job_id") == "restore_zp", FAILED)
+            .otherwise(SYNCED)
+            .alias("status"),
+        )
+
+    totals = run_with_dependencies(table, process, batch_size=10)
+    out = {r["job_id"]: r["status"] for r in table.read().collect()}
+    assert out["restore_av"] == SYNCED
+    assert out["tag_av"] == SYNCED
+    assert out["restore_zp"] == FAILED
+    assert out["tag_zp"] == FAILED      # never ran
+    assert out["tag_ghost"] == FAILED   # dangling dep
+    assert "tag_zp" not in ran_order and "tag_ghost" not in ran_order
+    # the dependent ran in a later round than its dependency
+    assert ran_order.index("tag_av") > ran_order.index("restore_av")
+    assert totals["processed"] == 3 and totals["dep_failed"] == 2
+
+
+def test_run_with_dependencies_detects_cycle(spark, tmp_path):
+    from etl_stack_spark.streaming.queue import FAILED, run_with_dependencies
+
+    table = ParquetMergeTable(spark, str(tmp_path / "cyclejobs"))
+    reqs = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "job_id string, depends_on string"
+    )
+    enqueue(table, reqs)
+    totals = run_with_dependencies(table, lambda b: b.select(
+        "job_id", F.lit(SYNCED).alias("status")))
+    out = {r["job_id"]: r["status"] for r in table.read().collect()}
+    assert out == {"a": FAILED, "b": FAILED}
+    assert totals["processed"] == 0
+
+
+def test_streaming_lead_prep_e2e_two_batches_idempotent(spark, tmp_path):
+    """Round-1 review item #10: the showcase flow in streaming form —
+    two micro-batches of property changes through radius match → package
+    → hash-gated merge; replaying the same feed is a no-op."""
+    from etl_stack_spark.plans.lead_prep import run_lead_prep_stream
+
+    feed = tmp_path / "prop_feed"
+    feed.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    leads = ParquetMergeTable(spark, str(tmp_path / "leads"))
+    pois = spark.createDataFrame(
+        [
+            (1, "Education", "EduBrand", 8, 9.80, -84.00),
+            (2, "Education", None, 5, 9.81, -84.01),
+            (3, "Health", "MediBrand", 9, 9.79, -84.02),
+        ],
+        "poi_id long, category string, brand string, quality_score int, poi_lat double, poi_lon double",
+    )
+    cats = {
+        "Education": {"radius_km": 5.0, "k": 2, "anchor": ["EduBrand"], "priority": []},
+        "Health": {"radius_km": 8.0, "k": 1, "anchor": [], "priority": ["MediBrand"]},
+    }
+
+    # micro-batch 1: two properties
+    spark.createDataFrame(
+        [(101, 9.80, -84.00), (102, 9.795, -84.015)], "prop_id long, lat double, lon double"
+    ).write.mode("append").parquet(str(feed))
+    q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
+    q.awaitTermination(120)
+    first = {r["prop_id"]: r["poi_data"] for r in leads.read().collect()}
+    assert set(first) == {101, 102}
+    assert "EduBrand" in first[101]
+
+    # micro-batch 2: one new property arrives
+    spark.createDataFrame(
+        [(103, 9.79, -84.02)], "prop_id long, lat double, lon double"
+    ).write.mode("append").parquet(str(feed))
+    q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
+    q.awaitTermination(120)
+    assert leads.read().count() == 3
+
+    # replay: wipe the checkpoint so the WHOLE feed re-delivers — the
+    # hash gate must make the re-merge a pure no-op
+    import shutil
+
+    shutil.rmtree(ckpt)
+    before = {r["prop_id"]: r["content_hash"] for r in leads.read().collect()}
+    q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
+    q.awaitTermination(120)
+    after = {r["prop_id"]: r["content_hash"] for r in leads.read().collect()}
+    assert after == before
