@@ -1,0 +1,339 @@
+"""OSM PBF → Parquet conversion utility (SURVEY §2.1 S5).
+
+The reference reads the planet extract's ``points`` and ``multipolygons``
+layers with GeoPandas, normalizes every geometry to its centroid, and
+unions the layers before classification
+(`/root/reference/src/ETL_POIS/process_pois.py:361-382`). GDAL isn't in
+this container, so the PBF container format is decoded directly from the
+OSM PBF spec (public: wiki.openstreetmap.org/wiki/PBF_Format) with a
+minimal hand-rolled protobuf reader — varints, zigzag, packed fields,
+length-delimited messages; zlib blobs via stdlib.
+
+Supported subset: DenseNodes, plain Nodes, Ways (tags + node refs),
+raw/zlib blobs. Relations are skipped (the reference's multipolygon layer
+is dominated by closed ways; documented limitation).
+
+Scale shape: a PBF file is a sequence of INDEPENDENTLY decodable blobs.
+``scan_blob_index`` reads only the 13-ish bytes of each BlobHeader to
+build an (offset, size) index driver-side, then the decode fans out via
+``parallelize(index).flatMap`` — executors each open the file at their
+offsets, so a planet file decodes cluster-parallel without a single
+driver-side pass. Way centroids need node coordinates: that's expressed
+as a JOIN (way_refs ⨝ nodes → groupBy way → shoelace centroid over the
+sorted ring), not a driver-side node cache — the nodes table of a planet
+file doesn't fit one machine.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- minimal protobuf wire-format reader -------------------------------------
+
+
+def _varint(data: bytes, i: int) -> tuple[int, int]:
+    out = shift = 0
+    while True:
+        b = data[i]
+        out |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _fields(data: bytes):
+    """Yield (field_no, wire_type, value) triples of one message.
+    value: int for varint(0), bytes for length-delimited(2), raw 4/8 bytes
+    for the fixed types (unused by the OSM subset but skipped correctly)."""
+    i, n = 0, len(data)
+    while i < n:
+        key, i = _varint(data, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _varint(data, i)
+        elif wt == 2:
+            ln, i = _varint(data, i)
+            v = data[i:i + ln]
+            i += ln
+        elif wt == 5:
+            v = data[i:i + 4]
+            i += 4
+        elif wt == 1:
+            v = data[i:i + 8]
+            i += 8
+        else:  # pragma: no cover — groups are long-dead in protobuf
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, v
+
+
+def _packed_varints(data: bytes, signed: bool = False) -> list[int]:
+    out, i = [], 0
+    while i < len(data):
+        v, i = _varint(data, i)
+        out.append(_zigzag(v) if signed else v)
+    return out
+
+
+# --- PBF container -----------------------------------------------------------
+
+
+def scan_blob_index(path: str) -> list[tuple[str, int, int]]:
+    """[(blob_type, offset, size)] — reads ONLY headers, O(#blobs) seeks."""
+    index = []
+    with open(path, "rb") as f:
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                break
+            (hlen,) = struct.unpack(">I", lenbuf)
+            header = f.read(hlen)
+            btype, datasize = "", 0
+            for field, _, v in _fields(header):
+                if field == 1:
+                    btype = v.decode("utf-8")
+                elif field == 3:
+                    datasize = v
+            index.append((btype, f.tell(), datasize))
+            f.seek(datasize, os.SEEK_CUR)
+    return index
+
+
+def _blob_payload(path: str, offset: int, size: int) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(size)
+    raw = zdata = None
+    for field, _, v in _fields(blob):
+        if field == 1:
+            raw = v
+        elif field == 3:
+            zdata = v
+    if raw is not None:
+        return raw
+    if zdata is not None:
+        return zlib.decompress(zdata)
+    raise ValueError("blob has neither raw nor zlib_data")
+
+
+def decode_primitive_block(payload: bytes) -> tuple[list[tuple], list[tuple]]:
+    """→ (nodes, way_rows): nodes = (id, lat, lon, tags dict);
+    way_rows = (id, tags dict, [node refs])."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    granularity, lat_off, lon_off = 100, 0, 0
+    for field, _, v in _fields(payload):
+        if field == 1:
+            strings = [s.decode("utf-8") for f2, _, s in _fields(v) if f2 == 1]
+        elif field == 2:
+            groups.append(v)
+        elif field == 17:
+            granularity = v
+        elif field == 19:
+            lat_off = v
+        elif field == 20:
+            lon_off = v
+
+    def coord(off: int, units: int) -> float:
+        return 1e-9 * (off + granularity * units)
+
+    nodes: list[tuple] = []
+    ways: list[tuple] = []
+    for group in groups:
+        for field, _, v in _fields(group):
+            if field == 1:  # plain Node
+                nid = lat = lon = 0
+                keys: list[int] = []
+                vals: list[int] = []
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        nid = _zigzag(v2) if isinstance(v2, int) else v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        lat = _zigzag(v2)
+                    elif f2 == 9:
+                        lon = _zigzag(v2)
+                tags = {strings[k]: strings[w] for k, w in zip(keys, vals)}
+                nodes.append((nid, coord(lat_off, lat), coord(lon_off, lon), tags))
+            elif field == 2:  # DenseNodes (delta-coded, interleaved tags)
+                ids: list[int] = []
+                lats: list[int] = []
+                lons: list[int] = []
+                kvs: list[int] = []
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        ids = _packed_varints(v2, signed=True)
+                    elif f2 == 8:
+                        lats = _packed_varints(v2, signed=True)
+                    elif f2 == 9:
+                        lons = _packed_varints(v2, signed=True)
+                    elif f2 == 10:
+                        kvs = _packed_varints(v2)
+                cid = clat = clon = 0
+                ki = 0
+                for d_id, d_lat, d_lon in zip(ids, lats, lons):
+                    cid += d_id
+                    clat += d_lat
+                    clon += d_lon
+                    tags = {}
+                    while ki < len(kvs) and kvs[ki] != 0:
+                        tags[strings[kvs[ki]]] = strings[kvs[ki + 1]]
+                        ki += 2
+                    ki += 1  # the 0 terminator
+                    nodes.append((cid, coord(lat_off, clat), coord(lon_off, clon), tags))
+            elif field == 3:  # Way
+                wid = 0
+                keys, vals, refs = [], [], []
+                for f2, _, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        deltas = _packed_varints(v2, signed=True)
+                        acc = 0
+                        for d in deltas:
+                            acc += d
+                            refs.append(acc)
+                tags = {strings[k]: strings[w] for k, w in zip(keys, vals)}
+                ways.append((wid, tags, refs))
+    return nodes, ways
+
+
+# --- Spark conversion pipeline ----------------------------------------------
+
+NODE_SCHEMA = "osm_id long, lat double, lon double, tags map<string,string>"
+WAY_SCHEMA = "osm_id long, tags map<string,string>, refs array<long>"
+
+
+def read_pbf_tables(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(nodes_df, ways_df) decoded cluster-parallel from the blob index."""
+    path = os.path.abspath(path)
+    index = [(o, s) for t, o, s in scan_blob_index(path) if t == "OSMData"]
+    blobs = spark.sparkContext.parallelize(index, max(1, min(len(index), 64)))
+
+    def decode_nodes(chunk):
+        for off, size in chunk:
+            nodes, _ = decode_primitive_block(_blob_payload(path, off, size))
+            yield from nodes
+
+    def decode_ways(chunk):
+        for off, size in chunk:
+            _, ways = decode_primitive_block(_blob_payload(path, off, size))
+            yield from ways
+
+    nodes_df = spark.createDataFrame(blobs.mapPartitions(decode_nodes), NODE_SCHEMA)
+    ways_df = spark.createDataFrame(blobs.mapPartitions(decode_ways), WAY_SCHEMA)
+    return nodes_df, ways_df
+
+
+def way_centroids(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Per-way centroid via the shoelace formula over the ordered ring
+    (true geometric centroid for closed ways — what the reference's
+    ``geometry.centroid`` computes); open ways fall back to the vertex
+    mean. The ring is assembled with a JOIN on node refs, not a driver
+    cache: posexplode(refs) ⨝ nodes → groupBy(way) → sorted vertex array."""
+    refs = ways.select(
+        "osm_id", "tags", F.posexplode("refs").alias("seq", "ref")
+    )
+    verts = refs.join(
+        nodes.select(F.col("osm_id").alias("ref"), "lat", "lon"), "ref"
+    )
+    ring = verts.groupBy("osm_id").agg(
+        F.first("tags").alias("tags"),
+        F.sort_array(F.collect_list(F.struct("seq", "lat", "lon"))).alias("v"),
+    )
+    closed = (F.size("v") >= 4) & (
+        (F.element_at("v", 1)["lat"] == F.element_at("v", -1)["lat"])
+        & (F.element_at("v", 1)["lon"] == F.element_at("v", -1)["lon"])
+    )
+    # shoelace over coordinates TRANSLATED to the first vertex: raw lat/lon
+    # (~tens of degrees) squared against ring spans (~1e-3 deg) cancel
+    # catastrophically; translating first keeps every product small, then
+    # the offset adds back at the end
+    shoe = F.expr(
+        """
+        aggregate(
+          sequence(0, size(v) - 2),
+          named_struct('a', 0.0d, 'cx', 0.0d, 'cy', 0.0d),
+          (acc, i) -> named_struct(
+            'a',  acc.a  + ((v[i].lon - v[0].lon) * (v[i+1].lat - v[0].lat)
+                          - (v[i+1].lon - v[0].lon) * (v[i].lat - v[0].lat)),
+            'cx', acc.cx + ((v[i].lon - v[0].lon) + (v[i+1].lon - v[0].lon))
+                           * ((v[i].lon - v[0].lon) * (v[i+1].lat - v[0].lat)
+                            - (v[i+1].lon - v[0].lon) * (v[i].lat - v[0].lat)),
+            'cy', acc.cy + ((v[i].lat - v[0].lat) + (v[i+1].lat - v[0].lat))
+                           * ((v[i].lon - v[0].lon) * (v[i+1].lat - v[0].lat)
+                            - (v[i+1].lon - v[0].lon) * (v[i].lat - v[0].lat))),
+          acc -> named_struct('a', acc.a / 2.0d, 'cx', acc.cx, 'cy', acc.cy))
+        """
+    )
+    mean_lat = F.expr(
+        "aggregate(slice(v, 1, size(v) - 1), 0.0d, (s, x) -> s + x.lat)"
+    ) / (F.size("v") - 1)
+    mean_lon = F.expr(
+        "aggregate(slice(v, 1, size(v) - 1), 0.0d, (s, x) -> s + x.lon)"
+    ) / (F.size("v") - 1)
+    open_mean_lat = F.expr("aggregate(v, 0.0d, (s, x) -> s + x.lat)") / F.size("v")
+    open_mean_lon = F.expr("aggregate(v, 0.0d, (s, x) -> s + x.lon)") / F.size("v")
+    with_c = ring.withColumn("s", shoe)
+    degenerate = F.abs(F.col("s.a")) < F.lit(1e-12)
+    lat0 = F.element_at("v", 1)["lat"]
+    lon0 = F.element_at("v", 1)["lon"]
+    return with_c.select(
+        "osm_id",
+        "tags",
+        F.when(closed & ~degenerate, lat0 + F.col("s.cy") / (6.0 * F.col("s.a")))
+        .when(closed, mean_lat)
+        .otherwise(open_mean_lat)
+        .alias("lat"),
+        F.when(closed & ~degenerate, lon0 + F.col("s.cx") / (6.0 * F.col("s.a")))
+        .when(closed, mean_lon)
+        .otherwise(open_mean_lon)
+        .alias("lon"),
+    )
+
+
+def pbf_to_poi_frame(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's layers → centroid → union, Spark-shaped:
+    ``points`` layer = tagged nodes, ``multipolygons`` layer = tagged ways
+    at their centroids; unioned with a ``layer`` discriminator."""
+    nodes, ways = read_pbf_tables(spark, path)
+    points = nodes.filter(F.size("tags") > 0).select(
+        "osm_id",
+        F.lit("points").alias("layer"),
+        F.col("tags").getItem("name").alias("name"),
+        "tags",
+        "lat",
+        "lon",
+    )
+    polys = way_centroids(nodes, ways.filter(F.size("tags") > 0)).select(
+        "osm_id",
+        F.lit("multipolygons").alias("layer"),
+        F.col("tags").getItem("name").alias("name"),
+        "tags",
+        "lat",
+        "lon",
+    )
+    return points.unionByName(polys)
+
+
+def convert_pbf_to_parquet(spark: SparkSession, pbf_path: str, out_dir: str) -> int:
+    """The S5 edge utility: PBF → one unioned POI parquet. Returns rows."""
+    df = pbf_to_poi_frame(spark, pbf_path)
+    df.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()

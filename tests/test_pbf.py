@@ -1,0 +1,189 @@
+"""S5 PBF→Parquet conversion: a synthesized OSM PBF fixture (hand-rolled
+protobuf ENCODER here, mirroring the decoder's spec subset) drives the
+full layers → centroid → union pipeline."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.sources.pbf import (
+    convert_pbf_to_parquet,
+    decode_primitive_block,
+    pbf_to_poi_frame,
+    scan_blob_index,
+)
+
+# --- protobuf wire-format encoder (test-side) --------------------------------
+
+
+def vi(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def zz(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def tag(field: int, wire: int) -> bytes:
+    return vi(field << 3 | wire)
+
+
+def ld(field: int, payload: bytes) -> bytes:
+    return tag(field, 2) + vi(len(payload)) + payload
+
+
+def packed(field: int, values: list[int], signed: bool = False) -> bytes:
+    body = b"".join(vi(zz(v) if signed else v) for v in values)
+    return ld(field, body)
+
+
+def deltas(values: list[int]) -> list[int]:
+    return [values[0]] + [b - a for a, b in zip(values, values[1:])]
+
+
+def make_block(strings, dense_nodes=None, ways=None, plain_nodes=None) -> bytes:
+    """strings: list[str] (index 0 must be ''). dense_nodes: list of
+    (id, lat_e9, lon_e9, {k: v}). ways: list of (id, {k: v}, [refs])."""
+    sidx = {s: i for i, s in enumerate(strings)}
+    block = ld(1, b"".join(ld(1, s.encode()) for s in strings))
+    group = b""
+    if plain_nodes:
+        for nid, lat9, lon9, tags in plain_nodes:
+            body = tag(1, 0) + vi(zz(nid))
+            if tags:
+                body += packed(2, [sidx[k] for k in tags])
+                body += packed(3, [sidx[v] for v in tags.values()])
+            body += tag(8, 0) + vi(zz(lat9 // 100))
+            body += tag(9, 0) + vi(zz(lon9 // 100))
+            group += ld(1, body)
+    if dense_nodes:
+        ids = [n[0] for n in dense_nodes]
+        lats = [n[1] // 100 for n in dense_nodes]
+        lons = [n[2] // 100 for n in dense_nodes]
+        kvs: list[int] = []
+        for _, _, _, tags in dense_nodes:
+            for k, v in tags.items():
+                kvs.extend([sidx[k], sidx[v]])
+            kvs.append(0)
+        dense = (
+            packed(1, deltas(ids), signed=True)
+            + packed(8, deltas(lats), signed=True)
+            + packed(9, deltas(lons), signed=True)
+            + packed(10, kvs)
+        )
+        group += ld(2, dense)
+    if ways:
+        for wid, tags, refs in ways:
+            body = tag(1, 0) + vi(wid)
+            if tags:
+                body += packed(2, [sidx[k] for k in tags])
+                body += packed(3, [sidx[v] for v in tags.values()])
+            body += packed(8, deltas(refs), signed=True)
+            group += ld(3, body)
+    return block + ld(2, group)  # granularity defaults to 100
+
+
+def make_pbf(blocks: list[bytes], compress_from: int = 1) -> bytes:
+    """OSMHeader blob + one OSMData blob per block; blocks past
+    ``compress_from`` are zlib'd to cover both blob encodings."""
+    out = b""
+    header_block = ld(1, b"")  # empty-ish header payload
+
+    def emit(btype: bytes, payload: bytes, compress: bool) -> bytes:
+        if compress:
+            blob = ld(2, vi(len(payload))[:0] or b"")  # raw_size then zlib
+            blob = tag(2, 0) + vi(len(payload)) + ld(3, zlib.compress(payload))
+        else:
+            blob = ld(1, payload)
+        header = ld(1, btype) + tag(3, 0) + vi(len(blob))
+        return struct.pack(">I", len(header)) + header + blob
+
+    out += emit(b"OSMHeader", header_block, compress=False)
+    for i, block in enumerate(blocks):
+        out += emit(b"OSMData", block, compress=i >= compress_from)
+    return out
+
+
+E9 = 1_000_000_000
+
+
+@pytest.fixture()
+def fixture_pbf(tmp_path):
+    """Two data blobs (one raw, one zlib): POI nodes + a closed square way
+    whose true centroid is (10.0005, 20.0005), deliberately OFF the vertex
+    mean of the 5-point closed ring (which double-counts the first node)."""
+    strings = ["", "name", "amenity", "school", "Escuela Azul", "building",
+               "yes", "Plaza Roja", "shop", "mall"]
+    blob1 = make_block(
+        strings,
+        dense_nodes=[
+            (1, 10 * E9, 20 * E9, {"name": "Escuela Azul", "amenity": "school"}),
+            (2, int(10.001 * E9), 20 * E9, {}),
+            (3, int(10.001 * E9), int(20.001 * E9), {}),
+            (4, 10 * E9, int(20.001 * E9), {}),
+        ],
+        plain_nodes=[
+            (5, int(10.0007 * E9), int(20.0002 * E9), {"shop": "mall", "name": "Plaza Roja"}),
+        ],
+    )
+    blob2 = make_block(
+        strings,
+        ways=[(100, {"building": "yes", "name": "Plaza Roja"}, [1, 2, 3, 4, 1])],
+    )
+    path = tmp_path / "fixture.osm.pbf"
+    path.write_bytes(make_pbf([blob1, blob2]))
+    return str(path)
+
+
+def test_blob_index_and_block_decode(fixture_pbf):
+    index = scan_blob_index(fixture_pbf)
+    assert [t for t, _, _ in index] == ["OSMHeader", "OSMData", "OSMData"]
+    from etl_stack_spark.sources.pbf import _blob_payload
+
+    nodes1, ways1 = decode_primitive_block(
+        _blob_payload(fixture_pbf, index[1][1], index[1][2])
+    )
+    assert len(nodes1) == 5 and ways1 == []
+    by_id = {n[0]: n for n in nodes1}
+    assert by_id[1][3] == {"name": "Escuela Azul", "amenity": "school"}
+    assert abs(by_id[3][1] - 10.001) < 1e-9 and abs(by_id[3][2] - 20.001) < 1e-9
+    nodes2, ways2 = decode_primitive_block(
+        _blob_payload(fixture_pbf, index[2][1], index[2][2])
+    )
+    assert nodes2 == []
+    assert ways2[0][0] == 100 and ways2[0][2] == [1, 2, 3, 4, 1]
+
+
+def test_pbf_layers_centroid_union(spark, fixture_pbf):
+    df = pbf_to_poi_frame(spark, fixture_pbf).cache()
+    rows = {(r["layer"], r["osm_id"]): r for r in df.collect()}
+    # points layer: only TAGGED nodes (2 of 5)
+    assert ("points", 1) in rows and ("points", 5) in rows
+    assert ("points", 2) not in rows
+    # multipolygons layer: the closed way at its TRUE centroid, not the
+    # vertex mean (the duplicated closing vertex would bias a naive mean)
+    way = rows[("multipolygons", 100)]
+    assert way["name"] == "Plaza Roja"
+    assert abs(way["lat"] - 10.0005) < 1e-9
+    assert abs(way["lon"] - 20.0005) < 1e-9
+    assert rows[("points", 1)]["tags"]["amenity"] == "school"
+
+
+def test_convert_pbf_to_parquet_roundtrip(spark, fixture_pbf, tmp_path):
+    out = str(tmp_path / "pois_parquet")
+    n = convert_pbf_to_parquet(spark, fixture_pbf, out)
+    back = spark.read.parquet(out)
+    assert n == back.count() == 3
+    # the converted table drives the engine's classify path downstream
+    assert back.filter(F.col("tags").getItem("amenity") == "school").count() == 1
