@@ -45,10 +45,35 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "q10_returned_revenue",
+    "q7_nation_pair_volume",
+    "q12_priority_counts",
+    "q14_promo_revenue",
     # event analytics
     "fn1_funnel_conversion",
     "aj1_asof_join",
 ]
+
+
+def load_baseline() -> dict[str, float]:
+    """Per-query times from the newest BENCH_r{N}.json next to this file —
+    the regression bar: no headline query may exceed 2x its last-round
+    time (VERDICT round 1 set BENCH_r01 as the floor going forward)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            return dict(json.load(f).get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def main() -> None:
@@ -77,18 +102,28 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
+    baseline = load_baseline()
+    regressions = {
+        name: {"now": t, "baseline": baseline[name]}
+        for name, t in timings.items()
+        if name in baseline and baseline[name] > 0 and t > 2.0 * baseline[name]
+    }
+    for name, r in regressions.items():
+        print(
+            f"# REGRESSION {name}: {r['now']}s > 2x baseline {r['baseline']}s",
+            file=sys.stderr,
         )
-    )
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
