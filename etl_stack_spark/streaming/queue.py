@@ -85,7 +85,8 @@ def _write_back(table: ParquetMergeTable, results: DataFrame) -> int:
     """Apply (job_id, status, error_message) results onto the queue
     snapshot; collapses duplicate job_ids first (a process() returning
     dupes would fan out queue rows through the join). Returns #jobs."""
-    target = table.read()
+    base_version = table.current_version()
+    target = table.read(base_version)
     r = results.select(
         "job_id",
         F.col("status").alias("_ns"),
@@ -98,7 +99,7 @@ def _write_back(table: ParquetMergeTable, results: DataFrame) -> int:
         .withColumn("error_message", F.coalesce("_ne", "error_message"))
         .drop("_ns", "_ne")
     )
-    table.overwrite(merged)
+    table.overwrite(merged, expected_version=base_version)
     return r.count()
 
 

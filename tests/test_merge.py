@@ -156,3 +156,82 @@ def test_merge_keeps_legacy_null_key_target_rows(spark, table):
     assert out.filter(F.col("title") == "Legacy").count() == 1
     # no all-null phantom rows
     assert out.filter(F.col("client_id").isNull() & F.col("title").isNull()).count() == 0
+
+
+def test_concurrent_writer_lost_update_detected(spark, table):
+    """Optimistic concurrency (round-1 review item #2): writer A reads the
+    table, writer B commits, A's commit must raise ConcurrentWriteError
+    instead of silently clobbering B's update; a retry on the fresh
+    snapshot then lands both changes."""
+    from etl_stack_spark.operators.merge import ConcurrentWriteError
+
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+
+    # transaction A captures its base version (as merge() does internally)
+    base = table.current_version()
+    target_a = table.read(base)
+    a_out = target_a.withColumn(
+        "title", F.when(F.col("external_id") == "p1", "A's title").otherwise(F.col("title"))
+    )
+
+    # writer B commits a conflicting change first
+    table.merge(
+        props(spark, [("c1", "p2", "B's title", "h2b", "active")]),
+        keys=["client_id", "external_id"],
+    )
+
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        table.overwrite(a_out, expected_version=base)
+    # B's committed write survived untouched
+    assert table.read().filter(F.col("title") == "B's title").count() == 1
+    assert table.read().filter(F.col("title") == "A's title").count() == 0
+
+    # A retries against the fresh snapshot → both changes land
+    base2 = table.current_version()
+    retry = table.read(base2).withColumn(
+        "title", F.when(F.col("external_id") == "p1", "A's title").otherwise(F.col("title"))
+    )
+    table.overwrite(retry, expected_version=base2)
+    titles = {r["external_id"]: r["title"] for r in table.read().collect()}
+    assert titles["p1"] == "A's title" and titles["p2"] == "B's title"
+
+
+def test_concurrent_merge_api_conflict(spark, table):
+    """The same race through the public merge() API: simulate B committing
+    between A's version capture and A's commit via the merge hook."""
+    from unittest.mock import patch
+
+    from etl_stack_spark.operators.merge import ConcurrentWriteError
+
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+
+    real_write = type(table)._write_snapshot
+    state = {"fired": False}
+
+    def racing_write(self, df, expected_version=None, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            # writer B sneaks in a full commit while A is mid-transaction
+            other = type(table)(spark, table.root)
+            other.merge(
+                props(spark, [("c9", "p99", "Interloper", "h99", "active")]),
+                keys=["client_id", "external_id"],
+            )
+        return real_write(self, df, expected_version=expected_version, **kw)
+
+    with patch.object(type(table), "_write_snapshot", racing_write):
+        with pytest.raises(ConcurrentWriteError):
+            table.merge(
+                props(spark, [("c1", "p1", "Casa A v3", "h1c", "active")]),
+                keys=["client_id", "external_id"],
+            )
+    # the interloper's row is intact; A's change did not partially apply
+    out = table.read()
+    assert out.filter(F.col("title") == "Interloper").count() == 1
+    assert out.filter(F.col("title") == "Casa A v3").count() == 0
+    # the aborted writer's orphan data directory was cleaned up
+    import os
+
+    dirs = {d for d in os.listdir(table.root) if d.startswith("v_")}
+    manifest_dirs = set(table._read_manifest()["history"])
+    assert dirs == manifest_dirs
