@@ -12,10 +12,40 @@ product, a codegen'd haversine refines. See operators/geo_join.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
+
+# spherical Web Mercator radius (EPSG:3857 uses the WGS84 semi-major axis)
+WEB_MERCATOR_R = 6378137.0
+WEB_MERCATOR_MAX_LAT = 85.051128779806604  # atan(sinh(pi)) — the square cut
+
+
+def web_mercator_x(lon: Column) -> Column:
+    """P25 forward projection, x meters: R·λ (public EPSG:3857 formula —
+    the reference shells out to PostGIS ST_Transform for the same thing)."""
+    return F.lit(WEB_MERCATOR_R) * F.radians(lon)
+
+
+def web_mercator_y(lat: Column) -> Column:
+    """P25 forward projection, y meters: R·ln(tan(π/4 + φ/2)). Callers
+    clamp |lat| ≤ WEB_MERCATOR_MAX_LAT like every slippy-map stack does."""
+    clamped = F.least(F.greatest(lat, F.lit(-WEB_MERCATOR_MAX_LAT)), F.lit(WEB_MERCATOR_MAX_LAT))
+    return F.lit(WEB_MERCATOR_R) * F.log(
+        F.tan(F.lit(math.pi / 4.0) + F.radians(clamped) / 2.0)
+    )
+
+
+def web_mercator_inverse(x: Column, y: Column) -> tuple[Column, Column]:
+    """(lat, lon) degrees back from EPSG:3857 meters."""
+    lat = F.degrees(
+        F.lit(2.0) * F.atan(F.exp(y / F.lit(WEB_MERCATOR_R))) - F.lit(math.pi / 2.0)
+    )
+    lon = F.degrees(x / F.lit(WEB_MERCATOR_R))
+    return lat, lon
 
 
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:

@@ -454,3 +454,43 @@ def a4_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("category", "cell", F.col("poi_id").alias("rep_poi_id"), F.col("brand").alias("rep_brand"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P25 — CRS reprojection (EPSG:4326 → 3857 and back). The reference leans
+# on PostGIS ST_Transform; the spherical Web Mercator formulas are public
+# and pure math, so the projection runs as codegen'd expressions. Meters
+# round to mm and the inverse roundtrip to 1e-9 deg: Spark's JVM libm and
+# DuckDB's C libm may differ in the last ulp of tan/ln/exp, far below the
+# rounding step.
+# ---------------------------------------------------------------------------
+_P25_ORACLE = f"""
+WITH props AS ({_PROPS_SQL})
+SELECT prop_id,
+  ROUND(6378137e0 * radians(lon), 3) AS merc_x,
+  ROUND(6378137e0 * ln(tan(pi()/4e0 + radians(lat)/2e0)), 3) AS merc_y,
+  ROUND(degrees(2e0 * atan(exp(ln(tan(pi()/4e0 + radians(lat)/2e0)))) - pi()/2e0), 9) AS lat_roundtrip,
+  ROUND(degrees(radians(lon)), 9) AS lon_roundtrip
+FROM props
+"""
+
+
+@register("p25_web_mercator", _P25_ORACLE)
+def p25_web_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.functions.geo import (
+        web_mercator_inverse,
+        web_mercator_x,
+        web_mercator_y,
+    )
+
+    props = props_df(spark, sf_dir)
+    x = web_mercator_x(F.col("lon"))
+    y = web_mercator_y(F.col("lat"))
+    lat_rt, lon_rt = web_mercator_inverse(x, y)
+    return props.select(
+        "prop_id",
+        F.round(x, 3).alias("merc_x"),
+        F.round(y, 3).alias("merc_y"),
+        F.round(lat_rt, 9).alias("lat_roundtrip"),
+        F.round(lon_rt, 9).alias("lon_roundtrip"),
+    )
