@@ -1,13 +1,22 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
-Usage: python bench.py [--queries q1,q2] [--warmup]
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default 3)
+back-to-back runs — round-2's single-shot timings could not separate plan
+regressions from environment noise (VERDICT r2 task 1). A secondary tier
+runs every OTHER registered query once and reports ``full_sweep_total`` so
+a regression in an unsampled query can't hide until the driver samples it
+(VERDICT r2 task 8).
+
+Usage: python bench.py [--queries=q1,q2] [--strict] [--no-sweep]
+  --strict   exit 1 when any headline query exceeds 2x its last-round time
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -71,35 +80,54 @@ def load_baseline() -> dict[str, float]:
         return {}
     try:
         with open(best[1]) as f:
-            return dict(json.load(f).get("queries", {}))
+            data = json.load(f)
+        # driver wrapper nests the parsed line under "parsed"
+        data = data.get("parsed", data)
+        return dict(data.get("queries", {}))
     except (OSError, json.JSONDecodeError):
         return {}
 
 
+def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn(spark, sf_dir).count()  # full execution, no driver-side data collect
+    return time.perf_counter() - t0, n
+
+
 def main() -> None:
     from etl_stack_spark.queries import all_queries
+
+    args = sys.argv[1:]
+    strict = "--strict" in args
+    sweep = "--no-sweep" not in args and os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("etl-stack-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
-    if len(sys.argv) > 1 and sys.argv[1].startswith("--queries"):
-        names = sys.argv[1].split("=", 1)[1].split(",")
-        unknown = [n for n in names if n not in registry]
-        if unknown:
-            sys.exit(f"error: unknown queries {unknown}; known: {sorted(registry)}")
+    for a in args:
+        if a.startswith("--queries"):
+            names = a.split("=", 1)[1].split(",")
+            unknown = [n for n in names if n not in registry]
+            if unknown:
+                sys.exit(f"error: unknown queries {unknown}; known: {sorted(registry)}")
 
     # one warmup pass on the smallest table to absorb JVM/codegen startup
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name](spark, sf_dir)
-        n = df.count()  # forces full execution without driver-side collect of data
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            dt, n = time_query(registry[name], spark, sf_dir)
+            samples.append(round(dt, 3))
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = samples
+        print(f"# {name}: median {timings[name]}s of {samples} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     baseline = load_baseline()
@@ -113,6 +141,25 @@ def main() -> None:
             f"# REGRESSION {name}: {r['now']}s > 2x baseline {r['baseline']}s",
             file=sys.stderr,
         )
+
+    full_sweep_total = None
+    if sweep:
+        # secondary tier: every registered query NOT in the headline set,
+        # single run each — catches regressions the headline sample misses.
+        sweep_timings: dict[str, float] = {}
+        for name in sorted(registry):
+            if name in timings:
+                continue
+            try:
+                dt, n = time_query(registry[name], spark, sf_dir)
+            except Exception as e:  # a sweep failure is a finding, not a crash
+                print(f"# SWEEP-ERROR {name}: {e}", file=sys.stderr)
+                sweep_timings[name] = -1.0
+                continue
+            sweep_timings[name] = round(dt, 3)
+            print(f"# sweep {name}: {sweep_timings[name]}s ({n} rows)", file=sys.stderr)
+        full_sweep_total = round(sum(t for t in sweep_timings.values() if t > 0), 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total",
@@ -120,10 +167,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "runs_per_query": runs,
+        "samples": spreads,
     }
+    if full_sweep_total is not None:
+        out["full_sweep_total"] = full_sweep_total
+        out["full_sweep_queries"] = sweep_timings
     if regressions:
         out["regressions"] = regressions
     print(json.dumps(out))
+    if strict and regressions:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,12 +42,15 @@ def _read_literal(data: bytes, i: int) -> tuple[str, int]:
             if nxt in _ESCAPES:
                 out.append(_ESCAPES[nxt])
                 i += 2
-            elif nxt.isdigit():  # octal \ddd (1-3 digits)
-                m = re.match(rb"\\([0-7]{1,3})", data[i:])
+            elif (m := re.match(rb"\\([0-7]{1,3})", data[i:])):  # octal \ddd
                 out.append(chr(int(m.group(1), 8)))
                 i += len(m.group(0))
-            else:  # line continuation or unknown escape → drop backslash
+            elif nxt in (b"\n", b"\r"):  # line continuation: eat the EOL
                 i += 2
+                if nxt == b"\r" and data[i:i + 1] == b"\n":
+                    i += 1
+            else:  # unknown escape (incl. \8 \9): ignore the backslash, keep the char
+                i += 1
         elif c == b"(":
             depth += 1
             out.append("(")

@@ -35,6 +35,7 @@ changed (M4, vector_store.py:134-137).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -108,17 +109,7 @@ class ParquetMergeTable:
         version = f"v_{int(time.time() * 1000)}_{os.getpid()}_{len(self._read_manifest()['history'])}"
         path = os.path.join(self.root, version)
         df.write.mode("overwrite").parquet(path)
-        lock_path = os.path.join(self.root, "COMMIT_LOCK")
-        deadline = time.time() + 60.0
-        while True:
-            try:
-                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.time() > deadline:  # pragma: no cover — crashed writer
-                    raise TimeoutError(f"commit lock stuck: {lock_path}") from None
-                time.sleep(0.01)
-        try:
+        with self._commit_lock():
             manifest = self._read_manifest()
             if expected_version is not _UNCHECKED and manifest["current"] != expected_version:
                 import shutil
@@ -134,10 +125,28 @@ class ParquetMergeTable:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._manifest_path)  # atomic pointer swap
+        return version
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """O_EXCL lock file — the manifest mutex for commits AND vacuum
+        (a vacuum racing a committer's manifest read would otherwise drop
+        the version the committer is about to append after)."""
+        lock_path = os.path.join(self.root, "COMMIT_LOCK")
+        deadline = time.time() + 60.0
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.time() > deadline:  # pragma: no cover — crashed writer
+                    raise TimeoutError(f"commit lock stuck: {lock_path}") from None
+                time.sleep(0.01)
+        try:
+            yield
         finally:
             os.close(fd)
             os.unlink(lock_path)
-        return version
 
     def overwrite(self, df: DataFrame, expected_version=_UNCHECKED) -> str:
         """Replace the snapshot. Pass ``expected_version`` (from
@@ -238,9 +247,11 @@ class ParquetMergeTable:
 
         merged = joined.select(*cols, action.alias("_action"))
         merged.cache()
-        counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
-        self._write_snapshot(merged.drop("_action"), expected_version=base_version)
-        merged.unpersist()
+        try:
+            counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
+            self._write_snapshot(merged.drop("_action"), expected_version=base_version)
+        finally:
+            merged.unpersist()  # also on ConcurrentWriteError — retries must not stack cached plans
         return {
             "inserted": counts.get("insert", 0),
             "updated": counts.get("update", 0),
@@ -266,14 +277,15 @@ class ParquetMergeTable:
         never loses its snapshot."""
         import shutil
 
-        manifest = self._read_manifest()
-        history = manifest["history"]
-        to_drop = [v for v in history[:-keep_last] if v != manifest["current"]]
-        manifest["history"] = [v for v in history if v not in to_drop]
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path)
+        with self._commit_lock():
+            manifest = self._read_manifest()
+            history = manifest["history"]
+            to_drop = [v for v in history[:-keep_last] if v != manifest["current"]]
+            manifest["history"] = [v for v in history if v not in to_drop]
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path)
         for v in to_drop:
             shutil.rmtree(os.path.join(self.root, v), ignore_errors=True)
         return to_drop
@@ -287,6 +299,37 @@ class ParquetMergeTable:
             )
         else:
             self._write_snapshot(df, expected_version=None)
+
+
+def merge_with_retry(
+    table: ParquetMergeTable,
+    source: DataFrame,
+    keys: Sequence[str],
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> dict:
+    """Optimistic-concurrency retry loop around ``table.merge``.
+
+    ``merge()`` re-reads the current snapshot at entry, and the hash-gated
+    merge is idempotent over re-application (a source row already applied
+    by a previous attempt classifies ``unchanged`` on the next), so a
+    ``ConcurrentWriteError`` is safely handled by just re-running the merge
+    against the new snapshot — the Delta-style serialize-behind-the-winner
+    behavior the reference gets for free from Postgres ON CONFLICT
+    (loader_v2.py:158-207). Bounded: after ``max_retries`` lost races the
+    last ConcurrentWriteError propagates.
+
+    Returns the counters of the WINNING attempt, plus ``attempts``.
+    """
+    last_err: ConcurrentWriteError | None = None
+    for attempt in range(1, max_retries + 2):  # first try + max_retries retries
+        try:
+            out = table.merge(source, keys, **merge_kwargs)
+            out["attempts"] = attempt
+            return out
+        except ConcurrentWriteError as e:
+            last_err = e
+    raise last_err  # pragma: no cover — only under pathological contention
 
 
 def changed_only(

@@ -465,13 +465,24 @@ def a4_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounding step.
 # ---------------------------------------------------------------------------
 _P25_ORACLE = f"""
-WITH props AS ({_PROPS_SQL})
+WITH props AS ({_PROPS_SQL}),
+clamped AS (
+  SELECT prop_id, lon,
+    LEAST(GREATEST(lat, -85.051128779806604e0), 85.051128779806604e0) AS clat
+  FROM props
+),
+proj AS (
+  SELECT prop_id, lon,
+    6378137e0 * radians(lon) AS merc_x,
+    6378137e0 * ln(tan(pi()/4e0 + radians(clat)/2e0)) AS merc_y
+  FROM clamped
+)
 SELECT prop_id,
-  ROUND(6378137e0 * radians(lon), 3) AS merc_x,
-  ROUND(6378137e0 * ln(tan(pi()/4e0 + radians(lat)/2e0)), 3) AS merc_y,
-  ROUND(degrees(2e0 * atan(exp(ln(tan(pi()/4e0 + radians(lat)/2e0)))) - pi()/2e0), 9) AS lat_roundtrip,
-  ROUND(degrees(radians(lon)), 9) AS lon_roundtrip
-FROM props
+  ROUND(merc_x, 3) AS merc_x,
+  ROUND(merc_y, 3) AS merc_y,
+  ROUND(degrees(2e0 * atan(exp(merc_y / 6378137e0)) - pi()/2e0), 9) AS lat_roundtrip,
+  ROUND(degrees(merc_x / 6378137e0), 9) AS lon_roundtrip
+FROM proj
 """
 
 

@@ -38,6 +38,8 @@ def _canon_value(v):
         # counterpart on the other side (compare() float-casts one-sided
         # decimals), so canonical fixed-point strings compare beyond the
         # 16 significant digits a double round-trip would cap us at
+        if v == 0:
+            v = Decimal(0)  # Decimal('-0.00') would keep its sign in 'f' format
         return format(v.normalize(), "f")
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()

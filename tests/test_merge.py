@@ -235,3 +235,65 @@ def test_concurrent_merge_api_conflict(spark, table):
     dirs = {d for d in os.listdir(table.root) if d.startswith("v_")}
     manifest_dirs = set(table._read_manifest()["history"])
     assert dirs == manifest_dirs
+
+
+def test_merge_with_retry_lands_both_writers(spark, table):
+    """VERDICT r2 task 7: on ConcurrentWriteError the retry helper re-reads
+    the fresh snapshot and re-applies the merge — both writers' commits
+    land with no manual intervention."""
+    from unittest.mock import patch
+
+    from etl_stack_spark.operators.merge import merge_with_retry
+
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+
+    real_write = type(table)._write_snapshot
+    state = {"fired": False}
+
+    def racing_write(self, df, expected_version=None, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            other = type(table)(spark, table.root)
+            other.merge(
+                props(spark, [("c9", "p99", "Interloper", "h99", "active")]),
+                keys=["client_id", "external_id"],
+            )
+        return real_write(self, df, expected_version=expected_version, **kw)
+
+    with patch.object(type(table), "_write_snapshot", racing_write):
+        stats = merge_with_retry(
+            table,
+            props(spark, [("c1", "p1", "Casa A v3", "h1c", "active")]),
+            keys=["client_id", "external_id"],
+        )
+    assert stats["attempts"] == 2 and stats["updated"] == 1
+    out = table.read()
+    assert out.filter(F.col("title") == "Interloper").count() == 1
+    assert out.filter(F.col("title") == "Casa A v3").count() == 1
+    # idempotent over re-application: a third run changes nothing
+    stats2 = merge_with_retry(
+        table,
+        props(spark, [("c1", "p1", "Casa A v3", "h1c", "active")]),
+        keys=["client_id", "external_id"],
+    )
+    assert stats2["updated"] == 0 and stats2["unchanged"] >= 1
+
+
+def test_vacuum_under_lock_preserves_concurrent_commit(spark, table):
+    """ADVICE r2: vacuum takes the commit lock, so a committer's manifest
+    append can't interleave with vacuum's manifest rewrite."""
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    dropped = table.vacuum(keep_last=1)
+    assert len(dropped) == 2
+    # manifest and directories stay consistent and the table still commits
+    table.merge(
+        props(spark, [("c1", "p1", "post-vacuum", "hv", "active")]),
+        keys=["client_id", "external_id"],
+    )
+    assert table.read().filter(F.col("title") == "post-vacuum").count() == 1
+    import os
+
+    dirs = {d for d in os.listdir(table.root) if d.startswith("v_")}
+    assert dirs == set(table._read_manifest()["history"])

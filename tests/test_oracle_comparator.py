@@ -37,3 +37,11 @@ def test_decimal_with_nulls_sorts_and_matches():
     a = pd.DataFrame({"v": [Decimal("1.1"), None, Decimal("-2")]})
     b = pd.DataFrame({"v": [None, Decimal("-2.0"), Decimal("1.10")]})
     compare(a, b, "decimal-nulls")
+
+
+def test_decimal_negative_zero_matches_zero():
+    """ADVICE r2: Decimal('-0.00') must canonicalize like Decimal('0') —
+    a SUM landing on -0 on one engine is numerically equal."""
+    a = pd.DataFrame({"v": [Decimal("-0.00")]})
+    b = pd.DataFrame({"v": [Decimal("0")]})
+    compare(a, b, "decimal-negzero")

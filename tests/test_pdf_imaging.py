@@ -105,6 +105,14 @@ def test_non_pdf_and_garbage_degrade_to_empty():
     assert extract_pdf_pages(b"%PDF-1.4\ngarbage with no objects") == []
 
 
+def test_pdf_extract_non_octal_digit_escapes_do_not_crash():
+    """ADVICE r2: \\8 and \\9 are digits but not octal — the spec says
+    unknown escape → drop the backslash, NOT AttributeError."""
+    pdf = build_pdf([b"BT (bad\\8esc\\9here\\055ok) Tj ET"])
+    text = extract_pdf_text(pdf)
+    assert "bad8esc9here-ok" in text
+
+
 # --- P30: provider with OCR fallback ----------------------------------------
 
 def test_pdf_text_or_ocr_batch_fallback_gate():
