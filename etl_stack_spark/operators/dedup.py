@@ -59,23 +59,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
+
+    The join key is ``xxhash64(band_idx, mh_i, …)`` — one 8-byte long —
+    instead of the round-1 ``concat_ws`` string of casted longs (VERDICT
+    r2 task 2: ~5× fewer shuffle bytes per band row at 100 TB). Folding
+    the band index into the hash drops the separate ``band`` join column.
+    A 64-bit collision across bands would only ADD a candidate pair, and
+    candidates are verified against full signatures downstream — it can't
+    lose a true pair.
+    """
     n_bands = N_MINHASH // BAND_SIZE
     bands = []
     for b in range(n_bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"mh{b * BAND_SIZE + j}").cast("string") for j in range(BAND_SIZE)]
+        key = F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
         )
-        bands.append(
-            sigs.select(F.col(id_col), F.lit(b).alias("band"), key.alias("band_key"))
-        )
+        bands.append(sigs.select(F.col(id_col), key.alias("band_key")))
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    left = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    right = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    left = banded.select(F.col(id_col).alias("doc_a"), "band_key")
+    right = banded.select(F.col(id_col).alias("doc_b"), "band_key")
     return (
-        left.join(right, ["band", "band_key"])
+        left.join(right, ["band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
