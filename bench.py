@@ -70,22 +70,25 @@ def load_baseline() -> dict[str, float]:
     import glob
     import re
 
-    best: tuple[int, str] | None = None
+    candidates: list[tuple[int, str]] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), path)
-    if best is None:
-        return {}
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        # driver wrapper nests the parsed line under "parsed"
-        data = data.get("parsed", data)
-        return dict(data.get("queries", {}))
-    except (OSError, json.JSONDecodeError):
-        return {}
+        if m:
+            candidates.append((int(m.group(1)), path))
+    # newest round with a PARSED result wins — a crashed round records
+    # {"parsed": null} (BENCH_r03 did) and must not blank the baseline
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            # driver wrapper nests the parsed line under "parsed"
+            data = data.get("parsed", data)
+            if isinstance(data, dict) and data.get("queries"):
+                return dict(data["queries"])
+        except (OSError, json.JSONDecodeError):
+            continue
+    return {}
 
 
 def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:

@@ -99,9 +99,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanosAsLong surfaces ts as epoch-nanos int64; `div` keeps the
-        # division integral (a double round-trip would lose sub-ms precision)
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (UTC semantics),
+    whatever physical encoding the parquet writer chose.
+
+    Three encodings occur in the wild:
+
+    - TIMESTAMP(NANOS) — Spark has no nanos type; with the ``nanosAsLong``
+      conf it reads as epoch-nanos BIGINT. ``div`` keeps the division
+      integral (a double round-trip would lose sub-ms precision).
+    - timestamp[us/ms] without isAdjustedToUTC — reads as TIMESTAMP_NTZ.
+      The engine declares UTC wall-clock semantics and the session timezone
+      is pinned to UTC, so the cast re-tags the same wall time as an
+      instant with zero value shift.
+    - timestamp[us/ms] with isAdjustedToUTC — already TIMESTAMP; no-op.
+
+    The type gate (rather than a fixed conversion) is what keeps the loader
+    alive when the testdata writer changes encoding between rounds.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -71,3 +71,48 @@ def test_load_tables_registers_converted_events_view(vanilla):
     assert "events" in tables
     row = vanilla.sql("SELECT ts FROM events LIMIT 1").collect()[0]
     assert isinstance(row["ts"], datetime.datetime)
+
+
+def test_events_ts_normalizes_across_parquet_encodings(spark, tmp_path):
+    """The same instants must load identically whatever encoding the
+    testdata writer picked (round-1 AND round-3 both shipped a loader that
+    assumed one encoding; this matrix pins the contract forever).
+
+    - timestamp[ns]          -> TIMESTAMP(NANOS), nanosAsLong reads BIGINT
+    - timestamp[us] naive    -> isAdjustedToUTC=false, reads TIMESTAMP_NTZ
+    - timestamp[us] tz=UTC   -> isAdjustedToUTC=true,  reads TIMESTAMP
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    instants = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+        datetime.datetime(2024, 6, 15, 23, 59, 59, 999999),
+        datetime.datetime(2025, 12, 31, 12, 30, 0, 1),
+    ]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+    }
+    encodings = {
+        "nanos": pa.array(instants, pa.timestamp("ns")),
+        "micros_ntz": pa.array(instants, pa.timestamp("us")),
+        "micros_utc": pa.array(
+            [t.replace(tzinfo=datetime.timezone.utc) for t in instants],
+            pa.timestamp("us", tz="UTC"),
+        ),
+    }
+    results = {}
+    for label, ts_arr in encodings.items():
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}),
+            str(d / "events.parquet"),
+        )
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        results[label] = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert results["nanos"] == instants
+    assert results["micros_ntz"] == instants
+    assert results["micros_utc"] == instants
