@@ -84,6 +84,7 @@ def radius_join(
     salt: int = 1,
     max_lon_cells: int = 64,
     keep_cell_cols: bool = False,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` (which may be a Column,
     e.g. a per-category radius), with the distance attached.
@@ -105,6 +106,21 @@ def radius_join(
     those columns, so a downstream window/agg that leads its partition keys
     with them runs WITHOUT a new exchange — the hook `cell_local_topk`
     (operators/rank.py) uses this for a shuffle-free map-side top-k prune.
+
+    ``spread_partitions`` (default: the cluster's default parallelism)
+    round-robin-repartitions the COMPACT left stream before the cell
+    explode. Why pre-explode and why an explicit count: when the right
+    side broadcasts, join parallelism = left partition count, and a small
+    parquet input pins the whole fan-out to a few tasks. An earlier
+    version repartitioned the EXPLODED stream by cell columns — AQE
+    treats a by-column repartition as coalescible and, seeing only the
+    pre-join bytes (~8 MB at sf0.1), squeezed the 33M-row join+sort stage
+    onto 7 tasks (3-10× slowdown, run-to-run variance from stragglers).
+    An explicit-N round-robin repartition is exempt from AQE coalescing,
+    and shuffling pre-explode moves ~9× fewer bytes. When the right side
+    is large the equi-join reshuffles on the cell keys anyway, and this
+    stays a negligible compact-side shuffle rather than the redundant
+    full-stream exchange the old placement caused. Pass 0 to disable.
     """
     if max_radius_km is None:
         if isinstance(radius_km, (int, float)):
@@ -112,6 +128,11 @@ def radius_join(
         else:
             raise ValueError("max_radius_km required when radius_km is a Column")
     cell_deg = max_radius_km / KM_PER_LAT_DEG
+
+    if spread_partitions is None:
+        spread_partitions = left.sparkSession.sparkContext.defaultParallelism
+    if spread_partitions:
+        left = left.repartition(spread_partitions)
 
     l = with_grid_cell(left, left_lat, left_lon, cell_deg, "l_")
     r = with_grid_cell(right, right_lat, right_lon, cell_deg, "r_")
@@ -146,11 +167,6 @@ def radius_join(
         .withColumn("probe_lon", F.col("l_cell_lon") + F.col("_dj"))
         .drop("_di", "_dj", "_lo_j", "_hi_j")
     )
-    # spread the probe stream across the cluster: when the right side
-    # broadcasts, join parallelism = left partition count, and a small
-    # parquet input otherwise pins the whole 9× fan-out to a few tasks
-    l = l.repartition(F.col("probe_lat"), F.col("probe_lon"))
-
     join_cond = (F.col("probe_lat") == F.col("r_cell_lat")) & (
         F.col("probe_lon") == F.col("r_cell_lon")
     )

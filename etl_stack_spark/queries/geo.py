@@ -217,15 +217,17 @@ def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = matched.select(
         "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
     )
-    # NB: operators/rank.local_topk_prune can pre-shrink the window input
-    # ~10× (lossless); measured SLOWER on local[32] (Arrow transfer of the
-    # 33M-row stream beats the in-memory shuffle it saves) so it stays
-    # opt-in for network-shuffle-bound clusters — see SCALE.md.
+    # k = the max per-category k, NOT 10**9: a concrete small k lets
+    # Catalyst insert a partial WindowGroupLimit BEFORE the rank shuffle —
+    # each task keeps only its local top-k per (prop, category), so the
+    # exchange carries ~k rows per group instead of the full 33M-row match
+    # stream (569 MB -> a few MB at sf0.1). The per-category k (≤ max)
+    # still filters below; pruning at max-k is lossless for it.
     ranked = tiered_top_k(
         matched.withColumn("tier", tier),
         partition_by=["prop_id", "category"],
         order_by=[F.col("tier"), F.col("distance_km"), F.col("quality_score").desc(), F.col("poi_id")],
-        k=10**9,  # filter below on the per-category k column
+        k=max(c["k"] for c in CATEGORIES.values()),
         rank_col="rnk",
     )
     return ranked.filter(F.col("rnk") <= k_col).select(
