@@ -83,7 +83,6 @@ def radius_join(
     distance_col: str = "distance_km",
     salt: int = 1,
     max_lon_cells: int = 64,
-    keep_cell_cols: bool = False,
     spread_partitions: int | None = None,
 ) -> DataFrame:
     """All (left, right) pairs within ``radius_km`` (which may be a Column,
@@ -100,12 +99,6 @@ def radius_join(
     ``max_lon_cells`` caps the per-row longitude probe span (each side) as a
     runaway guard near the poles; at r ≤ 100 km the cap only binds beyond
     ~89.5° latitude (documented domain limit, see module docstring).
-
-    ``keep_cell_cols`` retains the ``probe_lat``/``probe_lon`` join-cell
-    columns in the output. The join output is hash-partitioned on exactly
-    those columns, so a downstream window/agg that leads its partition keys
-    with them runs WITHOUT a new exchange — the hook `cell_local_topk`
-    (operators/rank.py) uses this for a shuffle-free map-side top-k prune.
 
     ``spread_partitions`` (default: the cluster's default parallelism)
     round-robin-repartitions the COMPACT left stream before the cell
@@ -189,10 +182,10 @@ def radius_join(
         .withColumn(distance_col, dist)
         .filter(F.col(distance_col) <= radius_km)
     )
-    drop_cols = ["l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon", "_dlon_max"]
-    if not keep_cell_cols:
-        drop_cols += ["probe_lat", "probe_lon"]
-    return out.drop(*drop_cols)
+    return out.drop(
+        "l_cell_lat", "l_cell_lon", "r_cell_lat", "r_cell_lon",
+        "probe_lat", "probe_lon", "_dlon_max",
+    )
 
 
 def radius_join_by_category(
@@ -205,21 +198,12 @@ def radius_join_by_category(
     right_lat: str = "poi_lat",
     right_lon: str = "poi_lon",
     distance_col: str = "distance_km",
-    piece_fn=None,
 ) -> DataFrame:
     """Per-category radius join with a grid sized to EACH category's radius
     (not the global max): a 3 km category probes 3 km cells, shrinking its
     candidate set ~(max_r/r)² versus one shared coarse grid. One
     radius_join per category (small config), unioned — each is an
     independent shuffle stage, so AQE sizes them separately.
-
-    ``piece_fn(piece_df, category) -> DataFrame`` runs on each category's
-    joined stream BEFORE the union, while the stream is still hash-
-    partitioned on its ``probe_lat``/``probe_lon`` cell keys (the union
-    discards partitioning info, so any co-partitioning-exploiting step —
-    e.g. the shuffle-free `cell_local_topk` prune — must happen here). The
-    callback must drop/keep the cell columns itself; when it is None the
-    cell columns are dropped as before.
     """
     out = None
     for cat, r in radii_km.items():
@@ -229,10 +213,7 @@ def radius_join_by_category(
             left_lat, left_lon, right_lat, right_lon,
             radius_km=float(r),
             distance_col=distance_col,
-            keep_cell_cols=piece_fn is not None,
         )
-        if piece_fn is not None:
-            piece = piece_fn(piece, cat)
         out = piece if out is None else out.unionByName(piece)
     return out
 

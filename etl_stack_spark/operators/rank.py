@@ -45,53 +45,17 @@ def tiered_top_k(
     order_by MUST end with a unique tie-break column for deterministic
     output (reference relies on Postgres' stable-enough ordering; Spark has
     no stable row order, so we make determinism explicit).
+
+    Pass the smallest concrete ``k`` the caller can tolerate — a real
+    bound (not 10**9) lets Catalyst insert a partial WindowGroupLimit
+    before the rank shuffle, so each task ships at most k rows per group
+    instead of its full match stream (569 MB -> a few MB on the sf0.1
+    lead-prep rank; 21.5s -> 9.0s). This built-in map-side prune is why
+    the engine carries no hand-rolled pandas partial-top-k operator.
     """
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     out = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
     return out if keep_rank else out.drop(rank_col)
-
-
-def local_topk_prune(
-    df: DataFrame,
-    group_cols: list[str],
-    order_spec: list[tuple[str, bool]],
-    k: int,
-) -> DataFrame:
-    """Map-side partial top-k: within each PARTITION, keep only the best
-    ``k`` rows per group under ``order_spec`` [(col, ascending), ...].
-
-    Lossless for a subsequent grouped row_number≤k under the same
-    ordering (any row outside a partition-local top-k can never be in the
-    global top-k). Purpose: shrink the window's shuffle input — a group
-    spread over P partitions sends ≤ P·k rows instead of all matches.
-    Arrow-batched pandas does the partition-local work (vectorized sort +
-    groupby-head); at cluster scale the shuffle bytes saved dwarf the
-    Python pass.
-
-    Null ordering matches Spark's window semantics exactly (NULLS FIRST
-    for ascending keys, NULLS LAST for descending) — pandas' single
-    ``na_position`` can't express that per key, so the sort is applied as
-    a chain of stable single-key sorts from the minor key up.
-    """
-    out_schema = df.schema
-
-    def prune(batches):
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf
-                continue
-            # lexicographic sort = stable sorts minor-to-major; Spark
-            # ascending ⇒ NULLS FIRST, descending ⇒ NULLS LAST
-            for col, asc in reversed(order_spec):
-                pdf = pdf.sort_values(
-                    col,
-                    ascending=asc,
-                    kind="mergesort",
-                    na_position="first" if asc else "last",
-                )
-            yield pdf.groupby(group_cols, sort=False).head(k)
-
-    return df.mapInPandas(prune, schema=out_schema)
 
 
 def top_1_per_group(

@@ -324,41 +324,22 @@ def test_geohash_encode_public_vectors(spark):
     assert all(long["g"].startswith(short["g"]) for long, short in zip(g11, g5))
 
 
-def test_local_topk_prune_is_lossless(spark):
-    """prune → window top-k must equal window top-k without the prune."""
-    from etl_stack_spark.operators.rank import local_topk_prune, tiered_top_k
+def test_tiered_topk_concrete_k_gets_partial_window_group_limit(spark):
+    """A concrete small k must produce a map-side partial WindowGroupLimit
+    BEFORE the rank exchange (the built-in prune that replaced the old
+    hand-rolled pandas local_topk_prune operator). If this shape ever
+    disappears — e.g. a caller reverts to k=10**9-then-filter — the rank
+    shuffle carries the full match stream again (569 MB at sf0.1 on the
+    lead-prep rank, a measured 2.4x slowdown)."""
+    from etl_stack_spark.operators.rank import tiered_top_k
 
     df = spark.createDataFrame(
         [(g, i, float((i * 37) % 100)) for g in range(20) for i in range(50)],
         "g int, i int, score double",
     ).repartition(8)
-    order = [F.col("score").desc(), F.col("i")]
-    direct = tiered_top_k(df, ["g"], order, k=3, keep_rank=False)
-    pruned = local_topk_prune(df, ["g"], [("score", False), ("i", True)], k=3)
-    via_prune = tiered_top_k(pruned, ["g"], order, k=3, keep_rank=False)
-    assert direct.exceptAll(via_prune).isEmpty() and via_prune.exceptAll(direct).isEmpty()
-
-
-def test_local_topk_prune_lossless_with_null_order_keys(spark):
-    """ADVICE round 1: ascending Spark windows put NULLS FIRST; the prune
-    must keep null-key rows that belong to the global top-k."""
-    from etl_stack_spark.operators.rank import local_topk_prune, tiered_top_k
-
-    rows = []
-    for g in range(10):
-        for i in range(40):
-            score = None if (i * 7 + g) % 5 == 0 else float((i * 37 + g) % 100)
-            rows.append((g, i, score))
-    df = spark.createDataFrame(rows, "g int, i int, score double").repartition(8)
-    for order, spec in [
-        ([F.col("score").asc(), F.col("i")], [("score", True), ("i", True)]),
-        ([F.col("score").desc(), F.col("i")], [("score", False), ("i", True)]),
-    ]:
-        direct = tiered_top_k(df, ["g"], order, k=3, keep_rank=False)
-        via = tiered_top_k(
-            local_topk_prune(df, ["g"], spec, k=3), ["g"], order, k=3, keep_rank=False
-        )
-        assert direct.exceptAll(via).isEmpty() and via.exceptAll(direct).isEmpty()
+    topk = tiered_top_k(df, ["g"], [F.col("score").desc(), F.col("i")], k=3)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
 
 
 def test_classify_poi_two_strategy_with_veto(spark):
