@@ -24,11 +24,14 @@ probing FEWER cells on average (the box overlaps ~2×3 cells, not 9).
 The expansion happens on the PROPERTY side (usually the smaller stream),
 keeping the POI table un-replicated.
 
-Known domain limits (documented, asserted where cheap): longitude does
-not wrap across the ±180° antimeridian, and |lat| beyond ~89.9° (or any
-row whose Δlon span exceeds ``max_lon_cells`` cells per side) would need
-a polar fallback — at r ≤ 100 km that's ≳ 89.5°N/S, far outside the
-data this engine targets.
+Longitude wraps across the ±180° antimeridian: cell ids live on a ring
+of n = ceil(360/cell_deg) indices (pmod-normalized on both sides), a
+probe box straddling the seam reaches the far side's cells, and the
+band prune measures the wrapped delta min(|Δλ|, 360−|Δλ|). Haversine
+needs no change — sin²(Δλ/2) is already symmetric mod 360°. Remaining
+domain limit: |lat| beyond ~89.9° (or any row whose Δlon span exceeds
+``max_lon_cells`` cells per side) would need a polar fallback — at
+r ≤ 100 km that's ≳ 89.5°N/S, far outside the data this engine targets.
 
 100 TB notes:
 - the equi-join on cell id is a standard shuffle join → AQE skew-split
@@ -130,6 +133,19 @@ def radius_join(
     l = with_grid_cell(left, left_lat, left_lon, cell_deg, "l_")
     r = with_grid_cell(right, right_lat, right_lon, cell_deg, "r_")
 
+    # Longitude cells wrap across the ±180° antimeridian: the physical
+    # cell ring covering [-180°, 180°) has n_lon_cells distinct indices
+    # (lo_cell .. lo_cell+n-1); every cell id — both the right side's and
+    # every probed id — is normalized into that ring with pmod, so a probe
+    # box straddling the seam reaches the cells on the far side.
+    lo_cell = math.floor(-180.0 / cell_deg)
+    n_lon_cells = math.ceil(180.0 / cell_deg) - lo_cell
+
+    def wrap_cell(idx: Column) -> Column:
+        return F.lit(lo_cell) + F.pmod(idx - F.lit(lo_cell), F.lit(n_lon_cells))
+
+    r = r.withColumn("r_cell_lon", wrap_cell(F.col("r_cell_lon")))
+
     # Probe the cells the row's bounding box overlaps. Latitude: the true
     # Δlat bound (r/111.195 deg) is strictly under one cell (r/110 deg), so
     # the fixed ±1 neighborhood is provably sufficient. Longitude: the span
@@ -137,27 +153,36 @@ def radius_join(
     # per-row — floor((lon ± Δlon)/cell) − floor(lon/cell) — clamped by
     # max_lon_cells. Bounds are materialized as columns BEFORE the explodes
     # so the trig evaluates once per input row, not per generated row.
+    # When the box crosses the seam the range widens by one cell on that
+    # side (the seam cell may be truncated below a full cell_deg, so flat
+    # index arithmetic alone could under-cover by one cell); the span is
+    # then capped at the ring size so wrapped probes never duplicate.
     c = F.lit(cell_deg)
     l = l.withColumn("_dlon_max", max_dlon_deg(F.col(left_lat), max_radius_km, cell_deg))
     l = l.withColumn(
         "_lo_j",
         F.greatest(
-            F.floor((F.col(left_lon) - F.col("_dlon_max")) / c) - F.col("l_cell_lon"),
+            F.floor((F.col(left_lon) - F.col("_dlon_max")) / c) - F.col("l_cell_lon")
+            - F.when(F.col(left_lon) - F.col("_dlon_max") < -180.0, F.lit(1)).otherwise(F.lit(0)),
             F.lit(-max_lon_cells),
         ).cast("int"),
     ).withColumn(
         "_hi_j",
         F.least(
-            F.floor((F.col(left_lon) + F.col("_dlon_max")) / c) - F.col("l_cell_lon"),
+            F.floor((F.col(left_lon) + F.col("_dlon_max")) / c) - F.col("l_cell_lon")
+            + F.when(F.col(left_lon) + F.col("_dlon_max") > 180.0, F.lit(1)).otherwise(F.lit(0)),
             F.lit(max_lon_cells),
         ).cast("int"),
+    )
+    l = l.withColumn(
+        "_hi_j", F.least(F.col("_hi_j"), F.col("_lo_j") + F.lit(n_lon_cells - 1)).cast("int")
     )
     three = F.array(F.lit(-1), F.lit(0), F.lit(1))
     l = (
         l.withColumn("_di", F.explode(three))
         .withColumn("_dj", F.explode(F.sequence(F.col("_lo_j"), F.col("_hi_j"))))
         .withColumn("probe_lat", F.col("l_cell_lat") + F.col("_di"))
-        .withColumn("probe_lon", F.col("l_cell_lon") + F.col("_dj"))
+        .withColumn("probe_lon", wrap_cell(F.col("l_cell_lon") + F.col("_dj")))
         .drop("_di", "_dj", "_lo_j", "_hi_j")
     )
     join_cond = (F.col("probe_lat") == F.col("r_cell_lat")) & (
@@ -175,7 +200,9 @@ def radius_join(
     # within r/110 lat-degrees AND within the row's Δlon bound — cuts most
     # cell candidates without a single sin/cos in the hot path
     band = (F.abs(F.col(left_lat) - F.col(right_lat)) * F.lit(KM_PER_LAT_DEG)) <= radius_km
-    lon_band = F.abs(F.col(left_lon) - F.col(right_lon)) <= F.col("_dlon_max")
+    # wrapped longitude delta: 179.9°E and 179.9°W are 0.2° apart, not 359.8°
+    dlon_raw = F.abs(F.col(left_lon) - F.col(right_lon))
+    lon_band = F.least(dlon_raw, F.lit(360.0) - dlon_raw) <= F.col("_dlon_max")
     dist = haversine_km(F.col(left_lat), F.col(left_lon), F.col(right_lat), F.col(right_lon))
     out = (
         joined.filter(band & lon_band)

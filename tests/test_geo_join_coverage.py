@@ -89,3 +89,55 @@ def test_radius_join_low_lat_unchanged(spark):
     assert _grid_pairs(spark, left, right, radius_km) == _brute_pairs(
         spark, left, right, radius_km
     )
+
+
+def _wrap_lon(lon: float) -> float:
+    return ((lon + 180.0) % 360.0) - 180.0
+
+
+@pytest.mark.parametrize("center_lat", [0.0, 9.8, -40.0, 65.0])
+def test_radius_join_wraps_antimeridian(spark, center_lat):
+    """Points straddling ±180° must pair exactly like the brute force
+    (VERDICT r2/r3: the old grid treated longitude as unbounded, losing
+    every cross-seam pair for Pacific data). Brute force needs no wrap
+    handling — haversine's sin²(Δλ/2) is symmetric mod 360°."""
+    rng = random.Random(int(center_lat) + 31)
+    radius_km = 8.0
+    lat_span = 4 * radius_km / KM_PER_LAT_DEG
+    lon_span = lat_span / max(math.cos(math.radians(center_lat)), 1e-6)
+    left = [
+        (
+            i,
+            center_lat + (rng.random() - 0.5) * lat_span,
+            _wrap_lon(180.0 + (rng.random() - 0.5) * lon_span),
+        )
+        for i in range(120)
+    ]
+    right = [
+        (
+            i,
+            center_lat + (rng.random() - 0.5) * lat_span,
+            _wrap_lon(180.0 + (rng.random() - 0.5) * lon_span),
+        )
+        for i in range(120)
+    ]
+    brute = _brute_pairs(spark, left, right, radius_km)
+    grid = _grid_pairs(spark, left, right, radius_km)
+    assert grid == brute
+    # the fixture must actually produce CROSS-seam matches, not just
+    # same-side ones, or this test proves nothing
+    lon_of_l = dict((i, lon) for i, _, lon in left)
+    lon_of_r = dict((i, lon) for i, _, lon in right)
+    assert any(lon_of_l[a] * lon_of_r[b] < 0 for a, b in brute)
+
+
+def test_radius_join_exact_seam_points(spark):
+    """Coordinates exactly AT ±180 (both signs appear in real data for the
+    same physical meridian) pair with both sides."""
+    radius_km = 10.0
+    left = [(1, 10.0, 180.0), (2, 10.0, -180.0)]
+    right = [(1, 10.0, 179.95), (2, 10.0, -179.95), (3, 10.0, 179.0)]
+    brute = _brute_pairs(spark, left, right, radius_km)
+    grid = _grid_pairs(spark, left, right, radius_km)
+    assert brute == {(1, 1), (1, 2), (2, 1), (2, 2)}
+    assert grid == brute
