@@ -125,21 +125,30 @@ def mock_ocr(content_hash: pd.Series) -> pd.Series:
 def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
     """P31 real transcode: decode → bound longest side by ``max_dim`` →
     re-encode (reference resizes + re-encodes WebP q=80,
-    image_base_provider.py:94-106). The working codec is binary PPM (P6),
-    implemented in pure numpy (functions/imaging.py) — no PIL in this
-    container; JPEG/WebP payloads raise instead of pretending."""
-    from etl_stack_spark.functions.imaging import PPM_MAGIC, transcode_ppm
+    image_base_provider.py:94-106). Working codecs: binary PPM (P6) and
+    PNG (8-bit non-interlaced), both pure numpy/zlib
+    (functions/imaging.py) — no PIL in this container; JPEG/WebP
+    payloads raise instead of pretending."""
+    from etl_stack_spark.functions.imaging import (
+        PNG_MAGIC,
+        PPM_MAGIC,
+        transcode_png,
+        transcode_ppm,
+    )
 
     def one(b):
         if b is None:
             return None
         data = bytes(b)
-        if not data.startswith(PPM_MAGIC):
+        if data.startswith(PPM_MAGIC):
+            out, _, _ = transcode_ppm(data, max_dim=max_dim)
+        elif data.startswith(PNG_MAGIC):
+            out, _, _ = transcode_png(data, max_dim=max_dim)
+        else:
             raise NotImplementedError(
-                "only PPM(P6) decodes in this environment (no PIL/libwebp); "
-                "plug a codec-backed provider for JPEG/WebP payloads"
+                "only PPM(P6) and PNG decode in this environment (no "
+                "PIL/libwebp); plug a codec-backed provider for JPEG/WebP"
             )
-        out, _, _ = transcode_ppm(data, max_dim=max_dim)
         return out
 
     return content.map(one)

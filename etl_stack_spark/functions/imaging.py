@@ -1,17 +1,23 @@
-"""Pure-numpy image codec + resize — the REAL engine behind the P31
+"""Pure-numpy image codecs + resize — the REAL engine behind the P31
 transcode provider (reference:
 `/root/reference/src/ETL_IMAGES/providers/image_base_provider.py:94-106`
 resizes and re-encodes to WebP q=80 via PIL; PIL/libwebp are absent in
-this container, so the real codec here is binary PPM (P6) — a complete
-decode → resample → encode path with the identical provider interface.
-JPEG/WebP payloads raise with a clear message rather than faking it).
+this container, so the real codecs here are binary PPM (P6) and PNG
+(8-bit gray/gray+alpha/RGB/RGBA, non-interlaced — pure zlib+numpy,
+all five scanline filters on decode) — complete decode → resample →
+re-encode paths with the identical provider interface. JPEG/WebP
+payloads raise with a clear message rather than faking it.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 PPM_MAGIC = b"P6"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
@@ -50,11 +56,157 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def resize_rgb(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Deterministic nearest-neighbor resample (pixel-center mapping)."""
+    """Deterministic nearest-neighbor resample (pixel-center mapping).
+    Channel-count agnostic: works for (H, W, C) with any C."""
     h, w, _ = arr.shape
     rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
     cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
     return arr[rows][:, cols]
+
+
+# --- PNG (8-bit, non-interlaced; color types 0/2/4/6) -----------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+_PNG_COLOR_TYPE = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8, C per color type (1/2/3/4). Supports 8-bit
+    non-interlaced images with all five scanline filters; palette (type 3),
+    16-bit, and Adam7 payloads raise — decoding those would need tables
+    this engine has no caller for."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_MAGIC), None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel payload size mismatch")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, np.uint8, stride, base + 1)
+        if ftype == 0:  # None
+            rec = row.copy()
+        elif ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            # uint8 accumulate wraps mod 256 — exactly PNG's arithmetic
+            rec = np.add.accumulate(
+                row.reshape(w, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            left = np.zeros(channels, dtype=np.uint16)
+            rowp = row.reshape(w, channels)
+            prevp = prev.reshape(w, channels).astype(np.uint16)
+            recp = rec.reshape(w, channels)
+            for x in range(w):
+                left = (rowp[x] + ((left + prevp[x]) >> 1)).astype(np.uint8)
+                recp[x] = left
+                left = left.astype(np.uint16)
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            rowp = row.reshape(w, channels)
+            prevp = prev.reshape(w, channels).astype(np.int16)
+            recp = rec.reshape(w, channels)
+            left = np.zeros(channels, dtype=np.int16)
+            upleft = np.zeros(channels, dtype=np.int16)
+            for x in range(w):
+                up = prevp[x]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                cur = (rowp[x] + pred.astype(np.uint8)).astype(np.uint8)
+                recp[x] = cur
+                upleft = up
+                left = cur.astype(np.int16)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, C) uint8 (C ∈ 1/2/3/4) → PNG. ``filter_type`` applies one
+    filter to every scanline — 0 (None) for the fast path; 1/2 exist so
+    tests can exercise the decoder's unfilter branches with payloads this
+    module did not itself unfilter."""
+    if arr.ndim != 3 or arr.dtype != np.uint8 or arr.shape[2] not in _PNG_COLOR_TYPE:
+        raise ValueError("encode_png wants (H, W, 1|2|3|4) uint8")
+    h, w, channels = arr.shape
+    flat = arr.reshape(h, w * channels)
+    if filter_type == 0:
+        filtered = [flat[y].tobytes() for y in range(h)]
+    elif filter_type == 1:  # Sub
+        shifted = np.zeros_like(arr)
+        shifted[:, 1:] = arr[:, :-1]
+        filtered = [(arr[y] - shifted[y]).reshape(-1).tobytes() for y in range(h)]
+    elif filter_type == 2:  # Up
+        up = np.zeros_like(flat)
+        up[1:] = flat[:-1]
+        filtered = [(flat[y] - up[y]).tobytes() for y in range(h)]
+    else:
+        raise ValueError("encode_png supports filter types 0, 1, 2")
+    body = b"".join(bytes([filter_type]) + line for line in filtered)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[channels], 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def transcode_png(data: bytes, max_dim: int = 512) -> tuple[bytes, int, int]:
+    """Decode → bound the longest side by ``max_dim`` (aspect preserved,
+    never upscales) → re-encode, preserving the channel count. Returns
+    (bytes, out_w, out_h) — the PNG twin of ``transcode_ppm``."""
+    arr = decode_png(data)
+    h, w, _ = arr.shape
+    scale = min(1.0, max_dim / max(h, w))
+    out_w, out_h = max(1, round(w * scale)), max(1, round(h * scale))
+    if (out_w, out_h) != (w, h):
+        arr = resize_rgb(arr, out_w, out_h)
+    return encode_png(arr), out_w, out_h
 
 
 def transcode_ppm(data: bytes, max_dim: int = 512) -> tuple[bytes, int, int]:

@@ -226,3 +226,134 @@ def test_transcode_refuses_unknown_codec():
     jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="PPM"):
         transcode_image_batch(pd.Series([jpeg_magic]))
+
+
+# --- P31: PNG codec ----------------------------------------------------------
+
+def make_png(w: int, h: int, channels: int = 3, seed: int = 0, filter_type: int = 0) -> bytes:
+    from etl_stack_spark.functions.imaging import encode_png
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, channels), dtype=np.uint8).astype(np.uint8)
+    return encode_png(arr, filter_type=filter_type)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(channels):
+    from etl_stack_spark.functions.imaging import decode_png, encode_png
+
+    rng = np.random.RandomState(channels)
+    arr = rng.randint(0, 256, size=(5, 7, channels), dtype=np.uint8).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_png_decode_unfilters_encoder_filters(filter_type):
+    """Sub/Up-filtered payloads decode to the same pixels as filter-None —
+    exercises the decoder's unfilter branches against independent input."""
+    from etl_stack_spark.functions.imaging import decode_png
+
+    rng = np.random.RandomState(9)
+    w, h = 11, 6
+    plain = make_png(w, h, 3, seed=9, filter_type=0)
+    filtered = make_png(w, h, 3, seed=9, filter_type=filter_type)
+    assert np.array_equal(decode_png(filtered), decode_png(plain))
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Hand-build rows with filter types 3 (Average) and 4 (Paeth) from
+    known pixels, applying the RFC 2083 filter functions independently of
+    the decoder, and check exact recovery."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from etl_stack_spark.functions.imaging import PNG_MAGIC, decode_png
+    from etl_stack_spark.functions.imaging import _png_chunk  # test-only reach-in
+
+    rng = np.random.RandomState(3)
+    h, w, c = 4, 5, 3
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).astype(np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else cc
+
+    body = bytearray()
+    for y in range(h):
+        ftype = 3 if y % 2 == 0 else 4
+        body.append(ftype)
+        for x in range(w):
+            for ch in range(c):
+                cur = int(img[y, x, ch])
+                left = int(img[y, x - 1, ch]) if x > 0 else 0
+                up = int(img[y - 1, x, ch]) if y > 0 else 0
+                ul = int(img[y - 1, x - 1, ch]) if (x > 0 and y > 0) else 0
+                pred = (left + up) // 2 if ftype == 3 else paeth(left, up, ul)
+                body.append((cur - pred) % 256)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img.astype(np.uint8))
+
+
+def test_png_transcode_bounds_and_preserves_channels():
+    from etl_stack_spark.functions.imaging import decode_png, transcode_png
+
+    out, w, h = transcode_png(make_png(800, 200, 4, seed=4), max_dim=400)
+    assert (w, h) == (400, 100)
+    assert decode_png(out).shape == (100, 400, 4)
+    small = make_png(60, 40, 1, seed=5)
+    out2, w2, h2 = transcode_png(small, max_dim=512)
+    assert (w2, h2) == (60, 40)
+    assert decode_png(out2).shape == (40, 60, 1)
+
+
+def test_png_rejects_unsupported_variants():
+    from etl_stack_spark.functions.imaging import decode_png, encode_png
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_png(arr)
+    # palette color type
+    bad_palette = bytearray(good)
+    bad_palette[8 + 8 + 9] = 3  # IHDR color type byte
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(bad_palette))
+    # 16-bit depth
+    bad_depth = bytearray(good)
+    bad_depth[8 + 8 + 8] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_depth))
+    # Adam7 interlace
+    bad_inter = bytearray(good)
+    bad_inter[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad_inter))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + b"\x00" * 20)
+
+
+def test_transcode_image_batch_accepts_png_and_ppm_mixed(spark):
+    from etl_stack_spark.ai import transcode_image_batch
+    from etl_stack_spark.functions.imaging import decode_png
+
+    rows = [(1, make_ppm(300, 100, seed=1)), (2, make_png(100, 700, 3, seed=2))]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "content": transcode_image_batch(pdf["content"], max_dim=256)}
+            )
+
+    out = df.mapInPandas(run, schema="media_id int, content binary").collect()
+    by_id = {r["media_id"]: bytes(r["content"]) for r in out}
+    assert decode_ppm(by_id[1]).shape == (85, 256, 3)
+    assert decode_png(by_id[2]).shape == (256, 37, 3)
