@@ -159,15 +159,105 @@ def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
 OCR_FALLBACK_MIN_CHARS = 50  # reference processor.py:52 quality check
 
 
-def pdf_text_or_ocr_batch(content: pd.Series) -> pd.DataFrame:
+def ocr_capabilities() -> dict[str, bool]:
+    """Probe the host for the real OCR toolchain — the same pair the
+    reference leans on (processor.py:46-76 uses pdf2image, which shells
+    out to poppler's pdftoppm, then pytesseract)."""
+    import shutil
+
+    return {
+        "tesseract": shutil.which("tesseract") is not None,
+        "pdftoppm": shutil.which("pdftoppm") is not None,
+    }
+
+
+def select_ocr_provider(name: str | None = None) -> str:
+    """Capability-based provider selection: 'tesseract' when the binary is
+    on PATH, else 'mock'. An explicit ``name`` overrides the probe (so
+    tests can pin either path); asking for tesseract on a host without it
+    is an error, not a silent mock."""
+    if name is None:
+        return "tesseract" if ocr_capabilities()["tesseract"] else "mock"
+    if name == "tesseract" and not ocr_capabilities()["tesseract"]:
+        raise RuntimeError("ocr provider 'tesseract' requested but binary not on PATH")
+    if name not in ("tesseract", "mock"):
+        raise ValueError(f"unknown ocr provider {name!r}")
+    return name
+
+
+def _mock_ocr_text(data: bytes) -> str:
+    """Deterministic pseudo-text keyed on the payload hash (same recipe as
+    the mock_ocr UDF) — byte-reproducible, oracle-friendly."""
+    h = hashlib.sha256(data).hexdigest()
+    return " ".join(f"w{x}" for x in _hash_ints(h.encode("utf-8"), 24, 997))
+
+
+def _tesseract_image(data: bytes) -> str:
+    """Run the system tesseract on one PPM/PNG payload via stdin/stdout —
+    no temp files, one subprocess per page like pytesseract."""
+    import subprocess
+
+    proc = subprocess.run(
+        ["tesseract", "stdin", "stdout", "--psm", "6"],
+        input=data,
+        capture_output=True,
+        check=True,
+    )
+    return proc.stdout.decode("utf-8", "replace").strip()
+
+
+def _rasterize_pdf(data: bytes) -> list[bytes]:
+    """PDF → per-page PPM bytes via poppler's pdftoppm (what the
+    reference's pdf2image shells out to). Requires the binary."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/doc.pdf"
+        with open(src, "wb") as f:
+            f.write(data)
+        subprocess.run(
+            ["pdftoppm", "-r", "150", src, f"{d}/page"], capture_output=True, check=True
+        )
+        import glob
+
+        pages = []
+        for path in sorted(glob.glob(f"{d}/page-*.ppm")):
+            with open(path, "rb") as f:
+                pages.append(f.read())
+        return pages
+
+
+def ocr_document(data: bytes, provider: str) -> str:
+    """OCR one payload with the selected provider. The real path handles
+    image payloads (PPM/PNG) directly and PDF payloads through pdftoppm
+    rasterization; a PDF on a host with tesseract but no poppler degrades
+    to the mock rather than crashing the Spark task (the capability that
+    is actually missing is the rasterizer, not OCR)."""
+    if provider == "mock":
+        return _mock_ocr_text(data)
+    from etl_stack_spark.functions.imaging import PNG_MAGIC, PPM_MAGIC
+
+    if data.startswith((PPM_MAGIC, PNG_MAGIC)):
+        return _tesseract_image(data)
+    if data.startswith(b"%PDF") and ocr_capabilities()["pdftoppm"]:
+        return "\n\n".join(_tesseract_image(p) for p in _rasterize_pdf(data)).strip()
+    return _mock_ocr_text(data)
+
+
+def pdf_text_or_ocr_batch(content: pd.Series, ocr_provider: str | None = None) -> pd.DataFrame:
     """P30 real path: pure-Python text-layer extraction
     (functions/pdf.py); pages join with blank lines so
     plans.documents_flow.explode_pages re-splits them. Documents whose
-    text layer is thinner than 50 chars fall back to the OCR provider
-    (mock here — tesseract absent), exactly the reference's quality gate
-    (processor.py:46-57). Returns columns (text, n_pages, used_ocr)."""
+    text layer is thinner than 50 chars fall back to OCR, exactly the
+    reference's quality gate (processor.py:46-57). The OCR provider is
+    chosen by capability probe (``select_ocr_provider``): the system
+    tesseract when present, the deterministic mock otherwise; pass
+    ``ocr_provider`` to pin one. Returns columns (text, n_pages,
+    used_ocr)."""
     from etl_stack_spark.functions.pdf import extract_pdf_pages
 
+    provider = select_ocr_provider(ocr_provider)
     texts, n_pages, used_ocr = [], [], []
     for b in content:
         if b is None:
@@ -179,9 +269,7 @@ def pdf_text_or_ocr_batch(content: pd.Series) -> pd.DataFrame:
         pages = extract_pdf_pages(data)
         text = "\n\n".join(pages).strip()
         if len(text) < OCR_FALLBACK_MIN_CHARS:
-            h = hashlib.sha256(data).hexdigest()
-            words = [f"w{x}" for x in _hash_ints(h.encode("utf-8"), 24, 997)]
-            texts.append(" ".join(words))
+            texts.append(ocr_document(data, provider))
             n_pages.append(max(len(pages), 1))
             used_ocr.append(True)
         else:

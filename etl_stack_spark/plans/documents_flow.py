@@ -22,15 +22,20 @@ DOC_TEXT_SCHEMA = "content_id string, text string, n_pages int, used_ocr boolean
 
 
 def extract_document_text(docs: DataFrame, id_col: str = "content_id",
-                          content_col: str = "content") -> DataFrame:
+                          content_col: str = "content",
+                          ocr_provider: str | None = None) -> DataFrame:
     """P30 stage: (id, pdf bytes) → (id, text, n_pages, used_ocr) via the
-    real pure-Python text-layer extractor, mock-OCR fallback for thin text
-    layers. Arrow-batched mapInPandas — stateless map-side work, no
-    shuffle; at 100 TB this stage scales with input splits alone."""
+    real pure-Python text-layer extractor, OCR fallback for thin text
+    layers (capability-probed: system tesseract when present, else the
+    deterministic mock — ai.select_ocr_provider; ``ocr_provider`` pins
+    one). Arrow-batched mapInPandas — stateless map-side work, no
+    shuffle; at 100 TB this stage scales with input splits alone. The
+    probe runs INSIDE the task (each executor probes its own host, which
+    is the correct semantics on a heterogeneous cluster)."""
 
     def run(batches):
         for pdf in batches:
-            out = pdf_text_or_ocr_batch(pdf[content_col])
+            out = pdf_text_or_ocr_batch(pdf[content_col], ocr_provider=ocr_provider)
             out.insert(0, "content_id", pdf[id_col].values)
             yield out
 

@@ -130,9 +130,21 @@ def test_pdf_text_or_ocr_batch_fallback_gate():
     assert again["text"][0] == out["text"][1]
 
 
-def test_doc_flow_e2e_with_real_provider(spark, tmp_path):
+def _available_ocr_providers():
+    from etl_stack_spark.ai import ocr_capabilities
+
+    providers = ["mock"]
+    if ocr_capabilities()["tesseract"]:
+        providers.append("tesseract")
+    return providers
+
+
+@pytest.mark.parametrize("provider", _available_ocr_providers())
+def test_doc_flow_e2e_with_real_provider(spark, tmp_path, provider):
     """Round-1 review item: the doc flow must run with the NON-mock text
-    provider — binary PDFs → extract → page explode → hash-gated embed."""
+    provider — binary PDFs → extract → page explode → hash-gated embed.
+    Parameterized over every OCR provider the host supports (the real
+    tesseract leg appears automatically on hosts that have the binary)."""
     from etl_stack_spark.operators.merge import ParquetMergeTable
     from etl_stack_spark.plans.documents_flow import (
         embed_changed_chunks,
@@ -147,7 +159,7 @@ def test_doc_flow_e2e_with_real_provider(spark, tmp_path):
         ("doc_b", build_pdf([b"q /Im0 Do Q"])),  # scanned → OCR fallback
     ]
     docs = spark.createDataFrame(pdfs, "content_id string, content binary")
-    extracted = extract_document_text(docs)
+    extracted = extract_document_text(docs, ocr_provider=provider)
     rows = {r["content_id"]: r for r in extracted.collect()}
     assert rows["doc_a"]["used_ocr"] is False and rows["doc_a"]["n_pages"] == 2
     assert rows["doc_b"]["used_ocr"] is True
@@ -357,3 +369,45 @@ def test_transcode_image_batch_accepts_png_and_ppm_mixed(spark):
     by_id = {r["media_id"]: bytes(r["content"]) for r in out}
     assert decode_ppm(by_id[1]).shape == (85, 256, 3)
     assert decode_png(by_id[2]).shape == (256, 37, 3)
+
+
+# --- P30: OCR provider registry ----------------------------------------------
+
+def test_select_ocr_provider_probes_capability():
+    from etl_stack_spark.ai import ocr_capabilities, select_ocr_provider
+
+    caps = ocr_capabilities()
+    auto = select_ocr_provider()
+    assert auto == ("tesseract" if caps["tesseract"] else "mock")
+    assert select_ocr_provider("mock") == "mock"
+    with pytest.raises(ValueError, match="unknown ocr provider"):
+        select_ocr_provider("gpt-ocr")
+    if not caps["tesseract"]:
+        # asking for the real engine on a host without it is an ERROR,
+        # never a silent mock substitution
+        with pytest.raises(RuntimeError, match="not on PATH"):
+            select_ocr_provider("tesseract")
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("tesseract"), reason="tesseract binary not on PATH"
+)
+def test_tesseract_provider_real_engine_on_image():
+    """Real-engine smoke: a blank raster OCRs to empty text (exercises the
+    stdin/stdout subprocess path end-to-end, no temp files)."""
+    from etl_stack_spark.ai import ocr_document
+
+    blank = encode_ppm(np.full((64, 256, 3), 255, dtype=np.uint8))
+    out = ocr_document(blank, "tesseract")
+    assert isinstance(out, str)
+
+
+def test_ocr_document_pdf_degrades_to_mock_without_rasterizer():
+    """A PDF payload on a host with tesseract but no poppler must yield
+    the deterministic mock text, not crash the Spark task."""
+    from etl_stack_spark.ai import _mock_ocr_text, ocr_capabilities, ocr_document
+
+    scanned = build_pdf([b"q /Im0 Do Q"])
+    if ocr_capabilities()["tesseract"] and not ocr_capabilities()["pdftoppm"]:
+        assert ocr_document(scanned, "tesseract") == _mock_ocr_text(scanned)
+    assert ocr_document(scanned, "mock") == _mock_ocr_text(scanned)
