@@ -27,7 +27,8 @@ from etl_stack_spark.operators.text import (
     fingerprint,
     minhash_terms,
     portable_hash60,
-    word_shingles,
+    shingles_from_tokens,
+    tokens,
 )
 
 
@@ -47,9 +48,11 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """doc → 16 minhash columns mh0..mh15. Docs with no shingles drop out
-    (shorter than n tokens ⇒ not near-dup-detectable)."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    (shorter than n tokens ⇒ not near-dup-detectable). Tokens materialize
+    as a column before the shingle transform — see shingles_from_tokens."""
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
     )
     h = portable_hash60(F.col("shingle"))
     terms = minhash_terms(h)
@@ -122,14 +125,42 @@ def ngram_jaccard_pairs(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-gram shingles for every pair sharing
-    at least one shingle. |∪| = |A| + |B| - |∩|."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    at least one shingle. |∪| = |A| + |B| - |∩|.
+
+    Shape: group by shingle → collect doc ids → explode in-group id pairs
+    → count per pair. Shingle GENERATION dominates the operator, so it
+    runs exactly once: tokens materialize as a column (see
+    shingles_from_tokens — a lambda-captured tokens() re-runs the regexp
+    per shingle), the explode sits between the two projections so
+    CollapseProject cannot fuse them back into the inline form, and the
+    exploded stream is cached for its two consumers (pair grouping and
+    per-doc sizes). Then two shuffles: by shingle (fan-in bounded by
+    document frequency) and by pair. In-group pair expansion is O(df²)
+    per shingle — this operator is documented as a candidate-subset /
+    recall-measurement tool, and a df-hot shingle is exactly the
+    stop-shingle a caller should have filtered; at 100 TB the scale path
+    is minhash_lsh_pairs."""
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    ids = F.col("ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
