@@ -244,17 +244,24 @@ def embedding_near_duplicates_lsh(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],
     )
-    p = base.withColumn("probe", F.explode(probes))
-    a = p.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "probe")
-    b = p.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "probe")
+    # the probe join carries ONLY (id, probe): shipping the vectors through
+    # the 9×-exploded self-join would shuffle every embedding 9× per side;
+    # instead the deduped candidate pairs re-join the compact base table to
+    # pick their vectors up (2 joins of |pairs| vs 18 vector copies/row)
+    p = base.select(id_col, F.explode(probes).alias("probe"))
+    a = p.select(F.col(id_col).alias("id_a"), "probe")
+    b = p.select(F.col(id_col).alias("id_b"), "probe")
     cand = (
         a.join(b, "probe")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
