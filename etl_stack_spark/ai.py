@@ -125,16 +125,18 @@ def mock_ocr(content_hash: pd.Series) -> pd.Series:
 def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
     """P31 real transcode: decode → bound longest side by ``max_dim`` →
     re-encode (reference resizes + re-encodes WebP q=80,
-    image_base_provider.py:94-106). Working codecs: binary PPM (P6) and
-    PNG (8-bit non-interlaced), both pure numpy/zlib
-    (functions/imaging.py) — no PIL in this container; JPEG/WebP
-    payloads raise instead of pretending."""
+    image_base_provider.py:94-106). Working codecs, all pure
+    numpy/zlib — no PIL in this container: binary PPM (P6), PNG (8-bit
+    non-interlaced; functions/imaging.py), and baseline JPEG
+    (functions/jpeg.py). WebP/progressive-JPEG payloads raise instead
+    of pretending."""
     from etl_stack_spark.functions.imaging import (
         PNG_MAGIC,
         PPM_MAGIC,
         transcode_png,
         transcode_ppm,
     )
+    from etl_stack_spark.functions.jpeg import JPEG_MAGIC, transcode_jpeg
 
     def one(b):
         if b is None:
@@ -144,10 +146,13 @@ def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
             out, _, _ = transcode_ppm(data, max_dim=max_dim)
         elif data.startswith(PNG_MAGIC):
             out, _, _ = transcode_png(data, max_dim=max_dim)
+        elif data.startswith(JPEG_MAGIC):
+            out, _, _ = transcode_jpeg(data, max_dim=max_dim)
         else:
             raise NotImplementedError(
-                "only PPM(P6) and PNG decode in this environment (no "
-                "PIL/libwebp); plug a codec-backed provider for JPEG/WebP"
+                "only PPM(P6), PNG, and baseline JPEG decode in this "
+                "environment (no PIL/libwebp); plug a codec-backed "
+                "provider for WebP payloads"
             )
         return out
 

