@@ -231,7 +231,14 @@ def radius_join_by_category(
     candidate set ~(max_r/r)² versus one shared coarse grid. One
     radius_join per category (small config), unioned — each is an
     independent shuffle stage, so AQE sizes them separately.
+
+    The parallelism spread (see radius_join's ``spread_partitions``)
+    happens ONCE here on the shared left input instead of once per
+    category branch — N categories would otherwise serialize N small
+    probe exchanges of the same rows before any join work starts.
     """
+    spread = left.sparkSession.sparkContext.defaultParallelism
+    left = left.repartition(spread)
     out = None
     for cat, r in radii_km.items():
         piece = radius_join(
@@ -240,6 +247,7 @@ def radius_join_by_category(
             left_lat, left_lon, right_lat, right_lon,
             radius_km=float(r),
             distance_col=distance_col,
+            spread_partitions=0,  # already spread above
         )
         out = piece if out is None else out.unionByName(piece)
     return out
