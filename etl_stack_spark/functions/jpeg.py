@@ -447,6 +447,8 @@ def _decode_scan(data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int32)
                         sym = rdr.decode_symbol(huff[(0, c["dc_t"])])
+                        if sym > 15:  # spec bound; corrupt DHT vals otherwise
+                            raise ValueError(f"invalid DC magnitude category {sym}")
                         diff = _extend(rdr.read_bits(sym), sym) if sym else 0
                         pred[c["id"]] += diff
                         zz[0] = pred[c["id"]]

@@ -206,3 +206,26 @@ def test_transcode_image_batch_accepts_jpeg(spark):
 def test_dct_matrix_is_orthonormal():
     assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
     assert len(set(ZIGZAG.tolist())) == 64
+
+
+def test_fuzz_truncated_and_corrupted_streams_raise_cleanly():
+    """Decoder robustness: truncations and byte flips of a valid stream
+    must raise ValueError/IndexError/struct.error — never hang, never
+    return garbage silently, never escape with an internal marker
+    exception."""
+    base = encode_jpeg(gradient(24, 32))
+    rng = np.random.RandomState(11)
+    for cut in [3, 10, len(base) // 2, len(base) - 3]:
+        try:
+            decode_jpeg(base[:cut])
+        except (ValueError, IndexError, struct.error):
+            pass
+    for _ in range(40):
+        mutated = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randint(2, len(base))] = rng.randint(0, 256)
+        try:
+            out = decode_jpeg(bytes(mutated))
+            assert out.dtype == np.uint8  # decoded despite damage: fine
+        except (ValueError, IndexError, KeyError, struct.error):
+            pass  # clean structured failure: fine

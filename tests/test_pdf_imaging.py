@@ -411,3 +411,27 @@ def test_ocr_document_pdf_degrades_to_mock_without_rasterizer():
     if ocr_capabilities()["tesseract"] and not ocr_capabilities()["pdftoppm"]:
         assert ocr_document(scanned, "tesseract") == _mock_ocr_text(scanned)
     assert ocr_document(scanned, "mock") == _mock_ocr_text(scanned)
+
+
+def test_fuzz_png_truncated_and_corrupted_raise_cleanly():
+    import struct as _struct
+    import zlib as _zlib
+
+    from etl_stack_spark.functions.imaging import decode_png, encode_png
+
+    base = encode_png(np.arange(12 * 9 * 3, dtype=np.uint8).reshape(12, 9, 3))
+    rng = np.random.RandomState(5)
+    for cut in [4, 12, len(base) // 2, len(base) - 2]:
+        try:
+            decode_png(base[:cut])
+        except (ValueError, IndexError, _struct.error, _zlib.error):
+            pass
+    for _ in range(40):
+        mutated = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randint(8, len(base))] = rng.randint(0, 256)
+        try:
+            out = decode_png(bytes(mutated))
+            assert out.dtype == np.uint8
+        except (ValueError, IndexError, _struct.error, _zlib.error):
+            pass
