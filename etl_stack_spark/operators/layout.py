@@ -1,0 +1,85 @@
+"""Z-order (Morton) data layout for multi-dimensional scan pruning.
+
+At 100 TB, the scan is the query: parquet row-group min/max statistics
+prune I/O only when rows that are close in FILTER space are close in FILE
+space. Sorting by one column serves one predicate; interleaving the bits
+of several normalized columns (a Z-order / Morton key) keeps per-file
+min-max ranges tight on EVERY participating dimension at once — the same
+layout idea Delta's OPTIMIZE ZORDER BY and Iceberg's sort orders apply.
+
+Everything here is pure column expressions (shifts, masks, ors) — fully
+codegen'd, no UDF — and the key is bit-for-bit reproducible in ANSI SQL,
+so the driver's DuckDB oracle can verify it (see zx1 in
+queries/relational.py).
+
+Reference note: the reference keeps its cold store as plain per-table
+parquet with no intra-file ordering (`project_context.md:27-30`) — this
+operator is one of the engine-native scale additions, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_to_bits(col: Column, lo: Column | float, hi: Column | float, bits: int) -> Column:
+    """Map a numeric column into [0, 2^bits) by linear min-max scaling.
+    Values at ``hi`` land on the top bucket; nulls land at 0 (they sort
+    together, which is what a layout key wants)."""
+    lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+    hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    span = hi_c - lo_c
+    frac = F.when(span > 0, (col.cast("double") - lo_c) / span).otherwise(F.lit(0.0))
+    frac = F.least(F.greatest(F.coalesce(frac, F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
+    top = (1 << bits) - 1
+    return F.least(F.floor(frac * (1 << bits)).cast("long"), F.lit(top))
+
+
+def interleave_bits(quantized: list[Column], bits: int) -> Column:
+    """Morton-interleave ``len(quantized)`` bit-quantized columns: output
+    bit (j*n + i) is bit j of column i. Unrolled shift/mask expression —
+    n*bits terms, all JVM-side."""
+    n = len(quantized)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, j).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, Column]:
+    """Attach ``_zkey`` for the given numeric columns. Ranges come from one
+    tiny global agg (driver-collected scalars — config-sized, the sanctioned
+    pattern; at scale use sketched or catalog-provided bounds instead).
+    Returns (df_with_ranges_applied, key_column).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"_hi_{c}")]
+    ranges = df.agg(*aggs).collect()[0]
+    quant = [
+        normalize_to_bits(F.col(c), ranges[f"_lo_{c}"], ranges[f"_hi_{c}"], bits)
+        for c in cols
+    ]
+    return df, interleave_bits(quant, bits).alias("_zkey")
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 12, files: int | None = None
+) -> None:
+    """Write ``df`` as parquet range-partitioned and sorted by the Z-key:
+    ``repartitionByRange`` puts disjoint key ranges in separate files (so
+    per-file min/max are disjoint on the key, tight on each dimension),
+    and the within-partition sort tightens row-group stats inside files."""
+    base, key = zorder_key(df, cols, bits)
+    keyed = base.withColumn("_zkey", key)
+    if files:
+        keyed = keyed.repartitionByRange(files, "_zkey")
+    else:
+        keyed = keyed.repartitionByRange("_zkey")
+    keyed.sortWithinPartitions("_zkey").drop("_zkey").write.mode("overwrite").parquet(path)

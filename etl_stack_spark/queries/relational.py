@@ -105,3 +105,44 @@ def j5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
         "c_custkey", "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# ZX1 — Z-order layout key (engine-native scale addition,
+# operators/layout.py): Morton-interleaved (o_custkey, o_totalprice) with
+# FIXED bounds so the oracle is a closed-form expression. The SQL twin is
+# generated from the same (bits, n_cols) parameters — bit-for-bit the
+# same unrolled shift/mask arithmetic the Spark expression compiles to.
+# ---------------------------------------------------------------------------
+_ZX_BITS = 8
+
+
+def _zx_quant_sql(col: str, lo: float, hi: float) -> str:
+    return (
+        f"LEAST(CAST(FLOOR(LEAST(GREATEST((CAST({col} AS DOUBLE) - {lo}e0) / "
+        f"({hi}e0 - {lo}e0), 0e0), 1e0) * {1 << _ZX_BITS}) AS BIGINT), "
+        f"{(1 << _ZX_BITS) - 1})"
+    )
+
+
+def _zx_oracle() -> str:
+    qa = _zx_quant_sql("o_custkey", 1.0, 15000.0)
+    qb = _zx_quant_sql("o_totalprice", 0.0, 600000.0)
+    terms = []
+    for j in range(_ZX_BITS):
+        terms.append(f"(((({qa}) >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((({qb}) >> {j}) & 1) << {2 * j + 1})")
+    zkey = " | ".join(terms)
+    return f"SELECT o_orderkey, {zkey} AS zkey FROM orders"
+
+
+@register("zx1_zorder_key", _zx_oracle())
+def zx1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.layout import interleave_bits, normalize_to_bits
+
+    orders = load_table(spark, sf_dir, "orders")
+    qa = normalize_to_bits(F.col("o_custkey"), 1.0, 15000.0, _ZX_BITS)
+    qb = normalize_to_bits(F.col("o_totalprice"), 0.0, 600000.0, _ZX_BITS)
+    return orders.select(
+        "o_orderkey", interleave_bits([qa, qb], _ZX_BITS).alias("zkey")
+    )

@@ -1,0 +1,95 @@
+"""Z-order layout (operators/layout.py): key correctness properties and
+the actual point of the operator — per-file parquet min/max statistics
+tight enough to prune on EVERY participating dimension."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.layout import (
+    interleave_bits,
+    normalize_to_bits,
+    write_zordered,
+    zorder_key,
+)
+
+
+def test_interleave_locality_property(spark):
+    """Morton keys of near-equal points are closer than far points; exact
+    bit semantics checked against a pure-Python reference."""
+    rows = [(i, float(i % 100), float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    bits = 8
+    qx = normalize_to_bits(F.col("x"), 0.0, 100.0, bits)
+    qy = normalize_to_bits(F.col("y"), 0.0, 100.0, bits)
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", interleave_bits([qx, qy], bits).alias("z")).collect()
+    }
+
+    def ref(x, y):
+        def q(v):
+            f = min(max(v / 100.0, 0.0), 1.0)
+            return min(int(f * (1 << bits)), (1 << bits) - 1)
+
+        qxv, qyv = q(x), q(y)
+        z = 0
+        for j in range(bits):
+            z |= ((qxv >> j) & 1) << (2 * j)
+            z |= ((qyv >> j) & 1) << (2 * j + 1)
+        return z
+
+    for i, x, y in rows:
+        assert got[i] == ref(x, y), (i, x, y)
+
+
+def test_normalize_handles_nulls_and_degenerate_range(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 5.0)], "id int, v double"
+    )
+    out = df.select(normalize_to_bits(F.col("v"), 5.0, 5.0, 8).alias("q")).collect()
+    assert [r["q"] for r in out] == [0, 0, 0]  # nulls and zero-span → bucket 0
+
+
+def test_write_zordered_tightens_per_file_stats(spark, tmp_path):
+    """The layout claim itself: after write_zordered on (a, b), each
+    file's min-max span on EACH dimension is a fraction of the global
+    range, so a point/range predicate on either column can prune files.
+    An unsorted write has near-full-range spans in every file."""
+    rng = np.random.RandomState(42)
+    n = 40_000
+    rows = [(int(i), float(rng.uniform(0, 1000)), float(rng.uniform(0, 1000))) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, a double, b double").repartition(8)
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    df.write.mode("overwrite").parquet(plain_dir)
+    write_zordered(df, z_dir, ["a", "b"], bits=10, files=16)
+
+    def file_spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(k).name for k in range(md.num_columns)].index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    for col in ("a", "b"):
+        z_spans = file_spans(z_dir, col)
+        p_spans = file_spans(plain_dir, col)
+        assert len(z_spans) >= 8
+        # unsorted files each cover ~the whole [0,1000] range
+        assert np.median(p_spans) > 900
+        # z-ordered files cover a small fraction on BOTH dimensions
+        assert np.median(z_spans) < 450, (col, sorted(z_spans))
+
+    # and the data itself is intact
+    back = spark.read.parquet(z_dir)
+    assert back.count() == n
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(r[0] for r in rows)
