@@ -1,0 +1,80 @@
+"""Streaming lead-prep: the reference's POI-matcher polling loop
+(`properties_poi_matcher.py:121-159` — poll needs-work properties, match
+each against PostGIS, write results) as ONE Structured Streaming flow:
+
+    property change feed (file source) → foreachBatch:
+        radius join + tiered rank  (identical code to the batch query)
+        → hash-gated MERGE into the results table
+
+Design points, per the survey's streaming model (§2.8):
+- The batch function IS the batch-mode computation
+  (`queries.geo.lead_prep_rank`) — one implementation, two triggers.
+  The micro-batch only ever joins the CHANGED properties against the POI
+  table, so per-batch cost scales with the delta, not the corpus.
+- Idempotent by construction: results merge on (prop_id, category, rnk)
+  gated on a content hash, so at-least-once delivery and replays are
+  free (the reference gets this from its Postgres upsert; ST5).
+- checkpointLocation carries the source offsets — a restart resumes at
+  the first unprocessed file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+
+PROPERTY_FEED_SCHEMA = "prop_id bigint, lat double, lon double, updated_at timestamp"
+RESULT_KEYS = ["prop_id", "category", "rnk"]
+
+
+def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
+    """Build the foreachBatch callback: rank the micro-batch's properties
+    against ``pois`` and MERGE into ``results``."""
+    from etl_stack_spark.operators.rank import top_1_per_group
+    from etl_stack_spark.queries.geo import lead_prep_rank
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # a property may appear twice in one backlog batch (two updates,
+        # or a full-feed replay): the EVENT-TIME latest wins, not file
+        # order — an arbitrary dropDuplicates would make replays
+        # non-deterministic (a replayed backlog can collapse into one
+        # micro-batch, where "arrival order" no longer exists)
+        latest = top_1_per_group(
+            batch_df, ["prop_id"], [F.col("updated_at").desc()]
+        ).drop("updated_at")
+        ranked = lead_prep_rank(latest, pois)
+        ranked = ranked.withColumn(
+            "content_hash",
+            F.sha2(F.concat_ws("|", "poi_id", "brand", "tier", "distance_km"), 256),
+        )
+        if results.exists():
+            results.merge(ranked, keys=RESULT_KEYS)
+        else:
+            results.overwrite(ranked)  # bootstrap on the first micro-batch
+
+    return batch_fn
+
+
+def run_lead_prep_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    pois: DataFrame,
+    results: ParquetMergeTable,
+    checkpoint_dir: str,
+):
+    """Drain the property change feed through lead-prep into ``results``.
+    Uses availableNow (process backlog, stop) — on a cluster the same
+    call with a processingTime trigger runs continuously."""
+    from etl_stack_spark.streaming.queue import run_stream
+
+    return run_stream(
+        spark,
+        feed_dir,
+        PROPERTY_FEED_SCHEMA,
+        lead_prep_batch_fn(pois, results),
+        checkpoint_dir,
+    )

@@ -196,9 +196,16 @@ FROM ranked WHERE rnk <= {_K_CASE}
 """
 
 
-@register("t1_lead_prep_topk", _LEAD_TOPK_ORACLE)
-def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    matched = j6_base(spark, sf_dir)
+def lead_prep_rank(props: DataFrame, pois: DataFrame) -> DataFrame:
+    """The full lead-prep computation from (props, pois) DataFrames:
+    per-category radius join → tier CASE → per-(prop, category) top-k.
+    Shared by the batch query (t1) and the streaming plan
+    (plans/lead_prep_stream.py) — one implementation, two triggers."""
+    from etl_stack_spark.operators.geo_join import radius_join_by_category
+
+    matched = radius_join_by_category(
+        props, pois, {k: c["radius_km"] for k, c in CATEGORIES.items()}
+    )
     tier = F.lit(2)
     for cat, cfg in CATEGORIES.items():
         is_cat = F.col("category") == cat
@@ -234,6 +241,11 @@ def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prop_id", "category", "poi_id", "brand", "tier", "rnk",
         F.round("distance_km", 9).alias("distance_km"),
     )
+
+
+@register("t1_lead_prep_topk", _LEAD_TOPK_ORACLE)
+def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lead_prep_rank(props_df(spark, sf_dir), pois_df(spark, sf_dir))
 
 
 def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,3 +273,78 @@ def test_streaming_lead_prep_e2e_two_batches_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     after = {r["prop_id"]: r["content_hash"] for r in leads.read().collect()}
     assert after == before
+
+
+def test_lead_prep_stream_e2e(spark, tmp_path):
+    """Streaming lead-prep = batch lead-prep, incrementally: two feed
+    files of property updates drain through foreachBatch into the merge
+    table; the final state must equal the BATCH computation over the
+    latest property positions, and a replay must change nothing
+    (hash-gated idempotence)."""
+    from etl_stack_spark.plans.lead_prep_stream import (
+        run_lead_prep_stream,
+    )
+    from etl_stack_spark.queries.geo import lead_prep_rank
+
+    pois = spark.createDataFrame(
+        [
+            (1, "Convenience", "Brand#11", 10, 9.80, -84.10),
+            (2, "Convenience", "Brand#99", 20, 9.801, -84.101),
+            (3, "Education", "Brand#22", 30, 9.81, -84.11),
+            (4, "Education", "Brand#55", 15, 9.79, -84.09),
+            (5, "Health", "Brand#32", 25, 9.80, -84.12),
+        ],
+        "poi_id long, category string, brand string, quality_score int, poi_lat double, poi_lon double",
+    )
+
+    feed = tmp_path / "feed"
+    batch1 = spark.createDataFrame(
+        [(100, 9.80, -84.10, "2024-01-01 00:00:00"),
+         (101, 9.81, -84.11, "2024-01-01 00:00:01")],
+        "prop_id long, lat double, lon double, ts_s string",
+    ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    # append-mode writes land part-files at the feed's top level — the
+    # file source does not recurse into per-batch subdirectories
+    batch1.write.mode("append").parquet(str(feed))
+
+    results = ParquetMergeTable(spark, str(tmp_path / "results"))
+    ckpt = str(tmp_path / "ckpt_lead")
+    q = run_lead_prep_stream(spark, str(feed), pois, results, ckpt)
+    q.awaitTermination(120)
+
+    # second file arrives: one NEW property and one UPDATE moving 100
+    batch2 = spark.createDataFrame(
+        [(100, 9.79, -84.09, "2024-01-01 01:00:00"),
+         (102, 9.80, -84.12, "2024-01-01 01:00:01")],
+        "prop_id long, lat double, lon double, ts_s string",
+    ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch2.write.mode("append").parquet(str(feed))
+    q2 = run_lead_prep_stream(spark, str(feed), pois, results, ckpt)
+    q2.awaitTermination(120)
+
+    latest_props = spark.createDataFrame(
+        [(100, 9.79, -84.09), (101, 9.81, -84.11), (102, 9.80, -84.12)],
+        "prop_id long, lat double, lon double",
+    )
+    expected = {
+        (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
+        for r in lead_prep_rank(latest_props, pois).collect()
+    }
+    got_df = results.read()
+    got = {
+        (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
+        for r in got_df.collect()
+    }
+    # prop 100 MOVED: rows keyed by its new ranking must match the batch
+    # truth; prop 101/102 match outright. (Stale rank rows from 100's old
+    # position would need soft-delete scope — out of feed contract here,
+    # where a property keeps the same k per category.)
+    assert got == expected and len(got) > 0
+
+    # replay the whole feed with a FRESH checkpoint: every row re-merges,
+    # hash gate says unchanged, table version content identical
+    before = {r for r in got_df.collect()}
+    q3 = run_lead_prep_stream(spark, str(feed), pois, results, str(tmp_path / "ckpt2"))
+    q3.awaitTermination(120)
+    after = {r for r in results.read().collect()}
+    assert after == before
