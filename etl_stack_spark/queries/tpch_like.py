@@ -451,76 +451,3 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue")
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# Q17-shaped small-quantity revenue: per-part correlated average —
-# lineitems below 50% of their part's average quantity. Spark shape: the
-# correlated scalar subquery becomes a per-part aggregate joined back
-# (Catalyst would decorrelate an actual subquery to exactly this), with
-# the tiny per-part averages broadcast.
-# ---------------------------------------------------------------------------
-_Q17_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice) / 7e0, 4) AS avg_yearly
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_brand = 'Brand#11'
-  AND l.l_quantity < (
-    SELECT 5e-1 * AVG(l2.l_quantity) FROM lineitem l2
-    WHERE l2.l_partkey = l.l_partkey
-  )
-"""
-
-
-@register("q17_small_qty_revenue", _Q17_ORACLE)
-def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    # decorrelated: avg quantity per part, computed once, broadcast back.
-    # NB the inner subquery averages over ALL parts' lineitems (no brand
-    # filter) — the avg must be computed before the brand semi-join.
-    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
-    )
-    return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(avg_q), li.l_partkey == F.col("ap_partkey"))
-        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q18-shaped large-volume orders: GROUP BY ... HAVING SUM > threshold,
-# then the qualifying keys semi-join back to pick up order/customer
-# detail. Spark shape: aggregate → filter → left_semi-style join (an
-# inner join on the aggregated keys — the aggregate side is tiny and
-# broadcasts).
-# ---------------------------------------------------------------------------
-_Q18_ORACLE = """
-SELECT o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-       SUM(l.l_quantity) AS total_qty
-FROM orders o
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderkey IN (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 60
-)
-GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-"""
-
-
-@register("q18_large_volume_orders", _Q18_ORACLE)
-def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .filter(F.col("total_qty") > 60)
-    )
-    return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .select(
-            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
-        )
-    )
