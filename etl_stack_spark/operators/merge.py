@@ -165,6 +165,7 @@ class ParquetMergeTable:
         status_col: str = "status",
         deleted_value: str = "deleted",
         audit_ts_col: str | None = "updated_at",
+        on_extra_columns: str = "error",
     ) -> dict:
         """Hash-gated MERGE of ``source`` into the table.
 
@@ -179,7 +180,17 @@ class ParquetMergeTable:
         can never match under SQL equality, so such a row would silently
         land as a phantom insert — the reference's Postgres upsert rejects
         them at the PK constraint).
+
+        ``on_extra_columns`` governs source columns the target lacks
+        (schema drift): ``"error"`` (default) raises — an upstream
+        producer changed shape and silent data loss is never the right
+        default; ``"evolve"`` widens the target schema, existing rows
+        reading NULL for the new columns (Delta's mergeSchema semantics);
+        ``"ignore"`` drops them explicitly (the pre-round-4 behavior,
+        now an opt-in).
         """
+        if on_extra_columns not in ("error", "evolve", "ignore"):
+            raise ValueError(f"on_extra_columns must be error|evolve|ignore, got {on_extra_columns!r}")
         null_key = None
         for k in keys:
             piece = F.col(k).isNull()
@@ -201,6 +212,22 @@ class ParquetMergeTable:
         src = source
         if audit_ts_col and audit_ts_col not in src.columns:
             src = src.withColumn(audit_ts_col, F.current_timestamp())
+        # the audit column is merge-internal: when the table predates it
+        # (e.g. bootstrapped via overwrite/append), widen silently rather
+        # than flagging our own injection as caller schema drift
+        if audit_ts_col and audit_ts_col in src.columns and audit_ts_col not in target.columns:
+            target = target.withColumn(audit_ts_col, F.lit(None).cast("timestamp"))
+        extra = [c for c in src.columns if c not in target.columns]
+        if extra:
+            if on_extra_columns == "error":
+                raise ValueError(
+                    f"merge source has columns the table lacks: {extra} — pass "
+                    "on_extra_columns='evolve' to widen the schema or 'ignore' to drop them"
+                )
+            if on_extra_columns == "evolve":
+                src_types = dict(src.dtypes)
+                for c in extra:
+                    target = target.withColumn(c, F.lit(None).cast(src_types[c]))
         for c in target.columns:
             if c not in src.columns:
                 src = src.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))

@@ -297,3 +297,40 @@ def test_vacuum_under_lock_preserves_concurrent_commit(spark, table):
 
     dirs = {d for d in os.listdir(table.root) if d.startswith("v_")}
     assert dirs == set(table._read_manifest()["history"])
+
+
+def test_merge_schema_drift_modes(spark, tmp_path):
+    """Source columns the table lacks: error by default (silent data loss
+    is never a default), evolve widens with NULL backfill, ignore drops
+    explicitly."""
+    import pytest
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+
+    t = ParquetMergeTable(spark, str(tmp_path / "drift"))
+    v1 = spark.createDataFrame(
+        [(1, "a", "h1"), (2, "b", "h2")], "id int, val string, content_hash string"
+    )
+    t.merge(v1, keys=["id"])
+
+    v2 = spark.createDataFrame(
+        [(2, "b2", "h2x", 9.5), (3, "c", "h3", 7.0)],
+        "id int, val string, content_hash string, score double",
+    )
+    with pytest.raises(ValueError, match="score"):
+        t.merge(v2, keys=["id"])
+
+    stats = t.merge(v2, keys=["id"], on_extra_columns="evolve")
+    # unchanged folds in target-only "keep" rows (id=1)
+    assert stats == {"inserted": 1, "updated": 1, "unchanged": 1, "soft_deleted": 0}
+    rows = {r["id"]: (r["val"], r["score"]) for r in t.read().collect()}
+    assert rows[1] == ("a", None)      # pre-drift row: NULL backfill
+    assert rows[2] == ("b2", 9.5)      # updated row carries the new column
+    assert rows[3] == ("c", 7.0)
+
+    v3 = spark.createDataFrame(
+        [(4, "d", "h4", "junk")], "id int, val string, content_hash string, debug string"
+    )
+    t.merge(v3, keys=["id"], on_extra_columns="ignore")
+    out = t.read()
+    assert "debug" not in out.columns and out.filter("id = 4").count() == 1
