@@ -24,10 +24,11 @@ log checkpointing); neither is installable in this offline container —
 verified: no network, no bundled jars — so the emulation carries the
 contract and the concurrent-writer test.
 
-100 TB notes: a full-snapshot rewrite is exactly what Delta/Iceberg avoid;
-the emulation therefore supports ``partition_by`` so only touched
-partitions rewrite (partition on client_id/date like the reference's
-batch scope), and the join is hash-partitioned on the merge keys. The
+100 TB notes: a full-snapshot rewrite is exactly what Delta/Iceberg
+avoid; ``PartitionedMergeTable`` is the scale shape — per-partition
+versioned directories (partition on client_id/date like the reference's
+batch scope), merges rewrite ONLY touched partitions, and conflict
+detection is per-partition so disjoint writers commit concurrently. The
 ``changed_only`` helper implements the reference's best idea — compute
 expensive effects (embeddings, vision calls) only for rows whose hash
 changed (M4, vector_store.py:134-137).
@@ -48,6 +49,91 @@ from pyspark.sql import functions as F
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this transaction's snapshot read
     and its commit attempt — re-read and retry (optimistic concurrency)."""
+
+
+def _align_source(
+    target: DataFrame, src: DataFrame, audit_ts_col: str | None, on_extra_columns: str
+) -> tuple[DataFrame, DataFrame]:
+    """Column-align ``src`` to ``target`` under the schema-drift policy
+    (see ``ParquetMergeTable.merge``); returns the possibly-widened
+    target and the aligned source."""
+    # the audit column is merge-internal: when the table predates it
+    # (e.g. bootstrapped via overwrite/append), widen silently rather
+    # than flagging our own injection as caller schema drift
+    if audit_ts_col and audit_ts_col in src.columns and audit_ts_col not in target.columns:
+        target = target.withColumn(audit_ts_col, F.lit(None).cast("timestamp"))
+    extra = [c for c in src.columns if c not in target.columns]
+    if extra:
+        if on_extra_columns == "error":
+            raise ValueError(
+                f"merge source has columns the table lacks: {extra} — pass "
+                "on_extra_columns='evolve' to widen the schema or 'ignore' to drop them"
+            )
+        if on_extra_columns == "evolve":
+            src_types = dict(src.dtypes)
+            for c in extra:
+                target = target.withColumn(c, F.lit(None).cast(src_types[c]))
+    for c in target.columns:
+        if c not in src.columns:
+            src = src.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
+    return target, src.select(*target.columns)
+
+
+def _classify_merge(
+    target: DataFrame,
+    src: DataFrame,
+    keys: Sequence[str],
+    hash_col: str,
+    update_condition: Column | None,
+    soft_delete_scope: Column | None,
+    status_col: str,
+    deleted_value: str,
+) -> DataFrame:
+    """The MERGE classification core (shared by the whole-table and the
+    partition-scoped tables): full-outer join on keys, per-row action in
+    ``_action`` ∈ insert/update/unchanged/keep/soft_delete, columns
+    resolved source-vs-target accordingly. ``src`` must already be
+    aligned to ``target``'s column set."""
+    # presence flags, not key null-ness: a legacy null-keyed row already
+    # IN the target (e.g. via append) must still classify as "keep",
+    # not collapse into an all-null phantom
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = src.withColumn("_s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in keys:
+        piece = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = piece if cond is None else (cond & piece)
+    joined = t.join(s, cond, "full_outer")
+
+    in_src = F.col("s._s_present").isNotNull()
+    in_tgt = F.col("t._t_present").isNotNull()
+    hash_changed = F.col(f"t.{hash_col}") != F.col(f"s.{hash_col}")
+    resurrect = (
+        (F.col(f"t.{status_col}") == deleted_value) if status_col in target.columns else F.lit(False)
+    )
+    should_update = hash_changed | resurrect
+    if update_condition is not None:
+        should_update = should_update | update_condition
+
+    take_source = in_src & (~in_tgt | should_update)
+
+    action = (
+        F.when(in_src & ~in_tgt, F.lit("insert"))
+        .when(in_src & in_tgt & should_update, F.lit("update"))
+        .when(in_src & in_tgt, F.lit("unchanged"))
+        .otherwise(F.lit("keep"))
+    )
+    if soft_delete_scope is not None:
+        action = F.when(~in_src & in_tgt & soft_delete_scope, F.lit("soft_delete")).otherwise(action)
+
+    cols = []
+    for c in target.columns:
+        picked = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        if c == status_col and soft_delete_scope is not None:
+            picked = F.when(action == "soft_delete", F.lit(deleted_value)).otherwise(picked)
+        cols.append(picked.alias(c))
+
+    return joined.select(*cols, action.alias("_action"))
 
 
 _UNCHECKED = object()  # sentinel: commit without a version precondition
@@ -212,67 +298,12 @@ class ParquetMergeTable:
         src = source
         if audit_ts_col and audit_ts_col not in src.columns:
             src = src.withColumn(audit_ts_col, F.current_timestamp())
-        # the audit column is merge-internal: when the table predates it
-        # (e.g. bootstrapped via overwrite/append), widen silently rather
-        # than flagging our own injection as caller schema drift
-        if audit_ts_col and audit_ts_col in src.columns and audit_ts_col not in target.columns:
-            target = target.withColumn(audit_ts_col, F.lit(None).cast("timestamp"))
-        extra = [c for c in src.columns if c not in target.columns]
-        if extra:
-            if on_extra_columns == "error":
-                raise ValueError(
-                    f"merge source has columns the table lacks: {extra} — pass "
-                    "on_extra_columns='evolve' to widen the schema or 'ignore' to drop them"
-                )
-            if on_extra_columns == "evolve":
-                src_types = dict(src.dtypes)
-                for c in extra:
-                    target = target.withColumn(c, F.lit(None).cast(src_types[c]))
-        for c in target.columns:
-            if c not in src.columns:
-                src = src.withColumn(c, F.lit(None).cast(dict(target.dtypes)[c]))
-        src = src.select(*target.columns)
+        target, src = _align_source(target, src, audit_ts_col, on_extra_columns)
 
-        # presence flags, not key null-ness: a legacy null-keyed row already
-        # IN the target (e.g. via append) must still classify as "keep",
-        # not collapse into an all-null phantom
-        t = target.withColumn("_t_present", F.lit(True)).alias("t")
-        s = src.withColumn("_s_present", F.lit(True)).alias("s")
-        cond = None
-        for k in keys:
-            piece = F.col(f"t.{k}") == F.col(f"s.{k}")
-            cond = piece if cond is None else (cond & piece)
-        joined = t.join(s, cond, "full_outer")
-
-        in_src = F.col("s._s_present").isNotNull()
-        in_tgt = F.col("t._t_present").isNotNull()
-        hash_changed = F.col(f"t.{hash_col}") != F.col(f"s.{hash_col}")
-        resurrect = (
-            (F.col(f"t.{status_col}") == deleted_value) if status_col in target.columns else F.lit(False)
+        merged = _classify_merge(
+            target, src, keys, hash_col, update_condition,
+            soft_delete_scope, status_col, deleted_value,
         )
-        should_update = hash_changed | resurrect
-        if update_condition is not None:
-            should_update = should_update | update_condition
-
-        take_source = in_src & (~in_tgt | should_update)
-
-        action = (
-            F.when(in_src & ~in_tgt, F.lit("insert"))
-            .when(in_src & in_tgt & should_update, F.lit("update"))
-            .when(in_src & in_tgt, F.lit("unchanged"))
-            .otherwise(F.lit("keep"))
-        )
-        if soft_delete_scope is not None:
-            action = F.when(~in_src & in_tgt & soft_delete_scope, F.lit("soft_delete")).otherwise(action)
-
-        cols = []
-        for c in target.columns:
-            picked = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
-            if c == status_col and soft_delete_scope is not None:
-                picked = F.when(action == "soft_delete", F.lit(deleted_value)).otherwise(picked)
-            cols.append(picked.alias(c))
-
-        merged = joined.select(*cols, action.alias("_action"))
         merged.cache()
         try:
             counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -326,6 +357,155 @@ class ParquetMergeTable:
             )
         else:
             self._write_snapshot(df, expected_version=None)
+
+
+class PartitionedMergeTable:
+    """Partition-scoped MERGE: the 100 TB shape of ``ParquetMergeTable``.
+
+    A whole-snapshot rewrite per merge is exactly what Delta/Iceberg
+    avoid; here the table is a set of partitions (e.g. ``client_id`` —
+    the reference's batch scope, loader_v2.py runs one client per batch),
+    each with its OWN versioned directory, and a merge rewrites ONLY the
+    partitions its source touches. Conflict detection is per-partition:
+    two writers merging into different partitions both commit; two
+    writers racing on the same partition — the loser gets
+    ``ConcurrentWriteError`` (Delta's partition-level conflict rules).
+
+    Layout: ``<root>/p_<i>_<ts>/...parquet`` per partition version +
+    ``MANIFEST.json``: ``{"partition_col": c, "parts": {value: dir},
+    "history": [dirs]}``. Partition values are stored in the data too, so
+    reads need no reconstruction.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, partition_col: str):
+        self.spark = spark
+        self.root = root
+        self.partition_col = partition_col
+        os.makedirs(root, exist_ok=True)
+
+    _manifest_path = ParquetMergeTable._manifest_path
+    _commit_lock = ParquetMergeTable._commit_lock
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"partition_col": self.partition_col, "parts": {}, "history": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return bool(self._read_manifest()["parts"])
+
+    def parts(self) -> dict[str, str]:
+        return dict(self._read_manifest()["parts"])
+
+    def read(self, part_values: Sequence[object] | None = None) -> DataFrame:
+        """Read the whole table, or only the named partitions — the
+        partition-pruned path a per-client/per-day job takes."""
+        parts = self._read_manifest()["parts"]
+        if not parts:
+            raise FileNotFoundError(f"no partitions in {self.root}")
+        if part_values is not None:
+            dirs = [parts[str(v)] for v in part_values if str(v) in parts]
+        else:
+            dirs = list(parts.values())
+        if not dirs:
+            raise FileNotFoundError(f"no matching partitions in {self.root}")
+        return self.spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        hash_col: str = "content_hash",
+        audit_ts_col: str | None = "updated_at",
+        on_extra_columns: str = "error",
+    ) -> dict:
+        """Hash-gated MERGE rewriting only the partitions present in
+        ``source``. The partition column must be one of the merge keys
+        (rows cannot move between partitions through a merge — same rule
+        as Delta partition columns) and may not be null in the source.
+        """
+        pcol = self.partition_col
+        if pcol not in keys:
+            raise ValueError(f"partition column {pcol!r} must be part of the merge keys")
+        if source.filter(F.col(pcol).isNull()).limit(1).count() > 0:
+            raise ValueError(f"merge source contains NULL {pcol!r}")
+        null_key = None
+        for k in keys:
+            piece = F.col(k).isNull()
+            null_key = piece if null_key is None else (null_key | piece)
+        if source.filter(null_key).limit(1).count() > 0:
+            raise ValueError(f"merge source contains NULL in merge key(s) {list(keys)}")
+
+        # affected partitions: a small driver-side list by design (a batch
+        # touches one client / a few days, never the whole keyspace)
+        affected = [r[0] for r in source.select(pcol).distinct().collect()]
+        base = self._read_manifest()
+        read_versions = {str(v): base["parts"].get(str(v)) for v in affected}
+
+        existing_dirs = [d for d in read_versions.values() if d]
+        if existing_dirs:
+            target = self.spark.read.parquet(
+                *[os.path.join(self.root, d) for d in existing_dirs]
+            )
+        else:
+            target = None
+
+        src = source
+        if target is None:
+            if audit_ts_col and audit_ts_col not in src.columns:
+                src = src.withColumn(audit_ts_col, F.current_timestamp())
+            merged = src.withColumn("_action", F.lit("insert"))
+        else:
+            if audit_ts_col and audit_ts_col not in src.columns:
+                src = src.withColumn(audit_ts_col, F.current_timestamp())
+            target, src = _align_source(target, src, audit_ts_col, on_extra_columns)
+            merged = _classify_merge(
+                target, src, keys, hash_col, None, None, "status", "deleted"
+            )
+        merged = merged.cache()
+        try:
+            counts = {
+                r["_action"]: r["n"]
+                for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            # one new directory per affected partition, written lock-free
+            new_dirs: dict[str, str] = {}
+            stamp = f"{int(time.time() * 1000)}_{os.getpid()}"
+            for i, v in enumerate(affected):
+                d = f"p_{i}_{stamp}"
+                merged.filter(F.col(pcol) == F.lit(v)).drop("_action").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.root, d))
+                new_dirs[str(v)] = d
+        finally:
+            merged.unpersist()
+
+        with self._commit_lock():
+            manifest = self._read_manifest()
+            for v, expected in read_versions.items():
+                if manifest["parts"].get(v) != expected:
+                    import shutil
+
+                    for d in new_dirs.values():
+                        shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"partition {v!r} advanced from {expected!r} to "
+                        f"{manifest['parts'].get(v)!r} during the transaction; retry"
+                    )
+            manifest["parts"].update(new_dirs)
+            manifest["history"].extend(new_dirs.values())
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path)
+        return {
+            "inserted": counts.get("insert", 0),
+            "updated": counts.get("update", 0),
+            "unchanged": counts.get("unchanged", 0) + counts.get("keep", 0),
+            "soft_deleted": 0,
+            "partitions_rewritten": len(affected),
+        }
 
 
 def merge_with_retry(

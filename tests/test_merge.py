@@ -334,3 +334,140 @@ def test_merge_schema_drift_modes(spark, tmp_path):
     t.merge(v3, keys=["id"], on_extra_columns="ignore")
     out = t.read()
     assert "debug" not in out.columns and out.filter("id = 4").count() == 1
+
+
+# --- PartitionedMergeTable: partition-scoped rewrites ------------------------
+
+def _ptable_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "client_id string, external_id string, title string, content_hash string"
+    )
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "pt"), "client_id")
+    seed = _ptable_rows(spark, [
+        ("c1", "p1", "t1", "h1"), ("c1", "p2", "t2", "h2"),
+        ("c2", "q1", "u1", "g1"),
+    ])
+    stats = t.merge(seed, keys=["client_id", "external_id"])
+    assert stats["inserted"] == 3 and stats["partitions_rewritten"] == 2
+    c1_dir_before = t.parts()["c1"]
+
+    delta = _ptable_rows(spark, [
+        ("c2", "q1", "u1-edited", "g1x"),   # update
+        ("c2", "q2", "u2", "g2"),           # insert
+    ])
+    stats = t.merge(delta, keys=["client_id", "external_id"])
+    assert stats == {
+        "inserted": 1, "updated": 1, "unchanged": 0, "soft_deleted": 0,
+        "partitions_rewritten": 1,
+    }
+    # c1 was untouched: same physical directory, same rows
+    assert t.parts()["c1"] == c1_dir_before
+    rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    assert rows == {
+        ("c1", "p1"): "t1", ("c1", "p2"): "t2",
+        ("c2", "q1"): "u1-edited", ("c2", "q2"): "u2",
+    }
+    # partition-pruned read
+    assert {r["external_id"] for r in t.read(["c2"]).collect()} == {"q1", "q2"}
+
+
+def test_partitioned_merge_requires_partition_key(spark, tmp_path):
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "pt2"), "client_id")
+    with pytest.raises(ValueError, match="must be part of the merge keys"):
+        t.merge(_ptable_rows(spark, [("c1", "p1", "t", "h")]), keys=["external_id"])
+    with pytest.raises(ValueError, match="NULL"):
+        t.merge(
+            _ptable_rows(spark, [(None, "p1", "t", "h")]),
+            keys=["client_id", "external_id"],
+        )
+
+
+def test_partitioned_merge_cross_partition_writers_both_commit(spark, tmp_path):
+    """The point of per-partition conflict detection: a writer landing in
+    c2 while our c1 transaction is in flight does NOT abort it."""
+    from unittest.mock import patch
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    root = str(tmp_path / "pt3")
+    t = PartitionedMergeTable(spark, root, "client_id")
+    t.merge(
+        _ptable_rows(spark, [("c1", "p1", "t1", "h1"), ("c2", "q1", "u1", "g1")]),
+        keys=["client_id", "external_id"],
+    )
+
+    real_lock = PartitionedMergeTable._commit_lock
+    state = {"fired": False}
+
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def racing_lock(self):
+        if not state["fired"]:
+            state["fired"] = True
+            other = PartitionedMergeTable(spark, root, "client_id")
+            other.merge(
+                _ptable_rows(spark, [("c2", "q2", "interloper", "g2")]),
+                keys=["client_id", "external_id"],
+            )
+        with real_lock(self):
+            yield
+
+    with patch.object(PartitionedMergeTable, "_commit_lock", racing_lock):
+        stats = t.merge(
+            _ptable_rows(spark, [("c1", "p1", "t1-edited", "h1x")]),
+            keys=["client_id", "external_id"],
+        )
+    assert stats["updated"] == 1  # no ConcurrentWriteError
+    rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    assert rows[("c1", "p1")] == "t1-edited"
+    assert rows[("c2", "q2")] == "interloper"  # B's commit survived
+
+
+def test_partitioned_merge_same_partition_conflict_detected(spark, tmp_path):
+    from unittest.mock import patch
+
+    from etl_stack_spark.operators.merge import (
+        ConcurrentWriteError,
+        PartitionedMergeTable,
+    )
+
+    root = str(tmp_path / "pt4")
+    t = PartitionedMergeTable(spark, root, "client_id")
+    t.merge(
+        _ptable_rows(spark, [("c1", "p1", "t1", "h1")]),
+        keys=["client_id", "external_id"],
+    )
+
+    real_lock = PartitionedMergeTable._commit_lock
+    state = {"fired": False}
+    import contextlib as _ctx
+
+    @_ctx.contextmanager
+    def racing_lock(self):
+        if not state["fired"]:
+            state["fired"] = True
+            other = PartitionedMergeTable(spark, root, "client_id")
+            other.merge(
+                _ptable_rows(spark, [("c1", "p9", "sneak", "h9")]),
+                keys=["client_id", "external_id"],
+            )
+        with real_lock(self):
+            yield
+
+    with patch.object(PartitionedMergeTable, "_commit_lock", racing_lock):
+        with pytest.raises(ConcurrentWriteError, match="partition 'c1'"):
+            t.merge(
+                _ptable_rows(spark, [("c1", "p1", "t1-edited", "h1x")]),
+                keys=["client_id", "external_id"],
+            )
+    # the sneak write survived; the loser's row did not half-land
+    rows = {r["external_id"]: r["title"] for r in t.read().collect()}
+    assert rows == {"p1": "t1", "p9": "sneak"}
