@@ -507,6 +507,29 @@ class PartitionedMergeTable:
             "partitions_rewritten": len(affected),
         }
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop superseded partition-version directories, keeping the
+        ``keep_last`` most recent history entries per partition-agnostic
+        history plus everything currently referenced. Mirrors the
+        whole-table vacuum: manifest rewrites first under the commit
+        lock, directories are removed after, so a concurrent reader of a
+        live partition never loses it."""
+        import shutil
+
+        with self._commit_lock():
+            manifest = self._read_manifest()
+            live = set(manifest["parts"].values())
+            history = manifest["history"]
+            to_drop = [d for d in history[:-keep_last] if d not in live]
+            manifest["history"] = [d for d in history if d not in to_drop]
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path)
+        for d in to_drop:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return to_drop
+
 
 def merge_with_retry(
     table: ParquetMergeTable,

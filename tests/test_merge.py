@@ -471,3 +471,24 @@ def test_partitioned_merge_same_partition_conflict_detected(spark, tmp_path):
     # the sneak write survived; the loser's row did not half-land
     rows = {r["external_id"]: r["title"] for r in t.read().collect()}
     assert rows == {"p1": "t1", "p9": "sneak"}
+
+
+def test_partitioned_vacuum_drops_superseded_keeps_live(spark, tmp_path):
+    import os
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "ptv"), "client_id")
+    keys = ["client_id", "external_id"]
+    t.merge(_ptable_rows(spark, [("c1", "p1", "a", "h1"), ("c2", "q1", "b", "g1")]), keys=keys)
+    t.merge(_ptable_rows(spark, [("c1", "p1", "a2", "h2")]), keys=keys)
+    t.merge(_ptable_rows(spark, [("c1", "p1", "a3", "h3")]), keys=keys)
+
+    dropped = t.vacuum(keep_last=2)
+    assert dropped  # c1's first superseded version goes
+    live_dirs = set(t.parts().values())
+    assert not (set(dropped) & live_dirs)
+    for d in live_dirs:
+        assert os.path.isdir(os.path.join(t.root, d))
+    rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    assert rows == {("c1", "p1"): "a3", ("c2", "q1"): "b"}
