@@ -25,12 +25,17 @@ from pyspark.sql import functions as F
 
 def normalize_to_bits(col: Column, lo: Column | float, hi: Column | float, bits: int) -> Column:
     """Map a numeric column into [0, 2^bits) by linear min-max scaling.
-    Values at ``hi`` land on the top bucket; nulls land at 0 (they sort
-    together, which is what a layout key wants)."""
+    Values at ``hi`` land on the top bucket; nulls AND NaNs land at 0
+    (they sort together, which is what a layout key wants — NaN needs an
+    explicit gate because Spark's greatest/least treat NaN as larger
+    than every number, which would otherwise float it into the TOP
+    bucket)."""
     lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
     hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+    d = col.cast("double")
     span = hi_c - lo_c
-    frac = F.when(span > 0, (col.cast("double") - lo_c) / span).otherwise(F.lit(0.0))
+    frac = F.when(span > 0, (d - lo_c) / span).otherwise(F.lit(0.0))
+    frac = F.when(d.isNull() | F.isnan(d), F.lit(0.0)).otherwise(frac)
     frac = F.least(F.greatest(F.coalesce(frac, F.lit(0.0)), F.lit(0.0)), F.lit(1.0))
     top = (1 << bits) - 1
     return F.least(F.floor(frac * (1 << bits)).cast("long"), F.lit(top))

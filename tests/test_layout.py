@@ -93,3 +93,36 @@ def test_write_zordered_tightens_per_file_stats(spark, tmp_path):
     back = spark.read.parquet(z_dir)
     assert back.count() == n
     assert back.agg(F.sum("id")).collect()[0][0] == sum(r[0] for r in rows)
+
+
+def test_zorder_key_property_parity(spark):
+    """Adversarial-value parity (batched into ONE Spark job): for doubles
+    including NaN, infinities, subnormals, out-of-range, and exactly-at-
+    bounds values, the column expression matches the pure-Python
+    reference bit for bit. Caught a real bug: Spark's greatest/least
+    treat NaN as larger than every number, floating NaN into the TOP
+    bucket until the operator gained an explicit gate."""
+    import math
+
+    bits, lo, hi = 10, -50.0, 150.0
+    samples = [
+        float("nan"), float("inf"), float("-inf"), -1e300, 1e300,
+        lo, hi, lo - 1e-9, hi + 1e-9, 0.0, -0.0, 49.999999, 150.0 - 1e-12,
+        1e-320, -50.0 + 1e-12, 100.0,
+    ]
+
+    def ref_q(v):
+        if v is None or math.isnan(v):
+            return 0
+        span = hi - lo
+        frac = (v - lo) / span
+        frac = min(max(frac, 0.0), 1.0)
+        return min(int(math.floor(frac * (1 << bits))), (1 << bits) - 1)
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(samples)], "i int, v double")
+    got = {
+        r["i"]: r["q"]
+        for r in df.select("i", normalize_to_bits(F.col("v"), lo, hi, bits).alias("q")).collect()
+    }
+    for i, v in enumerate(samples):
+        assert got[i] == ref_q(v), (v, got[i], ref_q(v))
