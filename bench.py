@@ -76,6 +76,11 @@ def load_baseline() -> dict[str, float]:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             candidates.append((int(m.group(1)), path))
+    # the committed sidecar from the previous round outranks driver records —
+    # rounds 3/4 both recorded `parsed: null` and would pin the bar at r2
+    detail = os.path.join(here, "BENCH_DETAIL.json")
+    if os.path.exists(detail):
+        candidates.append((10**6, detail))
     # newest round with a PARSED result wins — a crashed round records
     # {"parsed": null} (BENCH_r03 did) and must not blank the baseline
     for _, path in sorted(candidates, reverse=True):
@@ -173,6 +178,12 @@ def main() -> None:
         full_sweep_total = round(sum(t for t in sweep_timings.values() if t > 0), 3)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # The driver tails stdout with a bounded buffer: round 4's single line
+    # (headline + samples + ~80-query sweep) overflowed it and the official
+    # record got `parsed: null` (VERDICT r4 task 1). Contract now: the FINAL
+    # stdout line is a compact JSON object — headline total + per-query
+    # medians only — and everything else (samples, sweep, regressions) goes
+    # to BENCH_DETAIL.json next to this script plus stderr.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -180,13 +191,21 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "runs_per_query": runs,
-        "samples": spreads,
     }
+    detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
-        out["full_sweep_total"] = full_sweep_total
-        out["full_sweep_queries"] = sweep_timings
+        detail["full_sweep_total"] = full_sweep_total
+        detail["full_sweep_queries"] = sweep_timings
     if regressions:
-        out["regressions"] = regressions
+        detail["regressions"] = regressions
+        out["regression_count"] = len(regressions)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # the sidecar is best-effort; never lose the headline
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     print(json.dumps(out))
     if strict and regressions:
         sys.exit(1)
