@@ -475,9 +475,10 @@ def _decode_scan(data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
                     raise ValueError("expected restart marker")
                 pred = {c["id"]: 0 for c in comps}
         except _MarkerReached as m:
-            if 0xFFD0 <= m.marker <= 0xFFD7:
-                pred = {c["id"]: 0 for c in comps}
-                continue
+            # Well-formed restarts are consumed by the aligned DRI path above;
+            # a marker raised from inside an MCU means the entropy stream is
+            # corrupt. Retrying here would loop forever: _fill leaves pos ON
+            # the 0xFF, so the re-decoded MCU re-raises the same marker.
             raise ValueError(f"unexpected marker 0x{m.marker:x} mid-scan") from None
 
     planes = []

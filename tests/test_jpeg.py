@@ -208,6 +208,20 @@ def test_dct_matrix_is_orthonormal():
     assert len(set(ZIGZAG.tolist())) == 64
 
 
+def test_unexpected_restart_marker_raises_not_hangs():
+    """An un-signalled RST marker mid-scan (no DRI) must raise, not spin:
+    the old handler reset predictors and retried the same MCU with the
+    reader still positioned ON the marker — an infinite loop (ADVICE r4)."""
+    base = bytearray(encode_jpeg(gradient(24, 32)))
+    sos = bytes(base).find(b"\xff\xda")
+    assert sos > 0
+    hdr_len = struct.unpack(">H", bytes(base[sos + 2:sos + 4]))[0]
+    scan_start = sos + 2 + hdr_len
+    mutated = base[: scan_start + 4] + b"\xff\xd3" + base[scan_start + 4:]
+    with pytest.raises(ValueError, match="unexpected marker"):
+        decode_jpeg(bytes(mutated))
+
+
 def test_fuzz_truncated_and_corrupted_streams_raise_cleanly():
     """Decoder robustness: truncations and byte flips of a valid stream
     must raise ValueError/IndexError/struct.error — never hang, never
