@@ -400,8 +400,17 @@ class PartitionedMergeTable:
 
     def read(self, part_values: Sequence[object] | None = None) -> DataFrame:
         """Read the whole table, or only the named partitions — the
-        partition-pruned path a per-client/per-day job takes."""
-        parts = self._read_manifest()["parts"]
+        partition-pruned path a per-client/per-day job takes.
+
+        Reads with ``mergeSchema`` and projects to the manifest-recorded
+        table schema: after ``on_extra_columns='evolve'`` only the touched
+        partitions carry the widened schema, and a plain parquet read
+        would silently drop the evolved column (ADVICE r4). Partitions
+        written before the evolve surface the new column as NULL — the
+        Delta table-schema semantics.
+        """
+        manifest = self._read_manifest()
+        parts = manifest["parts"]
         if not parts:
             raise FileNotFoundError(f"no partitions in {self.root}")
         if part_values is not None:
@@ -410,7 +419,22 @@ class PartitionedMergeTable:
             dirs = list(parts.values())
         if not dirs:
             raise FileNotFoundError(f"no matching partitions in {self.root}")
-        return self.spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, d) for d in dirs]
+        )
+        schema_json = manifest.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            table_schema = StructType.fromJson(schema_json)
+            df = df.select(
+                *[
+                    F.col(f.name) if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in table_schema.fields
+                ]
+            )
+        return df
 
     def merge(
         self,
@@ -494,7 +518,27 @@ class PartitionedMergeTable:
                         f"{manifest['parts'].get(v)!r} during the transaction; retry"
                     )
             manifest["parts"].update(new_dirs)
-            manifest["history"].extend(new_dirs.values())
+            # history entries record their partition so vacuum can retain
+            # per-partition; legacy manifests may hold bare dir strings
+            manifest["history"].extend(
+                {"dir": d, "part": v} for v, d in new_dirs.items()
+            )
+            # table-level schema: the source of truth read() projects to,
+            # so an evolved column survives mixed-schema partition dirs.
+            # Union with the recorded schema — a later merge touching only
+            # un-evolved partitions must not narrow the table schema.
+            new_schema = merged.drop("_action").schema
+            prior = manifest.get("schema")
+            if prior:
+                from pyspark.sql.types import StructType
+
+                prior_schema = StructType.fromJson(prior)
+                known = {f.name for f in prior_schema.fields}
+                for f in new_schema.fields:
+                    if f.name not in known:
+                        prior_schema.add(f)
+                new_schema = prior_schema
+            manifest["schema"] = new_schema.jsonValue()
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -509,19 +553,38 @@ class PartitionedMergeTable:
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop superseded partition-version directories, keeping the
-        ``keep_last`` most recent history entries per partition-agnostic
-        history plus everything currently referenced. Mirrors the
-        whole-table vacuum: manifest rewrites first under the commit
-        lock, directories are removed after, so a concurrent reader of a
-        live partition never loses it."""
+        ``keep_last`` most recent history entries PER PARTITION plus
+        everything currently referenced (``keep_last=0`` keeps only the
+        live versions). Retention is per partition value so a busy
+        partition cannot evict a quiet partition's retained versions
+        (ADVICE r4). Mirrors the whole-table vacuum: manifest rewrites
+        first under the commit lock, directories are removed after, so a
+        concurrent reader of a live partition never loses it."""
         import shutil
 
         with self._commit_lock():
             manifest = self._read_manifest()
             live = set(manifest["parts"].values())
             history = manifest["history"]
-            to_drop = [d for d in history[:-keep_last] if d not in live]
-            manifest["history"] = [d for d in history if d not in to_drop]
+            # entries are {"dir", "part"} dicts; legacy manifests hold bare
+            # dir strings with no partition association — group those as one
+            by_part: dict[object, list[str]] = {}
+            for entry in history:
+                d = entry["dir"] if isinstance(entry, dict) else entry
+                p = entry.get("part") if isinstance(entry, dict) else None
+                by_part.setdefault(p, []).append(d)
+            to_drop = [
+                d
+                for dirs in by_part.values()
+                for d in (dirs[:-keep_last] if keep_last else dirs)
+                if d not in live
+            ]
+            dropped = set(to_drop)
+            manifest["history"] = [
+                e
+                for e in history
+                if (e["dir"] if isinstance(e, dict) else e) not in dropped
+            ]
             tmp = self._manifest_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)

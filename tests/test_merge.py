@@ -473,6 +473,71 @@ def test_partitioned_merge_same_partition_conflict_detected(spark, tmp_path):
     assert rows == {"p1": "t1", "p9": "sneak"}
 
 
+def test_partitioned_evolve_column_survives_read(spark, tmp_path):
+    """ADVICE r4: merge(on_extra_columns='evolve') widens only the touched
+    partitions; read() must still surface the evolved column everywhere
+    (NULL for partitions written before the evolve), not silently drop it."""
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "pte"), "client_id")
+    keys = ["client_id", "external_id"]
+    t.merge(
+        _ptable_rows(spark, [("c1", "p1", "a", "h1"), ("c2", "q1", "b", "g1")]),
+        keys=keys,
+    )
+    widened = spark.createDataFrame(
+        [("c1", "p1", "a2", "h2", 0.9)],
+        "client_id string, external_id string, title string, "
+        "content_hash string, score double",
+    )
+    t.merge(widened, keys=keys, on_extra_columns="evolve")
+
+    full = t.read()
+    assert "score" in full.columns
+    rows = {(r["client_id"], r["external_id"]): r["score"] for r in full.collect()}
+    assert rows[("c1", "p1")] == 0.9
+    assert rows[("c2", "q1")] is None  # pre-evolve partition: NULL, not dropped
+    # partition-pruned read of the UN-evolved partition also carries the column
+    pruned = t.read(["c2"])
+    assert "score" in pruned.columns
+    # a later merge touching only the un-evolved partition must not narrow
+    # the table schema back
+    t.merge(_ptable_rows(spark, [("c2", "q2", "c", "g2")]), keys=keys)
+    assert "score" in t.read().columns
+
+
+def test_partitioned_vacuum_keep_last_zero_and_per_partition(spark, tmp_path):
+    """ADVICE r4: keep_last=0 must drop ALL superseded versions (the old
+    history[:-0] slice made it a no-op), and retention is per partition —
+    a busy partition's churn cannot evict a quiet partition's history."""
+    import os
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "ptz"), "client_id")
+    keys = ["client_id", "external_id"]
+    t.merge(_ptable_rows(spark, [("c1", "p1", "a", "h1"), ("c2", "q1", "b", "g1")]), keys=keys)
+    c2_v1 = t.parts()["c2"]
+    t.merge(_ptable_rows(spark, [("c2", "q1", "b2", "g2")]), keys=keys)
+    # churn c1 three times; c2 now has exactly one superseded version
+    for i in range(3):
+        t.merge(_ptable_rows(spark, [("c1", "p1", f"a{i}", f"h{i}")]), keys=keys)
+
+    # keep_last=2 per partition (live + one prior): c2's single superseded
+    # version is retained even though c1 churned past the global window
+    dropped = t.vacuum(keep_last=2)
+    assert c2_v1 not in dropped
+    assert os.path.isdir(os.path.join(t.root, c2_v1))
+
+    # keep_last=0: everything superseded goes, live versions stay
+    dropped = t.vacuum(keep_last=0)
+    assert c2_v1 in dropped
+    live = set(t.parts().values())
+    assert not (set(dropped) & live)
+    rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    assert rows == {("c1", "p1"): "a2", ("c2", "q1"): "b2"}
+
+
 def test_partitioned_vacuum_drops_superseded_keeps_live(spark, tmp_path):
     import os
 
