@@ -50,9 +50,19 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
         ranked = ranked.withColumn(
             "content_hash",
             F.sha2(F.concat_ws("|", "poi_id", "brand", "tier", "distance_km"), 256),
-        )
+        ).withColumn("status", F.lit("active"))
         if results.exists():
-            results.merge(ranked, keys=RESULT_KEYS)
+            # Scope deletes to this batch's properties: a re-ranked property
+            # that now produces FEWER rows (POI gone, radius change) must
+            # tombstone its stale higher-rnk rows — the reference replaces
+            # per-property result sets wholesale (ADVICE r4). The id list is
+            # driver-side but bounded by the micro-batch delta, not the corpus.
+            batch_ids = [r[0] for r in latest.select("prop_id").distinct().collect()]
+            results.merge(
+                ranked,
+                keys=RESULT_KEYS,
+                soft_delete_scope=F.col("t.prop_id").isin(batch_ids),
+            )
         else:
             results.overwrite(ranked)  # bootstrap on the first micro-batch
 

@@ -348,3 +348,47 @@ def test_lead_prep_stream_e2e(spark, tmp_path):
     q3.awaitTermination(120)
     after = {r for r in results.read().collect()}
     assert after == before
+
+
+def test_lead_prep_stream_tombstones_stale_ranks(spark, tmp_path):
+    """ADVICE r4: a re-ranked property that now matches FEWER POIs must
+    not keep serving its old higher-rnk rows — the merge scopes a soft
+    delete to the batch's properties, preserving the reference's
+    per-property replace semantics."""
+    from etl_stack_spark.plans.lead_prep_stream import run_lead_prep_stream
+
+    # two Convenience POIs ~0.1 km apart; the far position keeps only poi 1
+    pois = spark.createDataFrame(
+        [
+            (1, "Convenience", "Brand#11", 10, 9.800, -84.100),
+            (2, "Convenience", "Brand#99", 20, 9.801, -84.101),
+        ],
+        "poi_id long, category string, brand string, quality_score int, poi_lat double, poi_lon double",
+    )
+    feed = tmp_path / "feed_stale"
+    results = ParquetMergeTable(spark, str(tmp_path / "results_stale"))
+    ckpt = str(tmp_path / "ckpt_stale")
+
+    spark.createDataFrame(
+        [(200, 9.800, -84.100, "2024-01-01 00:00:00")],
+        "prop_id long, lat double, lon double, ts_s string",
+    ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .write.mode("append").parquet(str(feed))
+    run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+    first = {r["rnk"]: r["status"] for r in results.read().collect()}
+    assert first == {1: "active", 2: "active"}
+
+    # the property moves south: poi 1 lands at ~2.95 km (inside the 3 km
+    # radius), poi 2 at ~3.06 km (outside) — the old rnk=2 row is now stale
+    spark.createDataFrame(
+        [(200, 9.7735, -84.100, "2024-01-01 01:00:00")],
+        "prop_id long, lat double, lon double, ts_s string",
+    ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+        .write.mode("append").parquet(str(feed))
+    run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+
+    rows = {r["rnk"]: (r["status"], r["poi_id"]) for r in results.read().collect()}
+    assert rows[1] == ("active", 1)
+    assert rows[2][0] == "deleted"  # tombstoned, not silently served
+    live = results.read().filter(F.col("status") != "deleted")
+    assert [r["poi_id"] for r in live.collect()] == [1]
