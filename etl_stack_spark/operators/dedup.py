@@ -145,34 +145,43 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
         .cache()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ids = F.col("ids")
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                ids,
-                lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
-    )
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        ids = F.col("ids")
+        pair_structs = F.filter(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                )
+            ),
+            lambda s: s["a"] < s["b"],
+        )
+        common = (
+            sh.groupBy("shingle")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .select(F.explode(pair_structs).alias("p"))
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+        jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        out = (
+            common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        # Materialize the (bounded, post-threshold) pair set NOW so the
+        # shingle cache can be released before returning — a lazy return
+        # would leak executor storage across calls in a long-lived session
+        # (ADVICE r4). localCheckpoint blocks are GC-cleaned with the DF,
+        # unlike CacheManager entries which pin until an explicit unpersist.
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def embedding_near_duplicates(
