@@ -125,11 +125,12 @@ def mock_ocr(content_hash: pd.Series) -> pd.Series:
 def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
     """P31 real transcode: decode → bound longest side by ``max_dim`` →
     re-encode (reference resizes + re-encodes WebP q=80,
-    image_base_provider.py:94-106). Working codecs, all pure
-    numpy/zlib — no PIL in this container: binary PPM (P6), PNG (8-bit
+    image_base_provider.py:94-106). Codecs: binary PPM (P6), PNG (8-bit
     non-interlaced; functions/imaging.py), and baseline JPEG
-    (functions/jpeg.py). WebP/progressive-JPEG payloads raise instead
-    of pretending."""
+    (functions/jpeg.py) are pure numpy/zlib; WebP (lossy VP8, lossless
+    VP8L, alpha) binds the system libwebp via ctypes (functions/webp.py)
+    — WebP-in re-encodes WebP q=80 exactly like the reference. On a
+    host without libwebp, WebP payloads raise instead of pretending."""
     from etl_stack_spark.functions.imaging import (
         PNG_MAGIC,
         PPM_MAGIC,
@@ -137,6 +138,7 @@ def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
         transcode_ppm,
     )
     from etl_stack_spark.functions.jpeg import JPEG_MAGIC, transcode_jpeg
+    from etl_stack_spark.functions.webp import is_webp, transcode_webp
 
     def one(b):
         if b is None:
@@ -148,11 +150,13 @@ def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
             out, _, _ = transcode_png(data, max_dim=max_dim)
         elif data.startswith(JPEG_MAGIC):
             out, _, _ = transcode_jpeg(data, max_dim=max_dim)
+        elif is_webp(data):
+            out, _, _ = transcode_webp(data, max_dim=max_dim)
         else:
             raise NotImplementedError(
-                "only PPM(P6), PNG, and baseline JPEG decode in this "
-                "environment (no PIL/libwebp); plug a codec-backed "
-                "provider for WebP payloads"
+                "only PPM(P6), PNG, baseline JPEG, and WebP (via the "
+                "system libwebp) decode in this environment; plug a "
+                "codec-backed provider for other payloads"
             )
         return out
 

@@ -1,0 +1,158 @@
+"""WebP codec backed by the system libwebp, bound via ctypes.
+
+The reference's image pipeline converges every inbound image on WebP
+q=80 (`/root/reference/src/ETL_IMAGES/providers/image_base_provider.py:94-106`,
+via PIL → libwebp). This container has no PIL, but it does ship
+``libwebp.so.7`` — so the engine binds the real codec directly instead
+of approximating it: real decode (lossy VP8, lossless VP8L, alpha),
+real q=80 encode, byte-for-byte the same library PIL would call.
+
+Capability-probed like the OCR toolchain (``ai.ocr_capabilities``): on a
+host without libwebp every entry point raises a clear RuntimeError and
+``webp_available()`` lets callers route around it. The Spark-side
+plumbing (mapInPandas batch shape, binary columns) is identical either
+way.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+
+WEBP_MAGIC_RIFF = b"RIFF"
+WEBP_MAGIC_WEBP = b"WEBP"
+
+_lib = None
+_lib_probed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _lib_probed
+    if _lib_probed:
+        return _lib
+    _lib_probed = True
+    for name in ("libwebp.so.7", "libwebp.so", "libwebp.dylib", "webp"):
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.WebPGetInfo.restype = ctypes.c_int
+            lib.WebPGetInfo.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.WebPDecodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            for enc in ("WebPEncodeRGBA", "WebPEncodeLosslessRGBA"):
+                fn = getattr(lib, enc)
+                fn.restype = ctypes.c_size_t
+            lib.WebPEncodeRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ]
+            lib.WebPEncodeLosslessRGBA.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ]
+            lib.WebPFree.restype = None
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+        except AttributeError:
+            continue
+        _lib = lib
+        break
+    return _lib
+
+
+def webp_available() -> bool:
+    """True when a usable libwebp is loadable on this host."""
+    return _load() is not None
+
+
+def _require() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "libwebp not found on this host — WebP payloads need the system "
+            "codec; install libwebp or route these rows to a codec-backed "
+            "provider"
+        )
+    return lib
+
+
+def is_webp(data: bytes) -> bool:
+    return (
+        len(data) >= 16
+        and data[:4] == WEBP_MAGIC_RIFF
+        and data[8:12] == WEBP_MAGIC_WEBP
+    )
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode any WebP variant (VP8 lossy, VP8L lossless, VP8X extended,
+    with or without alpha) to an (H, W, 4) RGBA uint8 array."""
+    lib = _require()
+    if not is_webp(data):
+        raise ValueError("not a WebP stream (RIFF/WEBP header missing)")
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if not lib.WebPGetInfo(data, len(data), ctypes.byref(w), ctypes.byref(h)):
+        raise ValueError("corrupt WebP: header did not parse")
+    buf = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not buf:
+        raise ValueError("corrupt WebP: bitstream did not decode")
+    try:
+        n = w.value * h.value * 4
+        arr = np.ctypeslib.as_array(buf, shape=(n,)).reshape(h.value, w.value, 4).copy()
+    finally:
+        lib.WebPFree(buf)
+    return arr
+
+
+def encode_webp(arr: np.ndarray, quality: float = 80.0, lossless: bool = False) -> bytes:
+    """Encode (H, W, 3|4) uint8 to WebP. ``quality=80`` lossy is the
+    reference pipeline's convergence target; ``lossless`` emits VP8L."""
+    lib = _require()
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_webp wants (H, W, 3|4) uint8")
+    if arr.shape[2] == 3:
+        rgba = np.concatenate(
+            [arr, np.full(arr.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+        )
+    else:
+        rgba = arr
+    h, w = rgba.shape[:2]
+    raw = np.ascontiguousarray(rgba).tobytes()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    if lossless:
+        size = lib.WebPEncodeLosslessRGBA(raw, w, h, w * 4, ctypes.byref(out))
+    else:
+        size = lib.WebPEncodeRGBA(raw, w, h, w * 4, float(quality), ctypes.byref(out))
+    if not size or not out:
+        raise ValueError("WebP encode failed")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(out)
+
+
+def transcode_webp(
+    data: bytes, max_dim: int = 512, quality: float = 80.0
+) -> tuple[bytes, int, int]:
+    """Decode → bound the longest side by ``max_dim`` (aspect preserved,
+    never upscales) → re-encode WebP at ``quality`` — the reference's
+    resize+convergence step (image_base_provider.py:94-106), WebP-in and
+    WebP-out."""
+    from etl_stack_spark.functions.imaging import resize_rgb
+
+    arr = decode_webp(data)
+    ih, iw = arr.shape[:2]
+    scale = min(1.0, max_dim / max(ih, iw))
+    out_w, out_h = max(1, round(iw * scale)), max(1, round(ih * scale))
+    if (out_w, out_h) != (iw, ih):
+        arr = resize_rgb(arr, out_w, out_h)
+    return encode_webp(arr, quality=quality), out_w, out_h

@@ -7,9 +7,10 @@ extraction / resize / frame sampling run as Arrow-batched functions over
 ``mapInPandas`` — the batch shape, schemas and partitioning here are real;
 the generic feature step is a deterministic fake (this container has no
 image/audio libraries) behind the same interface a real decoder plugs
-into. A REAL codec path exists for PPM images:
-``ai.transcode_image_batch`` decodes/resizes/re-encodes in pure numpy
-(functions/imaging.py); JPEG/WebP still raise for honesty.
+into. REAL codec paths exist for images: ``ai.transcode_image_batch``
+decodes/resizes/re-encodes PPM, PNG and baseline JPEG in pure numpy
+(functions/imaging.py, functions/jpeg.py) and WebP through the system
+libwebp (functions/webp.py).
 
 Scale notes:
 - binary payloads ride in Arrow record batches; keep
@@ -99,6 +100,66 @@ def sample_frames(media: DataFrame, max_frames: int = 5) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+WEBP_PROBE_SCHEMA = (
+    "media_id long, in_w int, in_h int, out_w int, out_h int, "
+    "rt_r int, rt_g int, rt_b int, out_is_webp boolean"
+)
+
+
+def webp_roundtrip_probe(docs: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL-codec WebP probe, oracle-checkable end to end: per doc_id,
+    build a solid-color image with dimensions and color derived from the
+    id, encode it lossless (VP8L), decode it back (exact round-trip by
+    losslessness), then run the production resize+q80 transcode and
+    decode ITS output for the actual emitted dimensions. Every reported
+    number is recomputable from doc_id arithmetic in SQL, so the oracle
+    pins the real libwebp encode→decode→resize→re-encode loop, not a
+    mock. Input height is fixed at 20 and width ranges 8..19 so the
+    0.8 scale factor never lands on a .5 (Python banker's rounding and
+    SQL ROUND agree on everything else)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_stack_spark.functions.webp import (
+            decode_webp,
+            encode_webp,
+            is_webp,
+            transcode_webp,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "in_w", "in_h", "out_w", "out_h",
+                    "rt_r", "rt_g", "rt_b", "out_is_webp",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 12, 20
+                color = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[..., 0], arr[..., 1], arr[..., 2] = color
+                lossless = encode_webp(arr, lossless=True)
+                rt = decode_webp(lossless)
+                transcoded, _, _ = transcode_webp(lossless, max_dim=max_dim)
+                emitted = decode_webp(transcoded)
+                out["media_id"].append(did)
+                out["in_h"].append(rt.shape[0])
+                out["in_w"].append(rt.shape[1])
+                out["out_h"].append(emitted.shape[0])
+                out["out_w"].append(emitted.shape[1])
+                out["rt_r"].append(int(rt[0, 0, 0]))
+                out["rt_g"].append(int(rt[0, 0, 1]))
+                out["rt_b"].append(int(rt[0, 0, 2]))
+                out["out_is_webp"].append(is_webp(transcoded))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=WEBP_PROBE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

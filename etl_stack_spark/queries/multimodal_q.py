@@ -11,11 +11,13 @@ in this container) behind the same interface as a real decoder.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_stack_spark.operators.multimodal import (
     extract_media_features,
     media_from_documents,
     sample_frames,
+    webp_roundtrip_probe,
 )
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
@@ -72,3 +74,31 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(media_from_documents(docs), max_frames=5)
     return frames.select("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# MM3 — REAL WebP codec round-trip (P31): solid-color images synthesized
+# from doc_id, lossless encode→decode (exact), then the production
+# resize+q80 transcode with the OUTPUT decoded for its actual dims. The
+# oracle recomputes every value from doc_id arithmetic — so a hash match
+# means the system libwebp really encoded, resized and re-encoded what
+# the arithmetic says it should.
+# ---------------------------------------------------------------------------
+_MM3_ORACLE = """
+SELECT doc_id AS media_id,
+  CAST(8 + doc_id % 12 AS INT) AS in_w,
+  CAST(20 AS INT) AS in_h,
+  CAST(ROUND((8 + doc_id % 12) * 16.0 / 20) AS INT) AS out_w,
+  CAST(16 AS INT) AS out_h,
+  CAST(doc_id % 256 AS INT) AS rt_r,
+  CAST((doc_id * 7) % 256 AS INT) AS rt_g,
+  CAST((doc_id * 13) % 256 AS INT) AS rt_b,
+  true AS out_is_webp
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register("mm3_webp_roundtrip", _MM3_ORACLE)
+def mm3_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return webp_roundtrip_probe(docs, max_dim=16)
