@@ -45,23 +45,30 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_minhash: int = N_MINHASH,
 ) -> DataFrame:
-    """doc → 16 minhash columns mh0..mh15. Docs with no shingles drop out
-    (shorter than n tokens ⇒ not near-dup-detectable). Tokens materialize
-    as a column before the shingle transform — see shingles_from_tokens."""
+    """doc → ``n_minhash`` minhash columns mh0..mh{n-1}. Docs with no
+    shingles drop out (shorter than n tokens ⇒ not near-dup-detectable).
+    Tokens materialize as a column before the shingle transform — see
+    shingles_from_tokens."""
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
     )
     h = portable_hash60(F.col("shingle"))
-    terms = minhash_terms(h)
+    terms = minhash_terms(h, n_minhash)
     return sh.groupBy(id_col).agg(
         *[F.min(t).alias(f"mh{i}") for i, t in enumerate(terms)]
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", band_size: int = BAND_SIZE
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
 
     The join key is ``xxhash64(band_idx, mh_i, …)`` — one 8-byte long —
@@ -72,11 +79,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     candidates are verified against full signatures downstream — it can't
     lose a true pair.
     """
-    n_bands = N_MINHASH // BAND_SIZE
+    n_minhash = sum(1 for c in sigs.columns if c.startswith("mh"))
+    n_bands = n_minhash // band_size
     bands = []
     for b in range(n_bands):
         key = F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            F.lit(b), *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
         )
         bands.append(sigs.select(F.col(id_col), key.alias("band_key")))
     banded = bands[0]
@@ -98,23 +106,34 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    n_minhash: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for LSH candidates whose signature
-    agreement ≥ threshold. est_jaccard = fraction of equal minhash slots."""
+    agreement ≥ threshold. est_jaccard = fraction of equal minhash slots.
+    ``n_minhash``/``band_size`` are the recall/cost dials; defaults match
+    the dd2 oracle (16 hashes, 8 bands of 2)."""
     # sigs feeds the band explode AND both sides of the verification join —
-    # cache it or the shingle explode + 16 min-aggs run three times
-    sigs = minhash_signatures(df, text_col, id_col, n).cache()
-    pairs = lsh_candidate_pairs(sigs, id_col)
-    a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
-    b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
-    joined = pairs.join(a, "doc_a").join(b, "doc_b")
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_MINHASH)
-    )
-    est = (agree / F.lit(float(N_MINHASH))).alias("est_jaccard")
-    return joined.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    # cache it or the shingle explode + the min-aggs run three times
+    sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).cache()
+    try:
+        pairs = lsh_candidate_pairs(sigs, id_col, band_size)
+        a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_minhash)])
+        b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_minhash)])
+        joined = pairs.join(a, "doc_a").join(b, "doc_b")
+        agree = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_minhash)
+        )
+        est = (agree / F.lit(float(n_minhash))).alias("est_jaccard")
+        out = joined.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
+            F.col("est_jaccard") >= threshold
+        )
+        # materialize the (post-threshold, bounded) pair set so the
+        # signature cache releases before returning — same storage-leak
+        # fix as ngram_jaccard_pairs (ADVICE r4)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
 
 
 def ngram_jaccard_pairs(

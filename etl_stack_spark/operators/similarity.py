@@ -69,10 +69,13 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col, dim: int = EMB_DIM):
-    """Sign-projection bucket id: bit k = 1 iff dot(v, hyperplane_k) > 0."""
+def lsh_bucket(vec_col, dim: int = EMB_DIM, n_planes: int = N_HYPERPLANES):
+    """Sign-projection bucket id: bit k = 1 iff dot(v, hyperplane_k) > 0.
+    ``n_planes`` is the recall/selectivity dial: fewer planes → bigger
+    buckets → higher recall at more candidate cost (recall curve pinned
+    in tests/test_recall_curves.py)."""
     bucket = F.lit(0)
-    for hk in range(N_HYPERPLANES):
+    for hk in range(n_planes):
         h = hyperplane(hk, dim)
         proj = F.aggregate(
             F.zip_with(
@@ -95,22 +98,23 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     multi_probe: bool = False,
+    n_planes: int = N_HYPERPLANES,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank. The bucket join replaces the cross join — the
     scale path (equi-join on bucket, AQE handles bucket skew).
 
-    ``multi_probe``: the query also probes the 8 buckets at Hamming
-    distance 1 (one flipped hyperplane sign) — ~(1+H)× candidates for a
-    large recall gain on vectors near a hyperplane boundary."""
+    ``multi_probe``: the query also probes the ``n_planes`` buckets at
+    Hamming distance 1 (one flipped hyperplane sign) — ~(1+H)× candidates
+    for a large recall gain on vectors near a hyperplane boundary."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
-    c = c.withColumn("bucket", lsh_bucket(F.col("cv")))
-    q = q.withColumn("bucket", lsh_bucket(F.col("qv")))
+    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), n_planes=n_planes))
+    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes=n_planes))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probes))
     scored = (

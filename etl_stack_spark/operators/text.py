@@ -141,10 +141,15 @@ def portable_hash60(s: Column) -> Column:
     return F.conv(F.substring(F.sha2(s, 256), 1, 15), 16, 10).cast("long")
 
 
-def minhash_terms(shingle_hash: Column) -> list[Column]:
-    """The 16 permuted values for one shingle; aggregate with min() per doc."""
+def minhash_terms(shingle_hash: Column, n_minhash: int = N_MINHASH) -> list[Column]:
+    """The ``n_minhash`` permuted values for one shingle; aggregate with
+    min() per doc. The default 16 is the engine-wide constant the dd2
+    oracle reproduces; other sizes draw more constants from the same
+    LCG stream (recall-curve tests sweep this — the 100 TB deployment
+    knob, see tests/test_recall_curves.py)."""
+    ab = MINHASH_AB if n_minhash == N_MINHASH else _lcg_constants(n_minhash)
     h = shingle_hash % MINHASH_PRIME
-    return [(h * F.lit(a) + F.lit(b)) % MINHASH_PRIME for a, b in MINHASH_AB]
+    return [(h * F.lit(a) + F.lit(b)) % MINHASH_PRIME for a, b in ab]
 
 
 def simhash16(text: Column) -> Column:
