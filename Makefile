@@ -1,0 +1,19 @@
+# CI-equivalent targets for the etl_stack_spark engine.
+
+.PHONY: test bench self-report all
+
+# full differential + unit suite (the real gate; ~10 min on local[32])
+test:
+	python -m pytest tests/ -q
+
+# headline bench at $$SPARK_GRAFT_SF_DIR (default sf0.1); compact JSON
+# line on stdout, samples + full sweep in BENCH_DETAIL.json
+bench:
+	python bench.py
+
+# regenerate ORACLE_SELF_REPORT.json: every registered query vs its
+# DuckDB oracle at sf0.01 (driver-gate replica, value hashes included)
+self-report:
+	python oracle_self_report.py
+
+all: test self-report bench

@@ -1,0 +1,111 @@
+"""Emit ORACLE_SELF_REPORT.json: per-query Spark-vs-DuckDB parity for ALL
+registered queries (the driver samples ~50 of them per round; this file
+surfaces the rest with the same row-count / schema / value-hash shape so
+the unsampled queries carry a machine-readable audit trail — VERDICT r4
+task 6).
+
+Usage: python oracle_self_report.py [--sf DIR] [--out FILE]
+(defaults: sf0.01, ORACLE_SELF_REPORT.json next to this script)
+
+The comparison is the repo's local replica of the driver gate
+(tests/oracle.py): name-sorted columns, canonicalized values, full-frame
+equality; ``value_hash`` is sha256 over the canonical row tuples, equal
+hashes ⇔ exact value match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _hash_rows(rows) -> str:
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(repr(r).encode("utf-8"))
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = "/root/testdata/sf0.01"
+    out_path = os.path.join(here, "ORACLE_SELF_REPORT.json")
+    args = sys.argv[1:]
+    for a in args:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+
+    import duckdb
+
+    from etl_stack_spark.queries import all_oracles, all_queries
+    from etl_stack_spark.session import get_spark
+    from tests.oracle import _harmonize, canon_frame
+
+    spark = get_spark("oracle-self-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+
+    queries, oracles = all_queries(), all_oracles()
+    report: dict[str, dict] = {}
+    failures = 0
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        entry: dict = {"err": None}
+        try:
+            spark_pdf = queries[name](spark, sf_dir).toPandas()
+            entry["spark_rows"] = len(spark_pdf)
+            if name in oracles:
+                oracle_pdf = con.execute(oracles[name]).fetchdf()
+                entry["oracle_rows"] = len(oracle_pdf)
+                sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+                entry["schema_match"] = sc == oc
+                entry["rows_match"] = len(spark_pdf) == len(oracle_pdf)
+                if entry["schema_match"] and entry["rows_match"]:
+                    a, b = spark_pdf[sc].copy(), oracle_pdf[sc].copy()
+                    _harmonize(a, b)
+                    sh = _hash_rows(canon_frame(a, presorted=False))
+                    oh = _hash_rows(canon_frame(b, presorted=False))
+                    entry["value_hash"] = sh
+                    entry["hash_match"] = sh == oh
+                else:
+                    entry["hash_match"] = False
+            else:
+                entry["oracle"] = "none"  # rows-only smoke (driver's weaker check)
+                entry["rows_match"] = entry["schema_match"] = entry["hash_match"] = None
+        except Exception as e:  # a query crash is a finding, not a report crash
+            entry["err"] = f"{type(e).__name__}: {e}"[:300]
+        entry["secs"] = round(time.perf_counter() - t0, 3)
+        ok = entry["err"] is None and entry.get("hash_match") in (True, None)
+        if not ok:
+            failures += 1
+        print(f"{'ok ' if ok else 'FAIL'} {name} ({entry['secs']}s)", file=sys.stderr)
+        report[name] = entry
+
+    meta = {
+        "sf_dir": sf_dir,
+        "generated_unix": int(time.time()),
+        "n_queries": len(queries),
+        "n_with_oracle": sum(1 for n in queries if n in oracles),
+        "n_failures": failures,
+    }
+    with open(out_path, "w") as f:
+        json.dump({"meta": meta, "queries": report}, f, indent=1)
+    print(json.dumps(meta))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
