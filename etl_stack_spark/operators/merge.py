@@ -79,6 +79,24 @@ def _align_source(
     return target, src.select(*target.columns)
 
 
+def _reject_duplicate_source_keys(source: DataFrame, keys: Sequence[str]) -> None:
+    """Two source rows for one merge key would each claim the same target
+    row — the full-outer classification would silently DUPLICATE it in
+    the output. Delta's MERGE INTO raises in this situation
+    (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW); so do we."""
+    dup = (
+        source.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+    )
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"merge source has multiple rows per merge key {list(keys)}; "
+            "deduplicate the source first (Delta raises "
+            "MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW here too)"
+        )
+
+
 def _classify_merge(
     target: DataFrame,
     src: DataFrame,
@@ -283,6 +301,7 @@ class ParquetMergeTable:
             null_key = piece if null_key is None else (null_key | piece)
         if source.filter(null_key).limit(1).count() > 0:
             raise ValueError(f"merge source contains NULL in merge key(s) {list(keys)}")
+        _reject_duplicate_source_keys(source, keys)
         base_version = self.current_version()
         if base_version is None:
             out = source
@@ -460,6 +479,7 @@ class PartitionedMergeTable:
             null_key = piece if null_key is None else (null_key | piece)
         if source.filter(null_key).limit(1).count() > 0:
             raise ValueError(f"merge source contains NULL in merge key(s) {list(keys)}")
+        _reject_duplicate_source_keys(source, keys)
 
         # affected partitions: a small driver-side list by design (a batch
         # touches one client / a few days, never the whole keyspace)

@@ -1,0 +1,148 @@
+"""Delta MERGE INTO contract: a recorded transcript of what Delta Lake's
+MERGE does in each scenario (per its public semantics: WHEN MATCHED /
+WHEN NOT MATCHED / WHEN NOT MATCHED BY SOURCE, schema autoMerge, the
+multiple-source-rows error), asserted against ParquetMergeTable and
+PartitionedMergeTable so the roadmapped Delta/Iceberg backend swap is
+provably drop-in (VERDICT r4 task 7).
+
+Each scenario pins: per-action counts (Delta's operationMetrics
+numTargetRowsInserted / numTargetRowsUpdated / numTargetRowsDeleted
+analog) AND the resulting table state.
+
+Delta statement being emulated, with the engine's hash gate expressed as
+the match condition:
+
+    MERGE INTO t USING s ON <keys equal>
+    WHEN MATCHED AND s.content_hash <> t.content_hash THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+    [WHEN NOT MATCHED BY SOURCE AND <scope> THEN UPDATE SET status='deleted']
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable, PartitionedMergeTable
+
+SCHEMA = "client_id string, pk string, title string, content_hash string, status string"
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+# The recorded transcript: (target_before, source, merge_kwargs,
+# expected_counts, expected_state). State maps pk -> (title, status).
+TRANSCRIPT = [
+    {
+        "name": "insert_only_into_empty",
+        "target": [],
+        "source": [("c1", "a", "A", "h1", "active"), ("c1", "b", "B", "h2", "active")],
+        "kwargs": {},
+        "counts": {"inserted": 2, "updated": 0, "unchanged": 0, "soft_deleted": 0},
+        "state": {"a": ("A", "active"), "b": ("B", "active")},
+    },
+    {
+        "name": "matched_updates_gated_on_hash",
+        "target": [
+            ("c1", "a", "A", "h1", "active"),     # hash changes -> update
+            ("c1", "b", "B", "h2", "active"),     # hash same -> no-op
+            ("c1", "c", "C", "h3", "active"),     # absent from source, no scope -> kept
+        ],
+        "source": [
+            ("c1", "a", "A2", "h1x", "active"),
+            ("c1", "b", "B-ignored", "h2", "active"),
+            ("c1", "d", "D", "h4", "active"),     # not matched -> insert
+        ],
+        "kwargs": {},
+        "counts": {"inserted": 1, "updated": 1, "unchanged": 2, "soft_deleted": 0},
+        "state": {
+            "a": ("A2", "active"), "b": ("B", "active"),
+            "c": ("C", "active"), "d": ("D", "active"),
+        },
+    },
+    {
+        "name": "not_matched_by_source_scoped_delete",
+        "target": [
+            ("c1", "a", "A", "h1", "active"),
+            ("c1", "b", "B", "h2", "active"),     # in scope, absent -> tombstone
+            ("c2", "z", "Z", "h9", "active"),     # outside scope -> untouched
+        ],
+        "source": [("c1", "a", "A", "h1", "active")],
+        # lambda: Column exprs need an active session, absent at collection
+        "kwargs": lambda: {"soft_delete_scope": F.col("t.client_id") == "c1"},
+        "counts": {"inserted": 0, "updated": 0, "unchanged": 2, "soft_deleted": 1},
+        "state": {"a": ("A", "active"), "b": ("B", "deleted"), "z": ("Z", "active")},
+    },
+]
+
+
+@pytest.mark.parametrize("scenario", TRANSCRIPT, ids=lambda s: s["name"])
+def test_whole_table_matches_delta_transcript(spark, tmp_path, scenario):
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    if scenario["target"]:
+        t.overwrite(df(spark, scenario["target"]))
+    kwargs = scenario["kwargs"]() if callable(scenario["kwargs"]) else scenario["kwargs"]
+    stats = t.merge(df(spark, scenario["source"]), keys=["client_id", "pk"], **kwargs)
+    for k, v in scenario["counts"].items():
+        assert stats[k] == v, f"{scenario['name']}: {k}={stats[k]} want {v}"
+    got = {r["pk"]: (r["title"], r["status"]) for r in t.read().collect()}
+    assert got == scenario["state"]
+
+
+@pytest.mark.parametrize(
+    "scenario", [s for s in TRANSCRIPT if not s["kwargs"]], ids=lambda s: s["name"]
+)
+def test_partitioned_table_matches_delta_transcript(spark, tmp_path, scenario):
+    """Same transcript through the partition-scoped table (scoped-delete
+    rows are whole-table semantics; PartitionedMergeTable covers the
+    insert/update/unchanged rows)."""
+    t = PartitionedMergeTable(spark, str(tmp_path / "pt"), "client_id")
+    if scenario["target"]:
+        t.merge(df(spark, scenario["target"]), keys=["client_id", "pk"])
+    stats = t.merge(df(spark, scenario["source"]), keys=["client_id", "pk"])
+    for k in ("inserted", "updated"):
+        assert stats[k] == scenario["counts"][k], scenario["name"]
+    got = {r["pk"]: (r["title"], r["status"]) for r in t.read().collect()}
+    assert got == scenario["state"]
+
+
+def test_multiple_source_rows_per_key_raise_like_delta(spark, tmp_path):
+    """Delta: DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW. A duplicate
+    source key must raise, not silently duplicate the target row."""
+    src = df(spark, [
+        ("c1", "a", "A1", "h1", "active"),
+        ("c1", "a", "A2", "h2", "active"),
+    ])
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    t.overwrite(df(spark, [("c1", "a", "A0", "h0", "active")]))
+    with pytest.raises(ValueError, match="multiple rows per merge key"):
+        t.merge(src, keys=["client_id", "pk"])
+    pt = PartitionedMergeTable(spark, str(tmp_path / "pt"), "client_id")
+    with pytest.raises(ValueError, match="multiple rows per merge key"):
+        pt.merge(src, keys=["client_id", "pk"])
+
+
+def test_schema_drift_matches_delta_automerge_modes(spark, tmp_path):
+    """Delta without autoMerge rejects extra source columns; with
+    spark.databricks.delta.schema.autoMerge.enabled the target widens and
+    pre-existing rows read NULL. on_extra_columns mirrors both, plus an
+    explicit 'ignore'."""
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    t.overwrite(df(spark, [("c1", "a", "A", "h1", "active")]))
+    widened = spark.createDataFrame(
+        [("c1", "b", "B", "h2", "active", 0.7)], SCHEMA + ", score double"
+    )
+    # default = Delta without autoMerge: error
+    with pytest.raises(ValueError, match="columns the table lacks"):
+        t.merge(widened, keys=["client_id", "pk"])
+    # evolve = autoMerge: new column lands, old rows read NULL
+    t.merge(widened, keys=["client_id", "pk"], on_extra_columns="evolve")
+    got = {r["pk"]: r["score"] for r in t.read().collect()}
+    assert got == {"a": None, "b": 0.7}
+    # ignore: extra column dropped, no schema change
+    t2 = ParquetMergeTable(spark, str(tmp_path / "t2"))
+    t2.overwrite(df(spark, [("c1", "a", "A", "h1", "active")]))
+    t2.merge(widened, keys=["client_id", "pk"], on_extra_columns="ignore")
+    assert "score" not in t2.read().columns
