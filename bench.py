@@ -102,11 +102,50 @@ def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Time the streaming lead-prep drain at bench scale: the sf props as
+    a one-shot property feed through foreachBatch (radius join + rank +
+    hash-gated MERGE) into a fresh results table. Returns rows/sec so the
+    streaming path carries a round-over-round perf signal (VERDICT r4
+    task 8)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.lead_prep_stream import run_lead_prep_stream
+    from etl_stack_spark.queries.geo import pois_df, props_df
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        feed = os.path.join(work, "feed")
+        props = props_df(spark, sf_dir).withColumn("updated_at", F.current_timestamp())
+        n_props = props.count()
+        props.write.parquet(feed)
+        results = ParquetMergeTable(spark, os.path.join(work, "results"))
+        t0 = time.perf_counter()
+        q = run_lead_prep_stream(
+            spark, feed, pois_df(spark, sf_dir), results, os.path.join(work, "ckpt")
+        )
+        q.awaitTermination(600)
+        secs = round(time.perf_counter() - t0, 3)
+        return {
+            "props": n_props,
+            "result_rows": results.read().count(),
+            "secs": secs,
+            "props_per_sec": round(n_props / secs, 1) if secs else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from etl_stack_spark.queries import all_queries
 
     args = sys.argv[1:]
     strict = "--strict" in args
+    stream = "--no-stream" not in args and os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0"
     sweep = "--no-sweep" not in args and os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
@@ -177,6 +216,15 @@ def main() -> None:
             print(f"# sweep {name}: {sweep_timings[name]}s ({n} rows)", file=sys.stderr)
         full_sweep_total = round(sum(t for t in sweep_timings.values() if t > 0), 3)
 
+    streaming = None
+    if stream:
+        try:
+            streaming = bench_streaming(spark, sf_dir)
+            print(f"# streaming lead-prep: {streaming}", file=sys.stderr)
+        except Exception as e:  # a streaming failure is a finding, not a crash
+            streaming = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# STREAM-ERROR {streaming['error']}", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
     # (headline + samples + ~80-query sweep) overflowed it and the official
@@ -196,6 +244,8 @@ def main() -> None:
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
         detail["full_sweep_queries"] = sweep_timings
+    if streaming is not None:
+        detail["streaming_lead_prep"] = streaming
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
