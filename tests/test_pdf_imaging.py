@@ -235,9 +235,15 @@ def test_transcode_image_batch_spark_stage(spark):
 def test_transcode_refuses_unknown_codec():
     from etl_stack_spark.ai import transcode_image_batch
 
+    # WebP now routes to the real libwebp decoder (r5); a bare magic with
+    # garbage payload is a clean codec error, not an unsupported format
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16
-    with pytest.raises(NotImplementedError, match="PPM"):
+    with pytest.raises(ValueError, match="corrupt WebP"):
         transcode_image_batch(pd.Series([webp_magic]))
+    # genuinely unsupported formats still refuse loudly
+    gif_magic = b"GIF89a" + b"\x00" * 26
+    with pytest.raises(NotImplementedError, match="PPM"):
+        transcode_image_batch(pd.Series([gif_magic]))
 
 
 # --- P31: PNG codec ----------------------------------------------------------

@@ -93,7 +93,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
 
     arrow_allowed = {
         "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
-        "mm1_media_features", "mm2_frame_sample",
+        "mm1_media_features", "mm2_frame_sample", "mm3_webp_roundtrip",
     }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
