@@ -128,3 +128,106 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# --- IVF with LEARNED centroids (k-means) -----------------------------------
+
+
+def _sq_dist(v, centroid: list[float]):
+    """Squared L2 distance between an array column and a literal centroid,
+    as one codegen'd expression."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_scores(v, centroids: list[list[float]]):
+    """array<struct<d,i>> of (distance², centroid index) — struct order is
+    lexicographic, so array_min/array_sort pick nearest cells with a
+    deterministic index tie-break."""
+    return F.array(
+        *[
+            F.struct(_sq_dist(v, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def nearest_cell(v, centroids: list[list[float]]):
+    return F.array_min(_cell_scores(v, centroids))["i"]
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means in the Spark MLlib shape: centroids live on the
+    driver (n_centroids × dim doubles — KBs), each iteration broadcasts
+    them into ONE assignment expression and reduces element-wise means
+    with a single posexplode + groupBy — two shuffles per iteration
+    regardless of corpus size, which is what makes this the 100 TB
+    training loop. Deterministic: seeds are the ``n_centroids`` vectors
+    with the smallest xxhash64(id); empty cells keep their previous
+    centroid."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeds = (
+        c.withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(seeds) < n_centroids:
+        raise ValueError(f"corpus has fewer than {n_centroids} vectors")
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = c.withColumn("cell", nearest_cell(F.col("v"), centroids))
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .collect()
+        )
+        new = {r["cell"]: [p["m"] for p in r["pm"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search over trained centroids: corpus partitions into inverted
+    cells (one assignment expression, no shuffle until the join); each
+    query probes its ``n_probe`` nearest cells; exact cosine re-rank
+    inside — the same bucket-equi-join shape as the LSH variant, with
+    data-adaptive cells instead of fixed hyperplanes."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
+    probes = F.slice(F.array_sort(_cell_scores(F.col("qv"), centroids)), 1, n_probe)
+    q = q.withColumn("cell", F.explode(F.transform(probes, lambda s: s["i"])))
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,100 @@
+"""Learned-centroid IVF (operators/similarity.py::ivf_train/ivf_topk):
+k-means is iterative and driver-looped, so this surface is unit-pinned
+(not SQL-oracle-expressible) — determinism, cluster purity, and recall
+vs the exact oracle-checked brute force."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _blob_corpus(n_blobs=4, per_blob=100, dim=16, spread=0.15, seed=7):
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_blobs)]
+    rows = []
+    for b, ctr in enumerate(centers):
+        for j in range(per_blob):
+            rows.append(
+                (b * 10_000 + j, b, [x + rng.gauss(0.0, spread) for x in ctr])
+            )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rows = _blob_corpus()
+    df = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<double>"
+    )
+    return df, {i: b for i, b, _ in rows}
+
+
+def test_ivf_train_deterministic_and_pure(spark, blobs):
+    from etl_stack_spark.operators.similarity import ivf_train, nearest_cell
+    from pyspark.sql import functions as F
+
+    df, blob_of = blobs
+    c1 = ivf_train(df, n_centroids=4, n_iter=5)
+    c2 = ivf_train(df, n_centroids=4, n_iter=5)
+    assert c1 == c2  # fully deterministic
+    assert len(c1) == 4 and all(len(c) == 16 for c in c1)
+
+    # well-separated blobs must map to one cell each (label purity)
+    assigned = df.withColumn(
+        "cell", nearest_cell(F.transform("embedding", lambda x: x.cast("double")), c1)
+    ).collect()
+    by_blob: dict[int, dict[int, int]] = {}
+    for r in assigned:
+        b = blob_of[r["vec_id"]]
+        by_blob.setdefault(b, {}).setdefault(r["cell"], 0)
+        by_blob[b][r["cell"]] += 1
+    purity = sum(max(cells.values()) for cells in by_blob.values()) / len(assigned)
+    assert purity >= 0.95
+    # and the 4 blobs occupy 4 DISTINCT cells (no collapsed centroids)
+    assert len({max(cells, key=cells.get) for cells in by_blob.values()}) == 4
+
+
+def test_ivf_train_survives_empty_cells(spark, blobs):
+    from etl_stack_spark.operators.similarity import ivf_train
+
+    df, _ = blobs
+    # 12 centroids over 4 blobs: several cells go empty mid-iteration and
+    # must keep their previous centroid instead of crashing or shrinking
+    cents = ivf_train(df, n_centroids=12, n_iter=3)
+    assert len(cents) == 12
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, blobs):
+    from etl_stack_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train,
+    )
+
+    df, _ = blobs
+    rng = random.Random(31)
+    base = {r["vec_id"]: list(r["embedding"]) for r in df.limit(400).collect()}
+    picks = rng.sample(sorted(base), 25)
+    qdf = spark.createDataFrame(
+        [(qi, [x + rng.gauss(0.0, 0.05) for x in base[p]]) for qi, p in enumerate(picks)],
+        "query_id long, embedding array<double>",
+    )
+    truth = {}
+    for r in brute_force_topk(df, qdf, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    cents = ivf_train(df, n_centroids=4, n_iter=5)
+
+    def recall(n_probe):
+        got = {}
+        for r in ivf_topk(df, qdf, cents, k=10, n_probe=n_probe).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) / len(t) for q, t in truth.items()) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    # clustered data is IVF's home turf: the query's blob IS its cell, so
+    # probing one learned cell must already capture nearly all neighbors
+    assert r1 >= 0.95
+    assert r2 >= r1
