@@ -113,27 +113,26 @@ def minhash_near_duplicates(
     agreement ≥ threshold. est_jaccard = fraction of equal minhash slots.
     ``n_minhash``/``band_size`` are the recall/cost dials; defaults match
     the dd2 oracle (16 hashes, 8 bands of 2)."""
-    # sigs feeds the band explode AND both sides of the verification join —
-    # cache it or the shingle explode + the min-aggs run three times
-    sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).cache()
-    try:
-        pairs = lsh_candidate_pairs(sigs, id_col, band_size)
-        a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_minhash)])
-        b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_minhash)])
-        joined = pairs.join(a, "doc_a").join(b, "doc_b")
-        agree = sum(
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_minhash)
-        )
-        est = (agree / F.lit(float(n_minhash))).alias("est_jaccard")
-        out = joined.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
-            F.col("est_jaccard") >= threshold
-        )
-        # materialize the (post-threshold, bounded) pair set so the
-        # signature cache releases before returning — same storage-leak
-        # fix as ngram_jaccard_pairs (ADVICE r4)
-        return out.localCheckpoint(eager=True)
-    finally:
-        sigs.unpersist()
+    # sigs feeds the band explode AND both sides of the verification join
+    # (three consumers). localCheckpoint, not cache(): the blocks are
+    # GC-owned — freed when the returned plan is dropped — instead of
+    # pinned in the CacheManager until an unpersist nobody is positioned
+    # to call (the r4 storage leak). The return stays lazy, so downstream
+    # composition (llm1) keeps its single-job shape. Cluster note: local
+    # checkpoints don't survive executor loss; a multi-hour 100 TB run
+    # would use reliable checkpointing or a staging table here.
+    sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sigs, id_col, band_size)
+    a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_minhash)])
+    b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_minhash)])
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_minhash)
+    )
+    est = (agree / F.lit(float(n_minhash))).alias("est_jaccard")
+    return joined.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(
@@ -159,48 +158,43 @@ def ngram_jaccard_pairs(
     recall-measurement tool, and a df-hot shingle is exactly the
     stop-shingle a caller should have filtered; at 100 TB the scale path
     is minhash_lsh_pairs."""
+    # localCheckpoint, not cache(): shared by the pair grouping AND the
+    # per-doc sizes, with blocks GC-owned instead of CacheManager-pinned
+    # (the r4 storage leak); the return stays lazy. See the same note in
+    # minhash_near_duplicates for the cluster-reliability caveat.
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
-    try:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-        ids = F.col("ids")
-        pair_structs = F.filter(
-            F.flatten(
-                F.transform(
-                    ids,
-                    lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-                )
-            ),
-            lambda s: s["a"] < s["b"],
-        )
-        common = (
-            sh.groupBy("shingle")
-            .agg(F.collect_list(id_col).alias("ids"))
-            .select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
-        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
-        jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-        out = (
-            common.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-        )
-        # Materialize the (bounded, post-threshold) pair set NOW so the
-        # shingle cache can be released before returning — a lazy return
-        # would leak executor storage across calls in a long-lived session
-        # (ADVICE r4). localCheckpoint blocks are GC-cleaned with the DF,
-        # unlike CacheManager entries which pin until an explicit unpersist.
-        return out.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    ids = F.col("ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def embedding_near_duplicates(
