@@ -450,6 +450,146 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6-shaped forecast-revenue filter-aggregate: the pure pushdown showcase —
+# three range predicates reaching the parquet scan, one global sum, no join.
+# ---------------------------------------------------------------------------
+_Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped order-count distribution: LEFT join keeping customers with no
+# orders, then a second aggregation over the first's result (count-of-counts).
+# ---------------------------------------------------------------------------
+_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@register("q13_order_distribution", _Q13_ORACLE)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-shaped supplier-count-by-part-class: anti join against a "complaint"
+# supplier set + COUNT(DISTINCT) per (brand, type, size) — classic TPC-H Q16
+# on the lineitem part-supplier relation (this corpus has no partsupp).
+# ---------------------------------------------------------------------------
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0e0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_part_counts", _Q16_ORACLE)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(complainers, li.l_suppkey == complainers.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-shaped dormant-rich-customer count: scalar AVG subquery feeding a
+# filter + anti join against orders, grouped by a derived segment key.
+# ---------------------------------------------------------------------------
+_Q22_ORACLE = """
+WITH rich AS (
+  SELECT c_custkey, c_custkey % 7 AS seg, c_acctbal
+  FROM customer
+  WHERE c_custkey % 7 IN (1, 2, 3, 5, 6)
+    AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0e0)
+)
+SELECT CAST(seg AS BIGINT) AS seg, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = rich.c_custkey)
+GROUP BY seg
+"""
+
+
+@register("q22_dormant_rich", _Q22_ORACLE)
+def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = (
+        cust.withColumn("seg", F.col("c_custkey") % 7)
+        .filter(F.col("seg").isin(1, 2, 3, 5, 6))
+        .crossJoin(F.broadcast(avg_bal))  # scalar subquery as 1-row broadcast
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "seg", "c_acctbal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 @register("q14_promo_revenue", _Q14_ORACLE)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
