@@ -31,6 +31,36 @@ def test_filter_pushdown_reaches_scan(spark):
     assert "PushedFilters" in scan and "GreaterThan(l_quantity" in scan
 
 
+def test_q7_reduces_facts_before_single_shuffle_join(spark):
+    """q7's plan contract (round 5): both fact streams join their
+    nation-reduced dim slice via BROADCAST (no shuffle), leaving exactly
+    one potentially-shuffling join between the two reduced streams — not
+    a shuffle of the full lineitem×orders volume filtered afterwards."""
+    from etl_stack_spark.queries.tpch_like import q7_nation_pair_volume
+
+    plan = _plan(q7_nation_pair_volume(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4  # 2 nation slices + 2 fact reductions
+    shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffle_joins <= 1, f"q7 must shuffle at most once, saw {shuffle_joins}"
+
+
+def test_lead_prep_family_shares_persisted_match_stream(spark):
+    """t1/t2/t6/a2a3 must rank/aggregate the ONE persisted radius-join
+    intermediate (InMemoryTableScan in their plans), not rebuild the
+    cell-explode join per query (VERDICT r4 task 2)."""
+    from etl_stack_spark.queries.geo import (
+        a2a3_lead_metrics,
+        j6_base,
+        t1_lead_prep_topk,
+        t6_closest_pick,
+    )
+
+    j6_base(spark, SF_SMOKE)  # build/register the shared intermediate
+    for fn in (t1_lead_prep_topk, t6_closest_pick, a2a3_lead_metrics):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "InMemoryTableScan" in plan, f"{fn.__name__} rebuilds the match stream"
+
+
 def test_broadcast_join_for_dim_side(spark):
     li = load_table(spark, SF_SMOKE, "lineitem")
     part = load_table(spark, SF_SMOKE, "part")
