@@ -266,19 +266,39 @@ def embedding_near_duplicates_lsh(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],
     )
-    # the probe join carries ONLY (id, probe): shipping the vectors through
-    # the 9×-exploded self-join would shuffle every embedding 9× per side;
-    # instead the deduped candidate pairs re-join the compact base table to
-    # pick their vectors up (2 joins of |pairs| vs 18 vector copies/row)
-    p = base.select(id_col, F.explode(probes).alias("probe"))
-    a = p.select(F.col(id_col).alias("id_a"), "probe")
-    b = p.select(F.col(id_col).alias("id_b"), "probe")
+    # the probe join carries ONLY (id, flip, probe): shipping the vectors
+    # through the 9×-exploded self-join would shuffle every embedding 9×
+    # per side; the candidate pairs re-join the compact base table to pick
+    # their vectors up (2 joins of |pairs| vs 18 vector copies/row).
+    #
+    # Canonical-probe dedup, no dropDuplicates: a pair at bucket Hamming
+    # distance d matches via exactly the (flip_a, flip_b) combos whose
+    # XOR equals the bucket difference — d=0: the 9 (f, f) combos; d=1:
+    # (0,i),(i,0); d=2: (i,j),(j,i). Keeping only (0,0) for equal flips
+    # and flip_a < flip_b otherwise admits EXACTLY ONE combo per pair,
+    # so the join emits each candidate once and the multi-million-row
+    # pair-dedup shuffle disappears (flip index 0 = the identity probe).
+    p = base.select(id_col, F.posexplode(probes).alias("flip", "probe"))
+    a = p.select(F.col(id_col).alias("id_a"), F.col("flip").alias("fa"), "probe")
+    b = p.select(F.col(id_col).alias("id_b"), F.col("flip").alias("fb"), "probe")
     cand = (
         a.join(b, "probe")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                ((F.col("fa") == 0) & (F.col("fb") == 0))
+                | (F.col("fa") < F.col("fb"))
+            )
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # explicit-count spread before the cosine stage: when the corpus is
+    # small enough that every join broadcasts, the candidate stream never
+    # crosses an exchange and the O(|pairs|·dim) cosine work runs in ONE
+    # task (the old dropDuplicates provided parallelism by accident, at
+    # the price of a full pair-dedup aggregation). A round-robin of the
+    # two-long pair stream is far cheaper than that dedup and AQE-exempt.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
