@@ -322,6 +322,23 @@ def cluster_points(
                 ).alias("cluster_id"),
             )
         )
+        # pointer jumping: labels are always point ids, so they form a
+        # pointer forest — following label→label(label) doubles how far a
+        # component's min travels per round, turning O(diameter) rounds
+        # into O(log diameter) (the standard CC doubling trick; both
+        # steps are monotone non-increasing toward the same per-component
+        # min fixpoint, so correctness is unchanged). One extra equi-join
+        # in the SAME job, not an extra action — a 10-hop chain converges
+        # in ~4 rounds instead of 10, and at 100 TB rounds are shuffles.
+        parents = nxt.select(
+            F.col("_pid").alias("cluster_id"), F.col("cluster_id").alias("_parent")
+        )
+        nxt = nxt.join(parents, "cluster_id", "left").select(
+            "_pid",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_parent", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
         nxt = nxt.localCheckpoint(eager=True)  # truncate the iterative lineage
         changed = (
             nxt.alias("n")
