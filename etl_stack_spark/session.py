@@ -63,7 +63,11 @@ def get_spark(app_name: str = "etl-stack-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g on a 128 GiB box: the shared lead-prep match stream persists
+        # ~2 GB at sf0.1 and must not fight execution memory for it — an
+        # 8g heap evicted it under concurrent stages (a2a3 samples spiked
+        # 1.8s → 13s when the cache fell to disk mid-bench)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # verification flows collect full results (33M rows for the radius
         # join at sf0.1) — default 1g cap aborts the collect, not the query
         .config("spark.driver.maxResultSize", "4g")
