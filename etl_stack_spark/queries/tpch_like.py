@@ -560,7 +560,10 @@ WITH rich AS (
 SELECT CAST(seg AS BIGINT) AS seg, CAST(COUNT(*) AS BIGINT) AS numcust,
        ROUND(SUM(c_acctbal), 2) AS totacctbal
 FROM rich
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = rich.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = rich.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
 GROUP BY seg
 """
 
@@ -579,7 +582,13 @@ def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("a"))
         .select("c_custkey", "seg", "c_acctbal")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # anti join against URGENT orders only — "has never placed an urgent
+    # order"; a plain no-orders predicate is vacuous on this synthetic
+    # corpus (orders cover every custkey), which would make the anchor a
+    # 0-row hash that can't catch anything
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
     return (
         rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("seg")
