@@ -119,10 +119,13 @@ def p21_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # P23 — bounding-box prefilter (cheap coarse stage)
 # ---------------------------------------------------------------------------
+# box centered on the synthesized grid's occupied lon band (-84.3 ±
+# small): the earlier -84.1 center sat east of every property at small
+# SFs, so the anchor matched 0 rows — a hash that can't catch anything
 _P23_ORACLE = f"""
 WITH props AS ({_PROPS_SQL})
 SELECT prop_id FROM props
-WHERE lat BETWEEN 9.7e0 - 5e-2 AND 9.7e0 + 5e-2 AND lon BETWEEN -84.1e0 - 5e-2 AND -84.1e0 + 5e-2
+WHERE lat BETWEEN 9.7e0 - 5e-2 AND 9.7e0 + 5e-2 AND lon BETWEEN -84.29e0 - 5e-2 AND -84.29e0 + 5e-2
 """
 
 
@@ -131,7 +134,7 @@ def p23_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.functions.geo import bbox_filter
 
     props = props_df(spark, sf_dir)
-    return props.filter(bbox_filter(F.col("lat"), F.col("lon"), 9.7, -84.1, 0.05)).select("prop_id")
+    return props.filter(bbox_filter(F.col("lat"), F.col("lon"), 9.7, -84.29, 0.05)).select("prop_id")
 
 
 # ---------------------------------------------------------------------------

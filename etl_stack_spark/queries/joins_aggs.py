@@ -112,17 +112,26 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- J8: set-difference GC, disk vs DB (image_garbage_collector.py) --------
+# Orphans w.r.t. RECENT references (shipped since 2000): an unscoped
+# "never referenced at all" was structurally 0 rows in this corpus
+# (lineitem covers every partkey), making the anchor a vacuous hash.
 _J8_ORACLE = """
 SELECT p_partkey FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
 """
 
 
 @register("j8_orphan_gc", _J8_ORACLE)
 def j8_orphan_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti").select(
+    recent = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return part.join(recent, part.p_partkey == recent.l_partkey, "left_anti").select(
         "p_partkey"
     )
 

@@ -63,48 +63,46 @@ def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# FZ1 — blocked fuzzy join: part names matched to supplier names sharing a
-# first token, similarity = 1 - lev/maxlen ≥ 0.25 (blocking first: the
-# P17 scale shape — candidates ∝ block size, not |A|×|B|).
-# ---------------------------------------------------------------------------
+# FZ1 — blocked fuzzy join: similarity = 1 - lev/maxlen inside first-token
+# blocks (blocking first: the P17 scale shape — candidates ∝ block size,
+# not |A|×|B|).
+# Distinct part-name variants blocked on the first word — the P17 shape
+# (fuzzy-match name variants inside a candidate block). The earlier form
+# joined part names against supplier names, whose blocks NEVER collide in
+# this corpus ("small ring" vs "Supplier#…") — a structurally-0-row anchor
+# whose hash could not catch anything.
 _FZ1_ORACLE = """
-WITH a AS (
-  SELECT p_partkey, lower(p_name) AS name_a,
-         string_split(lower(p_name), ' ')[1] AS blk
+WITH names AS (
+  SELECT DISTINCT lower(p_name) AS nm,
+         split_part(lower(p_name), ' ', 1) AS blk
   FROM part
-),
-b AS (
-  SELECT s_suppkey, lower(s_name) AS name_b,
-         string_split(lower(s_name), ' ')[1] AS blk
-  FROM supplier
 )
-SELECT p_partkey, s_suppkey,
-  round(1e0 - levenshtein(name_a, name_b) / greatest(len(name_a), len(name_b)), 6) AS sim
-FROM a JOIN b USING (blk)
-WHERE 1e0 - levenshtein(name_a, name_b) / greatest(len(name_a), len(name_b)) >= 0.25
+SELECT a.nm AS name_a, b.nm AS name_b,
+  ROUND(1e0 - levenshtein(a.nm, b.nm) / greatest(len(a.nm), len(b.nm)), 6) AS sim
+FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+WHERE 1e0 - levenshtein(a.nm, b.nm) / greatest(len(a.nm), len(b.nm)) >= 0.5
 """
 
 
 @register("fz1_fuzzy_blocked_join", _FZ1_ORACLE)
 def fz1_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.lower("p_name").alias("name_a"),
-        F.get(F.split(F.lower("p_name"), " "), 0).alias("blk"),
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.lower("p_name").alias("nm"))
+        .distinct()
+        .withColumn("blk", F.get(F.split(F.col("nm"), " "), 0))
     )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.lower("s_name").alias("name_b"),
-        F.get(F.split(F.lower("s_name"), " "), 0).alias("blk"),
-    )
+    a = names.select(F.col("nm").alias("name_a"), "blk")
+    b = names.select(F.col("nm").alias("name_b"), "blk")
     sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
         F.length("name_a"), F.length("name_b")
     )
     return (
-        part.join(supp, "blk")
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
         .withColumn("sim", F.round(sim, 6))
-        .filter(F.col("sim") >= 0.25)
-        .select("p_partkey", "s_suppkey", "sim")
+        .filter(F.col("sim") >= 0.5)
+        .select("name_a", "name_b", "sim")
     )
 
 
