@@ -547,6 +547,112 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q8-shaped market share: conditional-sum ratio per year — the share of one
+# supplier nation inside a region's part-filtered order volume. Exercises a
+# 6-table join with the ratio computed in one aggregation pass.
+# ---------------------------------------------------------------------------
+_Q8_ORACLE = """
+SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+  ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN l.l_extendedprice * (1e0 - l.l_discount) ELSE 0e0 END)
+        / SUM(l.l_extendedprice * (1e0 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier")
+    # customers reduce to the region FIRST (broadcast nation⋈region), the
+    # same dim-side pre-reduction q7 uses, so the orders join shrinks early
+    cust_asia = cust.select("c_custkey", "c_nationkey").join(
+        F.broadcast(
+            nation.join(region, nation.n_regionkey == region.r_regionkey)
+            .select(F.col("n_nationkey").alias("c_nk"))
+        ),
+        F.col("c_nationkey") == F.col("c_nk"),
+    ).select("c_custkey")
+    supp_n = supp.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-shaped profit by nation and year: name-filtered part scan fanning into
+# a 5-table join, grouped by (supplier nation, order year).
+# ---------------------------------------------------------------------------
+_Q9_ORACLE = """
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+  ROUND(SUM(l.l_extendedprice * (1e0 - l.l_discount)), 4) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_nation_profit", _Q9_ORACLE)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    supp_n = supp.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("profit")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q22-shaped dormant-rich-customer count: scalar AVG subquery feeding a
 # filter + anti join against orders, grouped by a derived segment key.
 # ---------------------------------------------------------------------------
