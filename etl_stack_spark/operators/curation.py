@@ -1,0 +1,182 @@
+"""Corpus-curation operators for LLM training-data pipelines: PII
+redaction, Gopher-style repetition filtering, benchmark decontamination,
+and token-budget sequence packing.
+
+Net-new surface beyond the reference (which stops at document chunking +
+embeddings, ``src/ETL_DOCS/processor.py``) — these are the standard ops a
+100 TB pretraining pipeline layers on top of dedup/quality, and each has a
+DuckDB oracle pair in ``queries/curation_q.py``.
+
+100 TB notes, per operator:
+
+* ``redact_pii`` — pure Column regexps, embarrassingly parallel scan, no
+  shuffle, whole-stage codegen.
+* ``repetition_metrics`` — one explode + two aggregations keyed on the doc
+  id; both aggs partial-combine map-side, and the second groupBy reuses the
+  first's hash partitioning on the id prefix. No joins over anything wider
+  than (id, gram).
+* ``decontaminate`` — the benchmark side of the shingle join is tiny by
+  construction (eval benchmarks are MBs, the corpus is TBs), so it is
+  BROADCAST: the candidate side streams through map-side, and the only
+  shuffle is the per-doc hit count.
+* ``pack_sequences`` — a running sum windowed PER PARTITION KEY (e.g.
+  source/shard), never a global sort; each partition key sorts locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import ngrams_from_tokens, tokens, word_shingles
+
+# Conservative RE2-and-Java-compatible patterns (no lookarounds, no
+# backrefs) so the DuckDB oracle runs the very same strings.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IP_TOKEN = "<IP>"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
+    typed placeholder tokens. Email first (an address can embed digits),
+    then IP (dotted digits would half-match the phone pattern's digit runs),
+    then phone. Idempotent: placeholders match none of the patterns."""
+    s = F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN)
+    s = F.regexp_replace(s, IPV4_PATTERN, IP_TOKEN)
+    return F.regexp_replace(s, PHONE_PATTERN, PHONE_TOKEN)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts on the ORIGINAL text (for audit columns)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_PATTERN)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_PATTERN)),
+    }
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_top_frac: float = 0.05,
+    max_dup_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style repetition signals per document over word n-grams
+    (default bigrams, multiset semantics):
+
+    * ``top_gram_frac`` — occurrences of the single most frequent n-gram
+      over all n-gram occurrences (boilerplate/spam detector);
+    * ``dup_gram_frac`` — fraction of n-gram occurrences whose gram appears
+      ≥2 times in the doc (self-repetition detector);
+    * ``keep_repetition`` — both under their thresholds.
+
+    Documents with < n tokens have zero grams and KEEP (nothing repeats).
+    Returns one row per input row: (id, n_grams, top_gram_count,
+    dup_gram_count, top_gram_frac, dup_gram_frac, keep_repetition).
+    """
+    base = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    grams = base.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_gram_count"
+        ),
+    )
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .fillna(0, ["n_grams", "top_gram_count", "dup_gram_count"])
+    )
+    top_frac = F.col("top_gram_count") / F.greatest(F.col("n_grams"), F.lit(1))
+    dup_frac = F.col("dup_gram_count") / F.greatest(F.col("n_grams"), F.lit(1))
+    return (
+        out.withColumn("top_gram_frac", F.round(top_frac, 6))
+        .withColumn("dup_gram_frac", F.round(dup_frac, 6))
+        .withColumn(
+            "keep_repetition",
+            (top_frac <= max_top_frac) & (dup_frac <= max_dup_frac),
+        )
+    )
+
+
+def decontaminate(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.08,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose distinct
+    word n-gram shingles overlap an eval-benchmark text set above
+    ``threshold`` (fraction of the CANDIDATE's shingles found in the
+    benchmark — the direction that catches verbatim inclusions).
+
+    The benchmark shingle set is deduplicated then BROADCAST — at corpus
+    scale the benchmark is always the small side. Candidates with zero
+    shingles report overlap 0 (nothing to leak).
+
+    Returns (id, n_shingles, n_hits, overlap_frac, contaminated).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        ).distinct()
+    )
+    cand = candidates.select(
+        id_col, word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    sizes = cand.select(id_col, F.size("_sh").cast("long").alias("n_shingles"))
+    hits = (
+        cand.select(id_col, F.explode("_sh").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    frac = F.col("n_hits") / F.greatest(F.col("n_shingles"), F.lit(1))
+    return (
+        sizes.join(hits, id_col, "left")
+        .fillna(0, ["n_hits"])
+        .withColumn("overlap_frac", F.round(frac, 6))
+        .withColumn("contaminated", frac >= threshold)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic sequence packing for training-example assembly:
+    within each ``partition_col`` group, documents are taken in
+    ``order_col`` order and assigned ``pack_id = floor(running_tokens_before
+    / budget)`` — a new pack starts each time the running total crosses a
+    budget boundary (a pack may overflow by at most one document, the
+    standard greedy-boundary contract, and it is window-expressible so the
+    SQL oracle can replicate it bit-for-bit).
+
+    The window partitions on the shard key — NO global sort; each shard
+    sorts locally, which is the only packing shape that scales.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
+    )

@@ -122,10 +122,23 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     common-subexpression-eliminate a subtree referenced inside a
     higher-order-function lambda, so passing ``tokens(text)`` directly
     re-runs the regexp tokenization once PER SHINGLE — measured 4.6×
-    slower over the sf0.1 documents table."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(sh)
+    slower over the sf0.1 documents table.
+
+    Documents with fewer than ``n`` tokens (or null text) yield an EMPTY
+    array, same as the oracle's ``range(1, greatest(len-n+1,0)+1)``."""
+    return F.array_distinct(ngrams_from_tokens(toks, n))
+
+
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL n-gram word joins (multiset, document order) from a materialized
+    token array — the repetition-metric building block; ``shingles_from_tokens``
+    is the distinct form. Fewer than ``n`` tokens (or null text) ⇒ EMPTY
+    array: Spark's ``sequence(1, 0)`` counts DOWN to ``[1, 0]`` and index 0
+    makes ``slice`` throw, so the sequence must be gated, not clamped."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

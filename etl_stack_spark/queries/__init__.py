@@ -55,6 +55,7 @@ def _load_all() -> None:
         chunks_q,
         classify_merge,
         corpus_q,
+        curation_q,
         geo,
         multimodal_q,
         joins_aggs,

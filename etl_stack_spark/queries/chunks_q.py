@@ -31,7 +31,11 @@ WHERE length(trim(chunk_text)) > 10
 def p29_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_chunks = F.ceil(F.length("text") / 120.0).cast("long")
-    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    # gate, don't clamp: sequence(0, -1) counts DOWN ([0, -1]) for empty
+    # text, emitting phantom chunks the oracle's range(0, 0) never has
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
     exploded = docs.select(
         "doc_id", "text", F.explode(idx).alias("i")
     ).withColumn("chunk_text", F.expr("substr(text, cast(i * 120 + 1 as int), 120)"))

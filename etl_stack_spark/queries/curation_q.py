@@ -1,0 +1,208 @@
+"""Corpus-curation queries with DuckDB oracles: PII redaction (pii1),
+repetition filtering (rep1), benchmark decontamination (dc1), and
+sequence packing (pk1) over ``documents``.
+
+The synthetic corpus contains no PII, so pii1 INJECTS deterministic
+fake emails/phones/IPs (keyed on doc_id, built identically in both
+engines) before redacting — the oracle checks both that PII is removed
+and that clean text passes through byte-identical.
+
+Thresholds are picked from the measured sf0.01 distributions so every
+boolean output column is non-vacuous (both values occur): bigram
+top-frac p50≈0.033/p90≈0.069 → 0.05; dup-frac p90≈0.129 → 0.10;
+benchmark shingle overlap p75≈0.069/p95≈0.125 → 0.08.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.curation import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+    decontaminate,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+    repetition_metrics,
+)
+from etl_stack_spark.operators.text import token_count
+from etl_stack_spark.queries import register
+from etl_stack_spark.queries.text_dedup import _SHINGLES, _TOKS
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# PII1 — inject deterministic fake PII, then redact it
+# ---------------------------------------------------------------------------
+
+_PII_TEXT_SQL = """text
+  || CASE WHEN doc_id % 2 = 0
+       THEN ' mail ' || source || '.' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+       THEN ' call 202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+       THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END"""
+
+_PII1_ORACLE = f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(pii_text,
+    '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '{IPV4_PATTERN}', '<IP>', 'g'),
+    '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(pii_text, '{EMAIL_PATTERN}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(pii_text, '{IPV4_PATTERN}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(pii_text, '{PHONE_PATTERN}')) AS INT) AS n_phones
+FROM pii
+"""
+
+
+def _injected_pii_text() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" mail "), F.col("source"), F.lit("."),
+            did.cast("string"), F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" call 202-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" host 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+@register("pii1_redact", _PII1_ORACLE)
+def pii1_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pii = docs.select("doc_id", _injected_pii_text().alias("pii_text"))
+    counts = pii_counts(F.col("pii_text"))
+    return pii.select(
+        "doc_id",
+        redact_pii(F.col("pii_text")).alias("redacted"),
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_ips"].cast("int").alias("n_ips"),
+        counts["n_phones"].cast("int").alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REP1 — Gopher-style bigram repetition metrics + keep flag
+# ---------------------------------------------------------------------------
+
+_REP1_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM t
+),
+c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY doc_id, gram),
+p AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, MAX(cnt) AS top_gram_count,
+    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_gram_count
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_grams, 0) AS n_grams,
+  coalesce(top_gram_count, 0) AS top_gram_count,
+  coalesce(dup_gram_count, 0) AS dup_gram_count,
+  round(coalesce(top_gram_count, 0) / greatest(coalesce(n_grams, 0), 1), 6) AS top_gram_frac,
+  round(coalesce(dup_gram_count, 0) / greatest(coalesce(n_grams, 0), 1), 6) AS dup_gram_frac,
+  (coalesce(top_gram_count, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.05
+   AND coalesce(dup_gram_count, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.10)
+  AS keep_repetition
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+@register("rep1_repetition_filter", _REP1_ORACLE)
+def rep1_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, max_top_frac=0.05, max_dup_frac=0.10)
+
+
+# ---------------------------------------------------------------------------
+# DC1 — decontaminate the corpus against the src0 "benchmark" slice
+# ---------------------------------------------------------------------------
+
+_DC1_ORACLE = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents WHERE source = 'src0'
+),
+cand AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE source <> 'src0'),
+sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM cand),
+cs AS (SELECT doc_id, unnest(sh) AS shingle FROM cand),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM cs JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT s.doc_id, n_shingles, coalesce(n_hits, 0) AS n_hits,
+  round(coalesce(n_hits, 0) / greatest(n_shingles, 1), 6) AS overlap_frac,
+  (coalesce(n_hits, 0) / greatest(n_shingles, 1) >= 0.08) AS contaminated
+FROM sz s LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("dc1_decontaminate", _DC1_ORACLE)
+def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        threshold=0.08,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PK1 — 256-token sequence packing per source shard
+# ---------------------------------------------------------------------------
+
+_PK1_ORACLE = f"""
+WITH t AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+    CAST(coalesce(SUM(n_tok) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT source, CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
+"""
+
+
+@register("pk1_sequence_pack", _PK1_ORACLE)
+def pk1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences(
+        t, token_col="n_tok", budget=256, partition_col="source", order_col="doc_id"
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1,0 +1,113 @@
+"""Units for the corpus-curation operators (PII, repetition,
+decontamination, packing) + the short-document shingle regression."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    redact_pii,
+    repetition_metrics,
+)
+from etl_stack_spark.operators.text import ngrams_from_tokens, tokens, word_shingles
+
+
+def test_shingles_empty_for_short_docs(spark):
+    """Regression: docs with < n tokens (incl. empty/null text) must yield
+    an EMPTY shingle array — sequence(1, 0) counts DOWN in Spark, and the
+    resulting slice(toks, 0, n) used to throw INVALID_PARAMETER_VALUE."""
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two"), (3, "one"), (4, ""), (5, None)],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == ["one two three", "two three four"]
+    assert rows[2] == [] and rows[3] == [] and rows[4] == [] and rows[5] == []
+
+
+def test_ngrams_keep_duplicates_in_order(spark):
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    out = df.select(
+        ngrams_from_tokens(tokens(F.col("text")), 2).alias("g")
+    ).collect()[0]["g"]
+    assert out == ["a b", "b a", "a b", "b a"]
+
+
+def test_redact_pii_is_idempotent_and_leaves_clean_text(spark):
+    df = spark.createDataFrame(
+        [
+            ("reach me at bob.smith+x@mail.example.org or 415-555-0199",),
+            ("server 192.168.1.254 answered",),
+            ("no pii here, just 1234 numbers and a-b-c dashes",),
+        ],
+        "text string",
+    )
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    got = [r["t"] for r in twice.collect()]
+    assert got[0] == "reach me at <EMAIL> or <PHONE>"
+    assert got[1] == "server <IP> answered"
+    assert got[2] == "no pii here, just 1234 numbers and a-b-c dashes"
+
+
+def test_repetition_metrics_gramless_doc_keeps(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "one"), (3, "all distinct words here")],
+        "doc_id int, text string",
+    )
+    # short docs have large top-gram fractions by construction (1/3 for a
+    # 4-token doc), so thresholds are explicit here, not the corpus defaults
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_metrics(df, max_top_frac=0.5, max_dup_frac=0.5).collect()
+    }
+    assert rows[1]["top_gram_frac"] == 1.0 and not rows[1]["keep_repetition"]
+    assert rows[2]["n_grams"] == 0 and rows[2]["keep_repetition"]
+    assert rows[3]["dup_gram_frac"] == 0.0 and rows[3]["keep_repetition"]
+
+
+def test_decontaminate_flags_verbatim_inclusion(spark):
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated sentence about sparkling engines"),
+            (3, "xy"),  # < 3 tokens → zero shingles → clean
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(cand, bench, threshold=0.5).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] >= 7
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["n_shingles"] == 0 and not rows[3]["contaminated"]
+
+
+def test_pack_sequences_boundary_and_shard_isolation(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 100), ("a", 2, 100), ("a", 3, 100),  # crosses 256 at doc 3
+            ("a", 4, 500),                                  # oversized doc → own pack
+            ("a", 5, 10),
+            ("b", 1, 50),                                   # other shard restarts at 0
+        ],
+        "source string, doc_id int, n_tok int",
+    )
+    out = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in pack_sequences(df, "n_tok", 256, "source", "doc_id").collect()
+    }
+    # cum_before: a1=0, a2=100, a3=200 → packs 0,0,0; a4 cum=300 → pack 1
+    # a5 cum=800 → pack 3 (the 500-token doc consumed packs 1-2's budget)
+    assert out[("a", 1)] == 0 and out[("a", 2)] == 0 and out[("a", 3)] == 0
+    assert out[("a", 4)] == 1
+    assert out[("a", 5)] == 3
+    assert out[("b", 1)] == 0
