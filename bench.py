@@ -144,6 +144,7 @@ def main() -> None:
     from etl_stack_spark.queries import all_queries
 
     args = sys.argv[1:]
+    subset = any(a.startswith("--queries") for a in args)
     strict = "--strict" in args
     stream = "--no-stream" not in args and os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0"
     sweep = "--no-sweep" not in args and os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
@@ -250,11 +251,14 @@ def main() -> None:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
     here = os.path.dirname(os.path.abspath(__file__))
+    # a --queries subset is a debug run: it must NOT clobber the sidecar,
+    # which doubles as the committed baseline load_baseline() reads
+    sidecar = "BENCH_SUBSET.json" if subset else "BENCH_DETAIL.json"
     try:
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        with open(os.path.join(here, sidecar), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError as e:  # the sidecar is best-effort; never lose the headline
-        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+        print(f"# {sidecar} not written: {e}", file=sys.stderr)
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     print(json.dumps(out))
     if strict and regressions:
