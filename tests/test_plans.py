@@ -213,3 +213,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() > 0
     n_all = spark.read.parquet(path).count()
     assert back.count() < n_all
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """dc1's scale contract: the benchmark (eval-set) shingle side is tiny
+    at corpus scale and must plan as the build side of a BroadcastHashJoin
+    — never a shuffled or nested-loop join on the exploded candidate
+    stream."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = all_queries()["dc1_decontaminate"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [shingle" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """pk1's scale contract: packing windows PER SHARD KEY — the plan must
+    hash-partition on the shard column and never range-partition (a global
+    sort would serialize the whole corpus through one ordering)."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = all_queries()["pk1_sequence_pack"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan
