@@ -62,3 +62,63 @@ def clean_corpus(
         bucket = portable_hash60(F.col(id_col).cast("string")) % 100
         near = near.filter(bucket < sample_pct)
     return near.select(id_col, "quality", "pred_lang")
+
+
+def clean_corpus_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.4,
+    keep_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    max_top_frac: float = 0.05,
+    max_dup_frac: float = 0.10,
+    contamination_threshold: float = 0.08,
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The modern wash: ``clean_corpus`` extended with the curation
+    family — Gopher-style repetition filtering and eval-benchmark
+    decontamination run BETWEEN the scalar quality gates and the dedup
+    stages, so the (shuffling) dedup operators only see documents that
+    already survived every map-side or broadcast-side filter.
+
+    Stage order is the cost order at 100 TB: pure scans first (quality,
+    language), then the one-explode repetition metrics, then the
+    broadcast decontamination join, and only then the fingerprint /
+    MinHash shuffles over the shrunken corpus.
+    """
+    from etl_stack_spark.operators.curation import decontaminate, repetition_metrics
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
+    )
+
+    rep_ok = repetition_metrics(
+        kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
+    ).filter(F.col("keep_repetition")).select(id_col)
+    kept = kept.join(rep_ok, id_col, "left_semi")
+
+    clean_ids = (
+        decontaminate(
+            kept, benchmark, id_col, text_col, threshold=contamination_threshold
+        )
+        .filter(~F.col("contaminated"))
+        .select(id_col)
+    )
+    kept = kept.join(clean_ids, id_col, "left_semi")
+
+    w = Window.partitionBy("fp")
+    exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
+        F.col(id_col) == F.col("canon")
+    ).drop("canon", "fp")
+
+    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return exact.join(losers, id_col, "left_anti").select(id_col, "quality", "pred_lang")

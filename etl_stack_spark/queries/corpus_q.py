@@ -1,21 +1,29 @@
-"""LLM corpus-cleaning pipeline as ONE oracle-checked query: the full
-quality → language → exact-dedup → near-dup → sample chain expressed in
-SQL on the DuckDB side (CTE per stage, same constants)."""
+"""LLM corpus-cleaning pipelines as oracle-checked queries: llm1 is the
+quality → language → exact-dedup → near-dup chain; llm2 adds the
+curation family (repetition filter + benchmark decontamination) between
+the scalar gates and the dedup shuffles. Both expressed in SQL on the
+DuckDB side (CTE per stage, same constants)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from etl_stack_spark.plans.corpus_clean import clean_corpus
+from etl_stack_spark.plans.corpus_clean import clean_corpus, clean_corpus_v2
 from etl_stack_spark.queries import register
-from etl_stack_spark.queries.text_dedup import _lang_oracle, _minhash_oracle, _TOKS, _marker_count
+from etl_stack_spark.queries.text_dedup import (
+    _lang_oracle,
+    _minhash_oracle,
+    _SHINGLES,
+    _TOKS,
+    _marker_count,
+)
 from etl_stack_spark.operators.text import LANG_MARKERS
 from etl_stack_spark.session import load_table
 
 
-def _corpus_oracle() -> str:
-    # quality + lang stage (reuse the tx1/tx2 logic inline)
-    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+def _lang_pieces() -> tuple[str, str]:
+    """(count_cols, lang_case) SQL fragments shared by llm1/llm2."""
     langs = [lang for lang, _ in LANG_MARKERS]
     count_cols = ", ".join(f"{_marker_count(ws)} AS c_{lang}" for lang, ws in LANG_MARKERS)
     cases = []
@@ -23,7 +31,13 @@ def _corpus_oracle() -> str:
         geq = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1:])
         cond = (geq + " AND " if geq else "") + f"c_{lang} > 0"
         cases.append(f"WHEN {cond} THEN '{lang}'")
-    lang_case = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return count_cols, "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+
+
+def _corpus_oracle() -> str:
+    # quality + lang stage (reuse the tx1/tx2 logic inline)
+    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+    count_cols, lang_case = _lang_pieces()
 
     minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM exact")
     return f"""
@@ -58,3 +72,84 @@ WHERE l.doc_id IS NULL
 def llm1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return clean_corpus(docs)
+
+
+def _corpus_v2_oracle() -> str:
+    """llm2: llm1's chain with the curation stages spliced in — corpus is
+    every non-src0 document, benchmark is the src0 slice, repetition
+    thresholds 0.05/0.10 and contamination threshold 0.08 (the rep1/dc1
+    constants)."""
+    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+    count_cols, lang_case = _lang_pieces()
+    minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM exact")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    round(4e-1 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1e0 ELSE 0e0 END)
+        + 4e-1 * least(1e0, {_marker_count(all_markers)} * 5e0 / greatest(len({_TOKS}), 1))
+        + 2e-1 * (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 2e-1
+                  THEN 1e0 ELSE 0e0 END), 6) AS quality,
+    {count_cols},
+    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE source <> 'src0'
+),
+kept AS (
+  SELECT doc_id, text, quality, {lang_case} AS pred_lang, fp FROM scored
+  WHERE quality >= 0.4 AND ({lang_case}) IN ('en', 'es', 'de', 'fr')
+),
+rt AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE source <> 'src0'),
+rg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM rt
+),
+rc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM rg GROUP BY doc_id, gram),
+rp AS (
+  SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_cnt,
+    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM rc GROUP BY doc_id
+),
+rep_ok AS (
+  SELECT rt.doc_id FROM rt LEFT JOIN rp USING (doc_id)
+  WHERE coalesce(top_cnt, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.05
+    AND coalesce(dup_cnt, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.10
+),
+bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents WHERE source = 'src0'
+),
+dcand AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE source <> 'src0'),
+dsz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM dcand),
+dcs AS (SELECT doc_id, unnest(sh) AS shingle FROM dcand),
+dhits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM dcs JOIN bench USING (shingle) GROUP BY doc_id
+),
+dec_ok AS (
+  SELECT s.doc_id FROM dsz s LEFT JOIN dhits USING (doc_id)
+  WHERE coalesce(n_hits, 0) / greatest(n_shingles, 1) < 0.08
+),
+kept2 AS (
+  SELECT k.* FROM kept k
+  JOIN rep_ok USING (doc_id) JOIN dec_ok USING (doc_id)
+),
+exact AS (
+  SELECT doc_id, text, quality, pred_lang FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM kept2
+  ) WHERE doc_id = canon
+),
+pairs AS ({minhash_pairs}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+SELECT e.doc_id, e.quality, e.pred_lang
+FROM exact e LEFT JOIN losers l ON e.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+@register("llm2_corpus_clean_v2", _corpus_v2_oracle())
+def llm2_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return clean_corpus_v2(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
