@@ -153,6 +153,47 @@ def decontaminate(
     )
 
 
+def mix_domains(
+    df: DataFrame,
+    share: Column,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """Domain-mixture sampling: downsample each domain so the KEPT corpus
+    hits target token shares. ``share`` is a Column expression mapping the
+    domain to its target fraction (shares should sum to ~1).
+
+    The largest mixture consistent with the data keeps the binding domain
+    (the one with the fewest tokens relative to its share) whole:
+    ``scale = min_d(tokens_d / share_d)`` and ``rate_d = scale * share_d /
+    tokens_d`` ≤ 1. Sampling is deterministic per document (portable
+    sha-derived hash of the id against ``rate``), so reruns and the SQL
+    oracle reproduce the exact same kept set.
+
+    Plan shape at 100 TB: one groupBy(domain) agg (domains are few), a
+    1-row scale agg cross-joined back via BROADCAST, a broadcast rate
+    lookup on the stream, and a map-side hash filter — no driver collect,
+    no global sort, one shuffle total.
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    dt = df.groupBy(domain_col).agg(F.sum(token_col).alias("_d_tokens"))
+    sh = dt.withColumn("_share", share)
+    scale = sh.agg(F.min(F.col("_d_tokens") / F.col("_share")).alias("_scale"))
+    rates = sh.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0), F.col("_scale") * F.col("_share") / F.col("_d_tokens")
+        ).alias("rate"),
+    )
+    bucket = portable_hash60(F.col(id_col).cast("string")) % precision
+    return df.join(F.broadcast(rates), domain_col).filter(
+        bucket < F.col("rate") * precision
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

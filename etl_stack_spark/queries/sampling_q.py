@@ -63,6 +63,59 @@ def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SP3 — domain-mixture sampling to target token shares
+# ---------------------------------------------------------------------------
+_TOP_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_SP3_SHARE_SQL = (
+    "CASE WHEN source IN ('" + "','".join(_TOP_SOURCES) + "') THEN 1e-1 ELSE 0.5/15 END"
+)
+_SP3_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+_SP3_ORACLE = f"""
+WITH tok AS (SELECT source, doc_id, CAST(len({_SP3_TOKS}) AS BIGINT) AS n_tok FROM documents),
+dt AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS d_tokens FROM tok GROUP BY source),
+sh AS (SELECT source, d_tokens, {_SP3_SHARE_SQL} AS share FROM dt),
+sc AS (SELECT MIN(d_tokens / share) AS scale FROM sh),
+rates AS (
+  SELECT source, least(1e0, (SELECT scale FROM sc) * share / d_tokens) AS rate FROM sh
+),
+kept AS (
+  SELECT t.source, t.doc_id, t.n_tok, r.rate
+  FROM tok t JOIN rates r USING (source)
+  WHERE (('0x' || substr(sha256(t.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+        < r.rate * 1000000
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+       round(MAX(rate), 6) AS rate
+FROM kept GROUP BY source
+"""
+
+
+@register("sp3_domain_mix", _SP3_ORACLE)
+def sp3_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-share mixture: the five 'premium' sources target 10% each,
+    the remaining fifteen split the rest — the binding domain keeps
+    rate 1.0, everything else downsamples deterministically."""
+    from etl_stack_spark.operators.curation import mix_domains
+    from etl_stack_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    share = F.when(F.col("source").isin(list(_TOP_SOURCES)), F.lit(0.1)).otherwise(
+        F.lit(0.5 / 15)
+    )
+    mixed = mix_domains(t, share, "source", "n_tok", "doc_id")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("kept_tokens"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # FZ1 — blocked fuzzy join: similarity = 1 - lev/maxlen inside first-token
 # blocks (blocking first: the P17 scale shape — candidates ∝ block size,
 # not |A|×|B|).

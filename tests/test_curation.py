@@ -111,3 +111,28 @@ def test_pack_sequences_boundary_and_shard_isolation(spark):
     assert out[("a", 4)] == 1
     assert out[("a", 5)] == 3
     assert out[("b", 1)] == 0
+
+
+def test_mix_domains_binding_domain_kept_whole(spark):
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.curation import mix_domains
+
+    # domain "a" has few tokens relative to its share → binding, rate 1.0;
+    # "b" is oversupplied → downsampled
+    rows = [("a", i, 10) for i in range(20)] + [("b", 100 + i, 10) for i in range(80)]
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    share = F.when(F.col("source") == "a", F.lit(0.5)).otherwise(F.lit(0.5))
+    out = mix_domains(df, share, "source", "n_tok", "doc_id")
+    per = {r["source"]: r for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rate").alias("rate")).collect()}
+    assert per["a"]["n"] == 20 and per["a"]["rate"] == 1.0  # binding: kept whole
+    # b targets equal token share → expect ~20 of 80 docs (hash sampling jitter)
+    assert 10 <= per["b"]["n"] <= 30 and per["b"]["rate"] == 0.25
+    # deterministic: second run keeps the identical doc set
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in mix_domains(df, share, "source", "n_tok", "doc_id").select("doc_id").collect()
+    )
+    assert ids1 == ids2
