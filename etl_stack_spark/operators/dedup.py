@@ -135,6 +135,53 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_cluster_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-based near-dup dedup: connected components over the
+    confirmed MinHash pair graph, survivor = MIN id per component.
+
+    Pairwise loser-dropping (llm1's ``doc_b`` drop) can over-delete on
+    chains — if A~B and B~C but A≁C, dropping B and C keeps only A even
+    though C never matched A. Component semantics keep exactly one
+    survivor per transitively-connected group, which is what production
+    dedup (and the reference's dissolve-based spatial analog,
+    process_pois.py:396-426) actually does.
+
+    Returns one row per input doc: (id, cluster_id, is_duplicate).
+    Scale shape: the pair graph is tiny relative to the corpus (only
+    near-dups), so the CC loop runs on the pair-projected node set and
+    everything else stays a broadcast-size join back.
+    """
+    from etl_stack_spark.operators.graph import connected_components
+
+    pairs = minhash_near_duplicates(df, text_col, id_col, n, threshold)
+    pair_nodes = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    labels = connected_components(
+        pair_nodes, pairs, id_col=id_col, src_col="doc_a", dst_col="doc_b", max_iter=max_iter
+    )
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col(id_col) != F.col("component_id"), F.lit(False)).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -302,58 +302,26 @@ def cluster_points(
     edges = radius_join(lhs, rhs, "lat", "lon", "poi_lat", "poi_lon", radius_km)
     if part_cols:
         edges = edges.filter(F.col(part_cols[0]) == F.col(f"r_{part_cols[0]}"))
-    edges = edges.select("_pid", "r_pid").cache()
 
-    cur = points.select("_pid", F.col("_pid").cast("long").alias("cluster_id"))
-    for _ in range(max_iter):
-        neighbor_labels = edges.join(
-            cur.select(F.col("_pid").alias("r_pid"), F.col("cluster_id").alias("r_cluster_id")),
-            "r_pid",
-        )
-        new_labels = neighbor_labels.groupBy("_pid").agg(
-            F.min("r_cluster_id").alias("new_cluster_id")
-        )
-        nxt = (
-            cur.join(new_labels, "_pid", "left")
-            .select(
-                "_pid",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("new_cluster_id", "cluster_id")
-                ).alias("cluster_id"),
-            )
-        )
-        # pointer jumping: labels are always point ids, so they form a
-        # pointer forest — following label→label(label) doubles how far a
-        # component's min travels per round, turning O(diameter) rounds
-        # into O(log diameter) (the standard CC doubling trick; both
-        # steps are monotone non-increasing toward the same per-component
-        # min fixpoint, so correctness is unchanged). One extra equi-join
-        # in the SAME job, not an extra action — a 10-hop chain converges
-        # in ~4 rounds instead of 10, and at 100 TB rounds are shuffles.
-        parents = nxt.select(
-            F.col("_pid").alias("cluster_id"), F.col("cluster_id").alias("_parent")
-        )
-        nxt = nxt.join(parents, "cluster_id", "left").select(
-            "_pid",
-            F.least(
-                F.col("cluster_id"), F.coalesce("_parent", F.col("cluster_id"))
-            ).alias("cluster_id"),
-        )
-        nxt = nxt.localCheckpoint(eager=True)  # truncate the iterative lineage
-        changed = (
-            nxt.alias("n")
-            .join(cur.alias("c"), "_pid")
-            .filter(F.col("n.cluster_id") != F.col("c.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        cur = nxt
-        if changed == 0:
-            break
-    edges.unpersist()
+    # the generic min-label + pointer-jumping loop (operators/graph.py);
+    # radius self-join edges already contain both directions
+    from etl_stack_spark.operators.graph import connected_components
 
+    labels = connected_components(
+        points.select(F.col("_pid").cast("long").alias("_pid")),
+        edges.select("_pid", "r_pid"),
+        id_col="_pid",
+        src_col="_pid",
+        dst_col="r_pid",
+        max_iter=max_iter,
+        symmetrize=False,
+    )
     return df.join(
-        cur.select(F.col("_pid").alias(id_col), "cluster_id"), on=id_col, how="inner"
+        labels.select(
+            F.col("_pid").alias(id_col), F.col("component_id").alias("cluster_id")
+        ),
+        on=id_col,
+        how="inner",
     )
 
 

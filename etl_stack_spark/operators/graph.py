@@ -1,0 +1,85 @@
+"""Generic connected components by min-label propagation with pointer
+jumping — the shared engine under spatial cluster-merge (A4,
+`geo_join.cluster_points`) and cluster-based near-dup dedup (dd6,
+`dedup.minhash_cluster_dedup`).
+
+Reference counterpart: the GeoPandas buffer+dissolve+explode chain at
+/root/reference/src/ETL_POIS/process_pois.py:396-426 computes transitive
+components of the ≤radius graph; this is the distributed equivalent for
+ANY edge list.
+
+100 TB notes: the edge list is computed once by the caller and cached
+here for the loop; every round is two equi-joins + a groupBy-min — all
+shuffle-parallel, no driver state beyond the loop counter. Pointer
+jumping (label := label(label)) doubles how far a component's min
+travels per round: O(log diameter) rounds, and rounds are shuffles at
+scale. Lineage is truncated per round with GC-owned localCheckpoints so
+the plan does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable through
+    ``edges``. Returns ``(id_col, component_id)`` — one row per node;
+    isolated nodes are their own component.
+
+    ``symmetrize=False`` skips the reverse-edge union when the caller's
+    edge list already contains both directions (e.g. a radius self-join).
+    """
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    if symmetrize:
+        e = e.union(edges.select(F.col(dst_col).alias("_src"), F.col(src_col).alias("_dst")))
+    e = e.cache()
+
+    cur = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("component_id"))
+    for _ in range(max_iter):
+        neighbor_labels = e.join(
+            cur.select(F.col("_nid").alias("_dst"), F.col("component_id").alias("_dst_label")),
+            "_dst",
+        )
+        new_labels = neighbor_labels.groupBy(F.col("_src").alias("_nid")).agg(
+            F.min("_dst_label").alias("_new_label")
+        )
+        nxt = cur.join(new_labels, "_nid", "left").select(
+            "_nid",
+            F.least(
+                F.col("component_id"), F.coalesce("_new_label", "component_id")
+            ).alias("component_id"),
+        )
+        # pointer jumping: labels are node ids, so they form a pointer
+        # forest — following label→label(label) halves remaining rounds
+        parents = nxt.select(
+            F.col("_nid").alias("component_id"), F.col("component_id").alias("_parent")
+        )
+        nxt = nxt.join(parents, "component_id", "left").select(
+            "_nid",
+            F.least(
+                F.col("component_id"), F.coalesce("_parent", F.col("component_id"))
+            ).alias("component_id"),
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # truncate iterative lineage
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), "_nid")
+            .filter(F.col("n.component_id") != F.col("c.component_id"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    e.unpersist()
+    return cur.select(F.col("_nid").alias(id_col), "component_id")

@@ -167,7 +167,9 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # DD2 — MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> tuple[str, str]:
+    """(cte_body, final_pairs_select) — split so dd6's recursive-CTE
+    component oracle can reuse the pair pipeline as inner CTEs."""
     mh_cols = ", ".join(
         f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -183,8 +185,7 @@ def _minhash_oracle() -> str:
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
     )
     h_expr = _H60.format(expr="shingle")
-    return f"""
-WITH sh AS (
+    ctes = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
 ),
 h AS (SELECT doc_id, ({h_expr} % {MINHASH_PRIME}) AS h FROM sh),
@@ -194,12 +195,20 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b USING (band, band_key)
   WHERE a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, round(({agree}) / {float(N_MINHASH)}, 6) AS est_jaccard
+)"""
+    final = f"""SELECT doc_a, doc_b, round(({agree}) / {float(N_MINHASH)}, 6) AS est_jaccard
 FROM pairs
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
-WHERE ({agree}) / {float(N_MINHASH)} >= 0.5
+WHERE ({agree}) / {float(N_MINHASH)} >= 0.5"""
+    return ctes, final
+
+
+def _minhash_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH {ctes}
+{final}
 """
 
 
@@ -207,6 +216,38 @@ WHERE ({agree}) / {float(N_MINHASH)} >= 0.5
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# DD6 — cluster-based dedup: connected components over the MinHash pair
+# graph (recursive-CTE oracle), survivor = min id per component
+# ---------------------------------------------------------------------------
+def _dd6_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+mh AS ({final}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+reach AS (
+  SELECT doc_id AS p, doc_id AS q FROM documents
+  UNION
+  SELECT r.p, e.b FROM reach r JOIN edges e ON r.q = e.a
+)
+SELECT p AS doc_id, MIN(q) AS cluster_id, (p <> MIN(q)) AS is_duplicate
+FROM reach GROUP BY p
+"""
+
+
+@register("dd6_cluster_dedup", _dd6_oracle())
+def dd6_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.dedup import minhash_cluster_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_cluster_dedup(docs)
 
 
 # ---------------------------------------------------------------------------

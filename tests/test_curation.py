@@ -136,3 +136,36 @@ def test_mix_domains_binding_domain_kept_whole(spark):
         for r in mix_domains(df, share, "source", "n_tok", "doc_id").select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A–B–C chains must form ONE component labeled by the min id even
+    though the chain ends share no direct edge — the over-delete case
+    pairwise loser-dropping gets wrong."""
+    from etl_stack_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # chain 1-2-3, pair 5-6 (reversed direction), isolated 4 and 7
+    edges = spark.createDataFrame([(1, 2), (2, 3), (6, 5)], "src long, dst long")
+    out = {r["id"]: r["component_id"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_minhash_cluster_dedup_one_survivor_per_component(spark):
+    from etl_stack_spark.operators.dedup import minhash_cluster_dedup, minhash_near_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("gamma", "gamma2")
+    nearer = near.replace("kappa", "kappa2")
+    rows = [(1, base), (2, near), (3, nearer), (4, "totally different words entirely here now yes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(df, threshold=0.5).collect()]
+    out = {r["doc_id"]: r for r in minhash_cluster_dedup(df, threshold=0.5).collect()}
+    assert sorted(out) == [1, 2, 3, 4]  # every doc labeled exactly once
+    for a, b in pairs:  # confirmed pairs land in the same cluster
+        assert out[a]["cluster_id"] == out[b]["cluster_id"]
+    for doc_id, r in out.items():  # survivor = min id of its cluster; others flagged
+        members = [d for d, x in out.items() if x["cluster_id"] == r["cluster_id"]]
+        assert r["cluster_id"] == min(members)
+        assert r["is_duplicate"] == (doc_id != min(members))
+    assert not out[4]["is_duplicate"]  # unpaired doc is its own singleton
