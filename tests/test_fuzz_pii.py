@@ -1,0 +1,80 @@
+"""Property-based fuzzing of PII redaction: hypothesis builds texts by
+splicing random filler around random generated emails/phones/IPs; the
+batch runs through the Spark expression AND DuckDB's rendering of the
+same regexps, compared exactly — plus a Python-re residual scan proving
+nothing PII-shaped survives redaction.
+
+One Spark job per test (examples collected first), same strategy as
+test_fuzz_cleaners.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from etl_stack_spark.operators.curation import (
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
+    PHONE_PATTERN,
+    redact_pii,
+)
+
+FILLER = st.text(alphabet="abcxyz 0123456789.-+@", min_size=0, max_size=12)
+LOCAL = st.text(alphabet="abcdef0123456789._%+-", min_size=1, max_size=8)
+DOMAIN = st.text(alphabet="abcdef0123456789", min_size=1, max_size=6)
+
+emails = st.builds(lambda l, d: f"{l}@{d}.com", LOCAL, DOMAIN)
+phones = st.builds(
+    lambda a, b, c: f"{a:03d}-{b:03d}-{c:04d}",
+    st.integers(0, 999), st.integers(0, 999), st.integers(0, 9999),
+)
+ips = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *([st.integers(0, 255)] * 4),
+)
+pii = st.one_of(emails, phones, ips)
+
+texts = st.builds(
+    lambda pre, p, post: f"{pre} {p} {post}",
+    FILLER, pii, FILLER,
+) | FILLER
+
+
+def test_redaction_matches_duckdb_and_leaves_no_residue(spark):
+    sink: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=60))
+    def gather(samples):
+        sink.extend(samples)
+
+    gather()
+    rows = [(i, s) for i, s in enumerate(sink)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["red"]
+        for r in df.select("i", redact_pii(F.col("text")).alias("red")).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["i", "text"]))
+    oracle = dict(
+        con.execute(
+            f"""
+            SELECT i, regexp_replace(regexp_replace(regexp_replace(text,
+              '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+              '{IPV4_PATTERN}', '<IP>', 'g'),
+              '{PHONE_PATTERN}', '<PHONE>', 'g') FROM t
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+
+    residue = re.compile("|".join((EMAIL_PATTERN, PHONE_PATTERN, IPV4_PATTERN)))
+    for i, red in got.items():
+        assert not residue.search(red), f"row {i}: PII survived: {red!r}"
