@@ -221,3 +221,59 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor(cum_before / F.lit(budget)).cast("long")
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """First-fit-decreasing packing per shard — tighter fill than the
+    windowed greedy boundary (``pack_sequences``) at the cost of losing
+    document order inside packs.
+
+    FFD is inherently sequential per shard (every placement depends on
+    all prior placements), which no windowed Column expression can
+    express — this is the documented ``applyInPandas`` tier for custom
+    grouped-state operators (and correspondingly has NO SQL oracle; its
+    contract is pinned by property tests instead). Deterministic: docs
+    sort by (tokens DESC, order ASC) and bins are scanned first-fit, so
+    reruns reproduce the exact assignment.
+
+    Scale shape: one shuffle on the shard key; each shard packs
+    independently in one Arrow batch group. Oversized documents (tokens
+    > budget) get a dedicated pack that is never reused.
+    """
+    import pandas as pd
+
+    out_schema = df.select(
+        partition_col, order_col, F.col(token_col).cast("long").alias(token_col)
+    ).schema.add("pack_id", "long")
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [token_col, order_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        assigned: list[int] = []
+        for tok in pdf[token_col]:
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if tok <= rem:
+                    placed = i
+                    remaining[i] = rem - tok
+                    break
+            if placed < 0:
+                placed = len(remaining)
+                # an oversized doc leaves negative capacity → bin never reused
+                remaining.append(budget - int(tok))
+            assigned.append(placed)
+        pdf["pack_id"] = pd.Series(assigned, dtype="int64")
+        return pdf
+
+    proj = df.select(
+        partition_col, order_col, F.col(token_col).cast("long").alias(token_col)
+    )
+    return proj.groupBy(partition_col).applyInPandas(pack, out_schema)

@@ -191,6 +191,29 @@ FROM c GROUP BY source, CAST(floor(cum_before / 256) AS BIGINT)
 """
 
 
+# pk2: first-fit-decreasing packing — inherently sequential per shard, so
+# NO SQL oracle (the documented rows-only tier for non-SQL-expressible
+# ops); its packing contract is pinned by property tests in
+# tests/test_curation.py instead.
+@register("pk2_sequence_pack_ffd")
+def pk2_sequence_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import pack_sequences_ffd
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    packed = pack_sequences_ffd(
+        t, token_col="n_tok", budget=256, partition_col="source", order_col="doc_id"
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @register("pk1_sequence_pack", _PK1_ORACLE)
 def pk1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

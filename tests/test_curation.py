@@ -169,3 +169,42 @@ def test_minhash_cluster_dedup_one_survivor_per_component(spark):
         assert r["cluster_id"] == min(members)
         assert r["is_duplicate"] == (doc_id != min(members))
     assert not out[4]["is_duplicate"]  # unpaired doc is its own singleton
+
+
+def test_pack_sequences_ffd_contract(spark):
+    """FFD packing contract: no pack over budget (except oversized
+    singletons), fill at least as tight as the windowed greedy boundary,
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.curation import pack_sequences, pack_sequences_ffd
+
+    rows = (
+        [("a", i, 100 + (i * 37) % 120) for i in range(24)]   # mixed sizes
+        + [("a", 100, 999)]                                      # oversized
+        + [("b", i, 60) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id int, n_tok int")
+    budget = 256
+    ffd = pack_sequences_ffd(df, "n_tok", budget, "source", "doc_id")
+    per_pack = (
+        ffd.groupBy("source", "pack_id")
+        .agg(F.sum("n_tok").alias("tokens"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in per_pack:
+        assert r["tokens"] <= budget or r["n"] == 1, f"overfull multi-doc pack: {r}"
+    # first-fit is within 2x the bin-count lower bound ceil(total/budget)
+    # (the greedy boundary in pack_sequences is NOT comparable: it lets a
+    # pack overflow by one doc, FFD never exceeds the budget)
+    import math
+
+    totals = {r["source"]: r["t"] for r in df.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()}
+    for src in ("a", "b"):
+        n_ffd = ffd.filter(F.col("source") == src).select("pack_id").distinct().count()
+        opt_lb = math.ceil(totals[src] / budget)
+        assert n_ffd <= 2 * opt_lb, (src, n_ffd, opt_lb)
+    # determinism
+    a = sorted(map(tuple, ffd.collect()))
+    b = sorted(map(tuple, pack_sequences_ffd(df, "n_tok", budget, "source", "doc_id").collect()))
+    assert a == b

@@ -124,11 +124,16 @@ def test_no_row_at_a_time_python_anywhere(spark):
     arrow_allowed = {
         "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
         "mm1_media_features", "mm2_frame_sample", "mm3_webp_roundtrip",
+        "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
     }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
-        if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        if (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ):
             assert name in arrow_allowed, (
                 f"{name}: unexpected Python stage — hot paths must stay JVM-side"
             )
