@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.text import ngrams_from_tokens, tokens, word_shingles
+from etl_stack_spark.operators.text import (
+    ngrams_from_tokens,
+    shingles_from_tokens,
+    tokens,
+)
 
 # Conservative RE2-and-Java-compatible patterns (no lookarounds, no
 # backrefs) so the DuckDB oracle runs the very same strings.
@@ -129,14 +133,17 @@ def decontaminate(
 
     Returns (id, n_shingles, n_hits, overlap_frac, contaminated).
     """
+    # materialize tokens BEFORE the shingle transform on both sides —
+    # a lambda-captured tokens(text) re-runs the regexp split once per
+    # shingle (see shingles_from_tokens; measured 4.6x slower)
     bench_sh = (
-        benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-        ).distinct()
+        benchmark.select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
     )
     cand = candidates.select(
-        id_col, word_shingles(F.col(text_col), n).alias("_sh")
-    )
+        id_col, tokens(F.col(text_col)).alias("_toks")
+    ).select(id_col, shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
     sizes = cand.select(id_col, F.size("_sh").cast("long").alias("n_shingles"))
     hits = (
         cand.select(id_col, F.explode("_sh").alias("shingle"))
