@@ -1,0 +1,83 @@
+"""S6 — chunked HTTP streaming download (driver-side utility).
+
+Reference: the OSM extract downloader streams the .osm.pbf to disk in
+64 KB chunks with console progress and never holds the body in RAM
+(/root/reference/src/ETL_POIS/download_osm.py:29-45). Engine shape: the
+same bounded-memory loop with an injectable transport (offline tests use
+a chunk-iterator fake), atomic rename on success, and partial-file
+cleanup on failure — a crashed download never leaves a truncated file
+where a later `spark.read` would find it.
+
+This is a driver-side utility by design: the artifact it fetches (one
+PBF extract) feeds the PBF→Parquet converter ONCE; executors then read
+the Parquet. Sharded corpus downloads belong in the REST source's
+mapInPandas fan-out, not here.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+# transport: url -> (total_size_or_None, chunk iterator)
+StreamTransport = Callable[[str], tuple[int | None, Iterator[bytes]]]
+
+CHUNK_SIZE = 65536
+
+
+def default_stream_transport(url: str) -> tuple[int | None, Iterator[bytes]]:  # pragma: no cover - network path
+    from urllib.request import urlopen
+
+    resp = urlopen(url, timeout=30)
+    length = resp.headers.get("Content-Length")
+
+    def chunks() -> Iterator[bytes]:
+        with resp:
+            while True:
+                b = resp.read(CHUNK_SIZE)
+                if not b:
+                    return
+                yield b
+
+    return (int(length) if length else None), chunks()
+
+
+def stream_download(
+    url: str,
+    dest_path: str,
+    transport: StreamTransport | None = None,
+    progress: Callable[[int, int | None], None] | None = None,
+) -> int:
+    """Stream ``url`` to ``dest_path`` in bounded-memory chunks.
+
+    Writes to ``dest_path + '.part'`` and renames atomically on success;
+    on any failure the partial file is removed and the exception
+    propagates — the destination either holds the COMPLETE body or does
+    not exist. ``progress(downloaded_bytes, total_or_None)`` fires per
+    chunk. Returns total bytes written.
+    """
+    transport = transport or default_stream_transport
+    part = dest_path + ".part"
+    downloaded = 0
+    try:
+        total, chunks = transport(url)
+        with open(part, "wb") as f:
+            for chunk in chunks:
+                if not chunk:
+                    continue
+                f.write(chunk)
+                downloaded += len(chunk)
+                if progress is not None:
+                    progress(downloaded, total)
+        if total is not None and downloaded != total:
+            raise IOError(
+                f"short read: got {downloaded} of {total} bytes from {url}"
+            )
+        os.replace(part, dest_path)
+        return downloaded
+    except BaseException:
+        try:
+            os.remove(part)
+        except FileNotFoundError:
+            pass
+        raise

@@ -1,0 +1,159 @@
+"""S13 — AWS Signature Version 4 signing for S3-compatible object
+storage (S3/R2/MinIO), written from the public SigV4 specification.
+
+Reference counterpart: the debug viewer's R2 image serving signs GET
+requests with SigV4 headers (/root/reference/src/debug_viewer/server.py:42-105)
+and serves bytes through FastAPI. The engine-side equivalents:
+
+* ``signed_get_headers`` — header-auth GET (what the reference does);
+* ``presigned_get_url`` — query-auth GET, the shape a Spark cluster
+  actually wants (executors fetch the URL directly; no secret shipping).
+
+Both take ``now`` injected so signing is deterministic and unit-testable
+against the worked examples in the AWS SigV4 documentation — no network,
+no SDK. Production Spark reads s3a:// through the stock S3A connector;
+this module exists for the reference's "serve one object" semantics
+(image GETs, envelope fetches) where a signed URL is the contract.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import urllib.parse
+
+_ALGORITHM = "AWS4-HMAC-SHA256"
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def signing_key(secret: str, date_stamp: str, region: str, service: str = "s3") -> bytes:
+    """The SigV4 key derivation chain: date → region → service → aws4_request."""
+    k = _hmac(("AWS4" + secret).encode("utf-8"), date_stamp)
+    for part in (region, service, "aws4_request"):
+        k = _hmac(k, part)
+    return k
+
+
+def _uri_encode(s: str, *, encode_slash: bool) -> str:
+    safe = "-_.~" if encode_slash else "/-_.~"
+    return urllib.parse.quote(s, safe=safe)
+
+
+def _canonical_request(
+    method: str,
+    path: str,
+    query: list[tuple[str, str]],
+    headers: dict[str, str],
+    signed_headers: str,
+    payload_hash: str,
+) -> str:
+    canonical_query = "&".join(
+        f"{_uri_encode(k, encode_slash=True)}={_uri_encode(v, encode_slash=True)}"
+        for k, v in sorted(query)
+    )
+    canonical_headers = "".join(
+        f"{name}:{headers[name].strip()}\n" for name in signed_headers.split(";")
+    )
+    return "\n".join(
+        [method, path, canonical_query, canonical_headers, signed_headers, payload_hash]
+    )
+
+
+def _sign(
+    canonical_request: str,
+    secret: str,
+    amz_date: str,
+    date_stamp: str,
+    region: str,
+    service: str,
+) -> tuple[str, str]:
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join(
+        [
+            _ALGORITHM,
+            amz_date,
+            scope,
+            hashlib.sha256(canonical_request.encode("utf-8")).hexdigest(),
+        ]
+    )
+    sig = hmac.new(
+        signing_key(secret, date_stamp, region, service),
+        string_to_sign.encode("utf-8"),
+        hashlib.sha256,
+    ).hexdigest()
+    return sig, scope
+
+
+def presigned_get_url(
+    host: str,
+    path: str,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    expires: int = 3600,
+    now: datetime.datetime | None = None,
+    service: str = "s3",
+    scheme: str = "https",
+) -> str:
+    """Query-auth (presigned) GET URL: anyone holding the URL can fetch
+    the object until ``expires`` seconds past ``now`` — executors never
+    see the secret. ``path`` is the absolute object path ("/bucket/key"
+    virtual-hosted or path-style, caller's choice)."""
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+    scope = f"{date_stamp}/{region}/{service}/aws4_request"
+    enc_path = _uri_encode(path, encode_slash=False)
+    query = [
+        ("X-Amz-Algorithm", _ALGORITHM),
+        ("X-Amz-Credential", f"{access_key}/{scope}"),
+        ("X-Amz-Date", amz_date),
+        ("X-Amz-Expires", str(expires)),
+        ("X-Amz-SignedHeaders", "host"),
+    ]
+    creq = _canonical_request(
+        "GET", enc_path, query, {"host": host}, "host", "UNSIGNED-PAYLOAD"
+    )
+    sig, _ = _sign(creq, secret_key, amz_date, date_stamp, region, service)
+    query.append(("X-Amz-Signature", sig))
+    qs = "&".join(
+        f"{_uri_encode(k, encode_slash=True)}={_uri_encode(v, encode_slash=True)}"
+        for k, v in query
+    )
+    return f"{scheme}://{host}{enc_path}?{qs}"
+
+
+def signed_get_headers(
+    host: str,
+    path: str,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    now: datetime.datetime | None = None,
+    service: str = "s3",
+) -> dict[str, str]:
+    """Header-auth GET (the reference's serving shape): returns the
+    headers to attach — host, x-amz-content-sha256, x-amz-date,
+    Authorization — for an empty-payload GET of ``path``."""
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+    date_stamp = now.strftime("%Y%m%d")
+    enc_path = _uri_encode(path, encode_slash=False)
+    headers = {
+        "host": host,
+        "x-amz-content-sha256": _EMPTY_SHA256,
+        "x-amz-date": amz_date,
+    }
+    signed = "host;x-amz-content-sha256;x-amz-date"
+    creq = _canonical_request("GET", enc_path, [], headers, signed, _EMPTY_SHA256)
+    sig, scope = _sign(creq, secret_key, amz_date, date_stamp, region, service)
+    headers["Authorization"] = (
+        f"{_ALGORITHM} Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={sig}"
+    )
+    return headers
