@@ -89,6 +89,17 @@ def clean_corpus_v2(
     """
     from etl_stack_spark.operators.curation import decontaminate, repetition_metrics
 
+    # explicit-N round-robin spread (exempt from AQE coalescing, same
+    # lever as the geo cell explode, geo_join.py:107): the checkpointed
+    # `kept` below inherits ITS partitioning from this input, and every
+    # downstream consumer (repetition explode, decontamination explode,
+    # dedup) reads the checkpoint — from a compact single-partition file
+    # the whole wash would run single-core (measured 10.4s vs 6.8s at
+    # sf0.1). clean_corpus deliberately does NOT spread: without a
+    # checkpoint its downstream repartitions at the first shuffle anyway,
+    # and the extra exchange only adds latency (measured there too).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
     scored = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -96,14 +107,19 @@ def clean_corpus_v2(
         lang_id(F.col(text_col)).alias("pred_lang"),
         fingerprint(F.col(text_col)).alias("fp"),
     )
+    # GC-owned lazy checkpoint (same rationale as minhash signatures):
+    # this frame fans out to THREE consumers (repetition metrics, both
+    # decontamination sub-streams, the dedup stages) — without it the
+    # 6-regex scoring scan re-runs per consumer (measured 17s → 4s at
+    # sf0.1 for the whole wash)
     kept = scored.filter(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
-    )
+    ).localCheckpoint(eager=False)
 
     rep_ok = repetition_metrics(
         kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
     ).filter(F.col("keep_repetition")).select(id_col)
-    kept = kept.join(rep_ok, id_col, "left_semi")
+    kept = kept.join(rep_ok, id_col, "left_semi").localCheckpoint(eager=False)
 
     clean_ids = (
         decontaminate(

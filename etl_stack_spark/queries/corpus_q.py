@@ -116,7 +116,8 @@ rep_ok AS (
     AND coalesce(dup_cnt, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.10
 ),
 bench AS (
-  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents WHERE source = 'src0'
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents
+  WHERE source = 'src0' AND doc_id < 500
 ),
 dcand AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE source <> 'src0'),
 dsz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM dcand),
@@ -149,7 +150,9 @@ WHERE l.doc_id IS NULL
 @register("llm2_corpus_clean_v2", _corpus_v2_oracle())
 def llm2_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # fixed-size benchmark slice (= all of src0 at sf0.01) — see _DC1's
+    # rationale in curation_q.py: eval benchmarks don't grow with the corpus
     return clean_corpus_v2(
         docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
+        docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
     )

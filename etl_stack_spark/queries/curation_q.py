@@ -140,9 +140,14 @@ def rep1_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DC1 — decontaminate the corpus against the src0 "benchmark" slice
 # ---------------------------------------------------------------------------
 
+# The benchmark is the FIXED slice src0 ∧ doc_id < 500 — identical to
+# "all of src0" at sf0.01, but constant-size as the corpus scales (a real
+# eval benchmark does not grow with the corpus; an SF-proportional slice
+# saturates the synthetic shingle space and flags everything at sf0.1).
 _DC1_ORACLE = f"""
 WITH bench AS (
-  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents WHERE source = 'src0'
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents
+  WHERE source = 'src0' AND doc_id < 500
 ),
 cand AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE source <> 'src0'),
 sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM cand),
@@ -163,7 +168,7 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decontaminate(
         docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
+        docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         threshold=0.08,
     )
 
