@@ -160,7 +160,12 @@ def minhash_cluster_dedup(
     """
     from etl_stack_spark.operators.graph import connected_components
 
-    pairs = minhash_near_duplicates(df, text_col, id_col, n, threshold)
+    # GC-owned lazy checkpoint: the pair list fans out FOUR ways (both
+    # sides of the node union, both directions of the symmetrized edge
+    # list) — without it the band join + verification re-runs per consumer
+    pairs = minhash_near_duplicates(df, text_col, id_col, n, threshold).localCheckpoint(
+        eager=False
+    )
     pair_nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))

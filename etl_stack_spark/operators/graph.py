@@ -70,6 +70,8 @@ def connected_components(
                 F.col("component_id"), F.coalesce("_parent", F.col("component_id"))
             ).alias("component_id"),
         )
+        # eager, not lazy: the convergence probe's limit(1) would only
+        # partially materialize a lazy checkpoint (A/B'd — no gain)
         nxt = nxt.localCheckpoint(eager=True)  # truncate iterative lineage
         changed = (
             nxt.alias("n")
