@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 from etl_stack_spark.plans.corpus_clean import clean_corpus, clean_corpus_v2
 from etl_stack_spark.queries import register
 from etl_stack_spark.queries.text_dedup import (
-    _lang_oracle,
     _minhash_oracle,
     _SHINGLES,
     _TOKS,
