@@ -392,3 +392,57 @@ def test_lead_prep_stream_tombstones_stale_ranks(spark, tmp_path):
     assert rows[2][0] == "deleted"  # tombstoned, not silently served
     live = results.read().filter(F.col("status") != "deleted")
     assert [r["poi_id"] for r in live.collect()] == [1]
+
+
+def test_corpus_clean_stream_first_seen_across_batches(spark, tmp_path):
+    """Streaming corpus wash: gates + redaction run per micro-batch and
+    the merge table's hash gate makes exact dedup FIRST-SEEN across
+    batches — a later duplicate (even with a different doc_id) never
+    replaces the original, and a full replay changes nothing."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs with the pack "
+        "through the field and the forest and the hills beyond them all"
+    )
+    feed = tmp_path / "docfeed"
+    b1 = spark.createDataFrame(
+        [
+            (1, good, "srcA", "2024-01-01 00:00:00"),
+            (2, "tiny", "srcA", "2024-01-01 00:00:01"),  # fails quality gates
+            (3, good + " email me bob@example.com", "srcB", "2024-01-01 00:00:02"),
+        ],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b1.write.mode("append").parquet(str(feed))
+
+    results = ParquetMergeTable(spark, str(tmp_path / "corpus"))
+    ckpt = str(tmp_path / "ckpt_corpus")
+    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+
+    state1 = {r["fp"]: r for r in results.read().collect()}
+    assert len(state1) == 2  # doc 2 gated out; docs 1 and 3 differ in content
+    by_doc = {r["doc_id"]: r for r in state1.values()}
+    assert "<EMAIL>" in by_doc[3]["text_redacted"]  # redaction applied
+
+    # batch 2: doc 10 duplicates doc 1's content — first-seen must win
+    b2 = spark.createDataFrame(
+        [(10, good, "srcC", "2024-01-02 00:00:00")],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b2.write.mode("append").parquet(str(feed))
+    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+
+    state2 = {r["fp"]: r for r in results.read().collect()}
+    assert len(state2) == 2
+    docs = sorted(r["doc_id"] for r in state2.values())
+    assert docs == [1, 3]  # doc 10 skipped: fingerprint already ingested
+
+    # replay from a fresh checkpoint: the whole feed reprocesses, state
+    # is unchanged (hash-gated idempotence)
+    run_corpus_clean_stream(
+        spark, str(feed), results, str(tmp_path / "ckpt_replay")
+    ).awaitTermination(120)
+    state3 = {r["fp"]: (r["doc_id"], r["source"]) for r in results.read().collect()}
+    assert state3 == {k: (v["doc_id"], v["source"]) for k, v in state2.items()}
