@@ -721,3 +721,221 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11-shaped — important stock: per-part value for one nation's suppliers,
+# kept when above 1.5x the mean part value. The threshold is expressed in
+# integer-decimal form (val * n * 2 > total * 3) so it is EXACT in both
+# engines and scale-invariant (a fixed fraction-of-total multiplier goes
+# vacuous as the part count grows — measured 52 rows at sf0.01 vs 0 at
+# sf0.1; the mean-relative form keeps ~19% at both).
+# ---------------------------------------------------------------------------
+_Q11_ORACLE = """
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(val) AS DECIMAL(24,4)) AS total, CAST(COUNT(*) AS INT) AS n FROM v
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM v, tot
+WHERE val * n * 2 > total * 3
+"""
+
+
+@register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast("decimal(14,2)")
+         * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")).alias("dec_val"),
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("dec_val").cast("decimal(20,4)").alias("val"))
+    )
+    tot = v.agg(
+        F.sum("val").cast("decimal(24,4)").alias("total"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n") * 2 > F.col("total") * 3)
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-shaped — top supplier: quarterly revenue per supplier, keep the
+# supplier(s) AT the maximum (aggregate-of-aggregate + join-back; revenue
+# in DECIMAL so the equality against MAX is exact cross-engine).
+# ---------------------------------------------------------------------------
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+             * CAST(1 - l_discount AS DECIMAL(4,2))) AS tr
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM rev
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE tr = (SELECT MAX(tr) FROM rev)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-04-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+        ).alias("tr")
+    )
+    maxr = rev.agg(F.max("tr").alias("m"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(maxr))
+        .filter(F.col("tr") == F.col("m"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-shaped — dominant suppliers: suppliers shipping more than half of a
+# part's 1995 volume, for the 'small%' part family (correlated per-part
+# threshold; integer-decimal comparison, exact both engines).
+# ---------------------------------------------------------------------------
+_Q20_ORACLE = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, CAST(SUM(q) AS DECIMAL(24,2)) AS pq FROM sp GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM sp
+JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE q * 2 > pq
+"""
+
+
+@register("q20_dominant_supplier", _Q20_ORACLE)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("q").cast("decimal(24,2)").alias("pq"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("q") * 2 > F.col("pq"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-shaped — suppliers who kept orders waiting: a finished multi-supplier
+# order where exactly ONE supplier shipped late (>90 days after the order
+# date) pins the blame on that supplier. Formulated as two aggregations
+# (per order-supplier lateness, per order supplier/late counts) — the
+# join-based equivalent of Q21's EXISTS / NOT EXISTS pair.
+# ---------------------------------------------------------------------------
+_Q21_ORACLE = """
+WITH ls AS (
+  SELECT o_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY o_orderkey, l_suppkey
+),
+oo AS (
+  SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp, CAST(SUM(late) AS BIGINT) AS n_late
+  FROM ls GROUP BY o_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM ls
+JOIN oo USING (o_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_supplier", _Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    ls = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    oo = ls.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ls.join(oo, "o_orderkey")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
