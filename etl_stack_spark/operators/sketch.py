@@ -1,0 +1,125 @@
+"""Portable HyperLogLog: a cardinality sketch whose ESTIMATE is
+bit-reproducible across engines — unlike the built-in
+``approx_count_distinct`` (HLL++ with engine-private hashing, whose
+estimates can never be oracle-checked), every step here is deterministic
+integer/decimal arithmetic shared with the DuckDB oracle generator:
+
+* hash: the engine-wide sha256-derived 60-bit ``portable_hash60``;
+* register = hash % m, suffix = hash / m (54 bits);
+* rank = 1 + count-trailing-zeros(suffix) via the exact power-of-two
+  identity ``lowbit = suffix & -suffix`` mapped through a generated CASE
+  (suffix 0 ⇒ max rank) — no floating log anywhere;
+* per-register max rank, empty registers rank 0 (the classic zero
+  register) via a dense 0..m-1 spine;
+* the harmonic sum uses EXACT DECIMAL(38,18) literals (2^-rank quantized
+  once in Python and emitted into both engines) — float summation order
+  can differ between engines, decimal addition cannot;
+* estimate = alpha_m * m^2 / sum as the only double op, rounded.
+
+With m=64 the standard error is ~1.04/sqrt(64) ≈ 13% — the point is not
+precision, it is a CHECKABLE sketch: the dd2/ss recall curves calibrate
+accuracy, the oracle pins the arithmetic. At 100 TB the register array
+(m rows after one partial-agg shuffle) is bytes — merging shards =
+elementwise max, expressible as the same groupBy.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import portable_hash60
+
+M_REGISTERS = 64
+_SUFFIX_BITS = 54  # 60-bit hash minus log2(m)=6 register bits
+MAX_RANK = _SUFFIX_BITS + 1  # suffix == 0
+# alpha for m=64 (Flajolet et al.): 0.7213 / (1 + 1.079/m)
+ALPHA = 0.7213 / (1 + 1.079 / M_REGISTERS)
+
+# 2^-rank as exact decimal-literal strings, quantized to scale 18 ONCE so
+# both engines add identical decimals (rank 0 = empty register = 1.0)
+_CONTRIB = {
+    r: str((Decimal(2) ** -r).quantize(Decimal("1e-18")))
+    for r in range(0, MAX_RANK + 1)
+}
+
+
+def _rank_expr(suffix: Column) -> Column:
+    """1 + trailing zeros of suffix; suffix 0 ⇒ MAX_RANK. ``suffix &
+    -suffix`` isolates the lowest set bit exactly; the CASE maps the
+    power of two to its index."""
+    lowbit = suffix.bitwiseAND(-suffix)
+    out = F.lit(MAX_RANK)
+    for j in range(_SUFFIX_BITS - 1, -1, -1):
+        out = F.when(lowbit == F.lit(1 << j), F.lit(j + 1)).otherwise(out)
+    return out
+
+
+def hll_sketch(df: DataFrame, key: Column) -> DataFrame:
+    """(register, max_rank) — m rows after one partial-agg shuffle.
+    Shard sketches merge by the same groupBy-max."""
+    h = portable_hash60(key)
+    reg = (h % M_REGISTERS).alias("register")
+    rank = _rank_expr(F.shiftright(h, 6)).alias("rank")  # h >> log2(m), exact
+    return df.select(reg, rank).groupBy("register").agg(F.max("rank").alias("max_rank"))
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """One row: (est_distinct,) — raw HLL harmonic estimate, no
+    small/large-range corrections (they need ln(), whose last-ulp
+    behavior differs across libm builds; the oracle contract beats the
+    marginal accuracy). Empty registers enter the sum as 2^0 = 1."""
+    spark = sketch.sparkSession
+    spine = spark.range(M_REGISTERS).select(F.col("id").alias("register"))
+    dense = spine.join(F.broadcast(sketch), "register", "left").select(
+        F.coalesce("max_rank", F.lit(0)).alias("rank")
+    )
+    out = F.lit(_CONTRIB[0]).cast("decimal(38,18)")
+    for r in range(MAX_RANK, 0, -1):
+        out = F.when(F.col("rank") == r, F.lit(_CONTRIB[r]).cast("decimal(38,18)")).otherwise(out)
+    harmonic = dense.agg(F.sum(out).alias("s"))
+    est = F.round(
+        F.lit(ALPHA) * F.lit(M_REGISTERS) * F.lit(M_REGISTERS) / F.col("s").cast("double"), 4
+    )
+    return harmonic.select(est.alias("est_distinct"))
+
+
+def hll_oracle_sql(key_sql: str, from_sql: str) -> str:
+    """DuckDB rendering of the identical sketch + estimate."""
+    lowbit_cases = " ".join(
+        f"WHEN {1 << j} THEN {j + 1}" for j in range(_SUFFIX_BITS)
+    )
+    contrib_cases = " ".join(
+        f"WHEN {r} THEN CAST('{_CONTRIB[r]}' AS DECIMAL(38,18))"
+        for r in range(1, MAX_RANK + 1)
+    )
+    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {h} % {M_REGISTERS} AS register,
+         {h} >> 6 AS suffix
+  {from_sql}
+),
+ranked AS (
+  SELECT register,
+         CASE WHEN suffix = 0 THEN {MAX_RANK}
+              ELSE CASE suffix & -suffix {lowbit_cases} ELSE {MAX_RANK} END
+         END AS rank
+  FROM hashed
+),
+sketch AS (SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register),
+dense AS (
+  SELECT coalesce(max_rank, 0) AS rank
+  FROM range({M_REGISTERS}) r(register) LEFT JOIN sketch USING (register)
+),
+s AS (
+  SELECT SUM(CASE rank {contrib_cases}
+             ELSE CAST('{_CONTRIB[0]}' AS DECIMAL(38,18)) END) AS s
+  FROM dense
+)
+SELECT round(CAST({ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
+             / CAST(s AS DOUBLE), 4) AS est_distinct
+FROM s
+"""

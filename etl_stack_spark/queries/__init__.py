@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         sampling_q,
         scalar_funcs,
+        sketch_q,
         similarity,
         temporal_q,
         text_dedup,

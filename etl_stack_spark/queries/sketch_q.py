@@ -1,0 +1,37 @@
+"""HLL1 — the portable HyperLogLog over lineitem order keys, estimate
+AND ground truth in one row, oracle-exact (see operators/sketch.py for
+why the built-in approx_count_distinct can never be oracle-checked and
+this one can)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.sketch import hll_estimate, hll_oracle_sql, hll_sketch
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_HLL1_ORACLE = f"""
+WITH est AS ({hll_oracle_sql("CAST(l_orderkey AS VARCHAR)", "FROM lineitem")}),
+tru AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS true_distinct FROM lineitem)
+SELECT est_distinct, true_distinct,
+       round(abs(est_distinct - true_distinct) / true_distinct, 4) AS rel_err
+FROM est, tru
+"""
+
+
+@register("hll1_portable_distinct", _HLL1_ORACLE)
+def hll1_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(hll_sketch(li, F.col("l_orderkey").cast("string")))
+    tru = li.agg(F.count_distinct("l_orderkey").alias("true_distinct"))
+    return est.crossJoin(F.broadcast(tru)).select(
+        "est_distinct",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -1,0 +1,41 @@
+"""Units for the portable HLL sketch: shard-merge associativity and
+estimate accuracy across cardinalities (the oracle pins the arithmetic;
+these pin the sketch PROPERTIES)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.sketch import M_REGISTERS, hll_estimate, hll_sketch
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    """Sketching two shards then max-merging registers must equal
+    sketching the union — the property that makes HLL distributable."""
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(4000, 10000).select(F.col("id").cast("string").alias("k"))
+    whole = hll_sketch(a.union(b), F.col("k"))
+    merged = (
+        hll_sketch(a, F.col("k"))
+        .union(hll_sketch(b, F.col("k")))
+        .groupBy("register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_estimate_within_error_band(spark):
+    """Raw HLL with m=64 has ~13% standard error; assert a generous 3-sigma
+    band at two cardinalities (deterministic hashes → stable estimates)."""
+    for n in (2000, 50000):
+        df = spark.range(n).select(F.col("id").cast("string").alias("k"))
+        est = hll_estimate(hll_sketch(df, F.col("k"))).collect()[0]["est_distinct"]
+        assert abs(est - n) / n < 3 * 1.04 / (M_REGISTERS ** 0.5), (n, est)
+
+
+def test_hll_sketch_is_register_bounded(spark):
+    df = spark.range(100000).select(F.col("id").cast("string").alias("k"))
+    sk = hll_sketch(df, F.col("k"))
+    assert sk.count() <= M_REGISTERS
+    ranks = [r["max_rank"] for r in sk.collect()]
+    assert all(1 <= r <= 55 for r in ranks)
