@@ -123,3 +123,67 @@ SELECT round(CAST({ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
              / CAST(s AS DOUBLE), 4) AS est_distinct
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter — the runtime join-pruning primitive (Spark's own
+# InSubqueryExec/bloom runtime filters are engine-private; this one is
+# cross-engine-exact so the pruning decision itself is oracle-checkable).
+# The "bitmap" is a TABLE of set bit positions (≤ m rows): at scale it
+# broadcasts to the probe side and the membership test is an equi-join —
+# the same mechanics Spark uses for dynamic partition pruning.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # m
+BLOOM_HASHES = 4  # k
+
+
+def _bloom_position(key: Column, i: int) -> Column:
+    from etl_stack_spark.operators.text import portable_hash60 as _h60
+
+    return _h60(F.concat(key, F.lit(f"#bloom{i}"))) % BLOOM_BITS
+
+
+def bloom_build(df: DataFrame, key: Column) -> DataFrame:
+    """Distinct set bit positions (one column ``pos``) for the key set —
+    ≤ m rows regardless of input size; shard blooms merge by UNION."""
+    pos = [df.select(_bloom_position(key, i).alias("pos")) for i in range(BLOOM_HASHES)]
+    out = pos[0]
+    for p in pos[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+def bloom_probe(df: DataFrame, key: Column, bloom: DataFrame) -> DataFrame:
+    """Input rows that PASS the bloom (all k positions set) — a superset
+    of the true members, never a miss. ``bloom`` is broadcast."""
+    probed = df.withColumn("_bloom_key", key)
+    for i in range(BLOOM_HASHES):
+        probed = probed.withColumn(f"_p{i}", _bloom_position(F.col("_bloom_key"), i))
+    b = F.broadcast(bloom)
+    for i in range(BLOOM_HASHES):
+        probed = (
+            probed.join(b.withColumnRenamed("pos", f"_p{i}"), f"_p{i}", "left_semi")
+        )
+    return probed.drop("_bloom_key", *[f"_p{i}" for i in range(BLOOM_HASHES)])
+
+
+def bloom_oracle_cte(key_sql: str, from_sql: str) -> str:
+    """DuckDB CTE body producing the same distinct position set as
+    ``bloom_build`` (name it in the caller's WITH clause)."""
+    h = "(('0x' || substr(sha256({expr}), 1, 15))::BIGINT)"
+    selects = " UNION ".join(
+        "SELECT " + h.format(expr=f"{key_sql} || '#bloom{i}'") + f" % {BLOOM_BITS} AS pos {from_sql}"
+        for i in range(BLOOM_HASHES)
+    )
+    return selects
+
+
+def bloom_probe_oracle_pred(key_sql: str, bloom_cte: str) -> str:
+    """DuckDB predicate: all k positions of ``key_sql`` present in the
+    named bloom CTE."""
+    h = "(('0x' || substr(sha256({expr}), 1, 15))::BIGINT)"
+    return " AND ".join(
+        h.format(expr=f"{key_sql} || '#bloom{i}'") + f" % {BLOOM_BITS} IN (SELECT pos FROM {bloom_cte})"
+        for i in range(BLOOM_HASHES)
+    )

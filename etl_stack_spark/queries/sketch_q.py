@@ -35,3 +35,55 @@ def hll1_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BF1 — portable Bloom join-pruning: build over big-spender custkeys,
+# probe the customer table, report pass/true/false-positive counts.
+# ---------------------------------------------------------------------------
+from etl_stack_spark.operators.sketch import (  # noqa: E402
+    bloom_build,
+    bloom_oracle_cte,
+    bloom_probe,
+    bloom_probe_oracle_pred,
+)
+
+_BF1_ORACLE = f"""
+WITH bloom AS (
+  {bloom_oracle_cte("CAST(o_custkey AS VARCHAR)",
+                    "FROM orders WHERE o_totalprice > 400000")}
+),
+pass AS (
+  SELECT c_custkey FROM customer
+  WHERE {bloom_probe_oracle_pred("CAST(c_custkey AS VARCHAR)", "bloom")}
+),
+tru AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+)
+SELECT CAST((SELECT COUNT(*) FROM pass) AS BIGINT) AS n_bloom_pass,
+       CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true_members,
+       CAST((SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM tru) AS BIGINT)
+         AS n_false_positive
+"""
+
+
+@register("bf1_bloom_prune", _BF1_ORACLE)
+def bf1_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    bloom = bloom_build(orders, F.col("o_custkey").cast("string"))
+    cust = load_table(spark, sf_dir, "customer")
+    passed = bloom_probe(cust, F.col("c_custkey").cast("string"), bloom)
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = orders.select("o_custkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_true_members")
+    )
+    return (
+        n_pass.crossJoin(F.broadcast(n_true))
+        .select(
+            "n_bloom_pass",
+            "n_true_members",
+            (F.col("n_bloom_pass") - F.col("n_true_members")).alias("n_false_positive"),
+        )
+    )

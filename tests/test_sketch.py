@@ -39,3 +39,28 @@ def test_hll_sketch_is_register_bounded(spark):
     assert sk.count() <= M_REGISTERS
     ranks = [r["max_rank"] for r in sk.collect()]
     assert all(1 <= r <= 55 for r in ranks)
+
+
+def test_bloom_never_misses_a_member(spark):
+    from etl_stack_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.range(0, 3000).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(members, F.col("k"))
+    # every member must pass (no false negatives — the bloom contract)
+    assert bloom_probe(members, F.col("k"), bloom).count() == 3000
+    # non-members mostly fail; any pass is a (bounded) false positive
+    others = spark.range(100000, 110000).select(F.col("id").cast("string").alias("k"))
+    fp = bloom_probe(others, F.col("k"), bloom).count()
+    assert fp < 200  # k=4, m=65536, n=3000 → fp rate << 2%
+
+
+def test_bloom_shard_union_equals_whole(spark):
+    from etl_stack_spark.operators.sketch import bloom_build
+
+    a = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").cast("string").alias("k"))
+    whole = bloom_build(a.union(b), F.col("k"))
+    merged = bloom_build(a, F.col("k")).union(bloom_build(b, F.col("k"))).distinct()
+    assert sorted(r["pos"] for r in whole.collect()) == sorted(
+        r["pos"] for r in merged.collect()
+    )
