@@ -187,3 +187,76 @@ def bloom_probe_oracle_pred(key_sql: str, bloom_cte: str) -> str:
         h.format(expr=f"{key_sql} || '#bloom{i}'") + f" % {BLOOM_BITS} IN (SELECT pos FROM {bloom_cte})"
         for i in range(BLOOM_HASHES)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch — frequency estimation over a keyed stream
+# with the same cross-engine-exact discipline: d rows of w counters,
+# stored as a (row, col, cnt) TABLE (≤ d × distinct-keys entries, ≤ d × w
+# bounded); point estimate = MIN over the d counters a key hashes to.
+# Merging shards = same groupBy-sum. Overestimates only, never under.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # d — independent hash rows
+CM_WIDTH = 8192  # w — counters per row
+
+
+def _cm_col(key: Column, row: int) -> Column:
+    from etl_stack_spark.operators.text import portable_hash60 as _h60
+
+    return _h60(F.concat(key, F.lit(f"#cm{row}"))) % CM_WIDTH
+
+
+def cm_build(df: DataFrame, key: Column) -> DataFrame:
+    """(row, col, cnt) counter table for the keyed stream."""
+    parts = [
+        df.select(F.lit(r).alias("row"), _cm_col(key, r).alias("col"))
+        for r in range(CM_DEPTH)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(queries: DataFrame, key: Column, sketch: DataFrame) -> DataFrame:
+    """Input rows + ``cm_est`` = min over the d counters (0 when a row's
+    counter is absent — the key was never seen). ``sketch`` broadcasts."""
+    q = queries.withColumn("_cm_key", key)
+    b = F.broadcast(sketch)
+    for r in range(CM_DEPTH):
+        side = b.filter(F.col("row") == r).select(
+            F.col("col").alias(f"_c{r}"), F.col("cnt").alias(f"_cnt{r}")
+        )
+        q = q.withColumn(f"_c{r}", _cm_col(F.col("_cm_key"), r)).join(
+            F.broadcast(side), f"_c{r}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"_cnt{r}"), F.lit(0)) for r in range(CM_DEPTH)])
+    drop = ["_cm_key"] + [f"_c{r}" for r in range(CM_DEPTH)] + [
+        f"_cnt{r}" for r in range(CM_DEPTH)
+    ]
+    return q.withColumn("cm_est", est).drop(*drop)
+
+
+def cm_oracle_sql(key_sql: str, from_sql: str, query_key_sql: str, query_from_sql: str) -> str:
+    """DuckDB rendering: counter table CTE + per-query-row min estimate."""
+    h = "(('0x' || substr(sha256({expr}), 1, 15))::BIGINT)"
+    build = " UNION ALL ".join(
+        f"SELECT {r} AS row, " + h.format(expr=f"{key_sql} || '#cm{r}'") + f" % {CM_WIDTH} AS col {from_sql}"
+        for r in range(CM_DEPTH)
+    )
+    # the least() expression: one scalar-subquery counter lookup per row
+    lookups = [
+        "coalesce((SELECT cnt FROM cm WHERE row = "
+        + str(r)
+        + " AND col = "
+        + h.format(expr=f"{query_key_sql} || '#cm{r}'")
+        + f" % {CM_WIDTH}), 0)"
+        for r in range(CM_DEPTH)
+    ]
+    return f"""
+WITH raw AS ({build}),
+cm AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM raw GROUP BY row, col)
+SELECT *, least({", ".join(lookups)}) AS cm_est
+{query_from_sql}
+"""

@@ -87,3 +87,41 @@ def bf1_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_pass") - F.col("n_true_members")).alias("n_false_positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CM1 — portable count-min: per-customer order-count estimates for a
+# deterministic probe set, alongside the true counts (estimates can only
+# overcount; both engines agree exactly).
+# ---------------------------------------------------------------------------
+from etl_stack_spark.operators.sketch import cm_build, cm_estimate, cm_oracle_sql  # noqa: E402
+
+_CM1_ORACLE = cm_oracle_sql(
+    key_sql="CAST(o_custkey AS VARCHAR)",
+    from_sql="FROM orders",
+    query_key_sql="CAST(c_custkey AS VARCHAR)",
+    query_from_sql="""FROM (
+  SELECT c.c_custkey, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS true_cnt FROM orders GROUP BY o_custkey) t
+    ON t.o_custkey = c.c_custkey
+  WHERE c.c_custkey % 100 = 0
+)""",
+)
+
+
+@register("cm1_countmin_freq", _CM1_ORACLE)
+def cm1_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cm_build(orders, F.col("o_custkey").cast("string"))
+    true_cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select("c_custkey")
+        .join(F.broadcast(true_cnt), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", F.coalesce("true_cnt", F.lit(0)).alias("true_cnt"))
+    )
+    return cm_estimate(probe, F.col("c_custkey").cast("string"), sketch).select(
+        "c_custkey", "true_cnt", "cm_est"
+    )

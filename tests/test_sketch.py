@@ -64,3 +64,38 @@ def test_bloom_shard_union_equals_whole(spark):
     assert sorted(r["pos"] for r in whole.collect()) == sorted(
         r["pos"] for r in merged.collect()
     )
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    from etl_stack_spark.operators.sketch import cm_build, cm_estimate
+
+    import pyspark.sql.functions as FF
+
+    # zipf-ish stream: key k appears (30 - k) times
+    rows = [(f"k{k}",) for k in range(30) for _ in range(30 - k)]
+    df = spark.createDataFrame(rows, "k string")
+    sketch = cm_build(df, FF.col("k"))
+    probe = spark.createDataFrame(
+        [(f"k{k}", 30 - k) for k in range(30)] + [("missing", 0)],
+        "k string, true_cnt int",
+    )
+    out = {r["k"]: r for r in cm_estimate(probe, FF.col("k"), sketch).collect()}
+    for k, r in out.items():
+        assert r["cm_est"] >= r["true_cnt"], k  # overestimate-only contract
+    assert out["missing"]["cm_est"] >= 0
+    # shard sum-merge == whole (deterministic key split)
+    split = [f"k{k}" for k in range(15)]
+    a = df.filter(FF.col("k").isin(split))
+    b = df.filter(~FF.col("k").isin(split))
+    whole = sorted(map(tuple, sketch.collect()))
+    merged = sorted(
+        map(
+            tuple,
+            cm_build(a, FF.col("k"))
+            .union(cm_build(b, FF.col("k")))
+            .groupBy("row", "col")
+            .agg(FF.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    assert whole == merged
