@@ -54,6 +54,7 @@ def _load_all() -> None:
         analytics_q,
         chunks_q,
         classify_merge,
+        cohort_q,
         corpus_q,
         curation_q,
         geo,
