@@ -16,4 +16,8 @@ bench:
 self-report:
 	python oracle_self_report.py
 
+# same audit at 10x the driver's gate scale → ORACLE_SELF_REPORT_SF01.json
+self-report-sf01:
+	python oracle_self_report.py --sf=/root/testdata/sf0.1 --out=ORACLE_SELF_REPORT_SF01.json
+
 all: test self-report bench
