@@ -140,6 +140,44 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_streaming_corpus(spark, sf_dir: str) -> dict:
+    """Time the streaming corpus wash at bench scale: the sf documents as
+    a one-shot feed through foreachBatch (gates + PII redaction +
+    cross-batch first-seen dedup) into a fresh merge table. docs/sec is
+    the round-over-round signal for the curation streaming path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+
+    work = tempfile.mkdtemp(prefix="bench_cstream_")
+    try:
+        feed = os.path.join(work, "feed")
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text", "source")
+            .withColumn("ingested_at", F.current_timestamp())
+        )
+        n_docs = docs.count()
+        docs.write.parquet(feed)
+        results = ParquetMergeTable(spark, os.path.join(work, "results"))
+        t0 = time.perf_counter()
+        q = run_corpus_clean_stream(spark, feed, results, os.path.join(work, "ckpt"))
+        q.awaitTermination(600)
+        secs = round(time.perf_counter() - t0, 3)
+        return {
+            "docs": n_docs,
+            "result_rows": results.read().count(),
+            "secs": secs,
+            "docs_per_sec": round(n_docs / secs, 1) if secs else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from etl_stack_spark.queries import all_queries
 
@@ -218,6 +256,7 @@ def main() -> None:
         full_sweep_total = round(sum(t for t in sweep_timings.values() if t > 0), 3)
 
     streaming = None
+    streaming_corpus = None
     if stream:
         try:
             streaming = bench_streaming(spark, sf_dir)
@@ -225,6 +264,12 @@ def main() -> None:
         except Exception as e:  # a streaming failure is a finding, not a crash
             streaming = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# STREAM-ERROR {streaming['error']}", file=sys.stderr)
+        try:
+            streaming_corpus = bench_streaming_corpus(spark, sf_dir)
+            print(f"# streaming corpus wash: {streaming_corpus}", file=sys.stderr)
+        except Exception as e:
+            streaming_corpus = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# STREAM-ERROR {streaming_corpus['error']}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
@@ -247,6 +292,8 @@ def main() -> None:
         detail["full_sweep_queries"] = sweep_timings
     if streaming is not None:
         detail["streaming_lead_prep"] = streaming
+    if streaming_corpus is not None:
+        detail["streaming_corpus_clean"] = streaming_corpus
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
