@@ -22,6 +22,89 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+PAGERANK_SCALE = 10**12
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED-INTEGER arithmetic (damping
+    0.85, scores in units of 1e-12), so ranks are bit-reproducible
+    across engines — the same portability trick as operators/sketch.py.
+    Production would use doubles; the integer form exists so the oracle
+    gate can be exact, and it also never drifts between partial-sum
+    orders. Dangling nodes keep their mass (simplified PageRank: leaked
+    mass is not redistributed) — deterministic on both sides.
+
+    100 TB notes: per iteration, one equi-join of the edge list against
+    the score table (edges partitioned by src; scores are one row per
+    node, the SMALL side — broadcast when the node set fits) and one
+    groupBy(dst) partial-summed inflow. The edge list and out-degrees
+    are cached once; lineage is truncated per round like
+    connected_components. Node count is a driver scalar (metadata).
+    """
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")).cache()
+    nd = nodes.select(F.col(id_col).cast("long").alias("_node")).distinct().cache()
+    n = nd.count()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg")).cache()
+    base = (15 * PAGERANK_SCALE) // (100 * n)
+    scores = nd.select("_node", F.lit(PAGERANK_SCALE // n).cast("long").alias("_score"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(scores.withColumnRenamed("_node", "_src"), "_src")
+            .join(deg, "_src")
+            .select("_dst", F.expr("_score div _outdeg").alias("_contrib"))
+        )
+        inflow = contrib.groupBy("_dst").agg(F.sum("_contrib").alias("_inflow"))
+        scores = nd.join(inflow.withColumnRenamed("_dst", "_node"), "_node", "left").select(
+            "_node",
+            (
+                F.lit(base) + F.expr("(85 * coalesce(_inflow, 0L)) div 100")
+            ).cast("long").alias("_score"),
+        )
+        scores = scores.localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    nd.unpersist()
+    return scores.select(F.col("_node").alias(id_col), F.col("_score").alias("score"))
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iterations: int = 3, scale: int = PAGERANK_SCALE
+) -> str:
+    """DuckDB CTE chain mirroring :func:`pagerank` exactly (unrolled
+    iterations, ``//`` floor division on nonnegative BIGINTs ≡ Spark's
+    ``div``). ``edges_cte`` must select ``src, dst``."""
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        "nodes AS (SELECT CAST(src AS BIGINT) AS node FROM edges"
+        " UNION SELECT CAST(dst AS BIGINT) FROM edges),",
+        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),",
+        "deg AS (SELECT CAST(src AS BIGINT) AS src, CAST(COUNT(*) AS BIGINT) AS outdeg"
+        " FROM edges GROUP BY src),",
+        f"s0 AS (SELECT node, {scale} // (SELECT n FROM cnt) AS score FROM nodes),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"i{i} AS (SELECT CAST(e.dst AS BIGINT) AS node,"
+            f" CAST(SUM(s.score // d.outdeg) AS BIGINT) AS inflow"
+            f" FROM edges e JOIN s{i - 1} s ON s.node = CAST(e.src AS BIGINT)"
+            f" JOIN deg d ON d.src = CAST(e.src AS BIGINT) GROUP BY e.dst),"
+        )
+        parts.append(
+            f"s{i} AS (SELECT n.node,"
+            f" (15 * {scale}) // (100 * (SELECT n FROM cnt))"
+            f" + (85 * COALESCE(i.inflow, 0)) // 100 AS score"
+            f" FROM nodes n LEFT JOIN i{i} i ON i.node = n.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, CAST(score AS BIGINT) AS score FROM s{iterations}"
+
 
 def connected_components(
     nodes: DataFrame,

@@ -1,0 +1,68 @@
+"""Incremental materialized-aggregate maintenance: refresh a per-key
+additive aggregate table from a delta batch WITHOUT rescanning the base.
+
+Reference counterpart: the reference recomputes its per-site counters
+from scratch on every ingest pass (full-table aggregation inside the
+loaders); at 100 TB the base scan is the whole cost, so the engine
+maintains the aggregate as state: ``new_agg = combine(old_agg,
+partial_agg(delta))``.
+
+Only ADDITIVE measures are supported (count, sum, min, max — anything
+with an associative, commutative combine where the old aggregate is a
+valid partial). avg is derived as sum/count by the reader; holistic
+measures (median, distinct) need sketches (see operators/sketch.py —
+HLL merge is exactly this pattern for distinct counts).
+
+100 TB notes: one partial agg over the delta (small), one shuffle on
+the key UNION'd with the existing aggregate table, one final combine —
+the base table is never read. Persist the aggregate with
+``PartitionedMergeTable`` keyed on the same key-hash so successive
+refreshes co-locate, and the union-side shuffle only moves the delta's
+partials.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_COMBINE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts combine by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def partial_agg(delta: DataFrame, keys: Sequence[str], measures: Mapping[str, tuple[str, Column]]) -> DataFrame:
+    """Aggregate the delta batch into the same shape as the agg table.
+
+    ``measures`` maps output column → (kind, input expr); kind ∈
+    {sum, count, min, max}.
+    """
+    aggs = []
+    for out, (kind, expr) in measures.items():
+        fn = F.count if kind == "count" else _COMBINE[kind]
+        aggs.append(fn(expr).alias(out))
+    return delta.groupBy(*keys).agg(*aggs)
+
+
+def refresh_additive_agg(
+    agg_table: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, Column]],
+) -> DataFrame:
+    """Combine the existing aggregate table with a delta batch.
+
+    Returns the refreshed aggregate — bit-identical to a full recompute
+    over base ∪ delta for additive measures (integer/decimal inputs).
+    """
+    delta_part = partial_agg(delta, keys, measures)
+    combined = agg_table.select(*keys, *measures).unionByName(
+        delta_part.select(*keys, *measures)
+    )
+    aggs = [_COMBINE[kind](F.col(out)).alias(out) for out, (kind, _) in measures.items()]
+    return combined.groupBy(*keys).agg(*aggs)

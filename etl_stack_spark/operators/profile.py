@@ -1,0 +1,87 @@
+"""One-pass table profiler — per-column null counts, exact distincts,
+min/max, and total rendered length, computed in a SINGLE aggregate over
+the table and unpivoted to one row per column.
+
+Reference counterpart: the ad-hoc pandas ``describe()``/null-ratio
+checks sprinkled through the reference's loader validation (e.g.
+/root/reference/src/ETL_PROPERTIES/loader_v2.py pre-insert sanity
+passes); this is the distributed, one-scan version a warehouse needs
+before committing a 100 TB ingest.
+
+100 TB notes: everything is one ``df.agg(...)`` → one partial-agg
+exchange and a single final row; the unpivot is a zero-shuffle
+``explode`` of that row. The one scale caveat is ``count_distinct`` on
+many columns at once: Catalyst plans multi-distinct aggregates with an
+``Expand`` (rows × #distinct-columns before the partial agg). For wide
+tables at full scale, pass ``approx_distinct=True`` to use HLL-based
+``approx_count_distinct`` (no Expand), or profile columns in batches;
+the exact mode exists because the correctness oracle must be exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one scan.
+
+    Returns one row per column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_s, max_s, sum_len)``
+    where ``min_s``/``max_s`` are the native min/max rendered as strings
+    (so heterogeneous columns stack into one frame) and ``sum_len`` is
+    the total rendered length (an avg-length proxy that stays integer-
+    exact across engines).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    distinct_fn = F.approx_count_distinct if approx_distinct else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col, s = F.col(c), F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            distinct_fn(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            F.sum(F.length(s)).cast("long").alias(f"{c}__len"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+            F.coalesce(F.col(f"{c}__len"), F.lit(0)).alias("sum_len"),
+        )
+        for c in cols
+    ]
+    return row.select(
+        F.col("__n_rows").alias("n_rows"), F.explode(F.array(*per_col)).alias("p")
+    ).select("p.col_name", "n_rows", "p.n_nulls", "p.n_distinct", "p.min_s", "p.max_s", "p.sum_len")
+
+
+def profile_oracle_sql(table: str, columns: Sequence[str]) -> str:
+    """DuckDB SQL computing the same profile (exact mode) for ``table``."""
+    parts = []
+    for c in columns:
+        parts.append(
+            f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s,
+       CAST(COALESCE(SUM(length(CAST({c} AS VARCHAR))), 0) AS BIGINT) AS sum_len
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -1,0 +1,76 @@
+"""Slowly-Changing-Dimension Type 2: batch apply of an update set to a
+versioned dimension snapshot.
+
+The reference's loaders keep a status lifecycle and overwrite attributes
+in place (UPDATE ... ON CONFLICT at
+/root/reference/src/ETL_PROPERTIES/loader_v2.py:188); SCD2 is the
+warehouse-grade variant every analytics stack eventually needs: instead
+of overwriting, the changed row is CLOSED (``valid_to`` stamped,
+``is_current`` dropped) and a new current version is inserted, so
+point-in-time queries (``WHERE eff BETWEEN valid_from AND valid_to``)
+keep working.
+
+100 TB notes: one equi-join of the update batch against the CURRENT
+slice of the dimension (history rows never join — they are filtered
+out before the join and unioned back untouched), then three
+shuffle-free projections unioned. The dimension's current slice is the
+small side in steady state; broadcast it when it fits, or persist the
+dimension partitioned by key-hash via ``PartitionedMergeTable`` so the
+join co-locates. Change detection is null-safe per tracked column — a
+no-op update (same attribute values) does NOT cut a new version.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    eff_date: Column,
+) -> DataFrame:
+    """Return the new dimension snapshot after applying ``updates``.
+
+    ``dim`` columns: ``key``, ``tracked...``, ``valid_from``,
+    ``valid_to``, ``is_current``. ``updates`` columns: ``key``,
+    ``tracked...``. ``eff_date`` stamps both the close-out of replaced
+    versions and the ``valid_from`` of the new ones.
+    """
+    cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    u = updates.select(key, *tracked)
+    joined = u.alias("u").join(cur.alias("c"), on=key, how="left")
+    is_new = F.col(f"c.valid_from").isNull()
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}")) for t in tracked],
+    )
+    effective = joined.filter(is_new | differs).select(
+        key, *[F.col(f"u.{t}").alias(t) for t in tracked]
+    )
+
+    new_rows = effective.select(
+        key,
+        *tracked,
+        eff_date.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed_keys = effective.select(key)
+    closed = (
+        cur.join(changed_keys, on=key, how="semi")
+        .withColumn("valid_to", eff_date)
+        .withColumn("is_current", F.lit(False))
+        .select(*cols)
+    )
+    carried = cur.join(changed_keys, on=key, how="anti").select(*cols)
+    return hist.select(*cols).unionByName(carried).unionByName(closed).unionByName(new_rows)

@@ -58,8 +58,10 @@ def _load_all() -> None:
         corpus_q,
         curation_q,
         geo,
+        graph_q,
         multimodal_q,
         joins_aggs,
+        profile_q,
         relational,
         sampling_q,
         scalar_funcs,
@@ -68,5 +70,6 @@ def _load_all() -> None:
         temporal_q,
         text_dedup,
         tpch_like,
+        warehouse_q,
         windows_q,
     )

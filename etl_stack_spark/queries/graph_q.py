@@ -1,0 +1,45 @@
+"""pr1 — PageRank over the nation trade graph (edges: customer-nation →
+supplier-nation pairs observed in orders×lineitem), fixed 3 iterations
+in scaled-integer arithmetic so the oracle comparison is exact (see
+operators/graph.py:pagerank for the portability rationale and the 100 TB
+join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.graph import pagerank, pagerank_oracle_sql
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_EDGES_CTE = """
+SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+"""
+
+
+@register("pr1_nation_pagerank", pagerank_oracle_sql(_EDGES_CTE, iterations=3))
+def pr1_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return pagerank(nodes, edges, iterations=3, id_col="node")

@@ -1,0 +1,60 @@
+"""Data-profiling queries: one-pass column profiler (prof1) and an
+exact integer-cents price histogram (hg1) — the pre-ingest sanity scans
+a warehouse runs before committing a 100 TB load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.profile import profile_oracle_sql, profile_table
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@register("prof1_table_profile", profile_oracle_sql("documents", _DOC_COLS))
+def prof1_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile every documents column in ONE scan (see operators/profile.py)."""
+    return profile_table(load_table(spark, sf_dir, "documents"), _DOC_COLS)
+
+
+# hg1 — equi-width histogram over l_extendedprice in integer CENTS so the
+# bucket assignment is exact in both engines (double→cents via round()
+# never lands on a representable .5 for 2-decimal money values). Bucket
+# width $10,000; totals summed in cents (BIGINT — no float drift).
+_HG1_ORACLE = """
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+)
+SELECT c // 1000000 AS bucket_id,
+       (c // 1000000) * 10000 AS bucket_lo_dollars,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(c) AS BIGINT) AS total_cents
+FROM cents
+GROUP BY 1, 2
+"""
+
+
+@register("hg1_price_histogram", _HG1_ORACLE)
+def hg1_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("c")
+    )
+    return (
+        cents.select(F.expr("c div 1000000").alias("bucket_id"), "c")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("c").alias("total_cents"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * 10000).alias("bucket_lo_dollars"),
+            "n_items",
+            "total_cents",
+        )
+    )

@@ -1,0 +1,129 @@
+"""Warehouse-lifecycle queries: SCD Type-2 dimension versioning (scd1)
+and incremental materialized-aggregate maintenance (mv1). Both derive
+their inputs deterministically from the customer/orders tables so the
+DuckDB oracle can rebuild the identical scenario from SQL alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.incremental import refresh_additive_agg
+from etl_stack_spark.operators.scd import scd2_apply
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# scd1 — SCD Type-2 apply. Initial dim = every customer, current since
+# 2024-01-01. Update batch (deterministic, key-derived):
+#   custkey % 14 == 0 → no-op update (same values; must NOT cut a version)
+#   custkey %  7 == 0 → segment 'UPGRADED', acctbal + 100.0 (a real change)
+#   custkey % 97 == 0 → a brand-new key (custkey + 10_000_000, 'NEWKEY')
+# Result: closed-out old versions, new current versions, untouched carry.
+# ---------------------------------------------------------------------------
+_SCD1_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS cust_id, c_mktsegment AS segment, c_acctbal AS acctbal,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey AS cust_id,
+         CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment ELSE 'UPGRADED' END AS segment,
+         CASE WHEN c_custkey % 14 = 0 THEN c_acctbal ELSE c_acctbal + 100.0 END AS acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEWKEY', 0.0 FROM customer WHERE c_custkey % 97 = 0
+),
+chg AS (
+  SELECT u.* FROM upd u
+  LEFT JOIN dim d ON u.cust_id = d.cust_id AND d.is_current
+  WHERE d.cust_id IS NULL
+     OR u.segment IS DISTINCT FROM d.segment
+     OR u.acctbal IS DISTINCT FROM d.acctbal
+)
+SELECT d.cust_id, d.segment, d.acctbal, d.valid_from,
+       DATE '2024-06-01' AS valid_to, FALSE AS is_current
+FROM dim d JOIN chg ON d.cust_id = chg.cust_id
+UNION ALL
+SELECT cust_id, segment, acctbal, DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+FROM chg
+UNION ALL
+SELECT d.* FROM dim d ANTI JOIN chg ON d.cust_id = chg.cust_id
+"""
+
+
+@register("scd1_dimension_history", _SCD1_ORACLE)
+def scd1_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    noop = F.col("c_custkey") % 14 == 0
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("cust_id"),
+        F.when(noop, F.col("c_mktsegment")).otherwise(F.lit("UPGRADED")).alias("segment"),
+        F.when(noop, F.col("c_acctbal")).otherwise(F.col("c_acctbal") + 100.0).alias("acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 10000000).alias("cust_id"),
+            F.lit("NEWKEY").alias("segment"),
+            F.lit(0.0).alias("acctbal"),
+        )
+    )
+    out = scd2_apply(
+        dim, updates, key="cust_id", tracked=["segment", "acctbal"],
+        eff_date=F.lit("2024-06-01").cast("date"),
+    )
+    # DuckDB's pandas bridge renders DATE as midnight timestamps; cast at
+    # the comparison boundary so both engines emit the same rendering.
+    return out.withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mv1 — incremental aggregate maintenance. The "materialized" per-customer
+# aggregate covers orders before 1997; the delta batch is everything after.
+# The refreshed table must be BIT-IDENTICAL to a full recompute over all
+# orders — money summed in integer cents so the equality is exact.
+# ---------------------------------------------------------------------------
+_MV1_ORACLE = """
+SELECT o_custkey AS cust_id,
+       CAST(COUNT(*) AS BIGINT) AS order_cnt,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register("mv1_incremental_agg", _MV1_ORACLE)
+def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    cutoff = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    measures = {
+        "order_cnt": ("count", F.lit(1)),
+        "total_cents": ("sum", F.col("cents")),
+        "max_cents": ("max", F.col("cents")),
+    }
+    base_agg = (
+        orders.filter(cutoff)
+        .groupBy(F.col("o_custkey").alias("cust_id"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum("cents").alias("total_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    delta = orders.filter(~cutoff).select(F.col("o_custkey").alias("cust_id"), "cents")
+    return refresh_additive_agg(base_agg, delta, keys=["cust_id"], measures=measures)

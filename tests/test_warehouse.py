@@ -1,0 +1,118 @@
+"""Edge-case units for the warehouse family: SCD2 versioning, incremental
+aggregate maintenance, the one-pass profiler, and integer PageRank.
+The registry parity test covers the oracle path; these pin semantics the
+sf-scale scenario can't isolate (empty deltas, dangling nodes, history
+rows surviving repeated applies).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.graph import pagerank
+from etl_stack_spark.operators.incremental import refresh_additive_agg
+from etl_stack_spark.operators.profile import profile_table
+from etl_stack_spark.operators.scd import scd2_apply
+
+D = datetime.date
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, attr string, valid_from date, valid_to date, is_current boolean"
+    )
+
+
+def test_scd2_noop_update_cuts_no_version(spark):
+    dim = _dim(spark, [(1, "a", D(2024, 1, 1), None, True)])
+    upd = spark.createDataFrame([(1, "a")], "k int, attr string")
+    out = scd2_apply(dim, upd, "k", ["attr"], F.lit("2024-06-01").cast("date"))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].is_current and rows[0].valid_to is None
+
+
+def test_scd2_change_closes_and_inserts(spark):
+    dim = _dim(spark, [(1, "a", D(2024, 1, 1), None, True)])
+    upd = spark.createDataFrame([(1, "b")], "k int, attr string")
+    out = scd2_apply(dim, upd, "k", ["attr"], F.lit("2024-06-01").cast("date"))
+    by_cur = {r.is_current: r for r in out.collect()}
+    assert len(by_cur) == 2
+    assert by_cur[False].attr == "a" and by_cur[False].valid_to == D(2024, 6, 1)
+    assert by_cur[True].attr == "b" and by_cur[True].valid_from == D(2024, 6, 1)
+
+
+def test_scd2_second_apply_preserves_history(spark):
+    dim = _dim(spark, [(1, "a", D(2024, 1, 1), None, True)])
+    eff1, eff2 = (F.lit(d).cast("date") for d in ("2024-06-01", "2024-09-01"))
+    upd1 = spark.createDataFrame([(1, "b")], "k int, attr string")
+    upd2 = spark.createDataFrame([(1, "c"), (2, "x")], "k int, attr string")
+    v2 = scd2_apply(dim, upd1, "k", ["attr"], eff1)
+    v3 = scd2_apply(v2, upd2, "k", ["attr"], eff2)
+    rows = sorted(v3.collect(), key=lambda r: (r.k, r.valid_from))
+    assert [(r.k, r.attr, r.is_current) for r in rows] == [
+        (1, "a", False), (1, "b", False), (1, "c", True), (2, "x", True),
+    ]
+    # null-attr change detection is null-safe: b -> NULL is a change
+    upd3 = spark.createDataFrame([(2, None)], "k int, attr string")
+    v4 = scd2_apply(v3, upd3, "k", ["attr"], F.lit("2024-12-01").cast("date"))
+    k2 = [r for r in v4.collect() if r.k == 2]
+    assert sorted(((r.attr, r.is_current) for r in k2), key=repr) == [("x", False), (None, True)]
+
+
+def test_incremental_refresh_matches_full_recompute(spark):
+    full = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    base, delta = full.filter("id < 60"), full.filter("id >= 60")
+    measures = {
+        "cnt": ("count", F.lit(1)),
+        "total": ("sum", F.col("v")),
+        "hi": ("max", F.col("v")),
+    }
+    base_agg = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"), F.max("v").alias("hi")
+    )
+    inc = refresh_additive_agg(base_agg, delta, ["k"], measures)
+    ref = full.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"), F.max("v").alias("hi")
+    )
+    assert sorted(inc.collect()) == sorted(ref.collect())
+    # empty delta is the identity
+    inc0 = refresh_additive_agg(base_agg, delta.filter("1=0"), ["k"], measures)
+    assert sorted(inc0.collect()) == sorted(base_agg.collect())
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a int, b string"
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["a"].n_rows == 3 and prof["a"].n_nulls == 0 and prof["a"].n_distinct == 2
+    assert prof["b"].n_nulls == 1 and prof["b"].n_distinct == 2
+    assert prof["a"].min_s == "1" and prof["a"].max_s == "2"
+    assert prof["b"].sum_len == 2  # nulls contribute nothing
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    # star: 1..4 all point at 0; 0 points at 1 (so 0 has out-degree)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+    ranks = {r.node: r.score for r in pagerank(nodes, edges, iterations=5).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[2] == ranks[3] == ranks[4]  # symmetric leaves tie exactly
+    assert ranks[1] > ranks[2]  # 1 receives the hub's whole outflow
+
+
+def test_pagerank_dangling_node_keeps_base_only(spark):
+    # 0 -> 1; 1 has no out-edges (dangling): node 0 gets only the base term
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    ranks = {r.node: r.score for r in pagerank(nodes, edges, iterations=2).collect()}
+    scale = 10**12
+    base = (15 * scale) // (100 * 2)
+    assert ranks[0] == base
+    assert ranks[1] == base + (85 * base) // 100
