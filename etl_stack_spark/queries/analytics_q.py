@@ -271,3 +271,112 @@ def ts1_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(actual, ["user_id", "hour"], "left").select(
         "user_id", "hour", F.coalesce("n_actual", F.lit(0)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# WF2 — rank-family window breadth: ntile / percent_rank / cume_dist.
+# The ORDER BY is made unique (acctbal, custkey) so NTILE's tie-breaking
+# is deterministic across engines.
+# ---------------------------------------------------------------------------
+_WF2_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  ROUND(percent_rank() OVER w, 9) AS pct_rank,
+  ROUND(cume_dist() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("wf2_rank_family", _WF2_ORACLE)
+def wf2_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RU3 — GROUPING SETS with asymmetric sets (neither rollup nor cube):
+# per-status totals, per-priority totals, and the grand total only.
+# ---------------------------------------------------------------------------
+_RU3_ORACLE = """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS priority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("ru3_grouping_sets", _RU3_ORACLE)
+def ru3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ru3")
+    return spark.sql(
+        """
+        SELECT
+          CASE WHEN GROUPING(o_orderstatus) = 1 THEN '<all>' ELSE o_orderstatus END AS status,
+          CASE WHEN GROUPING(o_orderpriority) = 1 THEN '<all>' ELSE o_orderpriority END AS priority,
+          COUNT(*) AS n,
+          SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders_ru3
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# QS1 — EXACT quantiles by two-level histogram inversion, the 100 TB
+# shape for medians: pc1's percentile() is a holistic aggregate (per-group
+# sort); this computes exact quantiles with ONE groupBy histogram on
+# integer cents + a cumulative sum that never needs a global sort. The
+# value-level window is PARTITIONED by a coarse $1000 bucket; only the
+# bucket totals (bounded by the value universe / 100k, not by row count)
+# pass through the single-partition offset window. Smallest value whose
+# cumulative count covers ceil(q·N) — integer-exact in both engines.
+# ---------------------------------------------------------------------------
+_QS1_ORACLE = """
+WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY c),
+cum AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum_cnt FROM hist),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+targets(q_label, q_num) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+SELECT q_label, CAST(MIN(c) AS BIGINT) AS value_cents
+FROM cum, tot, targets
+WHERE cum_cnt * 100 >= q_num * n
+GROUP BY q_label
+"""
+
+
+@register("qs1_exact_quantiles_histogram", _QS1_ORACLE)
+def qs1_exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"))
+    hist = cents.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    bhist = hist.withColumn("b", F.expr("c div 100000"))
+    btot = bhist.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    # exclusive prefix over bucket totals: tiny frame, single partition OK
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select("b", F.coalesce(F.sum("bcnt").over(wb), F.lit(0)).alias("off"))
+    wc = Window.partitionBy("b").orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bhist.join(F.broadcast(boff), "b").select(
+        "c", (F.col("off") + F.sum("cnt").over(wc)).alias("cum_cnt")
+    )
+    tot = cents.agg(F.count(F.lit(1)).alias("n"))
+    targets = spark.createDataFrame(
+        [("p50", 50), ("p90", 90), ("p99", 99)], "q_label string, q_num long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum_cnt") * 100 >= F.col("q_num") * F.col("n"))
+        .groupBy("q_label")
+        .agg(F.min("c").alias("value_cents"))
+    )

@@ -116,3 +116,23 @@ def test_pagerank_dangling_node_keeps_base_only(spark):
     base = (15 * scale) // (100 * 2)
     assert ranks[0] == base
     assert ranks[1] == base + (85 * base) // 100
+
+
+def test_qs1_matches_sorted_rank_semantics(spark):
+    """qs1's histogram inversion == percentile_disc: smallest value whose
+    cumulative count reaches ceil(q*N) over the sorted multiset."""
+    import math
+
+    from etl_stack_spark.queries import all_queries
+
+    sf001 = "/root/testdata/sf0.001"
+    out = {r.q_label: r.value_cents for r in
+           all_queries()["qs1_exact_quantiles_histogram"](spark, sf001).collect()}
+    cents = sorted(
+        r.c for r in
+        spark.read.parquet(f"{sf001}/orders.parquet")
+        .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c").collect()
+    )
+    n = len(cents)
+    for label, q in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
+        assert out[label] == cents[math.ceil(q * n) - 1]
