@@ -127,3 +127,31 @@ def mv1_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = orders.filter(~cutoff).select(F.col("o_custkey").alias("cust_id"), "cents")
     return refresh_additive_agg(base_agg, delta, keys=["cust_id"], measures=measures)
+
+
+# ---------------------------------------------------------------------------
+# tt1 — point-in-time dimension read over the SCD2 history: reconstruct
+# the dimension AS OF 2024-03-01 (before the June batch: every original
+# version, none of the upgrades). The predicate is the canonical
+# time-travel read every SCD2 consumer runs; on the storage side the
+# same capability exists as ParquetMergeTable.read(version=...).
+# ---------------------------------------------------------------------------
+_TT1_ORACLE = f"""
+WITH scd AS ({_SCD1_ORACLE}),
+pit AS (
+  SELECT * FROM scd
+  WHERE valid_from <= DATE '2024-03-01'
+    AND (valid_to IS NULL OR valid_to > DATE '2024-03-01')
+)
+SELECT cust_id, segment, acctbal FROM pit
+"""
+
+
+@register("tt1_point_in_time", _TT1_ORACLE)
+def tt1_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = F.lit("2024-03-01").cast("timestamp")
+    scd = scd1_dimension_history(spark, sf_dir)
+    return scd.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    ).select("cust_id", "segment", "acctbal")

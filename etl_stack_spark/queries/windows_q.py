@@ -83,3 +83,46 @@ FROM sessions GROUP BY user_id, session_id
 @register("stw3_session_window", _W3_ORACLE)
 def stw3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(load_table(spark, sf_dir, "events"), "5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# WF3 — trailing RANGE frame (value-range window): per user, the count and
+# exact cents-sum of that user's events in the trailing 1 hour, frame
+# defined by VALUE (epoch seconds), not row position — the frame Spark's
+# Window.rangeBetween compiles to a RangeFrame, unlike wf1's RowFrame.
+# ---------------------------------------------------------------------------
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+_WF3_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+  CAST(SUM(cents) OVER w AS BIGINT) AS cents_trailing_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("wf3_range_frame", _WF3_ORACLE)
+def wf3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum("cents").over(w).alias("cents_trailing_1h"),
+    )
