@@ -4,8 +4,11 @@ surfaces the rest with the same row-count / schema / value-hash shape so
 the unsampled queries carry a machine-readable audit trail — VERDICT r4
 task 6).
 
-Usage: python oracle_self_report.py [--sf DIR] [--out FILE]
-(defaults: sf0.01, ORACLE_SELF_REPORT.json next to this script)
+Usage: python oracle_self_report.py [--sf DIR] [--out FILE] [--only q1,q2]
+(defaults: sf0.01, ORACLE_SELF_REPORT.json next to this script).
+``--only`` runs the named subset and MERGES the results into an existing
+out file (same sf_dir), so late-added queries can top up a long full
+audit instead of rerunning it.
 
 The comparison is the repo's local replica of the driver gate
 (tests/oracle.py): name-sorted columns, canonicalized values, full-frame
@@ -35,12 +38,15 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = "/root/testdata/sf0.01"
     out_path = os.path.join(here, "ORACLE_SELF_REPORT.json")
+    only: list[str] | None = None
     args = sys.argv[1:]
     for a in args:
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
         elif a.startswith("--out="):
             out_path = a.split("=", 1)[1]
+        elif a.startswith("--only="):
+            only = [q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()]
 
     import duckdb
 
@@ -60,8 +66,18 @@ def main() -> None:
 
     queries, oracles = all_queries(), all_oracles()
     report: dict[str, dict] = {}
+    run_names = sorted(queries)
+    if only:
+        unknown = [q for q in only if q not in queries]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
+        run_names = sorted(only)
+        if os.path.exists(out_path):  # merge into the prior full audit
+            prior = json.load(open(out_path))
+            if prior.get("meta", {}).get("sf_dir") == sf_dir:
+                report.update(prior.get("queries", {}))
     failures = 0
-    for name in sorted(queries):
+    for name in run_names:
         t0 = time.perf_counter()
         entry: dict = {"err": None}
         try:
@@ -94,17 +110,20 @@ def main() -> None:
         print(f"{'ok ' if ok else 'FAIL'} {name} ({entry['secs']}s)", file=sys.stderr)
         report[name] = entry
 
+    def _entry_ok(e: dict) -> bool:
+        return e.get("err") is None and e.get("hash_match") in (True, None)
+
     meta = {
         "sf_dir": sf_dir,
         "generated_unix": int(time.time()),
-        "n_queries": len(queries),
-        "n_with_oracle": sum(1 for n in queries if n in oracles),
-        "n_failures": failures,
+        "n_queries": len(report),
+        "n_with_oracle": sum(1 for n in report if n in oracles),
+        "n_failures": sum(1 for e in report.values() if not _entry_ok(e)),
     }
     with open(out_path, "w") as f:
         json.dump({"meta": meta, "queries": report}, f, indent=1)
     print(json.dumps(meta))
-    sys.exit(1 if failures else 0)
+    sys.exit(1 if meta["n_failures"] else 0)
 
 
 if __name__ == "__main__":

@@ -242,3 +242,36 @@ def test_pack_sequences_has_no_global_sort(spark):
     plan = all_queries()["pk1_sequence_pack"](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(source" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_profile_is_single_scan_single_final_row(spark):
+    """prof1's scale contract: ONE parquet scan feeding one aggregate
+    chain, the unpivot as a zero-shuffle Generate, never a join of
+    per-column subqueries (which would scan the table once per column)."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["prof1_table_profile"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan and "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_qs1_never_globally_sorts_rows(spark):
+    """qs1's scale contract: cumulative counts are windowed per coarse
+    bucket (hash partitioning), with no range-partitioned global sort of
+    the value stream."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["qs1_exact_quantiles_histogram"](spark, SF_SMOKE))
+    assert "hashpartitioning(b" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_wf3_range_frame_compiles_to_single_window_exchange(spark):
+    """wf3's RANGE frame must run inside one user-keyed window exchange —
+    a value-bounded frame costs no more shuffles than a row frame."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["wf3_range_frame"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1
+    assert "RangeFrame" in plan
