@@ -234,3 +234,40 @@ def pk1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM1 — character-trigram LM scoring (the CCNet quality signal) against a
+# reference corpus (source 'src0'). Integer milli-nat quantization makes
+# the log-prob sums exact cross-engine (see trigram_lm_score docstring).
+# ---------------------------------------------------------------------------
+_LM1_ORACLE = """
+WITH ref_tri AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 2, 0))) t(i)
+  WHERE source = 'src0'
+),
+cnts AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS c FROM ref_tri GROUP BY tri),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total,
+                 CAST(COUNT(DISTINCT tri) AS BIGINT) AS v_size FROM ref_tri),
+doc_tri AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 2, 0))) t(i)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln((COALESCE(c, 0) + 1) / (t_total + v_size)) * 1000 + 0.5) AS BIGINT) AS mn
+  FROM doc_tri LEFT JOIN cnts USING (tri), stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(mn) AS BIGINT) AS nll_millinats
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("lm1_trigram_lm_score", _LM1_ORACLE)
+def lm1_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import trigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))

@@ -208,3 +208,27 @@ def test_pack_sequences_ffd_contract(spark):
     a = sorted(map(tuple, ffd.collect()))
     b = sorted(map(tuple, pack_sequences_ffd(df, "n_tok", budget, "source", "doc_id").collect()))
     assert a == b
+
+
+def test_trigram_lm_scores_ref_docs_lower_than_noise(spark):
+    """A doc made of reference trigrams must score (mean milli-nats) below
+    a doc of unseen trigrams; sub-3-char docs drop out."""
+    import math
+
+    from etl_stack_spark.operators.curation import trigram_lm_score
+
+    ref = spark.createDataFrame([(0, "abcabcabc")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "abcabc"), (2, "xyzxyz"), (3, "ab")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in trigram_lm_score(docs, ref).collect()}
+    assert 3 not in out  # too short: zero trigrams
+    mean1 = out[1].nll_millinats / out[1].n_trigrams
+    mean2 = out[2].nll_millinats / out[2].n_trigrams
+    assert mean1 < mean2
+    # exact value pin: ref has 7 trigrams, 3 distinct; p(abc)=(3+1)/(7+3)
+    expected_abc = math.floor(-math.log(4 / 10) * 1000 + 0.5)
+    assert out[1].n_trigrams == 4
+    # doc1 trigrams: abc, bca, cab, abc → counts 3,2,2,3 → probs 4/10,3/10,3/10,4/10
+    exp = 2 * expected_abc + 2 * math.floor(-math.log(3 / 10) * 1000 + 0.5)
+    assert out[1].nll_millinats == exp
