@@ -180,3 +180,54 @@ def simhash16(text: Column) -> Column:
         )
         out = out + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
+
+
+def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 20):
+    """BM25 ranking of ``docs`` (``doc_id``, ``text``) against a bag of
+    query terms — the search-engine counterpart of the ANN similarity
+    family (reference's lexical ranking lives in its document search
+    endpoints; this is the standard Robertson/Lucene formulation with
+    the +1 inside the IDF log).
+
+    Per-(doc, term) scores quantize to integer MILLI-UNITS
+    (``floor(score*1000 + 0.5)``) before summing, the same cross-engine
+    portability trick as trigram_lm_score: every input to the score is
+    a double derived from integers through identical IEEE ops in both
+    engines, and the one library-dependent term (ln in the IDF) only
+    wiggles by 1 ulp, which milli-quantization absorbs. Ties broken by
+    doc_id, so the top-k slice is fully deterministic.
+
+    100 TB notes: the query-term table and the per-term document
+    frequencies are tiny and broadcast; the only full-corpus work is
+    the tokenize-explode and two doc-keyed partial aggs (dl, tf). The
+    final top-k is a TakeOrdered over per-doc scores, never a global
+    sort of the corpus.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_total"))
+    qt = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    tf = toks.join(F.broadcast(qt), "tok").groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("t_total") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    frac = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(idf * frac * 1000 + 0.5).alias("milli"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("milli").alias("score_millis"))
+        .orderBy(F.desc("score_millis"), "doc_id")
+        .limit(top_k)
+    )

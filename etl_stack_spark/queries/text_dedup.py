@@ -301,3 +301,44 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM th GROUP BY doc_id
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# IR1 — BM25 lexical top-k (milli-unit quantized; see bm25_rank docstring
+# for why the oracle comparison can be exact despite the IDF's ln()).
+# ---------------------------------------------------------------------------
+_IR1_TERMS = ("join", "hash", "scan", "window", "customer")
+
+_IR1_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_total FROM dl),
+qt(tok) AS (VALUES {", ".join(f"('{t}')" for t in _IR1_TERMS)}),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (t_total / n_docs)))
+           * 1000 + 0.5) AS BIGINT) AS milli
+  FROM tf JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, stats
+)
+SELECT doc_id, CAST(SUM(milli) AS BIGINT) AS score_millis
+FROM scored GROUP BY doc_id
+ORDER BY score_millis DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("ir1_bm25_topk", _IR1_ORACLE)
+def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import bm25_rank
+
+    return bm25_rank(load_table(spark, sf_dir, "documents"), list(_IR1_TERMS))
