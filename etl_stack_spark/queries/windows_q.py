@@ -96,7 +96,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 _WF3_ORACLE = """
 WITH e AS (
-  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS sec,
+  -- floor, not CAST: DuckDB CAST(double AS BIGINT) ROUNDS sub-second
+  -- epochs where Spark's unix_timestamp truncates; a +-1s shift flips
+  -- frame membership for pairs near the 3600s edge (caught by the
+  -- sf0.1 sweep -- at sf0.01 no pair straddled the boundary)
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 )
