@@ -47,11 +47,14 @@ def clean_corpus(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
     )
 
-    # exact dedup: lowest id per fingerprint survives
+    # exact dedup: lowest id per fingerprint survives. GC-owned lazy
+    # checkpoint: `exact` fans out to the MinHash pair stream AND the
+    # anti-join left side — without it the scan+score+window chain
+    # recomputes per consumer (A/B at sf0.1: 3.6s -> 3.2s)
     w = Window.partitionBy("fp")
     exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
         F.col(id_col) == F.col("canon")
-    ).drop("canon", "fp")
+    ).drop("canon", "fp").localCheckpoint(eager=False)
 
     # near-dup removal: for each confirmed pair, the higher id drops
     pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
