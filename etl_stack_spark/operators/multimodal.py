@@ -175,3 +175,58 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         kind.alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
+
+
+PHASH_SCHEMA = "media_id long, dhash long"
+
+
+def perceptual_hash(media: DataFrame, collision_space: int = 4096) -> DataFrame:
+    """dHash-style perceptual image hashing over mapInPandas — the LAION
+    dedup shape: decode → downsample to a tiny grayscale grid → hash the
+    gradient signs → 60-bit integer.
+
+    The grid here is the deterministic fake decoder's output
+    (``g(i,j) = (h // (i*11 + j + 1)) % 256`` over a 6x11 grid of the
+    content hash reduced to ``collision_space`` buckets so near-identical
+    images actually EXIST in the synthetic corpus); the bit k = i*10+j is
+    1 iff g(i, j+1) > g(i, j) — exactly the dHash gradient rule a real
+    decoder feeds. The reduced hash space is the stand-in for "the same
+    photo re-encoded twice" — what the gradient hash collapses in
+    production.
+
+    100 TB notes: stateless Arrow map over the media partition — zero
+    shuffle here; the dedup consumer groups by the 60-bit hash (one
+    shuffle of (media_id, dhash) pairs, never pixels).
+    """
+    import numpy as np
+
+    ks = np.arange(60, dtype=np.int64)
+    i_idx, j_idx = ks // 10, ks % 10
+    d_lo = (i_idx * 11 + j_idx + 1).astype(np.int64)
+    d_hi = (i_idx * 11 + j_idx + 2).astype(np.int64)
+    weights = np.left_shift(np.int64(1), ks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = np.array(
+                [_h60(bytes(c)) % collision_space for c in pdf["content"]],
+                dtype=np.int64,
+            ).reshape(-1, 1)
+            bits = ((hs // d_hi) % 256) > ((hs // d_lo) % 256)
+            dhash = (bits * weights).sum(axis=1)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": dhash})
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_dedup(media: DataFrame) -> DataFrame:
+    """Group identical perceptual hashes: one shuffle of the 60-bit
+    hashes; survivor = min media_id (the dd1 rule applied to pixels)."""
+    return (
+        perceptual_hash(media)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+    )

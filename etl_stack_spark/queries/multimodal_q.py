@@ -102,3 +102,36 @@ FROM documents WHERE doc_id % 5 = 0
 def mm3_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return webp_roundtrip_probe(docs, max_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# MM4 — perceptual-hash (dHash) image dedup: the LAION shape. The oracle
+# recomputes the 6x11-grid gradient hash from the content hash in SQL
+# (60 bits summed as shifted BIGINTs) and groups identically.
+# ---------------------------------------------------------------------------
+_MM4_ORACLE = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_H_SQL} % 4096 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+bits AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN (h // (CAST(k // 10 AS BIGINT) * 11 + k % 10 + 2)) % 256
+                          > (h // (CAST(k // 10 AS BIGINT) * 11 + k % 10 + 1)) % 256
+                  THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS dhash
+  FROM media, unnest(generate_series(0, 59)) t(k)
+  GROUP BY media_id
+)
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(MIN(media_id) AS BIGINT) AS canonical_media_id
+FROM bits GROUP BY dhash
+"""
+
+
+@register("mm4_phash_dedup", _MM4_ORACLE)
+def mm4_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.multimodal import phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs).filter(F.col("kind") == "image")
+    return phash_dedup(media)
