@@ -559,7 +559,7 @@ known AS (
 SELECT s.o_orderkey
 FROM src s LEFT JOIN known k ON s.o_orderkey = k.o_orderkey
 WHERE k.known_ts IS NULL
-   OR (s.src_ts IS NOT NULL AND epoch(s.src_ts) > epoch(k.known_ts) + 60)
+   OR (s.src_ts IS NOT NULL AND floor(epoch(s.src_ts)) > floor(epoch(k.known_ts)) + 60)
 """
 
 

@@ -342,3 +342,72 @@ def ir1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.text import bm25_rank
 
     return bm25_rank(load_table(spark, sf_dir, "documents"), list(_IR1_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# DD7 — SUB-DOCUMENT (chunk-level) dedup, the Dolma paragraph-dedup shape:
+# re-crawled copies share every 120-char chunk with their original, and
+# only the FIRST occurrence of each chunk (by doc_id, page) survives. The
+# synthetic corpus has no natural sub-doc duplication, so the candidate
+# stream injects deterministic re-crawls (doc_id % 10 = 0 cloned at
+# doc_id + 1000000) — the scd1 trick: both engines build the same
+# scenario from SQL alone.
+# ---------------------------------------------------------------------------
+_DD7_ORACLE = """
+WITH cand AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+chunks AS (
+  SELECT doc_id, unnest(range(0, CAST(ceil(strlen(text) / 120e0) AS BIGINT))) AS i, text
+  FROM cand
+),
+cut AS (
+  SELECT doc_id, i AS page, substr(text, CAST(i * 120 + 1 AS INT), 120) AS chunk
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, page, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, page) AS rn
+  FROM cut
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS BIGINT) AS kept_len
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("dd7_chunk_dedup", _DD7_ORACLE)
+def dd7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One chunk-keyed shuffle (the window) + one doc-keyed agg. 100 TB
+    note: the chunk window's hotspot is boilerplate chunks (cookie
+    banners etc. at web scale) — AQE skew handling applies since the
+    partition key is the chunk value itself; survivors are decided by
+    a total (doc_id, page) order, so the result is replay-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    n_chunks = F.ceil(F.length("text") / 120.0).cast("long")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    cut = cand.select("doc_id", F.explode(idx).alias("page"), "text").select(
+        "doc_id",
+        "page",
+        F.expr("substring(text, CAST(page * 120 + 1 AS INT), 120)").alias("chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "page")
+    ranked = cut.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.length("chunk")).otherwise(0)).alias("kept_len"),
+    )
