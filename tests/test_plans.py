@@ -124,6 +124,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
     arrow_allowed = {
         "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
         "mm1_media_features", "mm2_frame_sample", "mm3_webp_roundtrip",
+        "mm4_phash_dedup",  # Arrow batches of binary media -> 60-bit hashes
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
     }
     for name, fn in sorted(all_queries().items()):
