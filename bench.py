@@ -205,10 +205,14 @@ def main() -> None:
     # JIT that otherwise inflates every first timed sample (medians then
     # measure steady state, the quantity the per-query medians claim)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # at the BENCH sf, not sf0.001: the lead-prep family shares one
+    # persisted match stream per sf_dir, and warming the wrong sf left its
+    # one-time materialization inside the first timed j6 sample (7.4s
+    # spikes in the spread; medians survived but the claim is steady state)
     warm = "t1_lead_prep_topk"
     if warm in registry:
         try:
-            registry[warm](spark, "/root/testdata/sf0.001").count()
+            registry[warm](spark, sf_dir).count()
         except Exception as e:  # warmup must never fail the bench
             print(f"# warmup skipped: {e}", file=sys.stderr)
 
