@@ -1,0 +1,125 @@
+"""Property fuzz for the quantized-float portability technique: the
+trigram-LM milli-nat scores must match DuckDB EXACTLY on random corpora,
+not just the fixed test tables — this is the guard on the claim that
+integer quantization absorbs the 1-ulp ln() differences between JVM
+Math.log and libm (operators/curation.py:trigram_lm_score).
+
+Same batching strategy as test_fuzz_pii: hypothesis examples collected
+first, ONE Spark job, one DuckDB query, exact frame compare.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.curation import trigram_lm_score
+from tests.oracle import compare
+
+# tiny alphabet -> dense trigram overlap between random docs and the
+# random reference, so smoothed counts hit many distinct probabilities
+DOC = st.text(alphabet="abc x", min_size=0, max_size=24)
+
+_SQL = """
+WITH ref_tri AS (
+  SELECT substr(text, CAST(i AS INT), 3) AS tri
+  FROM docs, unnest(generate_series(1, greatest(length(text) - 2, 0))) t(i)
+  WHERE is_ref
+),
+cnts AS (SELECT tri, CAST(COUNT(*) AS BIGINT) AS c FROM ref_tri GROUP BY tri),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total,
+                 CAST(COUNT(DISTINCT tri) AS BIGINT) AS v_size FROM ref_tri),
+doc_tri AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+  FROM docs, unnest(generate_series(1, greatest(length(text) - 2, 0))) t(i)
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(-ln((COALESCE(c, 0) + 1) / (t_total + v_size)) * 1000 + 0.5)
+              AS BIGINT) AS mn
+  FROM doc_tri LEFT JOIN cnts USING (tri), stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(mn) AS BIGINT) AS nll_millinats
+FROM scored GROUP BY doc_id
+"""
+
+
+def test_trigram_lm_matches_duckdb_on_random_corpora(spark):
+    sink: list[str] = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(DOC, min_size=1, max_size=40))
+    def gather(samples):
+        sink.extend(samples)
+
+    gather()
+    # every 3rd doc is reference; ensure the reference yields >= 1 trigram
+    rows = [(i, s, i % 3 == 0) for i, s in enumerate(sink)]
+    rows.append((len(rows), "abcabc", True))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_ref boolean")
+    got = trigram_lm_score(df, df.filter(F.col("is_ref"))).toPandas()
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = con.execute(_SQL).fetchdf()
+    compare(got, want, "lm_fuzz")
+
+
+def test_scd2_random_batches_match_python_model(spark):
+    """Apply a random sequence of update batches; the final dimension must
+    match a pure-python SCD2 model row-for-row (history + current), and
+    the usual invariants must hold (one current row per key, disjoint
+    validity windows)."""
+    import random
+
+    from etl_stack_spark.operators.scd import scd2_apply
+
+    rng = random.Random(42)
+    keys = list(range(8))
+    attrs = ["a", "b", "c", None]
+    dates = ["2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01"]
+
+    # python model: key -> list of [attr, valid_from, valid_to, is_current]
+    model: dict[int, list[list]] = {k: [["a", dates[0], None, True]] for k in keys[:4]}
+    dim = spark.createDataFrame(
+        [(k, "a", dates[0], None, True) for k in keys[:4]],
+        "k int, attr string, valid_from string, attr_vt string, is_current boolean",
+    ).selectExpr(
+        "k", "attr", "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(attr_vt AS DATE) AS valid_to", "is_current"
+    )
+
+    for step, eff in enumerate(dates[1:], 1):
+        batch = {k: rng.choice(attrs) for k in rng.sample(keys, rng.randint(1, 6))}
+        upd = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "k int, attr string"
+        )
+        dim = scd2_apply(dim, upd, "k", ["attr"], F.lit(eff).cast("date"))
+        for k, v in batch.items():
+            cur = next((r for r in model.get(k, []) if r[3]), None)
+            if cur is None:
+                model.setdefault(k, []).append([v, eff, None, True])
+            elif cur[0] != v:
+                cur[2], cur[3] = eff, False
+                model[k].append([v, eff, None, True])
+
+    got = sorted(
+        ((r.k, r.attr, str(r.valid_from), str(r.valid_to) if r.valid_to else None,
+          r.is_current)
+         for r in dim.collect()),
+        key=repr,
+    )
+    want = sorted(
+        ((k, a, vf, vt, cur)
+         for k, rows in model.items()
+         for a, vf, vt, cur in rows),
+        key=repr,
+    )
+    assert got == want
+    # invariants: exactly one current row per key that ever appeared
+    per_key_current = {}
+    for k, _a, _vf, _vt, cur in got:
+        per_key_current[k] = per_key_current.get(k, 0) + (1 if cur else 0)
+    assert all(v == 1 for v in per_key_current.values())
