@@ -276,3 +276,25 @@ def test_wf3_range_frame_compiles_to_single_window_exchange(spark):
     plan = _plan(all_queries()["wf3_range_frame"](spark, SF_SMOKE))
     assert plan.count("Exchange") == 1
     assert "RangeFrame" in plan
+
+
+def test_dd7_windows_per_chunk_no_global_sort(spark):
+    """dd7's survivor rank must hash-partition on the chunk value (the
+    dedup key) — never range-partition the corpus through one ordering."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["dd7_chunk_dedup"](spark, SF_SMOKE))
+    assert "hashpartitioning(chunk" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_mm4_shuffles_hashes_not_pixels(spark):
+    """mm4's only exchange is the (media_id, dhash) group — binary media
+    content must stay map-side (consumed by the Arrow stage, absent from
+    every exchange)."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["mm4_phash_dedup"](spark, SF_SMOKE))
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines and all("hashpartitioning(dhash" in l for l in exchange_lines)
+    assert not any("content" in l for l in exchange_lines)  # hashes shuffle, not pixels
