@@ -359,3 +359,43 @@ def embedding_near_duplicates_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters —
+    pairwise cosine runs only WITHIN a cluster, which is the paper's
+    entire scale argument: all-pairs cost is sum(|cluster|²), bounded by
+    the clustering, never corpus². A vector is dropped when it is the
+    HIGHER id of any within-cluster pair with cosine ≥ threshold (the
+    same deterministic survivor rule as the MinHash pipeline).
+
+    The cluster column is pluggable: the embeddings table's ``label``
+    stands in for learned cells in the oracle-checked query (the ss3
+    trick), and ``ivf_train``+``nearest_cell`` produce the real thing at
+    scale (unit-tested in tests/test_ivf.py).
+
+    Returns survivors (id, cluster) — one shuffle on the cluster key,
+    skew bounded by the largest cluster (re-cluster or cap cluster sizes
+    upstream if one cell dominates).
+    """
+    from etl_stack_spark.operators.similarity import _as_double, cosine
+
+    v = emb.select(
+        F.col(id_col), F.col(cluster_col).alias("_cl"), _as_double(F.col(vec_col)).alias("_v")
+    )
+    a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"))
+    b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"))
+    losers = (
+        a.join(b, "_cl")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return v.join(losers, id_col, "left_anti").select(id_col, F.col("_cl").alias(cluster_col))

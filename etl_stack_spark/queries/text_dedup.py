@@ -411,3 +411,31 @@ def dd7_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("rn") == 1, F.length("chunk")).otherwise(0)).alias("kept_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SD1 — SemDeDup: cluster-scoped semantic dedup over the embeddings table
+# (label = the cluster; learned-centroid clustering is the unit-tested
+# ivf_train path). Within-cluster cosine >= 0.3 -> higher id drops.
+# 0.3 sits above the q99 of the within-label cosine distribution
+# (max 0.475, q99 0.295 at sf0.01) so the test exercises real drops
+# (~19% of rows) instead of passing vacuously.
+# ---------------------------------------------------------------------------
+_SD1_ORACLE = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+        >= 0.3
+)
+SELECT vec_id, label FROM v ANTI JOIN losers USING (vec_id)
+"""
+
+
+@register("sd1_semantic_dedup", _SD1_ORACLE)
+def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
