@@ -40,13 +40,19 @@ def main() -> None:
     out_path = os.path.join(here, "ORACLE_SELF_REPORT.json")
     only: list[str] | None = None
     args = sys.argv[1:]
-    for a in args:
-        if a.startswith("--sf="):
-            sf_dir = a.split("=", 1)[1]
-        elif a.startswith("--out="):
-            out_path = a.split("=", 1)[1]
-        elif a.startswith("--only="):
-            only = [q.strip() for q in a.split("=", 1)[1].split(",") if q.strip()]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a.startswith("--sf"):
+            sf_dir = a.split("=", 1)[1] if "=" in a else args[(i := i + 1)]
+        elif a.startswith("--out"):
+            out_path = a.split("=", 1)[1] if "=" in a else args[(i := i + 1)]
+        elif a.startswith("--only"):
+            raw = a.split("=", 1)[1] if "=" in a else args[(i := i + 1)]
+            only = [q.strip() for q in raw.split(",") if q.strip()]
+        else:
+            sys.exit(f"unknown argument: {a!r}\n{__doc__}")
+        i += 1
 
     import duckdb
 
