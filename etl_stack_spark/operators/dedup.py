@@ -384,17 +384,27 @@ def semantic_dedup(
     skew bounded by the largest cluster (re-cluster or cap cluster sizes
     upstream if one cell dominates).
     """
-    from etl_stack_spark.operators.similarity import _as_double, cosine
+    from etl_stack_spark.operators.similarity import _as_double, _dot, _norm
 
+    # Norms are computed ONCE per vector, before the pair join — the
+    # per-pair work is then a single array traversal (the dot product)
+    # instead of three. Bit-identical to cosine(a, b): _norm is a
+    # deterministic scalar of the vector, so dividing by the carried
+    # value equals dividing by a recomputed one.
     v = emb.select(
         F.col(id_col), F.col(cluster_col).alias("_cl"), _as_double(F.col(vec_col)).alias("_v")
-    )
-    a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"))
-    b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"))
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     losers = (
         a.join(b, "_cl")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            )
+            >= threshold
+        )
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
