@@ -273,16 +273,18 @@ def embedding_near_duplicates(
             "max_rows explicitly for a deliberate small-corpus exact run."
         )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    with_v = df.select(F.col(id_col), v.alias("v"))
-    a = with_v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = with_v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    # norm hoisted out of the pair join: computed once per vector, not
+    # per pair — same scalar, so cosine stays bit-identical.
+    with_v = df.select(F.col(id_col), v.alias("v")).withColumn("n", norm(F.col("v")))
+    a = with_v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = with_v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -310,10 +312,14 @@ def embedding_near_duplicates_lsh(
     bounded: 9 probe rows per vector, equi-join on bucket id, AQE splits
     skewed buckets. Deterministic hyperplanes ⇒ SQL-expressible oracle.
     """
-    from etl_stack_spark.operators.similarity import N_HYPERPLANES, cosine, lsh_bucket
+    from etl_stack_spark.operators.similarity import N_HYPERPLANES, _dot, _norm, lsh_bucket
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), v.alias("v")).withColumn("bucket", lsh_bucket(F.col("v")))
+    base = (
+        df.select(F.col(id_col), v.alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v")))
+        .withColumn("n", _norm(F.col("v")))
+    )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],
@@ -351,11 +357,16 @@ def embedding_near_duplicates_lsh(
     # the price of a full pair-dedup aggregation). A round-robin of the
     # two-long pair stream is far cheaper than that dedup and AQE-exempt.
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # norms ride along with the re-attached vectors (hoisted out of the
+    # pair scoring — bit-identical cosine, one traversal per candidate).
+    va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -54,12 +54,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
     Self-matches (same id) excluded."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    # Norms hoisted out of the pair scoring: one traversal per pair
+    # (the dot product) instead of three; qn*cn keeps cosine()'s exact
+    # association order, so scores are bit-identical.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -107,8 +117,12 @@ def lsh_bucketed_topk(
     ``multi_probe``: the query also probes the ``n_planes`` buckets at
     Hamming distance 1 (one flipped hyperplane sign) — ~(1+H)× candidates
     for a large recall gain on vectors near a hyperplane boundary."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
     c = c.withColumn("bucket", lsh_bucket(F.col("cv"), n_planes=n_planes))
     q = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes=n_planes))
     if multi_probe:
@@ -117,10 +131,15 @@ def lsh_bucketed_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(n_planes)],
         )
         q = q.withColumn("bucket", F.explode(probes))
+    # Hoisted norms (see brute_force_topk): bit-identical cosine, one
+    # array traversal per candidate instead of three.
     scored = (
         c.join(q, "bucket")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -215,15 +234,24 @@ def ivf_topk(
     query probes its ``n_probe`` nearest cells; exact cosine re-rank
     inside — the same bucket-equi-join shape as the LSH variant, with
     data-adaptive cells instead of fixed hyperplanes."""
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
     c = c.withColumn("cell", nearest_cell(F.col("cv"), centroids))
     probes = F.slice(F.array_sort(_cell_scores(F.col("qv"), centroids)), 1, n_probe)
     q = q.withColumn("cell", F.explode(F.transform(probes, lambda s: s["i"])))
+    # Hoisted norms (see brute_force_topk): bit-identical cosine, one
+    # array traversal per candidate instead of three.
     scored = (
         c.join(q, "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
