@@ -114,6 +114,64 @@ def repetition_metrics(
     )
 
 
+def cross_doc_dup_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_dup_frac: float = 0.30,
+) -> DataFrame:
+    """CROSS-document duplicate n-gram fraction (the Dolma/Gopher corpus
+    signal ``repetition_metrics`` doesn't cover): for each document, the
+    share of its n-gram window occurrences whose gram also appears in at
+    least one OTHER document. High values mean the doc is mostly made of
+    text that exists elsewhere in the corpus — the cheap screen that
+    decides where substring-level dedup is worth pointing.
+
+    Scale shape: grams shuffle as 60-bit portable hashes, never strings
+    (``portable_hash60``, same expression the oracle runs — collisions,
+    ~2⁻⁶⁰ per pair, merge identically on both sides). Three bounded
+    shuffles: (doc, gram-hash) count with map-side partial aggregation,
+    gram-hash → doc frequency, per-doc rollup. The doc-frequency side
+    joins back on the hash (AQE splits a skewed gram — corpus-wide
+    boilerplate IS the skew case here), and the compact (doc, hash,
+    count) intermediate is lazily checkpointed because both the
+    frequency agg and the join consume it. ``n_windows`` is a map-side
+    expression on the token array — no shuffle.
+
+    Documents with < n tokens have zero windows and KEEP (frac 0).
+    Returns one row per input row: (id, n_windows, dup_occ,
+    cross_dup_frac, keep_cross_doc).
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    base = df.select(id_col, tokens(F.col(text_col)).alias("_toks"))
+    occ = base.select(
+        id_col, F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("_gram")
+    ).select(id_col, portable_hash60(F.col("_gram")).alias("_gh"))
+    per_dg = (
+        occ.groupBy(id_col, "_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    gram_docs = per_dg.groupBy("_gh").agg(F.count(F.lit(1)).alias("_n_docs"))
+    dup = (
+        per_dg.join(gram_docs.filter(F.col("_n_docs") >= 2), "_gh")
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("dup_occ"))
+    )
+    n_windows = F.greatest(F.size("_toks") - (n - 1), F.lit(0)).cast("long")
+    out = (
+        base.select(id_col, n_windows.alias("n_windows"))
+        .join(dup, id_col, "left")
+        .fillna(0, ["dup_occ"])
+    )
+    frac = F.col("dup_occ") / F.greatest(F.col("n_windows"), F.lit(1))
+    return out.withColumn("cross_dup_frac", F.round(frac, 6)).withColumn(
+        "keep_cross_doc", frac <= max_dup_frac
+    )
+
+
 def decontaminate(
     candidates: DataFrame,
     benchmark: DataFrame,

@@ -22,6 +22,7 @@ from etl_stack_spark.operators.curation import (
     EMAIL_PATTERN,
     IPV4_PATTERN,
     PHONE_PATTERN,
+    cross_doc_dup_ngrams,
     decontaminate,
     pack_sequences,
     pii_counts,
@@ -271,3 +272,39 @@ def lm1_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+
+
+# ---------------------------------------------------------------------------
+# REP2 — CROSS-document duplicate 5-gram fraction (rep1 is within-doc).
+# n=5 picked from the measured sf0.01 distribution: 71/500 docs share a
+# 5-gram window with another doc (3-grams: all docs, vacuous; 8-grams:
+# only the injected near-dups), so both keep values occur.
+# ---------------------------------------------------------------------------
+
+_REP2_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> array_to_string(toks[i:i+4], ' '))) AS gram
+  FROM t
+),
+h AS (SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gh FROM occ),
+pd AS (SELECT doc_id, gh, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY doc_id, gh),
+gd AS (SELECT gh, COUNT(*) AS n_docs FROM pd GROUP BY gh),
+dup AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_occ
+  FROM pd JOIN gd USING (gh) WHERE n_docs >= 2 GROUP BY doc_id
+),
+w AS (SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_windows FROM t)
+SELECT w.doc_id, n_windows, coalesce(dup_occ, 0) AS dup_occ,
+  round(coalesce(dup_occ, 0) / greatest(n_windows, 1), 6) AS cross_dup_frac,
+  (coalesce(dup_occ, 0) / greatest(n_windows, 1) <= 0.30) AS keep_cross_doc
+FROM w LEFT JOIN dup USING (doc_id)
+"""
+
+
+@register("rep2_cross_doc_ngrams", _REP2_ORACLE)
+def rep2_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_doc_dup_ngrams(docs, n=5, max_dup_frac=0.30)
