@@ -232,3 +232,45 @@ def test_trigram_lm_scores_ref_docs_lower_than_noise(spark):
     # doc1 trigrams: abc, bca, cab, abc → counts 3,2,2,3 → probs 4/10,3/10,3/10,4/10
     exp = 2 * expected_abc + 2 * math.floor(-math.log(3 / 10) * 1000 + 0.5)
     assert out[1].nll_millinats == exp
+
+
+def test_cross_doc_dup_ngrams_contract(spark):
+    from etl_stack_spark.operators.curation import cross_doc_dup_ngrams
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram window
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),            # 2 windows, 1 shared
+            (2, "prefix " + shared),          # 2 windows, 1 shared
+            (3, "totally different words entirely here now"),  # no overlap
+            (4, "short doc"),                 # < n tokens -> 0 windows
+            (5, None),                        # null text -> 0 windows
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_dup_ngrams(df, n=5, max_dup_frac=0.4).collect()}
+    assert len(rows) == 5  # every input doc gets a row, null/short included
+    assert rows[1]["n_windows"] == 2 and rows[1]["dup_occ"] == 1
+    assert rows[1]["cross_dup_frac"] == 0.5 and not rows[1]["keep_cross_doc"]
+    assert rows[2]["dup_occ"] == 1
+    assert rows[3]["dup_occ"] == 0 and rows[3]["keep_cross_doc"]
+    assert rows[4]["n_windows"] == 0 and rows[4]["cross_dup_frac"] == 0.0
+    assert rows[4]["keep_cross_doc"]
+    assert rows[5]["n_windows"] == 0 and rows[5]["keep_cross_doc"]
+
+
+def test_cross_doc_dup_counts_occurrences_not_grams(spark):
+    from etl_stack_spark.operators.curation import cross_doc_dup_ngrams
+
+    # doc 1 repeats the shared 5-gram twice -> BOTH occurrences count
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e"),  # windows of 'a b c d e' at 1 and 6
+            (2, "a b c d e"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in cross_doc_dup_ngrams(df, n=5).collect()}
+    assert rows[1]["n_windows"] == 6
+    assert rows[1]["dup_occ"] == 2  # only the two 'a b c d e' windows recur
+    assert rows[2]["dup_occ"] == 1
