@@ -298,3 +298,25 @@ def test_mm4_shuffles_hashes_not_pixels(spark):
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_lines and all("hashpartitioning(dhash" in l for l in exchange_lines)
     assert not any("content" in l for l in exchange_lines)  # hashes shuffle, not pixels
+
+
+def test_sd1_pairs_only_within_cluster(spark):
+    """SemDeDup's pair stage must be an equi-join on the cluster key —
+    never a cartesian/nested-loop product over the corpus."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["sd1_semantic_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rep2_shuffles_gram_hashes_not_strings(spark):
+    """rep2's exchanges carry the 60-bit gram hash (and doc ids) — gram
+    STRINGS must never cross an exchange, and no range partitioning."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["rep2_cross_doc_ngrams"](spark, SF_SMOKE))
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("_gram" in l for l in exchange_lines)
+    assert "rangepartitioning" not in plan
