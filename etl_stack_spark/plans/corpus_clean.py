@@ -141,3 +141,107 @@ def clean_corpus_v2(
     pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return exact.join(losers, id_col, "left_anti").select(id_col, "quality", "pred_lang")
+
+
+def clean_corpus_v3(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    embeddings: DataFrame,
+    min_quality: float = 0.4,
+    keep_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    max_top_frac: float = 0.05,
+    max_dup_frac: float = 0.10,
+    contamination_threshold: float = 0.08,
+    near_dup_threshold: float = 0.5,
+    cross_n: int = 5,
+    max_cross_frac: float = 0.30,
+    sem_threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """The full modern wash: v2's stages plus the two corpus-level
+    signals v2 can't see —
+
+    * cross-document duplicate n-gram gating (``cross_doc_dup_ngrams``,
+      the rep2 signal), computed on the WHOLE input corpus (duplication
+      against a doc another stage removes is still duplication — the
+      Dolma convention) and applied WITH the other per-doc filters,
+      before any dedup shuffle picks survivors;
+    * a final SemDeDup pass over the survivors' embedding clusters
+      (``semantic_dedup``, the sd1 stage) — semantic near-dups that
+      share no surface n-grams are the one class every earlier stage
+      misses.
+
+    Documents with no embedding row pass the semantic stage untouched
+    (only KNOWN losers drop — an anti-join against the loser set, not a
+    semi-join against survivors).
+
+    Stage order is the cost order at 100 TB: map-side scans first, the
+    bounded-shuffle corpus signals (repetition, cross-doc, broadcast
+    decontamination) next, and the survivor-picking dedup shuffles last,
+    over the shrunken corpus.
+    """
+    from etl_stack_spark.operators.curation import (
+        cross_doc_dup_ngrams,
+        decontaminate,
+        repetition_metrics,
+    )
+    from etl_stack_spark.operators.dedup import semantic_dedup
+
+    # same AQE-exempt spread rationale as clean_corpus_v2
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
+    ).localCheckpoint(eager=False)
+
+    rep_ok = repetition_metrics(
+        kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
+    ).filter(F.col("keep_repetition")).select(id_col)
+    kept = kept.join(rep_ok, id_col, "left_semi").localCheckpoint(eager=False)
+
+    clean_ids = (
+        decontaminate(
+            kept, benchmark, id_col, text_col, threshold=contamination_threshold
+        )
+        .filter(~F.col("contaminated"))
+        .select(id_col)
+    )
+    kept = kept.join(clean_ids, id_col, "left_semi")
+
+    xd_ok = (
+        cross_doc_dup_ngrams(
+            docs, id_col, text_col, n=cross_n, max_dup_frac=max_cross_frac
+        )
+        .filter(F.col("keep_cross_doc"))
+        .select(id_col)
+    )
+    kept = kept.join(xd_ok, id_col, "left_semi")
+
+    w = Window.partitionBy("fp")
+    exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
+        F.col(id_col) == F.col("canon")
+    ).drop("canon", "fp")
+
+    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    kept = exact.join(losers, id_col, "left_anti")
+
+    surv_emb = embeddings.join(
+        kept.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
+    )
+    sem_survivors = semantic_dedup(
+        surv_emb, threshold=sem_threshold, id_col=emb_id_col
+    ).select(emb_id_col)
+    sem_losers = surv_emb.select(emb_id_col).join(sem_survivors, emb_id_col, "left_anti")
+    return kept.join(
+        sem_losers.select(F.col(emb_id_col).alias(id_col)), id_col, "left_anti"
+    ).select(id_col, "quality", "pred_lang")

@@ -155,3 +155,124 @@ def llm2_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
     )
+
+
+def _corpus_v3_oracle() -> str:
+    """llm3: llm2's chain + cross-doc 5-gram gating (rep2 constants,
+    computed on the whole non-src0 corpus, applied before the dedup
+    stages) + a final SemDeDup pass (sd1 constants: within-``label``
+    cosine >= 0.3 drops the higher vec_id) over the survivors'
+    embeddings. Docs without an embedding row pass the semantic stage."""
+    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+    count_cols, lang_case = _lang_pieces()
+    minhash_pairs = _minhash_oracle().replace("FROM documents", "FROM exact")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text,
+    round(4e-1 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1e0 ELSE 0e0 END)
+        + 4e-1 * least(1e0, {_marker_count(all_markers)} * 5e0 / greatest(len({_TOKS}), 1))
+        + 2e-1 * (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 2e-1
+                  THEN 1e0 ELSE 0e0 END), 6) AS quality,
+    {count_cols},
+    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE source <> 'src0'
+),
+kept AS (
+  SELECT doc_id, text, quality, {lang_case} AS pred_lang, fp FROM scored
+  WHERE quality >= 0.4 AND ({lang_case}) IN ('en', 'es', 'de', 'fr')
+),
+rt AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE source <> 'src0'),
+rg AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM rt
+),
+rc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM rg GROUP BY doc_id, gram),
+rp AS (
+  SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_cnt,
+    SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM rc GROUP BY doc_id
+),
+rep_ok AS (
+  SELECT rt.doc_id FROM rt LEFT JOIN rp USING (doc_id)
+  WHERE coalesce(top_cnt, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.05
+    AND coalesce(dup_cnt, 0) / greatest(coalesce(n_grams, 0), 1) <= 0.10
+),
+bench AS (
+  SELECT DISTINCT unnest({_SHINGLES}) AS shingle FROM documents
+  WHERE source = 'src0' AND doc_id < 500
+),
+dcand AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE source <> 'src0'),
+dsz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM dcand),
+dcs AS (SELECT doc_id, unnest(sh) AS shingle FROM dcand),
+dhits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM dcs JOIN bench USING (shingle) GROUP BY doc_id
+),
+dec_ok AS (
+  SELECT s.doc_id FROM dsz s LEFT JOIN dhits USING (doc_id)
+  WHERE coalesce(n_hits, 0) / greatest(n_shingles, 1) < 0.08
+),
+xo AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> array_to_string(toks[i:i+4], ' '))) AS gram
+  FROM rt
+),
+xh AS (SELECT doc_id, ('0x' || substr(sha256(gram), 1, 15))::BIGINT AS gh FROM xo),
+xpd AS (SELECT doc_id, gh, CAST(COUNT(*) AS BIGINT) AS c FROM xh GROUP BY doc_id, gh),
+xgd AS (SELECT gh, COUNT(*) AS n_docs FROM xpd GROUP BY gh),
+xdup AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_occ
+  FROM xpd JOIN xgd USING (gh) WHERE n_docs >= 2 GROUP BY doc_id
+),
+xw AS (SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_windows FROM rt),
+xd_ok AS (
+  SELECT xw.doc_id FROM xw LEFT JOIN xdup USING (doc_id)
+  WHERE coalesce(dup_occ, 0) / greatest(n_windows, 1) <= 0.30
+),
+kept2 AS (
+  SELECT k.* FROM kept k
+  JOIN rep_ok USING (doc_id) JOIN dec_ok USING (doc_id) JOIN xd_ok USING (doc_id)
+),
+exact AS (
+  SELECT doc_id, text, quality, pred_lang FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon FROM kept2
+  ) WHERE doc_id = canon
+),
+pairs AS ({minhash_pairs}),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+fin AS (
+  SELECT e.doc_id, e.quality, e.pred_lang
+  FROM exact e LEFT JOIN losers l ON e.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+),
+sememb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings
+  WHERE vec_id IN (SELECT doc_id FROM fin)
+),
+semlosers AS (
+  SELECT DISTINCT b.vec_id
+  FROM sememb a JOIN sememb b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+        >= 0.3
+)
+SELECT f.doc_id, f.quality, f.pred_lang
+FROM fin f LEFT JOIN semlosers s ON f.doc_id = s.vec_id
+WHERE s.vec_id IS NULL
+"""
+
+
+@register("llm3_corpus_clean_v3", _corpus_v3_oracle())
+def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.plans.corpus_clean import clean_corpus_v3
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clean_corpus_v3(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
+        emb,
+    )
