@@ -126,3 +126,24 @@ def adx1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UPV1 — unpivot (melt): pv1's wide matrix back to long form. Spark's
+# native DataFrame.unpivot (an Expand node — one pass, no shuffle beyond
+# pv1's own aggregation); oracle is the portable UNION ALL form.
+# ---------------------------------------------------------------------------
+_UPV1_ORACLE = f"""
+WITH wide AS ({_PV1_ORACLE})
+SELECT user_id, 'click' AS event_type, click AS n FROM wide
+UNION ALL SELECT user_id, 'error', error FROM wide
+UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+UNION ALL SELECT user_id, 'signup', signup FROM wide
+UNION ALL SELECT user_id, 'view', view FROM wide
+"""
+
+
+@register("upv1_unpivot", _UPV1_ORACLE)
+def upv1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pv1_pivot(spark, sf_dir)
+    return wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
