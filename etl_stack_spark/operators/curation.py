@@ -394,3 +394,57 @@ def trigram_lm_score(docs: DataFrame, ref: DataFrame, text_col: str = "text") ->
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"), F.sum("mn").alias("nll_millinats")
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL, the RefinedWeb/CCNet URL-dedup
+    key: scheme and host lowercased, leading ``www.`` and the scheme's
+    default port stripped, trailing path slashes stripped (bare root →
+    ``/``), fragment dropped, ``utm_*`` tracking parameters dropped
+    (other query parameters are CONTENT — ``?page=2`` is a different
+    document — and survive in their original order).
+
+    Pure Column regexps — map-side, whole-stage codegen, and every
+    pattern is RE2∩Java-compatible so the DuckDB oracle runs the same
+    strings. Malformed inputs degrade softly: no ``://`` ⇒ empty
+    scheme/host and the raw string as path.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = (
+        F.when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.filter(F.split(qs, "&"), lambda p: (~p.rlike("^utm_")) & (p != "")), "&"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL dedup: min-id survivor per ``canonical_url`` group
+    (the dd1 survivor rule). One hash shuffle on the canonical key —
+    URL-keyed skew (a crawl hammering one site) rides the same AQE
+    levers as every keyed window. Returns one row per input row:
+    (id, canon_url, canonical_id, is_duplicate)."""
+    c = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    w = Window.partitionBy("canon_url")
+    return c.withColumn("canonical_id", F.min(id_col).over(w)).withColumn(
+        "is_duplicate", F.col(id_col) != F.col("canonical_id")
+    )

@@ -308,3 +308,102 @@ FROM w LEFT JOIN dup USING (doc_id)
 def rep2_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return cross_doc_dup_ngrams(docs, n=5, max_dup_frac=0.30)
+
+
+# ---------------------------------------------------------------------------
+# URL1 — URL canonicalization + canonical-URL dedup. The corpus has no
+# URL column, so deterministic URLs are INJECTED (the pii1 pattern) with
+# every canonicalization rule exercised: upper-case scheme/host, www,
+# default :443 port, trailing slash, utm_* tracking params (dropped),
+# a real ?page= param (kept — different page IS a different document),
+# and fragments. doc_id % 200 path slots over 20 sources give ~2-3 docs
+# per canonical key, so the dedup is non-vacuous.
+# ---------------------------------------------------------------------------
+
+_URL_TEXT_SQL = """'HTTPS://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+  || source || '.Example.com'
+  || CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END
+  || '/P/' || (doc_id % 200)
+  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0 AND doc_id % 11 = 0 THEN '?utm_source=feed&page=' || (doc_id % 4)
+          WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=' || (doc_id % 7)
+          WHEN doc_id % 11 = 0 THEN '?page=' || (doc_id % 4)
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '#sec-' || (doc_id % 9) ELSE '' END"""
+
+_URL1_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_TEXT_SQL} AS url FROM documents),
+p1 AS (
+  -- DuckDB regexp_extract yields NULL on no match where Spark yields
+  -- ''; coalesce each extract to keep the concat non-null
+  SELECT doc_id,
+    lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+    regexp_replace(lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')),
+                   '^www\\.', '') AS auth1,
+    regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''),
+                   '/+$', '') AS path1,
+    coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS qs
+  FROM u
+),
+p2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+         WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+         ELSE auth1 END AS auth,
+    CASE WHEN path1 = '' THEN '/' ELSE path1 END AS path,
+    -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
+    coalesce(array_to_string(list_filter(string_split(qs, '&'),
+                    p -> NOT regexp_matches(p, '^utm_') AND p <> ''), '&'), '') AS kept
+  FROM p1
+),
+c AS (
+  SELECT doc_id,
+    scheme || '://' || auth || path ||
+      CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM p2
+)
+SELECT doc_id, canon_url,
+  MIN(doc_id) OVER (PARTITION BY canon_url) AS canonical_id,
+  (doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url)) AS is_duplicate
+FROM c
+"""
+
+
+def _injected_url() -> F.Column:
+    did = F.col("doc_id")
+    q = (
+        F.when(
+            (did % 3 == 0) & (did % 11 == 0),
+            F.concat(F.lit("?utm_source=feed&page="), (did % 4).cast("string")),
+        )
+        .when(
+            did % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&utm_campaign="), (did % 7).cast("string")),
+        )
+        .when(did % 11 == 0, F.concat(F.lit("?page="), (did % 4).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(
+        did % 5 == 0, F.concat(F.lit("#sec-"), (did % 9).cast("string"))
+    ).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(did % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(did % 6 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/P/"),
+        (did % 200).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        q,
+        frag,
+    )
+
+
+@register("url1_canonical_dedup", _URL1_ORACLE)
+def url1_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", _injected_url().alias("url"))
+    return url_dedup(with_url)

@@ -274,3 +274,27 @@ def test_cross_doc_dup_counts_occurrences_not_grams(spark):
     assert rows[1]["n_windows"] == 6
     assert rows[1]["dup_occ"] == 2  # only the two 'a b c d e' windows recur
     assert rows[2]["dup_occ"] == 1
+
+
+def test_canonical_url_rules(spark):
+    from etl_stack_spark.operators.curation import canonical_url
+
+    cases = [
+        # scheme+host lowercase, www strip, default port strip
+        ("HTTPS://WWW.Site.COM:443/A/b", "https://site.com/A/b"),
+        ("http://Site.com:80/x", "http://site.com/x"),
+        # non-default port kept; path case kept
+        ("https://site.com:8443/Path/", "https://site.com:8443/Path"),
+        # bare root and trailing slashes
+        ("https://site.com", "https://site.com/"),
+        ("https://site.com///", "https://site.com/"),
+        # fragment dropped, utm dropped, real params kept in order
+        ("https://site.com/p?utm_source=x&page=2&utm_medium=y#frag",
+         "https://site.com/p?page=2"),
+        ("https://site.com/p?utm_source=x", "https://site.com/p"),
+        ("https://site.com/p#only-frag", "https://site.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, f"{u}: got {g!r}, want {want!r}"
