@@ -571,6 +571,75 @@ class PartitionedMergeTable:
             "partitions_rewritten": len(affected),
         }
 
+    def compact(
+        self,
+        target_files_per_partition: int = 1,
+        min_files: int = 2,
+        part_values: Sequence[object] | None = None,
+    ) -> dict:
+        """OPTIMIZE-style small-file compaction: rewrite each selected
+        partition whose live directory holds more than ``min_files``
+        parquet files into ``target_files_per_partition`` files.
+
+        Streaming merges and trickle appends leave a long tail of small
+        files; at 100 TB that tail dominates scan planning (one task per
+        tiny file). The rewrite is ``coalesce`` — narrow, no shuffle —
+        and runs per partition, so a compaction job scopes to the
+        partitions a maintenance window owns. Commit follows the same
+        optimistic rule as ``merge``, with one difference: compaction is
+        data-IDENTICAL, so a partition that advanced mid-rewrite is
+        simply SKIPPED (the newer version already superseded the files
+        being compacted — never clobber newer data with older bytes).
+
+        Returns {"compacted": {value: files_before}, "skipped": [value]}.
+        """
+        import shutil
+
+        manifest = self._read_manifest()
+        parts = manifest["parts"]
+        selected = (
+            {str(v): parts[str(v)] for v in part_values if str(v) in parts}
+            if part_values is not None
+            else dict(parts)
+        )
+        plan: dict[str, tuple[str, int]] = {}
+        for v, d in selected.items():
+            n_files = len(
+                [f for f in os.listdir(os.path.join(self.root, d)) if f.endswith(".parquet")]
+            )
+            if n_files > min_files:
+                plan[v] = (d, n_files)
+        if not plan:
+            return {"compacted": {}, "skipped": []}
+
+        stamp = f"{int(time.time() * 1000)}_{os.getpid()}"
+        new_dirs: dict[str, str] = {}
+        for i, (v, (d, _)) in enumerate(plan.items()):
+            nd = f"c_{i}_{stamp}"
+            self.spark.read.parquet(os.path.join(self.root, d)).coalesce(
+                target_files_per_partition
+            ).write.mode("overwrite").parquet(os.path.join(self.root, nd))
+            new_dirs[v] = nd
+
+        compacted: dict[str, int] = {}
+        skipped: list[str] = []
+        with self._commit_lock():
+            manifest = self._read_manifest()
+            for v, nd in new_dirs.items():
+                read_dir, n_files = plan[v]
+                if manifest["parts"].get(v) != read_dir:  # advanced mid-rewrite
+                    shutil.rmtree(os.path.join(self.root, nd), ignore_errors=True)
+                    skipped.append(v)
+                    continue
+                manifest["parts"][v] = nd
+                manifest["history"].append({"dir": nd, "part": v})
+                compacted[v] = n_files
+            tmp = self._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, self._manifest_path)
+        return {"compacted": compacted, "skipped": skipped}
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop superseded partition-version directories, keeping the
         ``keep_last`` most recent history entries PER PARTITION plus

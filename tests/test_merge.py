@@ -557,3 +557,74 @@ def test_partitioned_vacuum_drops_superseded_keeps_live(spark, tmp_path):
         assert os.path.isdir(os.path.join(t.root, d))
     rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
     assert rows == {("c1", "p1"): "a3", ("c2", "q1"): "b"}
+
+
+def test_partitioned_compact_reduces_files_keeps_data(spark, tmp_path):
+    import os
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    root = str(tmp_path / "ptc")
+    t = PartitionedMergeTable(spark, root, "client_id")
+    seed = _ptable_rows(spark, [
+        ("c1", f"p{i}", f"t{i}", f"h{i}") for i in range(12)
+    ]).repartition(6)  # trickle-write shape: many small files
+    t.merge(seed, keys=["client_id", "external_id"])
+
+    def n_files(part):
+        d = os.path.join(root, t.parts()[part])
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert n_files("c1") > 2
+    before = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    old_dir = t.parts()["c1"]
+
+    out = t.compact(target_files_per_partition=1)
+    assert out["compacted"] == {"c1": 6} and out["skipped"] == []
+    assert n_files("c1") == 1 and t.parts()["c1"] != old_dir
+    after = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
+    assert after == before  # data-identical rewrite
+
+    # idempotent: already at 1 file <= min_files, nothing to do
+    assert t.compact() == {"compacted": {}, "skipped": []}
+    # the superseded dir is vacuum-able, the compacted one survives
+    dropped = t.vacuum(keep_last=1)
+    assert old_dir in dropped or not os.path.exists(os.path.join(root, old_dir))
+    assert {(r["client_id"], r["external_id"]) for r in t.read().collect()} == set(before)
+
+
+def test_partitioned_compact_skips_partition_advanced_mid_rewrite(spark, tmp_path):
+    """The never-clobber rule: if a partition advances between the file
+    listing and the commit, compact must NOT install its (now stale)
+    rewrite. Simulated by editing the manifest between plan and commit
+    via a racing merge from a second table handle."""
+    import os
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    root = str(tmp_path / "ptr")
+    t = PartitionedMergeTable(spark, root, "client_id")
+    t.merge(
+        _ptable_rows(spark, [("c1", f"p{i}", f"t{i}", f"h{i}") for i in range(8)]).repartition(5),
+        keys=["client_id", "external_id"],
+    )
+
+    real_lock = t._commit_lock
+
+    def racing_lock():
+        # a second writer lands an update AFTER compact planned/rewrote,
+        # BEFORE it takes the commit lock
+        PartitionedMergeTable(spark, root, "client_id").merge(
+            _ptable_rows(spark, [("c1", "p0", "t0-new", "h0x")]),
+            keys=["client_id", "external_id"],
+        )
+        t._commit_lock = real_lock  # run the race only once
+        return real_lock()
+
+    t._commit_lock = racing_lock
+    out = t.compact(target_files_per_partition=1)
+    assert out == {"compacted": {}, "skipped": ["c1"]}
+    rows = {r["external_id"]: r["title"] for r in t.read().collect()}
+    assert rows["p0"] == "t0-new"  # the racing update survived
+    # no orphaned compaction directory remains
+    assert not [d for d in os.listdir(root) if d.startswith("c_")]
