@@ -628,3 +628,46 @@ def test_partitioned_compact_skips_partition_advanced_mid_rewrite(spark, tmp_pat
     assert rows["p0"] == "t0-new"  # the racing update survived
     # no orphaned compaction directory remains
     assert not [d for d in os.listdir(root) if d.startswith("c_")]
+
+
+def test_diff_versions_change_data_feed(spark, tmp_path):
+    from etl_stack_spark.operators.merge import ParquetMergeTable, diff_versions
+
+    t = ParquetMergeTable(spark, str(tmp_path / "cdf"))
+    rows = lambda d: spark.createDataFrame(  # noqa: E731
+        [(k, v, f"h-{v}") for k, v in d.items()],
+        "id string, val string, content_hash string",
+    )
+    t.merge(rows({"a": "1", "b": "2", "c": "3"}), keys=["id"])
+    v1 = t.current_version()
+    # b updated, c deleted, d inserted
+    t.overwrite(rows({"a": "1", "b": "2x", "d": "4"}))
+
+    feed = {
+        (r["_change_type"], r["id"]): r["val"]
+        for r in diff_versions(t, v1, keys=["id"]).collect()
+    }
+    assert feed == {
+        ("insert", "d"): "4",
+        ("delete", "c"): "3",
+        ("update_preimage", "b"): "2",
+        ("update_postimage", "b"): "2x",
+    }  # unchanged 'a' absent; updates carry both images
+
+
+def test_diff_versions_full_row_compare_without_hash(spark, tmp_path):
+    from etl_stack_spark.operators.merge import ParquetMergeTable, diff_versions
+
+    t = ParquetMergeTable(spark, str(tmp_path / "cdf2"))
+    mk = lambda *rws: spark.createDataFrame(list(rws), "id string, x int, y int")  # noqa: E731
+    t.overwrite(mk(("a", 1, 1), ("b", 2, 2)))
+    v1 = t.current_version()
+    t.overwrite(mk(("a", 1, 1), ("b", 2, 9)))
+    feed = {
+        (r["_change_type"], r["id"]): (r["x"], r["y"])
+        for r in diff_versions(t, v1, keys=["id"], hash_col=None).collect()
+    }
+    assert feed == {
+        ("update_preimage", "b"): (2, 2),
+        ("update_postimage", "b"): (2, 9),
+    }
