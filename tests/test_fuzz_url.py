@@ -1,0 +1,44 @@
+"""Property fuzz for canonical_url: idempotence (canonicalizing a
+canonical URL is a fixed point) and totality (never null) over a URL
+grammar that covers every rule — mixed-case scheme/host, www, ports,
+messy paths, utm and content params, fragments. One Spark job for the
+whole example batch (the repo's fuzz convention)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+HOST = st.from_regex(r"(WWW\.)?[A-Za-z][A-Za-z0-9]{0,8}\.(Com|ORG|net)", fullmatch=True)
+PATH = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}/{0,3}", fullmatch=True)
+PARAM = st.from_regex(r"(utm_[a-z]{1,6}|page|q|id)=[A-Za-z0-9]{0,5}", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTps"]))
+    host = draw(HOST)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(PATH)
+    params = draw(st.lists(PARAM, max_size=3))
+    frag = draw(st.sampled_from(["", "#f", "#sec-1"]))
+    qs = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{host}{port}{path}{qs}{frag}"
+
+
+def _canon_batch(spark, batch):
+    import pyspark.sql.functions as F
+
+    from etl_stack_spark.operators.curation import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in batch], "url string")
+    once = df.select(F.col("url"), canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("url", "c1", canonical_url(F.col("c1")).alias("c2"))
+    return twice.collect()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(urls(), min_size=1, max_size=60, unique=True))
+def test_canonical_url_idempotent_and_total(spark, batch):
+    for r in _canon_batch(spark, batch):
+        assert r["c1"] is not None and r["c1"] != "", r["url"]
+        assert r["c2"] == r["c1"], f"not idempotent: {r['url']} -> {r['c1']} -> {r['c2']}"
