@@ -231,6 +231,10 @@ def clean_corpus_v3(
         F.col(id_col) == F.col("canon")
     ).drop("canon", "fp")
 
+    # NOTE: checkpointing exact/kept/surv_emb here was A/B'd (r5) and is
+    # NEUTRAL at sf0.1 — the expensive upstream is already bounded by the
+    # earlier kept checkpoints, so the late-stage re-runs are cheap
+    # joins/windows only. Keeping the lazy form preserves composability.
     pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     kept = exact.join(losers, id_col, "left_anti")
