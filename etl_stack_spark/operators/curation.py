@@ -448,3 +448,83 @@ def url_dedup(
     return c.withColumn("canonical_id", F.min(id_col).over(w)).withColumn(
         "is_duplicate", F.col(id_col) != F.col("canonical_id")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    keep_millinats: int = 0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every document is
+    scored by how much more likely its hashed-bigram features are under
+    a TARGET distribution (the data you want more of) than under the
+    raw corpus distribution. Resampling keeps documents whose mean
+    log-likelihood ratio clears ``keep_millinats`` — a deterministic
+    slice of the weight distribution rather than the paper's Gumbel
+    sampling, so the output is reproducible and oracle-checkable.
+
+    Each feature occurrence contributes integer MILLI-NATS of
+    ``ln(p_target(b)/p_raw(b))`` with add-one smoothing, computed as ONE
+    log of an exact-integer ratio — ``ln((ct+1)·(R+B) / ((cr+1)·(T+B)))``
+    — then ``floor(x·1000 + 0.5)``: the lm1 quantized-log technique, so
+    Spark's Math.log and DuckDB's libm ln agree despite 1-ulp input
+    differences (~1e-12 flip probability per term).
+
+    100 TB notes: both feature tables are FIXED-SIZE artifacts
+    (``n_buckets`` rows — the hashing trick bounds them regardless of
+    corpus size) and broadcast; scoring is one explode + two broadcast
+    joins + a per-doc partial agg — the decontaminate() shape. Raw
+    bucket counts come from the corpus itself in one aggregation.
+
+    Returns one row per input doc: (id, n_feats, llr_millinats,
+    mean_millinats, keep_dsir). Zero-feature docs keep (no evidence).
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    def buckets(df, *cols):
+        base = df.select(*cols, tokens(F.col(text_col)).alias("_toks"))
+        grams = base.select(
+            *cols, F.explode(ngrams_from_tokens(F.col("_toks"), 2)).alias("_g")
+        )
+        return grams.select(*cols, (portable_hash60(F.col("_g")) % n_buckets).alias("_b"))
+
+    tgt_counts = buckets(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    doc_feats = buckets(docs, id_col)
+    raw_counts = doc_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    # totals fold out of the (≤ n_buckets row) count tables — no second
+    # pass over either corpus
+    totals = raw_counts.agg(F.sum("_cr").alias("_R")).crossJoin(
+        tgt_counts.agg(F.sum("_ct").alias("_T"))
+    )
+    B = F.lit(n_buckets)
+    term = F.floor(
+        F.log(
+            ((F.coalesce(F.col("_ct"), F.lit(0)) + 1) * (F.col("_R") + B))
+            / ((F.coalesce(F.col("_cr"), F.lit(0)) + 1) * (F.col("_T") + B))
+        )
+        * 1000
+        + 0.5
+    )
+    scored = (
+        doc_feats.join(F.broadcast(tgt_counts), "_b", "left")
+        .join(F.broadcast(raw_counts), "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(id_col, term.alias("_mn"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("_mn").alias("llr_millinats"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .fillna(0, ["n_feats", "llr_millinats"])
+    )
+    mean = F.floor(
+        F.col("llr_millinats") / F.greatest(F.col("n_feats"), F.lit(1))
+    ).cast("long")
+    return out.withColumn("mean_millinats", mean).withColumn(
+        "keep_dsir", mean >= F.lit(keep_millinats)
+    )

@@ -407,3 +407,62 @@ def url1_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_url = docs.select("doc_id", _injected_url().alias("url"))
     return url_dedup(with_url)
+
+
+# ---------------------------------------------------------------------------
+# DSIR1 — importance weights vs the src0 target slice (Xie et al. 2023).
+# Hashed-bigram LLR in quantized milli-nats (the lm1 portability trick);
+# keep threshold -280 sits between the measured median (-296) and p75
+# (-259) of the mean-LLR distribution at sf0.01, so both keep values
+# occur with real mass (not a 4-doc sliver at 0).
+# ---------------------------------------------------------------------------
+
+_DSIR1_ORACLE = f"""
+WITH tgt AS (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0' AND doc_id < 500),
+cand AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE source <> 'src0'),
+tg AS (
+  SELECT ('0x' || substr(sha256(unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                         i -> toks[i] || ' ' || toks[i + 1]))), 1, 15))::BIGINT % 1024 AS b
+  FROM tgt
+),
+cg AS (
+  SELECT doc_id,
+    ('0x' || substr(sha256(unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> toks[i] || ' ' || toks[i + 1]))), 1, 15))::BIGINT % 1024 AS b
+  FROM cand
+),
+ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM tg GROUP BY b),
+cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM cg GROUP BY b),
+tot AS (SELECT (SELECT SUM(cr) FROM cr) AS R, (SELECT SUM(ct) FROM ct) AS T),
+terms AS (
+  SELECT cg.doc_id,
+    CAST(floor(ln(((coalesce(ct.ct, 0) + 1) * (tot.R + 1024))
+             / ((coalesce(cr.cr, 0) + 1) * (tot.T + 1024))) * 1000 + 0.5) AS BIGINT) AS mn
+  FROM cg LEFT JOIN ct USING (b) LEFT JOIN cr USING (b) CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+    CAST(SUM(mn) AS BIGINT) AS llr_millinats
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_feats, 0) AS n_feats,
+  coalesce(llr_millinats, 0) AS llr_millinats,
+  CAST(floor(coalesce(llr_millinats, 0) / greatest(coalesce(n_feats, 0), 1)) AS BIGINT)
+    AS mean_millinats,
+  (floor(coalesce(llr_millinats, 0) / greatest(coalesce(n_feats, 0), 1)) >= -280)
+    AS keep_dsir
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("dsir1_importance_weights", _DSIR1_ORACLE)
+def dsir1_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
+        keep_millinats=-280,
+    )
