@@ -130,3 +130,69 @@ def wf3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.sum("cents").over(w).alias("cents_trailing_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AN1 — trailing-window anomaly flags over the event stream, in PURE
+# INTEGER arithmetic: hourly counts per event type, anomaly when the
+# squared deviation from the trailing-24-observation mean exceeds
+# k²·variance. stddev/avg would drag cross-engine float accumulation
+# into the hash compare; instead the k·sigma test is multiplied through:
+#     (c·n − s)²·(n−1) > k²·n·(n·ssq − s²)        [k = 3]
+# — counts, window sums, and sums of squares are all BIGINTs, so both
+# engines compute bit-identical integers. Warm-up rows (fewer than 12
+# prior observations) are never anomalous.
+# ---------------------------------------------------------------------------
+
+_AN1_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, cnt,
+    CAST(COUNT(cnt) OVER tw AS BIGINT) AS win_n,
+    CAST(coalesce(SUM(cnt) OVER tw, 0) AS BIGINT) AS win_sum,
+    CAST(coalesce(SUM(cnt * cnt) OVER tw, 0) AS BIGINT) AS win_sumsq
+  FROM hourly
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour, cnt
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt, win_n, win_sum, win_sumsq,
+  (win_n >= 12 AND
+   (cnt * win_n - win_sum) * (cnt * win_n - win_sum) * (win_n - 1)
+     > 9 * win_n * (win_n * win_sumsq - win_sum * win_sum)) AS is_anomaly
+FROM w
+"""
+
+
+@register("an1_anomaly_zscore", _AN1_ORACLE)
+def an1_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour", "cnt")
+        .rowsBetween(-24, -1)
+    )
+    w = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count("cnt").over(tw).cast("long").alias("win_n"),
+        F.coalesce(F.sum("cnt").over(tw), F.lit(0)).cast("long").alias("win_sum"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(tw), F.lit(0))
+        .cast("long")
+        .alias("win_sumsq"),
+    )
+    dev = F.col("cnt") * F.col("win_n") - F.col("win_sum")
+    var_n = F.col("win_n") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    return w.withColumn(
+        "is_anomaly",
+        (F.col("win_n") >= 12)
+        & (dev * dev * (F.col("win_n") - 1) > 9 * F.col("win_n") * var_n),
+    )
