@@ -1,0 +1,136 @@
+"""Byte-pair-encoding tokenizer training and application (Sennrich,
+Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+Subword Units") — the canonical subword-vocabulary algorithm, in the
+engine's iterative driver-loop shape (the ivf_train / pagerank family:
+a fixed-size artifact converges on the driver, each round is one
+bounded distributed aggregation).
+
+Scale shape: training runs on the WORD-FREQUENCY table, not the corpus
+— one corpus pass builds (word, freq), and every merge iteration is an
+explode of adjacent symbol pairs over the VOCABULARY (bounded by
+distinct words, not tokens) + one groupBy + a 1-row argmax to the
+driver. Merge application is a literal string replace over the
+separator-joined symbol string (``F.replace`` — literal, so corpus
+characters that happen to be regex metachars are safe), matching the
+reference implementation's left-to-right non-overlapping semantics.
+
+Like k-means, the learned artifact (the ordered merge list) is KBs and
+broadcasts; it is not SQL-oracle-expressible (iterative, data-dependent)
+so this surface is unit-pinned against the paper's worked example
+(tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# separator between symbols inside the working string; U+0000 cannot
+# appear in the tokenized text (tokens() splits on whitespace and real
+# corpora strip NUL), and end-of-word gets an explicit marker so merges
+# never cross word boundaries
+SEP = "\x00"
+EOW = "\x01"
+
+
+def _to_symbols(word: Column) -> Column:
+    """word → SEP-joined character symbols with the end-of-word marker:
+    'low' → 'l SEP o SEP w SEP EOW' (SEP shown for readability)."""
+    chars = F.split(word, "")
+    return F.concat(F.array_join(chars, SEP), F.lit(SEP + EOW))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list from a corpus.
+
+    Deterministic: the argmax pair breaks frequency ties
+    lexicographically, so two runs (or two engines) agree. Stops early
+    when the best pair's frequency falls below ``min_pair_freq``.
+    """
+    from etl_stack_spark.operators.text import tokens
+
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_to_symbols(F.col("w")).alias("syms"), "freq")
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        parts = F.split(F.col("syms"), SEP)
+        # gated, not clamped: a fully-merged word has ONE symbol left and
+        # sequence(0, -1) counts DOWN (the ngrams_from_tokens crash class)
+        idx = F.when(
+            F.size(parts) >= 2, F.sequence(F.lit(0), F.size(parts) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.concat(parts[i], F.lit(SEP), parts[i + 1])
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_freq:
+            break
+        a, b = best[0]["pair"].split(SEP)
+        merges.append((a, b))
+        # literal replace: 'a SEP b' → 'ab' everywhere, then re-checkpoint
+        # the compact vocab table so lineage stays one-iteration deep
+        words = words.select(
+            F.replace(
+                F.col("syms"), F.lit(a + SEP + b), F.lit(a + b)
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_segment(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply an ordered merge list to a word column → array of subword
+    tokens (the EOW marker folds into the final symbol, Sennrich's
+    convention). Pure Column ops: one literal replace per learned merge
+    over the SEP-joined symbol string — n_merges chained expressions,
+    all whole-stage codegen, no UDF."""
+    s = _to_symbols(word)
+    for a, b in merges:
+        s = F.replace(s, F.lit(a + SEP + b), F.lit(a + b))
+    # drop the marker: with its separator when EOW stayed an unmerged
+    # symbol (else a trailing '' token appears), bare when a merge folded
+    # it into the last subword
+    s = F.replace(s, F.lit(SEP + EOW), F.lit(""))
+    s = F.replace(s, F.lit(EOW), F.lit(""))
+    return F.split(s, SEP)
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list: (id, token, pos)
+    stream plus per-word subword segmentation. Map-side only — the
+    merge list is compiled into the expression, nothing shuffles."""
+    from etl_stack_spark.operators.text import tokens
+
+    words = docs.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    segs = words.select(
+        id_col, "pos", F.col("w"), bpe_segment(F.col("w"), merges).alias("subwords")
+    )
+    return segs

@@ -466,3 +466,29 @@ def dsir1_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         keep_millinats=-280,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE1 — learned-subword tokenization. Training is iterative and
+# data-dependent (the ivf/pk2 class: driver-looped, not SQL-oracle-
+# expressible), so this is a rows-only registry entry; the algorithm is
+# unit-pinned against the Sennrich et al. worked example in
+# tests/test_bpe.py. 20 merges learned on the src0 slice, applied to
+# the rest of the corpus; output is integer counts only (stable).
+# ---------------------------------------------------------------------------
+
+
+@register("bpe1_subword_tokenize")
+def bpe1_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs.filter(F.col("source") == "src0"), n_merges=20)
+    return (
+        bpe_tokenize(docs.filter(F.col("source") != "src0"), merges)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
+        )
+    )

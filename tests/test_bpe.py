@@ -1,0 +1,78 @@
+"""BPE training/application (operators/bpe.py): driver-looped like
+ivf_train, so unit-pinned — against the worked example from Sennrich et
+al. 2016 §3.2, whose first merges are famously (e,s), (es,t), (est,EOW).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sennrich_corpus(spark):
+    # word frequencies from the paper: low:5 lower:2 newest:6 widest:3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    return spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+
+
+def test_bpe_train_matches_sennrich_example(spark, sennrich_corpus):
+    from etl_stack_spark.operators.bpe import EOW, bpe_train
+
+    merges = bpe_train(sennrich_corpus, n_merges=4)
+    assert merges[0] == ("e", "s")        # freq 9 (newest+widest)
+    assert merges[1] == ("es", "t")       # freq 9
+    assert merges[2] == ("est", EOW)      # freq 9
+    assert merges[3] == ("l", "o")        # freq 7 (low+lower)
+
+
+def test_bpe_train_deterministic(spark, sennrich_corpus):
+    from etl_stack_spark.operators.bpe import bpe_train
+
+    assert bpe_train(sennrich_corpus, n_merges=6) == bpe_train(
+        sennrich_corpus, n_merges=6
+    )
+
+
+def test_bpe_segment_and_tokenize(spark, sennrich_corpus):
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.bpe import bpe_segment, bpe_tokenize, bpe_train
+
+    merges = bpe_train(sennrich_corpus, n_merges=6)
+    df = spark.createDataFrame([("newest",), ("lowest",), ("x",)], "w string")
+    segs = {r["w"]: r["s"] for r in df.select("w", bpe_segment(F.col("w"), merges).alias("s")).collect()}
+    # 'newest' ends in the learned 'est' unit; 'lowest' shares it even
+    # though the word never appeared (the subword generalization BPE is
+    # for); unseen 'x' falls back to characters
+    assert segs["newest"][-1] == "est"
+    assert segs["lowest"][-1] == "est"
+    assert segs["x"] == ["x"]
+    # every segmentation concatenates back to the original word
+    for w, s in segs.items():
+        assert "".join(s) == w
+
+    toks = bpe_tokenize(sennrich_corpus, merges)
+    rows = toks.collect()
+    assert len(rows) == 16  # one row per corpus word occurrence
+    assert all("".join(r["subwords"]) == r["w"] for r in rows)
+
+
+def test_bpe_train_min_pair_freq_stops(spark):
+    from etl_stack_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    # every pair occurs once; with the default min_pair_freq=2 nothing merges
+    assert bpe_train(df, n_merges=10) == []
+
+
+def test_bpe_train_survives_fully_merged_words(spark):
+    """A word that merges down to ONE symbol (including EOW) must not
+    crash later iterations — sequence(0, size-2) counts DOWN for a
+    1-element split (the ngrams_from_tokens crash class, gated here)."""
+    from etl_stack_spark.operators.bpe import EOW, bpe_train
+
+    df = spark.createDataFrame([(0, "ab ab ab ab cd cd cd")], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=10)
+    assert ("a", "b") in merges and ("ab", EOW) in merges  # 'ab' fully merges
+    # and training continued past it to the cd side
+    assert ("c", "d") in merges
