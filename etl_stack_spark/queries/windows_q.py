@@ -160,9 +160,14 @@ w AS (
                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, hour, cnt, win_n, win_sum, win_sumsq,
+  -- the comparison runs in DECIMAL(38,0): BIGINT would overflow once
+  -- hourly counts pass ~2.6e7 (dev² alone needs 21 digits at 1e8/hour),
+  -- and DuckDB errors on BIGINT overflow where Spark silently wraps —
+  -- decimal keeps both engines exact to 38 digits (worst term ~1e22)
   (win_n >= 12 AND
-   (cnt * win_n - win_sum) * (cnt * win_n - win_sum) * (win_n - 1)
-     > 9 * win_n * (win_n * win_sumsq - win_sum * win_sum)) AS is_anomaly
+   (CAST(cnt AS DECIMAL(38,0)) * win_n - win_sum)
+     * (CAST(cnt AS DECIMAL(38,0)) * win_n - win_sum) * (win_n - 1)
+     > 9 * CAST(win_n AS DECIMAL(38,0)) * (CAST(win_n AS DECIMAL(38,0)) * win_sumsq - CAST(win_sum AS DECIMAL(38,0)) * win_sum)) AS is_anomaly
 FROM w
 """
 
@@ -189,10 +194,15 @@ def an1_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("win_sumsq"),
     )
-    dev = F.col("cnt") * F.col("win_n") - F.col("win_sum")
-    var_n = F.col("win_n") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum")
+    # DECIMAL(38,0) comparison — see the oracle comment: BIGINT overflows
+    # past ~2.6e7 counts/hour, and Spark wraps where DuckDB errors
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("cnt")) * F.col("win_n") - F.col("win_sum")
+    var_n = dec(F.col("win_n")) * F.col("win_sumsq") - dec(F.col("win_sum")) * F.col(
+        "win_sum"
+    )
     return w.withColumn(
         "is_anomaly",
         (F.col("win_n") >= 12)
-        & (dev * dev * (F.col("win_n") - 1) > 9 * F.col("win_n") * var_n),
+        & (dev * dev * (F.col("win_n") - 1) > 9 * dec(F.col("win_n")) * var_n),
     )
