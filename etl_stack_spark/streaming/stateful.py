@@ -48,3 +48,58 @@ def streaming_first_seen(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = "event_type string, hour long, cnt long, win_n long, is_anomaly boolean"
+ANOMALY_STATE_SCHEMA = "counts array<long>"
+_ANOMALY_WINDOW = 24
+_ANOMALY_MIN_OBS = 12
+_ANOMALY_K2 = 9  # (3 sigma)²
+
+
+def _anomaly_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming form of the an1 trailing-window sigma test: per event
+    type, state carries the last 24 finalized hourly counts across
+    micro-batches; each arriving (hour, cnt) row is judged against the
+    trailing window THEN appended. Python ints are arbitrary-precision,
+    so the multiplied-through comparison
+        (c·n − s)²·(n−1) > k²·n·(n·ssq − s²)
+    is exact at any volume (the batch an1 uses DECIMAL(38,0) for the
+    same reason). Rows inside a batch process in hour order — the same
+    semantics as the batch window's ORDER BY hour."""
+    trail = list(state.get[0]) if state.exists else []
+    out = []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values("hour").iterrows():
+            c, n = int(row["cnt"]), len(trail)
+            if n >= _ANOMALY_MIN_OBS:
+                s = sum(trail)
+                ssq = sum(x * x for x in trail)
+                anom = (c * n - s) ** 2 * (n - 1) > _ANOMALY_K2 * n * (n * ssq - s * s)
+            else:
+                anom = False
+            out.append((key[0], int(row["hour"]), c, n, bool(anom)))
+            trail.append(c)
+            if len(trail) > _ANOMALY_WINDOW:
+                trail = trail[-_ANOMALY_WINDOW:]
+    state.update((trail,))
+    yield pd.DataFrame(
+        out, columns=["event_type", "hour", "cnt", "win_n", "is_anomaly"]
+    )
+
+
+def streaming_anomaly_counts(hourly: DataFrame) -> DataFrame:
+    """stream(event_type, hour, cnt) of FINALIZED hourly counts (e.g.
+    the watermark-closed output of ``streaming_tumbling_counts``) →
+    per-row anomaly flags with the trailing window carried in the state
+    store across micro-batches. State is 24 longs per event type —
+    bounded regardless of throughput."""
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        _anomaly_fn,
+        ANOMALY_OUTPUT_SCHEMA,
+        ANOMALY_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -446,3 +446,51 @@ def test_corpus_clean_stream_first_seen_across_batches(spark, tmp_path):
     ).awaitTermination(120)
     state3 = {r["fp"]: (r["doc_id"], r["source"]) for r in results.read().collect()}
     assert state3 == {k: (v["doc_id"], v["source"]) for k, v in state2.items()}
+
+
+def test_streaming_anomaly_trailing_state_across_batches(spark, tmp_path):
+    """The trailing-24 window must carry across micro-batches: warm-up
+    hours in batch 1 never flag; a 10x spike arriving in batch 2 flags
+    against state built in batch 1, and the spike itself then joins the
+    window (masking an identical later spike -- the documented trailing-
+    mean behavior)."""
+    from etl_stack_spark.streaming.stateful import streaming_anomaly_counts
+
+    src = tmp_path / "anom_in"
+    src.mkdir()
+    schema = "event_type string, hour long, cnt long"
+    base = [("click", h, 100 + (h % 3)) for h in range(14)]  # 14 calm hours
+    b1 = spark.createDataFrame(base, schema)
+    b2 = spark.createDataFrame(
+        [("click", 14, 1000), ("click", 15, 101), ("view", 0, 5)], schema
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink: list[tuple] = []
+
+    def collect(df, _epoch):
+        sink.extend(
+            (r["event_type"], r["hour"], r["win_n"], r["is_anomaly"]) for r in df.collect()
+        )
+
+    q = (
+        streaming_anomaly_counts(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(t, h): (n, a) for t, h, n, a in sink}
+    assert len(rows) == 17
+    assert all(not rows[("click", h)][1] for h in range(14))  # warm-up calm
+    assert rows[("click", 14)] == (14, True)   # spike vs batch-1 state
+    assert rows[("click", 15)][1] is False     # back to normal
+    assert rows[("view", 0)] == (0, False)     # fresh key: no state, no flag
