@@ -396,6 +396,88 @@ def trigram_lm_score(docs: DataFrame, ref: DataFrame, text_col: str = "text") ->
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Exact-substring span dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" operation, re-expressed
+    declaratively): REMOVE duplicated ``k``-token spans from inside
+    documents instead of dropping whole documents. The corpus-wide first
+    occurrence survives — the document with the LOWEST id containing a
+    given k-gram owns it; every occurrence of that k-gram in a
+    higher-id document is a duplicated span and its k tokens are cut.
+    Within the owning document self-repeats are kept (whole-doc
+    self-repetition is ``repetition_metrics``'s job); the single-pass
+    suffix-array formulation the paper uses is replaced by a gram-hash
+    group + join, which is what actually distributes.
+
+    Scale shape: grams travel as 60-bit portable hashes, never strings.
+    Two bounded shuffles — (gram-hash → min id) ownership agg with
+    map-side partial min, then a join of the positional stream back on
+    the hash (AQE splits skewed boilerplate grams) and a per-doc
+    collect of duplicated start positions (list size ≤ tokens/1, in
+    practice tiny after the ownership filter). Span coverage and text
+    rebuild are pure map-side higher-order functions over the already
+    materialized token array — no further shuffle, no Python.
+
+    ``k`` defaults to 50 (the paper's span length); the sandbox corpus
+    is ~50 tokens/doc so the esd1 query pins k=4 to exercise both
+    branches. Returns one row per input row: (id, deduped_text,
+    n_tokens, n_removed, removed_frac).
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    base = df.select(
+        id_col,
+        F.coalesce(  # null text ⇒ zero tokens, not a null row downstream
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
+    n_toks = F.size("_toks")
+    starts = F.when(
+        n_toks >= k, F.sequence(F.lit(1), n_toks - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    pos_grams = base.select(
+        id_col, F.explode(starts).alias("pos"), F.col("_toks")
+    ).select(
+        id_col,
+        "pos",
+        portable_hash60(F.array_join(F.slice("_toks", F.col("pos"), k), " ")).alias("_gh"),
+    ).localCheckpoint(eager=False)  # feeds the ownership agg AND the join back
+    owners = pos_grams.groupBy("_gh").agg(F.min(id_col).alias("_owner"))
+    dup_starts = (
+        pos_grams.join(owners, "_gh")
+        .filter(F.col(id_col) > F.col("_owner"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_dups"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731
+        "_dups", lambda p: (j >= p) & (j <= p + F.lit(k - 1))
+    )
+    all_idx = F.when(n_toks >= 1, F.sequence(F.lit(1), n_toks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    keep_idx = F.filter(all_idx, lambda j: ~covered(j))
+    return (
+        base.join(dup_starts, id_col, "left")
+        .withColumn("_dups", F.coalesce("_dups", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(keep_idx, lambda j: F.element_at("_toks", j)), " "
+            ).alias("deduped_text"),
+            n_toks.cast("int").alias("n_tokens"),
+            (n_toks - F.size(keep_idx)).cast("int").alias("n_removed"),
+            F.round(
+                (n_toks - F.size(keep_idx)) / F.greatest(n_toks, F.lit(1)), 6
+            ).alias("removed_frac"),
+        )
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of an http(s) URL, the RefinedWeb/CCNet URL-dedup
     key: scheme and host lowercased, leading ``www.`` and the scheme's

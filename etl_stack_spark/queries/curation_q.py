@@ -31,7 +31,7 @@ from etl_stack_spark.operators.curation import (
 )
 from etl_stack_spark.operators.text import token_count
 from etl_stack_spark.queries import register
-from etl_stack_spark.queries.text_dedup import _SHINGLES, _TOKS
+from etl_stack_spark.queries.text_dedup import _H60, _SHINGLES, _TOKS
 from etl_stack_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -492,3 +492,59 @@ def bpe1_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size("subwords")).cast("long").alias("n_subwords"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ESD1 — exact-substring span dedup: duplicated k-token spans are CUT
+# from higher-id documents (lowest id owns each gram), the remainder of
+# the document survives. k=4 here (sandbox docs are ~50 tokens; the
+# operator default is the paper's 50) so both branches are exercised:
+# at sf0.01, 233/500 docs lose at least one span.
+# ---------------------------------------------------------------------------
+
+_ESD1_K = 4
+
+_ESD1_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(range(1, greatest(len(toks) - ({_ESD1_K} - 1), 0) + 1)) AS pos, toks
+  FROM t
+),
+g2 AS (
+  SELECT doc_id, pos,
+    {_H60.format(expr=f"array_to_string(toks[pos:pos+{_ESD1_K}-1], ' ')")} AS gh
+  FROM g
+),
+o AS (SELECT gh, MIN(doc_id) AS owner FROM g2 GROUP BY gh),
+d AS (
+  SELECT g2.doc_id, list(DISTINCT g2.pos ORDER BY g2.pos) AS dups
+  FROM g2 JOIN o USING (gh) WHERE g2.doc_id > o.owner GROUP BY g2.doc_id
+),
+r AS (
+  SELECT t.doc_id, toks, coalesce(d.dups, []) AS ds
+  FROM t LEFT JOIN d USING (doc_id)
+),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    list_filter(range(1, len(toks) + 1),
+      j -> len(list_filter(ds, p -> j >= p AND j <= p + ({_ESD1_K} - 1))) = 0
+    ) AS keep_idx
+  FROM r
+)
+SELECT doc_id,
+  coalesce(array_to_string(list_transform(keep_idx, j -> toks[j]), ' '), '')
+    AS deduped_text,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_tokens - len(keep_idx) AS INT) AS n_removed,
+  round((n_tokens - len(keep_idx)) / greatest(n_tokens, 1), 6) AS removed_frac
+FROM f
+"""
+
+
+@register("esd1_substring_dedup", _ESD1_ORACLE)
+def esd1_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(docs, k=_ESD1_K)

@@ -298,3 +298,43 @@ def test_canonical_url_rules(spark):
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
     for (u, want), g in zip(cases, got):
         assert g == want, f"{u}: got {g!r}, want {want!r}"
+
+
+def test_exact_substring_dedup_contract(spark):
+    from etl_stack_spark.operators.curation import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d tail one"),        # owner of 'a b c d' — keeps it
+            (2, "x y a b c d z"),           # loses the 4-token span
+            (3, "a b c d a b c d"),         # non-owner self-repeat: all cut
+            (4, "short"),                   # < k tokens: untouched
+            (5, None),                      # null text -> empty, 0 tokens
+            (6, "p q r s p q r s"),         # owner self-repeat: KEPT whole
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in exact_substring_dedup(df, k=4).collect()}
+    assert len(rows) == 6
+    assert rows[1]["deduped_text"] == "a b c d tail one" and rows[1]["n_removed"] == 0
+    assert rows[2]["deduped_text"] == "x y z" and rows[2]["n_removed"] == 4
+    assert rows[3]["deduped_text"] == "" and rows[3]["removed_frac"] == 1.0
+    assert rows[4]["deduped_text"] == "short" and rows[4]["n_tokens"] == 1
+    assert rows[5]["deduped_text"] == "" and rows[5]["n_tokens"] == 0
+    # doc 6 owns 'p q r s' (and every other window it contains): intact
+    assert rows[6]["deduped_text"] == "p q r s p q r s"
+    assert rows[6]["n_removed"] == 0
+
+
+def test_exact_substring_dedup_overlapping_spans_merge(spark):
+    from etl_stack_spark.operators.curation import exact_substring_dedup
+
+    # doc 2 contains 'a b c d e' -> dup starts at 1 AND 2 (both 4-grams
+    # owned by doc 1); coverage is the UNION 1..5, not 8 tokens
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e x y z")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in exact_substring_dedup(df, k=4).collect()}
+    assert rows[2]["deduped_text"] == "x y z"
+    assert rows[2]["n_removed"] == 5
