@@ -478,6 +478,82 @@ def exact_substring_dedup(
     )
 
 
+def linear_quality_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    bias_milli: int = 0,
+    keep_threshold_milli: int = 0,
+) -> DataFrame:
+    """Model-based quality filtering (the FineWeb-edu / DataComp stage
+    heuristic ``quality_score`` is not): apply a TRAINED linear text
+    classifier — fasttext's inference shape — to every document.
+    Features are the hashing trick (token → ``portable_hash60 % dim``
+    bucket), the document logit is the count-weighted mean of bucket
+    weights plus a bias, and weights arrive as a DataFrame
+    ``(bucket int, w_milli long)`` so a real model trained elsewhere
+    drops in as a parquet table.
+
+    Exactness: weights are integer MILLI-units and the logit is
+    ``floor(Σ w·cnt / n_tokens) + bias`` — integer sums, one IEEE
+    double division of values ≪ 2⁵³, then floor: bit-identical in any
+    engine (the dsir/lm1 quantization idiom). No sigmoid — thresholding
+    the logit is the same decision and keeps floats out of the compare.
+
+    Scale shape: the weights table is ``dim`` rows — BROADCAST by
+    construction (a fasttext hashing layer is ≤ millions of rows, MBs);
+    the corpus side is one explode + one (id, bucket) count with
+    map-side partial agg + one broadcast join + one per-doc rollup that
+    reuses the count's hash partitioning on the id prefix. Documents
+    with zero tokens keep the bias logit (LEFT join back to the input —
+    every row gets a verdict).
+
+    Returns (id, n_tokens, logit_milli, keep_quality).
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    base = df.select(
+        id_col,
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
+    )
+    occ = base.select(
+        id_col, F.explode("_toks").alias("_tok")
+    ).select(id_col, (portable_hash60(F.col("_tok")) % dim).alias("bucket"))
+    per = occ.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("_cnt"))
+    dots = (
+        per.join(F.broadcast(weights), "bucket", "left")  # unseen bucket ⇒ w=0,
+        .groupBy(id_col)  # but the token still counts in the denominator
+        .agg(
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)) * F.col("_cnt")).alias("_dot"),
+            F.sum("_cnt").alias("_n"),
+        )
+    )
+    out = (
+        base.select(id_col, F.size("_toks").cast("long").alias("n_tokens"))
+        .join(dots, id_col, "left")
+        .withColumn(
+            "logit_milli",
+            (
+                F.floor(
+                    F.coalesce(F.col("_dot"), F.lit(0))
+                    / F.greatest(F.coalesce(F.col("_n"), F.lit(0)), F.lit(1))
+                )
+                + bias_milli
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "logit_milli",
+        (F.col("logit_milli") >= keep_threshold_milli).alias("keep_quality"),
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of an http(s) URL, the RefinedWeb/CCNet URL-dedup
     key: scheme and host lowercased, leading ``www.`` and the scheme's

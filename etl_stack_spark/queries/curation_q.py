@@ -548,3 +548,55 @@ def esd1_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_dedup(docs, k=_ESD1_K)
+
+
+# ---------------------------------------------------------------------------
+# QL1 — model-based quality filter: fasttext-shape linear classifier
+# over hashing-trick token buckets. The weight table here is derived
+# deterministically from the bucket index (hash of 'w<bucket>' mapped
+# to [-1000, 1000] milli-units) so both engines build the identical
+# "model"; in production the same operator takes trained weights from
+# parquet. Threshold 0 ⇒ both verdicts occur (logits are ~symmetric).
+# ---------------------------------------------------------------------------
+
+_QL1_DIM = 4096
+
+_QL1_ORACLE = f"""
+WITH w AS (
+  SELECT bucket,
+    CAST({_H60.format(expr="'w' || CAST(bucket AS VARCHAR)")} % 2001 - 1000 AS BIGINT) AS w_milli
+  FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range({_QL1_DIM}))
+),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, {_H60.format(expr="tok")} % {_QL1_DIM} AS bucket
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+),
+per AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY doc_id, bucket),
+dots AS (
+  SELECT per.doc_id,
+    SUM(coalesce(w.w_milli, 0) * per.cnt) AS dot, SUM(per.cnt) AS n
+  FROM per LEFT JOIN w USING (bucket) GROUP BY per.doc_id
+)
+SELECT t.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(floor(coalesce(dot, 0) / greatest(coalesce(n, 0), 1)) AS BIGINT) AS logit_milli,
+  (floor(coalesce(dot, 0) / greatest(coalesce(n, 0), 1)) >= 0) AS keep_quality
+FROM t LEFT JOIN dots USING (doc_id)
+"""
+
+
+@register("ql1_linear_quality", _QL1_ORACLE)
+def ql1_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import linear_quality_classifier
+    from etl_stack_spark.operators.text import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.range(_QL1_DIM).select(
+        F.col("id").alias("bucket"),
+        (
+            portable_hash60(F.concat(F.lit("w"), F.col("id").cast("string"))) % 2001
+            - 1000
+        ).alias("w_milli"),
+    )
+    return linear_quality_classifier(docs, weights, dim=_QL1_DIM)

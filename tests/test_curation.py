@@ -338,3 +338,39 @@ def test_exact_substring_dedup_overlapping_spans_merge(spark):
     rows = {r["doc_id"]: r for r in exact_substring_dedup(df, k=4).collect()}
     assert rows[2]["deduped_text"] == "x y z"
     assert rows[2]["n_removed"] == 5
+
+
+def test_linear_quality_classifier_contract(spark):
+    from etl_stack_spark.operators.curation import linear_quality_classifier
+
+    weights = spark.createDataFrame(
+        [(b, 500) for b in range(4096)], "bucket long, w_milli long"
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in linear_quality_classifier(df, weights).collect()}
+    # every bucket weighs 500 -> mean logit is exactly 500 regardless of text
+    assert rows[1]["logit_milli"] == 500 and rows[1]["keep_quality"]
+    assert rows[1]["n_tokens"] == 3
+    # null/empty text: zero tokens, bias-only logit (0), keep at threshold 0
+    assert rows[2]["n_tokens"] == 0 and rows[2]["logit_milli"] == 0
+    assert rows[2]["keep_quality"] and rows[3]["n_tokens"] == 0
+
+
+def test_linear_quality_classifier_unseen_bucket_counts_in_mean(spark):
+    from etl_stack_spark.operators.curation import linear_quality_classifier
+    from etl_stack_spark.operators.text import portable_hash60
+
+    # weight ONLY the bucket of 'hot' with 1000; 'cold' hits an unweighted
+    # bucket but must still dilute the mean: logit = floor(1000*2/3) = 666
+    hot_bucket = (
+        spark.range(1)
+        .select((portable_hash60(F.lit("hot")) % 4096).alias("b"))
+        .collect()[0]["b"]
+    )
+    weights = spark.createDataFrame([(hot_bucket, 1000)], "bucket long, w_milli long")
+    df = spark.createDataFrame([(1, "hot hot cold")], "doc_id int, text string")
+    row = linear_quality_classifier(df, weights).collect()[0]
+    assert row["logit_milli"] == 666 and row["n_tokens"] == 3
