@@ -320,3 +320,29 @@ def test_rep2_shuffles_gram_hashes_not_strings(spark):
     assert exchange_lines
     assert not any("_gram" in l for l in exchange_lines)
     assert "rangepartitioning" not in plan
+
+
+def test_esd1_shuffles_gram_hashes_not_strings(spark):
+    """esd1's exchanges carry the 60-bit k-gram hash, positions, and doc
+    ids — gram STRINGS and token arrays must never cross an exchange,
+    and span coverage/rebuild is map-side (no cartesian, no range)."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["esd1_substring_dedup"](spark, SF_SMOKE))
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("_toks" in l for l in exchange_lines)
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_ql1_broadcasts_weights(spark):
+    """ql1's weights side is a model artifact (dim rows): it must arrive
+    at the join as a BroadcastExchange — the corpus side streams."""
+    from etl_stack_spark.queries import all_queries
+
+    plan = _plan(all_queries()["ql1_linear_quality"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the (id, bucket) count partial-aggregates map-side before its exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
