@@ -1,0 +1,55 @@
+"""Differential fuzz for exact_substring_dedup: a 15-line in-process
+Python model of the spec (min-id gram ownership, span-union coverage,
+subsequence rebuild) is the truth; Spark must match it VALUE-exactly on
+dup-rich random corpora (6-word vocab forces heavy k-gram sharing).
+One Spark job per example batch (the repo's fuzz convention)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+K = 3
+VOCAB = ["a", "b", "c", "d", "e", "f"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_model(corpus: list[list[str]], k: int) -> list[tuple[str, int]]:
+    owner: dict[tuple[str, ...], int] = {}
+    for did, toks in enumerate(corpus):
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i : i + k])
+            owner[g] = min(owner.get(g, did), did)
+    out = []
+    for did, toks in enumerate(corpus):
+        covered: set[int] = set()
+        for i in range(len(toks) - k + 1):
+            if owner[tuple(toks[i : i + k])] < did:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out.append((" ".join(kept), len(toks) - len(kept)))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs_strategy)
+def test_esd_matches_reference_model(spark, corpus):
+    from etl_stack_spark.operators.curation import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["deduped_text"], r["n_removed"])
+        for r in exact_substring_dedup(df, k=K).collect()
+    }
+    want = _ref_model(corpus, K)
+    for did, exp in enumerate(want):
+        assert got[did] == exp, f"doc {did}: {got[did]} != {exp} in {corpus}"
+    # the globally-lowest id is never modified
+    assert got[0][1] == 0
