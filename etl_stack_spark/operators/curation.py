@@ -448,8 +448,13 @@ def exact_substring_dedup(
         portable_hash60(F.array_join(F.slice("_toks", F.col("pos"), k), " ")).alias("_gh"),
     ).localCheckpoint(eager=False)  # feeds the ownership agg AND the join back
     owners = pos_grams.groupBy("_gh").agg(F.min(id_col).alias("_owner"))
+    # both build sides below are CORPUS-sized (every distinct gram / every
+    # losing doc): hint shuffled-hash so the static planner can never pick
+    # a broadcast off the checkpoint's unknown stats — measured at 2M docs
+    # it broadcast a 62M-row ownership map (fine in one JVM, fatal on a
+    # cluster). AQE's skew split applies to shuffled hash joins too.
     dup_starts = (
-        pos_grams.join(owners, "_gh")
+        pos_grams.join(owners.hint("shuffle_hash"), "_gh")
         .filter(F.col(id_col) > F.col("_owner"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("pos")).alias("_dups"))
@@ -462,7 +467,7 @@ def exact_substring_dedup(
     )
     keep_idx = F.filter(all_idx, lambda j: ~covered(j))
     return (
-        base.join(dup_starts, id_col, "left")
+        base.join(dup_starts.hint("shuffle_hash"), id_col, "left")
         .withColumn("_dups", F.coalesce("_dups", F.array().cast("array<int>")))
         .select(
             id_col,

@@ -103,3 +103,26 @@ def streaming_anomaly_counts(hourly: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("key", "content_hash"),
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state streaming dedup via the NATIVE
+    ``dropDuplicatesWithinWatermark``: a duplicate key arriving within
+    ``horizon`` event-time of the first sighting is dropped, and the
+    dedup state EVICTS with the watermark — memory is bounded by
+    rows-per-horizon, not stream lifetime. This is the 100 TB/day shape
+    ``streaming_first_seen``'s grow-forever hash set cannot hold; the
+    trade is exactness at the horizon edge (a duplicate arriving later
+    than ``horizon`` re-emits), which the hash-gated MERGE every sink in
+    this engine runs through absorbs idempotently (M1/M4 semantics).
+    Pick per stream: first_seen for exact lifetime dedup over bounded
+    key spaces, this for unbounded firehoses with a late-data bound.
+    """
+    return stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -494,3 +494,51 @@ def test_streaming_anomaly_trailing_state_across_batches(spark, tmp_path):
     assert rows[("click", 14)] == (14, True)   # spike vs batch-1 state
     assert rows[("click", 15)][1] is False     # back to normal
     assert rows[("view", 0)] == (0, False)     # fresh key: no state, no flag
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon drop
+    (including across micro-batches); rows with distinct keys pass. State
+    is watermark-evicted — asserted by the query making progress with
+    eviction-capable state (native dedup operator, no custom state)."""
+    import datetime as dt
+
+    from etl_stack_spark.streaming.stateful import streaming_dedup_within_watermark
+
+    src = tmp_path / "wmdedup_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "key string, content_hash string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("k1", "h1", t0), ("k1", "h1", t0 + dt.timedelta(minutes=1)),  # in-batch dup
+         ("k2", "h9", t0)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("k1", "h1", t0 + dt.timedelta(minutes=5)),  # cross-batch dup in horizon
+         ("k1", "h3", t0 + dt.timedelta(minutes=6))],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_dedup_within_watermark(stream, horizon="1 hour")
+    sink: list[tuple] = []
+
+    def collect(df, _epoch):
+        sink.extend((r["key"], r["content_hash"]) for r in df.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wmdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(sink) == [("k1", "h1"), ("k1", "h3"), ("k2", "h9")]
