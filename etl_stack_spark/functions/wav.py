@@ -1,0 +1,102 @@
+"""Pure-numpy RIFF/WAVE codec: 16-bit PCM encode/decode, no audio
+library. The audio analogue of ``functions/jpeg.py`` — makes the
+multimodal audio path REAL plumbing (parse → window → features) instead
+of a deterministic fake, within the sandbox's numpy-only constraint.
+
+Reference counterpart: the reference ships media bytes to external
+providers (``src/ETL_IMAGES/providers/image_base_provider.py`` is the
+pattern); it has no audio decoder either — this is net-new surface for
+the training-data pipeline (audio corpora are WAV/FLAC shards at rest).
+
+Format notes (public RIFF spec): little-endian chunks, ``RIFF`` size
+``WAVE``, then tagged sub-chunks; only ``fmt `` (PCM=1, 16-bit) and
+``data`` are required here, any other chunk (LIST, fact, cue) is
+skipped by its declared size. Odd-sized chunks carry a pad byte.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """mono or (n, channels) int16 samples → canonical WAV bytes."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError(f"samples must be 1-D or 2-D, got shape {arr.shape}")
+    n_channels = arr.shape[1]
+    data = arr.tobytes()  # row-major == interleaved frames
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """WAV bytes → (sample_rate, n_channels, samples[n, channels] int16).
+
+    Strict on what matters (PCM, 16-bit, well-formed chunk walk — a
+    malformed payload raises ValueError, it never hangs or wraps), and
+    tolerant of unknown chunks and the common size-field sloppiness
+    (truncated final chunk clamps to the bytes present).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        start = pos + 8
+        size = min(size, end - start)  # clamp: declared size beyond EOF
+        if tag == b"fmt " and fmt is None:
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", payload, start)
+        elif tag == b"data" and data is None:
+            data = payload[start : start + size]
+        pos = start + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if n_channels < 1:
+        raise ValueError("zero channels")
+    n_frames = len(data) // (2 * n_channels)
+    arr = np.frombuffer(data[: n_frames * 2 * n_channels], dtype="<i2")
+    return sample_rate, n_channels, arr.reshape(n_frames, n_channels)
+
+
+def window_features(mono: np.ndarray, window: int) -> list[tuple[int, int, int, int]]:
+    """Per-FULL-window (window_idx, n_samples, rms, zero_crossings) over a
+    1-D int16 array; the truncated tail window is dropped (a training
+    pipeline wants uniform windows). rms = floor(sqrt(mean(s²))) in exact
+    integer arithmetic; a crossing is a strict sign change (product < 0),
+    so zero samples break runs without counting twice.
+    """
+    out = []
+    s = mono.astype(np.int64)
+    for w in range(len(s) // window):
+        seg = s[w * window : (w + 1) * window]
+        rms = int(np.sqrt((seg * seg).sum() // window))
+        # integer floor-sqrt correction (np.sqrt is double; exact for our
+        # magnitudes but guard the boundary anyway)
+        mean_sq = int((seg * seg).sum() // window)
+        while rms * rms > mean_sq:
+            rms -= 1
+        while (rms + 1) * (rms + 1) <= mean_sq:
+            rms += 1
+        zc = int(np.count_nonzero(seg[1:] * seg[:-1] < 0))
+        out.append((w, window, rms, zc))
+    return out

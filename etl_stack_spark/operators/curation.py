@@ -155,15 +155,19 @@ def cross_doc_dup_ngrams(
         .localCheckpoint(eager=False)
     )
     gram_docs = per_dg.groupBy("_gh").agg(F.count(F.lit(1)).alias("_n_docs"))
+    # gram_docs is corpus-sized (every distinct gram): hint shuffled-hash —
+    # off the checkpoint's unknown stats the static planner kept BROADCASTING
+    # it at 1M docs (a ~36M-row map; AQE never demotes a static broadcast),
+    # the esd1 hazard class (see exact_substring_dedup)
     dup = (
-        per_dg.join(gram_docs.filter(F.col("_n_docs") >= 2), "_gh")
+        per_dg.join(gram_docs.filter(F.col("_n_docs") >= 2).hint("shuffle_hash"), "_gh")
         .groupBy(id_col)
         .agg(F.sum("_c").alias("dup_occ"))
     )
     n_windows = F.greatest(F.size("_toks") - (n - 1), F.lit(0)).cast("long")
     out = (
         base.select(id_col, n_windows.alias("n_windows"))
-        .join(dup, id_col, "left")
+        .join(dup.hint("shuffle_hash"), id_col, "left")  # dup is per-doc: corpus-sized too
         .fillna(0, ["dup_occ"])
     )
     frac = F.col("dup_occ") / F.greatest(F.col("n_windows"), F.lit(1))

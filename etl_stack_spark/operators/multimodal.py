@@ -230,3 +230,55 @@ def phash_dedup(media: DataFrame) -> DataFrame:
             F.min("media_id").alias("canonical_media_id"),
         )
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, window_idx int, sample_rate int, n_samples int, rms long, zcr int"
+)
+
+
+def audio_features(media: DataFrame, window: int = 840) -> DataFrame:
+    """audio rows (media_id, content WAV bytes) → one row per FULL
+    ``window``-sample analysis window with exact integer features:
+    rms = floor(sqrt(mean(s²))), zcr = strict sign changes. This is the
+    REAL audio path (RIFF parse → channel split → windowing) through the
+    same Arrow/mapInPandas plumbing as the image codecs — a mel/MFCC
+    extractor swaps in at ``window_features`` without touching the Spark
+    side. Non-audio or undecodable rows yield no windows (the operator
+    is a filter+explode, same contract as ``sample_frames``); stereo
+    analyzes channel 0.
+
+    Scale: embarrassingly parallel over rows, output fan-out
+    n_samples/window per row, Arrow-batched — no shuffle at all.
+    """
+    from etl_stack_spark.functions.wav import decode_wav, window_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, srs, ns, rms, zcs = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    sr, _nch, arr = decode_wav(bytes(content))
+                except ValueError:
+                    continue
+                for w, n, r, z in window_features(arr[:, 0], window):
+                    ids.append(mid)
+                    widx.append(w)
+                    srs.append(sr)
+                    ns.append(n)
+                    rms.append(r)
+                    zcs.append(z)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": widx,
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "zcr": zcs,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )

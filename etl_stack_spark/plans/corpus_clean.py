@@ -83,12 +83,16 @@ def clean_corpus_v2(
     family — Gopher-style repetition filtering and eval-benchmark
     decontamination run BETWEEN the scalar quality gates and the dedup
     stages, so the (shuffling) dedup operators only see documents that
-    already survived every map-side or broadcast-side filter.
+    already survived every per-doc filter.
 
-    Stage order is the cost order at 100 TB: pure scans first (quality,
-    language), then the one-explode repetition metrics, then the
-    broadcast decontamination join, and only then the fingerprint /
-    MinHash shuffles over the shrunken corpus.
+    The curation gates are a GATE SET, not a cascade: each is a per-doc-
+    independent signal, so they compute in parallel off one checkpoint,
+    intersect as ids-only streams, and the wide text stream shuffles
+    exactly once into the single survivor semi-join (the id set is
+    corpus-sized — broadcastable in the sandbox, impossible at 100 TB,
+    so the join is pinned shuffled-hash; sf0.1 pays ~18% on this plan
+    versus the broadcast cascade, the 100 TB shape doesn't get a
+    choice). Dedup shuffles then run over the shrunken corpus.
     """
     from etl_stack_spark.operators.curation import decontaminate, repetition_metrics
 
@@ -119,11 +123,20 @@ def clean_corpus_v2(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
     ).localCheckpoint(eager=False)
 
+    # Gate-set shape, not a gate CASCADE: both curation gates (repetition,
+    # decontamination) are per-doc-independent signals, so they compute in
+    # parallel from the same checkpoint, intersect as ids-only streams
+    # (cheap shuffles), and the WIDE text stream exchanges ONCE for the
+    # single semi join. A cascade semi-joins the wide stream per gate —
+    # and because each checkpoint erases partitioning info, every stage
+    # re-shuffles it (measured +45% on the whole wash at sf0.1). The
+    # surviving join hints shuffled-hash: the id-set is corpus-sized, and
+    # off the checkpoint's unknown stats the static planner would
+    # broadcast it (the esd1/rep2 hazard class — AQE never demotes a
+    # static broadcast).
     rep_ok = repetition_metrics(
         kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
     ).filter(F.col("keep_repetition")).select(id_col)
-    kept = kept.join(rep_ok, id_col, "left_semi").localCheckpoint(eager=False)
-
     clean_ids = (
         decontaminate(
             kept, benchmark, id_col, text_col, threshold=contamination_threshold
@@ -131,7 +144,8 @@ def clean_corpus_v2(
         .filter(~F.col("contaminated"))
         .select(id_col)
     )
-    kept = kept.join(clean_ids, id_col, "left_semi")
+    good_ids = rep_ok.join(clean_ids, id_col, "left_semi")
+    kept = kept.join(good_ids.hint("shuffle_hash"), id_col, "left_semi")
 
     w = Window.partitionBy("fp")
     exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
@@ -179,8 +193,9 @@ def clean_corpus_v3(
 
     Stage order is the cost order at 100 TB: map-side scans first, the
     bounded-shuffle corpus signals (repetition, cross-doc, broadcast
-    decontamination) next, and the survivor-picking dedup shuffles last,
-    over the shrunken corpus.
+    decontamination) next — intersected as an ids-only gate SET with one
+    wide semi-join, per clean_corpus_v2's rationale — and the
+    survivor-picking dedup shuffles last, over the shrunken corpus.
     """
     from etl_stack_spark.operators.curation import (
         cross_doc_dup_ngrams,
@@ -203,11 +218,12 @@ def clean_corpus_v3(
         (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
     ).localCheckpoint(eager=False)
 
+    # same gate-set (not cascade) shape as clean_corpus_v2 above: all three
+    # per-doc gates intersect as ids-only streams, the wide text stream
+    # semi-joins once, and the corpus-sized id set is hinted shuffled-hash
     rep_ok = repetition_metrics(
         kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
     ).filter(F.col("keep_repetition")).select(id_col)
-    kept = kept.join(rep_ok, id_col, "left_semi").localCheckpoint(eager=False)
-
     clean_ids = (
         decontaminate(
             kept, benchmark, id_col, text_col, threshold=contamination_threshold
@@ -215,8 +231,6 @@ def clean_corpus_v3(
         .filter(~F.col("contaminated"))
         .select(id_col)
     )
-    kept = kept.join(clean_ids, id_col, "left_semi")
-
     xd_ok = (
         cross_doc_dup_ngrams(
             docs, id_col, text_col, n=cross_n, max_dup_frac=max_cross_frac
@@ -224,7 +238,10 @@ def clean_corpus_v3(
         .filter(F.col("keep_cross_doc"))
         .select(id_col)
     )
-    kept = kept.join(xd_ok, id_col, "left_semi")
+    good_ids = rep_ok.join(clean_ids, id_col, "left_semi").join(
+        xd_ok, id_col, "left_semi"
+    )
+    kept = kept.join(good_ids.hint("shuffle_hash"), id_col, "left_semi")
 
     w = Window.partitionBy("fp")
     exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
