@@ -135,3 +135,51 @@ def mm4_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = media_from_documents(docs).filter(F.col("kind") == "image")
     return phash_dedup(media)
+
+
+# ---------------------------------------------------------------------------
+# AU1 — REAL audio decode: WAVs are synthesized per doc (square wave,
+# amplitude A = doc_id%1000+1, half-period h = doc_id%7+1 samples, 3360
+# samples at 8 kHz), round-tripped through the pure-numpy RIFF encoder +
+# decoder, windowed at 840 samples (840 = lcm(1..8), so every h divides
+# it), and reduced to exact integer features the oracle states in CLOSED
+# FORM: rms = A (all samples are ±A), zcr = 840/h − 1 (one strict sign
+# change at every h-boundary inside the window). Any parse, windowing,
+# or arithmetic defect breaks the hash compare — this pins the whole
+# decode path, not a fake.
+# ---------------------------------------------------------------------------
+_AU1_ORACLE = """
+SELECT doc_id AS media_id,
+  CAST(w.w AS INT) AS window_idx,
+  8000 AS sample_rate,
+  840 AS n_samples,
+  CAST(doc_id % 1000 + 1 AS BIGINT) AS rms,
+  CAST(840 // (doc_id % 7 + 1) - 1 AS INT) AS zcr
+FROM documents, (SELECT unnest(range(4)) AS w) AS w
+"""
+
+
+@register("au1_audio_features", _AU1_ORACLE)
+def au1_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_stack_spark.functions.wav import encode_wav
+    from etl_stack_spark.operators.multimodal import audio_features
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(4 * 840)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                amp = int(did) % 1000 + 1
+                half = int(did) % 7 + 1
+                wave = np.where((i // half) % 2 == 0, amp, -amp).astype(np.int16)
+                payloads.append(encode_wav(wave, 8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, schema="media_id long, content binary")
+    return audio_features(media, window=840)

@@ -1,0 +1,94 @@
+"""WAV codec + audio feature pins: encode→decode identity (hypothesis
+fuzz over shapes/rates), chunk-walk tolerance (unknown chunks, clamped
+sizes), strict rejection (never hang, never wrap), and window-feature
+arithmetic on closed-form waveforms."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from etl_stack_spark.functions.wav import decode_wav, encode_wav, window_features
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=1, max_value=3),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_roundtrip_identity(n, channels, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int64).astype(
+        np.int16
+    )
+    sr, nch, out = decode_wav(encode_wav(samples, rate))
+    assert (sr, nch) == (rate, channels)
+    assert out.shape == (n, channels) and (out == samples).all()
+
+
+def test_unknown_chunks_skipped_and_truncated_data_clamped():
+    wav = encode_wav(np.array([1, -2, 3], dtype=np.int16), 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = wav[:fmt_end] + extra + wav[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, nch, out = decode_wav(spliced)
+    assert (out[:, 0] == [1, -2, 3]).all()
+    # truncate the final sample byte: declared data size clamps, partial
+    # frame drops — no exception, no wraparound
+    sr, nch, out = decode_wav(wav[:-1])
+    assert (out[:, 0] == [1, -2]).all()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"RIFF",
+        b"RIFX" + b"\x00" * 40,                      # wrong magic
+        b"RIFF" + struct.pack("<I", 36) + b"AIFF" + b"\x00" * 32,  # not WAVE
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",    # no chunks at all
+    ],
+)
+def test_malformed_rejected(payload):
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+
+
+def test_non_pcm_rejected():
+    wav = bytearray(encode_wav(np.array([0], dtype=np.int16), 8000))
+    fmt_at = bytes(wav).index(b"fmt ") + 8
+    struct.pack_into("<H", wav, fmt_at, 3)  # IEEE float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(wav))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_garbage_never_hangs_or_wraps(payload):
+    try:
+        decode_wav(payload)
+    except ValueError:
+        pass  # rejection is the expected outcome; crash/hang is the bug
+
+
+def test_window_features_closed_forms():
+    # silence: rms 0, zcr 0
+    assert window_features(np.zeros(100, dtype=np.int16), 50) == [
+        (0, 50, 0, 0),
+        (1, 50, 0, 0),
+    ]
+    # full-scale square wave, half-period 5 over one 40-sample window
+    i = np.arange(40)
+    sq = np.where((i // 5) % 2 == 0, 32767, -32767).astype(np.int16)
+    assert window_features(sq, 40) == [(0, 40, 32767, 7)]
+    # truncated tail dropped: 90 samples / window 40 -> 2 windows only
+    assert len(window_features(np.zeros(90, dtype=np.int16), 40)) == 2
+    # rms floor: [3, 4] -> mean 12.5 -> floor 12 -> isqrt 3
+    assert window_features(np.array([3, 4], dtype=np.int16), 2)[0][2] == 3
