@@ -825,3 +825,102 @@ def diff_versions(
         for c in new.columns
     ]
     return exploded.select("_change_type", *out_cols)
+
+
+def fsck(table, remove_orphans: bool = False) -> dict:
+    """FSCK for either merge-table flavor: audit the manifest against the
+    directory tree (the maintenance op Delta ships as FSCK/VACUUM dry-run;
+    reference counterpart is Postgres owning integrity outright,
+    ``src/ETL_PROPERTIES/loader_v2.py`` — a file-backed table must earn it).
+
+    Findings, never exceptions (a broken table is the expected input):
+
+    * ``live_missing`` — the current snapshot / a live partition dir the
+      manifest points at does not exist or holds no parquet: reads WILL
+      fail; unrepairable here (restore from history or re-write).
+    * ``history_missing`` — superseded versions whose dirs are gone
+      (breaks time travel only). ``remove_orphans=True`` prunes these
+      entries from the manifest so history matches disk.
+    * ``orphans`` — ``v_*``/``p_*`` dirs on disk the manifest has never
+      heard of (crashed writers park data there: snapshots are written
+      BEFORE the manifest commit). ``remove_orphans=True`` deletes them.
+    * ``stale_lock`` — a ``COMMIT_LOCK`` older than 60s (the lock-wait
+      deadline: any live committer would have timed out by now);
+      ``remove_orphans=True`` unlinks it.
+
+    Repairs run under the commit lock (the stale lock, if any, is removed
+    first — that is the one mutation that cannot take the lock). Returns
+    ``{"ok": bool, findings..., "removed": [...]}``.
+    """
+    import shutil
+
+    root = table.root
+    manifest = table._read_manifest()
+    if "parts" in manifest:
+        live = dict(manifest["parts"])
+        history = [
+            (e["dir"] if isinstance(e, dict) else e) for e in manifest["history"]
+        ]
+        prefix = "p_"
+    else:
+        live = {"current": manifest["current"]} if manifest["current"] else {}
+        history = list(manifest["history"])
+        prefix = "v_"
+
+    def has_parquet(d: str) -> bool:
+        p = os.path.join(root, d)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    live_missing = sorted(d for d in live.values() if not has_parquet(d))
+    history_missing = sorted(
+        d for d in set(history) - set(live.values()) if not has_parquet(d)
+    )
+    known = set(history) | set(live.values())
+    orphans = sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
+        and d not in known
+    )
+    lock_path = os.path.join(root, "COMMIT_LOCK")
+    stale_lock = (
+        os.path.exists(lock_path) and time.time() - os.path.getmtime(lock_path) > 60.0
+    )
+
+    removed: list[str] = []
+    if remove_orphans and (orphans or history_missing or stale_lock):
+        if stale_lock:
+            os.unlink(lock_path)
+            removed.append("COMMIT_LOCK")
+            stale_lock = False
+        with table._commit_lock():
+            manifest = table._read_manifest()  # re-read under the lock
+            gone = set(history_missing)
+            if "parts" in manifest:
+                manifest["history"] = [
+                    e
+                    for e in manifest["history"]
+                    if (e["dir"] if isinstance(e, dict) else e) not in gone
+                ]
+            else:
+                manifest["history"] = [d for d in manifest["history"] if d not in gone]
+            tmp = table._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, table._manifest_path)
+            removed.extend(sorted(gone))
+            for d in orphans:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                removed.append(d)
+        history_missing, orphans = [], []
+
+    return {
+        "ok": not (live_missing or history_missing or orphans or stale_lock),
+        "live_missing": live_missing,
+        "history_missing": history_missing,
+        "orphans": orphans,
+        "stale_lock": stale_lock,
+        "removed": removed,
+    }

@@ -671,3 +671,86 @@ def test_diff_versions_full_row_compare_without_hash(spark, tmp_path):
         ("update_preimage", "b"): (2, 2),
         ("update_postimage", "b"): (2, 9),
     }
+
+
+def test_fsck_clean_table_ok(spark, tmp_path):
+    from etl_stack_spark.operators.merge import ParquetMergeTable, fsck
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    t.overwrite(spark.range(3).selectExpr("id", "id * 3 AS v"))
+    rep = fsck(t)
+    assert rep["ok"] and rep["removed"] == []
+
+
+def test_fsck_finds_and_repairs_orphans_and_lost_history(spark, tmp_path):
+    import os
+    import shutil
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable, fsck
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(5).selectExpr("id", "id AS v"))
+    t.overwrite(spark.range(5).selectExpr("id", "id + 1 AS v"))
+    hist = t._read_manifest()["history"]
+    # a crashed writer's parked snapshot (no manifest entry)
+    orphan = os.path.join(t.root, "v_9999999999999_1_9")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "wb").close()
+    # a superseded version whose dir was lost out-of-band
+    shutil.rmtree(os.path.join(t.root, hist[0]))
+
+    rep = fsck(t)
+    assert not rep["ok"]
+    assert rep["orphans"] == ["v_9999999999999_1_9"]
+    assert rep["history_missing"] == [hist[0]]
+    assert rep["live_missing"] == []
+
+    rep2 = fsck(t, remove_orphans=True)
+    assert sorted(rep2["removed"]) == sorted(["v_9999999999999_1_9", hist[0]])
+    assert not os.path.exists(orphan)
+    assert t._read_manifest()["history"] == [hist[1]]
+    assert fsck(t)["ok"]
+    # the repair never touched the live snapshot
+    assert t.read().count() == 5
+
+
+def test_fsck_live_missing_is_reported_not_repaired(spark, tmp_path):
+    import shutil
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable, fsck
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(2))
+    cur = t.current_version()
+    shutil.rmtree(f"{t.root}/{cur}")
+    rep = fsck(t, remove_orphans=True)
+    assert rep["live_missing"] == [cur] and not rep["ok"]
+    assert cur not in rep["removed"]  # data loss is never "repaired" away
+
+
+def test_fsck_partitioned_and_stale_lock(spark, tmp_path):
+    import os
+    import time
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable, fsck
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "p"), "region")
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "eu", 10), (2, "us", 20)], "id long, region string, v long"
+    ).withColumn("content_hash", F.sha2(F.col("v").cast("string"), 256)).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+    t.merge(df, keys=["id", "region"])
+    lock = os.path.join(t.root, "COMMIT_LOCK")
+    open(lock, "w").close()
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    rep = fsck(t)
+    assert rep["stale_lock"] and not rep["ok"]
+    rep2 = fsck(t, remove_orphans=True)
+    assert "COMMIT_LOCK" in rep2["removed"] and not os.path.exists(lock)
+    assert fsck(t)["ok"]
+    assert t.read().count() == 2
