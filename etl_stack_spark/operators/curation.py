@@ -563,6 +563,91 @@ def linear_quality_classifier(
     )
 
 
+def train_linear_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    epochs: int = 10,
+    lr: float = 4.0,
+) -> DataFrame:
+    """Train the quality classifier IN the engine (the other half of the
+    FineWeb-edu workflow ``linear_quality_classifier`` applies):
+    full-batch logistic regression by gradient descent over
+    hashing-trick features, the ivf_train/pagerank driver-loop class.
+
+    Per epoch: the (doc, bucket, cnt/n_tokens) feature stream — computed
+    ONCE and lazily checkpointed — joins the broadcast dim-row weight
+    table, per-doc logits aggregate, residuals (σ(logit) − y) join back
+    to the features, and per-bucket gradients aggregate to ``dim`` rows
+    collected to the driver for the update. Cost per epoch is two
+    doc-keyed and one bucket-keyed shuffle of compact rows, independent
+    of text width; the driver holds only the ``dim``-float weight
+    vector. 100 TB shape: exactly this, with the feature stream staged
+    to a table instead of a local checkpoint.
+
+    Returns a weights DataFrame ``(bucket long, w_milli long)`` —
+    quantized milli-units, directly pluggable into
+    ``linear_quality_classifier``. Gradient sums are float
+    (shuffle-order-dependent low bits), so training is deterministic in
+    shape but not bit-reproducible — the ql2 registry entry is
+    rows-only for that reason, with learnability pinned in units.
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    spark = docs.sparkSession
+    base = docs.select(
+        id_col,
+        F.col(label_col).cast("double").alias("_y"),
+        F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "_toks"
+        ),
+    )
+    occ = base.select(
+        id_col, F.size("_toks").alias("_n"), F.explode("_toks").alias("_tok")
+    ).select(id_col, "_n", (portable_hash60(F.col("_tok")) % dim).alias("bucket"))
+    feats = (
+        occ.groupBy(id_col, "bucket")
+        .agg((F.count(F.lit(1)) / F.first("_n")).alias("_x"))
+        .localCheckpoint(eager=False)  # one pass; every epoch reads it
+    )
+    labels = base.select(id_col, "_y").localCheckpoint(eager=False)
+    n_docs = labels.count()
+
+    import numpy as np
+
+    w = np.zeros(dim)
+    for _ in range(epochs):
+        wdf = spark.createDataFrame(
+            [(int(b), float(wb)) for b, wb in enumerate(w) if wb != 0.0] or [(0, 0.0)],
+            "bucket long, _w double",
+        )
+        logits = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum(F.coalesce(F.col("_w"), F.lit(0.0)) * F.col("_x")).alias("_z"))
+        )
+        resid = labels.join(logits, id_col, "left").select(
+            id_col,
+            (1.0 / (1.0 + F.exp(-F.coalesce(F.col("_z"), F.lit(0.0)))) - F.col("_y")).alias(
+                "_r"
+            ),
+        )
+        grad_rows = (
+            feats.join(resid, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_r") * F.col("_x")).alias("_g"))
+            .collect()
+        )
+        for row in grad_rows:
+            w[row["bucket"]] -= lr * row["_g"] / n_docs
+    return spark.createDataFrame(
+        [(b, int(round(wb * 1000))) for b, wb in enumerate(w)],
+        "bucket long, w_milli long",
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of an http(s) URL, the RefinedWeb/CCNet URL-dedup
     key: scheme and host lowercased, leading ``www.`` and the scheme's

@@ -600,3 +600,35 @@ def ql1_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_milli"),
     )
     return linear_quality_classifier(docs, weights, dim=_QL1_DIM)
+
+
+# ---------------------------------------------------------------------------
+# QL2 — train the quality filter IN the engine, then apply it: the
+# FineWeb-edu distillation loop (label a slice with the teacher — here
+# the tx2 heuristic standing in for LLM labels — train the cheap
+# fasttext-shape student on it, run the student over the corpus).
+# Rows-only registry entry: full-batch GD sums floats in shuffle order,
+# so weights are deterministic in shape but not bit-reproducible
+# (the pk2/bpe1 class); learnability is unit-pinned on a separable
+# corpus in tests/test_curation.py.
+# ---------------------------------------------------------------------------
+
+
+@register("ql2_train_apply")
+def ql2_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import (
+        linear_quality_classifier,
+        train_linear_classifier,
+    )
+    from etl_stack_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    teacher = docs.filter(F.col("source") == "src0").select(
+        "doc_id",
+        "text",
+        (quality_score(F.col("text")) >= 0.4).cast("int").alias("label"),
+    )
+    weights = train_linear_classifier(teacher, epochs=6)
+    return linear_quality_classifier(
+        docs.filter(F.col("source") != "src0"), weights
+    ).select("doc_id", "n_tokens", "keep_quality")

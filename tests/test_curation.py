@@ -374,3 +374,47 @@ def test_linear_quality_classifier_unseen_bucket_counts_in_mean(spark):
     df = spark.createDataFrame([(1, "hot hot cold")], "doc_id int, text string")
     row = linear_quality_classifier(df, weights).collect()[0]
     assert row["logit_milli"] == 666 and row["n_tokens"] == 3
+
+
+def test_train_linear_classifier_learns_separable_corpus(spark):
+    from etl_stack_spark.operators.curation import (
+        linear_quality_classifier,
+        train_linear_classifier,
+    )
+
+    # separable: label-1 docs contain 'excellent', label-0 docs 'terrible';
+    # shared filler words force the trainer to isolate the signal buckets
+    rows = []
+    for i in range(40):
+        filler = f"common word{i % 5} filler"
+        if i % 2 == 0:
+            rows.append((i, f"excellent prose {filler}", 1))
+        else:
+            rows.append((i, f"terrible junk {filler}", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    weights = train_linear_classifier(docs, epochs=8, lr=4.0)
+    scored = linear_quality_classifier(docs, weights)
+    verdicts = {
+        r["doc_id"]: r["keep_quality"]
+        for r in scored.collect()
+    }
+    acc = sum(
+        1 for i in range(40) if verdicts[i] == (i % 2 == 0)
+    ) / 40.0
+    assert acc >= 0.95, f"train accuracy {acc}"
+    # the learned signal is in the right direction: 'excellent' bucket
+    # weight above 'terrible' bucket weight
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.text import portable_hash60
+    b = (
+        spark.range(1)
+        .select(
+            (portable_hash60(F.lit("excellent")) % 4096).alias("pos"),
+            (portable_hash60(F.lit("terrible")) % 4096).alias("neg"),
+        )
+        .collect()[0]
+    )
+    wm = {r["bucket"]: r["w_milli"] for r in weights.collect()}
+    assert wm[b["pos"]] > 0 > wm[b["neg"]]
