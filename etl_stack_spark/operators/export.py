@@ -1,0 +1,115 @@
+"""Training-data export: deterministic seeded shuffle, shard assignment,
+order-proving manifests, and the physical shard writer — the WRITE side
+of a pretraining pipeline (the curation operators decide what survives;
+this module decides where each surviving row lands and in what order a
+dataloader will see it).
+
+Reference counterpart: the reference's loaders end every flow with a
+deterministic batch write (src/ETL_PROPERTIES/loader_v2.py's ordered
+batch inserts; SURVEY §2.8 M/S rows). For an LLM corpus the analogous
+contract is: a seeded, reproducible global permutation of the corpus,
+cut into a fixed number of shards, each internally ordered — so any two
+runs (or any engine) produce byte-identical shard streams, and a
+dataloader can seek to (shard, position) and resume.
+
+Spark shape (the 100 TB story):
+- The permutation key is ``portable_hash60(seed || ':' || id)`` — a
+  pure column expression, uniform, engine-portable (DuckDB mirrors it
+  with sha256 string ops), and seeded: a new seed is a brand-new
+  permutation with no data movement until the write.
+- ``shard = key % n_shards`` makes shard assignment embarrassingly
+  parallel; the ONLY shuffle is the hash exchange on ``shard``, and the
+  within-shard order is a LOCAL sort (window per shard / sortWithin-
+  Partitions) — there is never a global sort. Parallelism = n_shards,
+  which at 100 TB you size as corpus_bytes / target_shard_bytes (tens
+  of thousands), not the sandbox's 16.
+- The manifest carries an order-sensitive checksum (sum of
+  pos * (key % 2^20) in plain BIGINT) so "same bytes in the same
+  order" is a cheap cross-run/cross-engine equality check, not a prose
+  claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import portable_hash60
+
+
+def shuffle_key(id_col: Column, seed: str) -> Column:
+    """The seeded permutation key: 60-bit portable hash of ``seed:id``.
+    Non-negative, so ``% n`` is safe without pmod gymnastics."""
+    return portable_hash60(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string")))
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "s0",
+) -> DataFrame:
+    """Assign every row a ``(shard, shard_pos)`` under the seeded global
+    permutation: shard by key mod ``n_shards``, position by key order
+    within the shard (key ties — 2^-60 events — broken by id so the
+    permutation is total).
+
+    One hash exchange on ``shard``; the row_number window sorts each
+    shard locally. ``shard_pos`` is 0-based so ``pos / rows_per_file``
+    subdivides a shard into files without re-ranking.
+    """
+    key = shuffle_key(F.col(id_col), seed)
+    out = df.withColumn("_skey", key).withColumn(
+        "shard", (F.col("_skey") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return out.withColumn("shard_pos", F.row_number().over(w).cast("long") - 1)
+
+
+def shard_manifest(assigned: DataFrame, token_col: str | None = None) -> DataFrame:
+    """Per-shard manifest over ``shard_assignment`` output: row count,
+    optional token total, and an order-sensitive stream checksum
+    (``sum(shard_pos * (key % 2^20))`` — any reorder, drop, or swap of
+    two rows changes it; BIGINT-exact at any realistic shard size:
+    10^9 rows * 2^20 < 2^63).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("shard_pos") * (F.col("_skey") % F.lit(1 << 20))).alias(
+            "stream_checksum"
+        ),
+    ]
+    if token_col is not None:
+        aggs.insert(1, F.sum(token_col).alias("n_tokens"))
+    return assigned.groupBy("shard").agg(*aggs)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "s0",
+) -> DataFrame:
+    """Physically write the seeded permutation: one Hive-style
+    ``shard=N`` directory per shard, rows inside each file in
+    ``shard_pos`` order (parquet preserves row order per file, so a
+    dataloader that reads a shard's files in order replays the
+    permutation). Returns the manifest (computed BEFORE the write from
+    the same lineage, so callers can persist it next to the data).
+
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions`` is the
+    write plan — the same single exchange + local sort as the logical
+    assignment; no global sort, no driver involvement.
+    """
+    assigned = shard_assignment(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    manifest = shard_manifest(assigned)
+    (
+        assigned.drop("_skey")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return manifest

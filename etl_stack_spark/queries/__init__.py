@@ -57,6 +57,7 @@ def _load_all() -> None:
         cohort_q,
         corpus_q,
         curation_q,
+        export_q,
         geo,
         graph_q,
         multimodal_q,

@@ -1,0 +1,146 @@
+"""Training-shard export queries with DuckDB oracles: seeded-shuffle
+shard assignment (exp1), order-proving shard manifests (exp2), and the
+composed gate -> shuffle -> shard -> pack pretraining export (llm4).
+
+The permutation key is ``portable_hash60(seed || ':' || doc_id)`` —
+the same sha256 construction every portable operator here uses, so the
+oracle reproduces the full permutation bit-for-bit, including the
+order-sensitive stream checksum (any reorder or drop changes it).
+
+Reference counterpart: the reference's flows all terminate in ordered,
+idempotent batch writes (src/ETL_PROPERTIES/loader_v2.py); for an LLM
+corpus the analogous terminal operator is the deterministic shard
+stream a dataloader replays — SURVEY §2.8 plus the training-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.curation import pack_sequences
+from etl_stack_spark.operators.export import shard_assignment, shard_manifest
+from etl_stack_spark.operators.text import token_count
+from etl_stack_spark.queries import register
+from etl_stack_spark.queries.text_dedup import _TOKS
+from etl_stack_spark.session import load_table
+
+_N_SHARDS = 8
+_SEED = "s0"
+
+# the seeded permutation key, DuckDB side
+_SKEY = (
+    "('0x' || substr(sha256('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+# ---------------------------------------------------------------------------
+# EXP1 — per-row shard assignment under the seeded global permutation
+# ---------------------------------------------------------------------------
+_EXP1_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, {_SKEY} AS skey FROM documents
+)
+SELECT doc_id, CAST(skey % {_N_SHARDS} AS BIGINT) AS shard,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY skey % {_N_SHARDS} ORDER BY skey, doc_id) - 1 AS BIGINT)
+  AS shard_pos
+FROM k
+"""
+
+
+@register("exp1_shard_assignment", _EXP1_ORACLE)
+def exp1_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assignment(
+        docs.select("doc_id"), n_shards=_N_SHARDS, seed=_SEED
+    ).select("doc_id", "shard", "shard_pos")
+
+
+# ---------------------------------------------------------------------------
+# EXP2 — shard manifest: counts, token totals, order-sensitive checksum
+# ---------------------------------------------------------------------------
+_EXP2_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok, {_SKEY} AS skey
+  FROM documents
+),
+a AS (
+  SELECT doc_id, n_tok, skey, CAST(skey % {_N_SHARDS} AS BIGINT) AS shard,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY skey % {_N_SHARDS} ORDER BY skey, doc_id) - 1 AS BIGINT)
+    AS shard_pos
+  FROM k
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(shard_pos * (skey % 1048576)) AS BIGINT) AS stream_checksum
+FROM a GROUP BY shard
+"""
+
+
+@register("exp2_shard_manifest", _EXP2_ORACLE)
+def exp2_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+    assigned = shard_assignment(t, n_shards=_N_SHARDS, seed=_SEED)
+    return shard_manifest(assigned, token_col="n_tok")
+
+
+# ---------------------------------------------------------------------------
+# LLM4 — the composed pretraining export: length gate -> seeded shuffle ->
+# shard -> 512-token greedy packing in permutation order -> per-pack stats.
+# Gate n_tok >= 24 sits between the sf0.01 p25 (32) and the min (10), so
+# both outcomes occur at every scale. Packing order is the PERMUTATION
+# (skey), not doc_id — packs mix sources, which is the point of
+# shuffling before packing.
+# ---------------------------------------------------------------------------
+_LLM4_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok, {_SKEY} AS skey
+  FROM documents
+),
+g AS (SELECT * FROM k WHERE n_tok >= 24),
+a AS (
+  SELECT doc_id, n_tok, skey, CAST(skey % {_N_SHARDS} AS BIGINT) AS shard
+  FROM g
+),
+c AS (
+  SELECT shard, doc_id, n_tok,
+    CAST(coalesce(SUM(n_tok) OVER (
+      PARTITION BY shard ORDER BY skey, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_before
+  FROM a
+)
+SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY shard, CAST(floor(cum_before / 512) AS BIGINT)
+"""
+
+
+@register("llm4_pretraining_export", _LLM4_ORACLE)
+def llm4_pretraining_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
+    gated = t.filter(F.col("n_tok") >= 24)
+    assigned = shard_assignment(gated, n_shards=_N_SHARDS, seed=_SEED)
+    # permutation-order packing: _skey is unique w.p. 1 - ~2^-60 per pair;
+    # the oracle orders by (skey, doc_id) and so do we via the composed key
+    packed = pack_sequences(
+        assigned.withColumn(
+            "_okey", F.struct(F.col("_skey"), F.col("doc_id"))
+        ),
+        token_col="n_tok",
+        budget=512,
+        partition_col="shard",
+        order_col="_okey",
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

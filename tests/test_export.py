@@ -1,0 +1,126 @@
+"""Training-shard export: seeded permutation determinism, manifest
+checksum sensitivity, and the physical writer's replayable order."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stack_spark.operators.export import (
+    shard_assignment,
+    shard_manifest,
+    write_training_shards,
+)
+from etl_stack_spark.session import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tok")
+    )
+
+
+def test_same_seed_same_assignment(spark):
+    d = _docs(spark)
+    a = shard_assignment(d, n_shards=4, seed="s0").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    b = shard_assignment(d, n_shards=4, seed="s0").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_different_seed_is_a_different_permutation(spark):
+    d = _docs(spark)
+    a = shard_assignment(d, n_shards=4, seed="s0").select("doc_id", "shard", "shard_pos")
+    b = shard_assignment(d, n_shards=4, seed="s1").select("doc_id", "shard", "shard_pos")
+    moved = a.join(b, "doc_id").filter(
+        (a["shard"] != b["shard"]) | (a["shard_pos"] != b["shard_pos"])
+    )
+    assert moved.count() > 150  # a reseed moves essentially everything
+
+
+def test_positions_are_dense_per_shard(spark):
+    a = shard_assignment(_docs(spark), n_shards=4, seed="s0")
+    per = (
+        a.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("shard_pos").alias("lo"),
+             F.max("shard_pos").alias("hi"))
+        .collect()
+    )
+    assert len(per) == 4
+    for r in per:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+def test_shards_are_balanced(spark):
+    sizes = [
+        r["n"]
+        for r in shard_assignment(_docs(spark, 2000), n_shards=8, seed="s0")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) < 2 * min(sizes)  # uniform hash, 250/shard expected
+
+
+def test_checksum_detects_a_swap(spark):
+    a = shard_assignment(_docs(spark, 50), n_shards=1, seed="s0")
+    base = shard_manifest(a).collect()[0]["stream_checksum"]
+    # swap positions 0 and 1 of the single shard
+    swapped = a.withColumn(
+        "shard_pos",
+        F.when(F.col("shard_pos") == 0, 1)
+        .when(F.col("shard_pos") == 1, 0)
+        .otherwise(F.col("shard_pos")),
+    )
+    assert shard_manifest(swapped).collect()[0]["stream_checksum"] != base
+
+
+def test_writer_replays_the_permutation(spark, tmp_path):
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r["n_rows"]
+        for r in write_training_shards(d, root, n_shards=4, seed="s0").collect()
+    }
+    back = spark.read.parquet(root)
+    counts = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == manifest
+    # per-shard file order replays shard_pos order (parquet keeps row order)
+    import pyarrow.parquet as pq
+    import glob, os
+
+    for shard_dir in glob.glob(os.path.join(root, "shard=*")):
+        files = sorted(glob.glob(os.path.join(shard_dir, "*.parquet")))
+        pos = []
+        for f in files:
+            pos.extend(pq.read_table(f, columns=["shard_pos"])["shard_pos"].to_pylist())
+        assert pos == sorted(pos)
+    # the written rows ARE the assignment (ids land in their hashed shard)
+    expect = shard_assignment(d, n_shards=4, seed="s0").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    got = back.select("doc_id", F.col("shard").cast("long").alias("shard"), "shard_pos")
+    assert got.exceptAll(expect).count() == 0 and expect.exceptAll(got).count() == 0
+
+
+def test_assignment_plan_is_one_hash_exchange_no_global_sort(spark):
+    plan = (
+        shard_assignment(
+            load_table(spark, SF_SMOKE, "documents").select("doc_id"),
+            n_shards=8,
+            seed="s0",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.lower().count("exchange") <= 2  # one exchange (+AQE read)
