@@ -125,6 +125,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
         "mm1_media_features", "mm2_frame_sample", "mm3_webp_roundtrip",
         "mm4_phash_dedup",  # Arrow batches of binary media -> 60-bit hashes
+        "au1_audio_features",  # Arrow batches of WAV bytes -> frame features
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
     }
     for name, fn in sorted(all_queries().items()):
