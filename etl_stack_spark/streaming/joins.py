@@ -1,0 +1,57 @@
+"""Watermarked stream-stream joins: the attribution shape (join each
+left event to right events for the same key within an event-time
+interval) with BOUNDED state on both sides.
+
+Batch counterparts in this engine: aj1 (as-of) and rj1 (range join).
+This is the streaming form — Spark keeps each side's buffered rows only
+until its watermark plus the interval passes, so state is
+O(rate x (watermark + interval)), never O(stream). Reference
+counterpart: the reference's pollers correlate request/response pairs
+per key within a bounded window (SURVEY §2.9 ST rows); attribution is
+the same operator with money attached.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join right-side events to left-side events with the same ``key``
+    where ``left_ts <= right_ts <= left_ts + upper`` (right strictly
+    follows left — impression then click, request then response).
+
+    Both sides get an event-time watermark of ``watermark``; together
+    with the time-range predicate this lets Spark evict buffered rows,
+    which is the requirement for stream-stream joins to run at all in
+    append mode (and the requirement for outer joins to ever emit their
+    null side). Right columns come back prefixed ``r_`` so callers
+    never hit ambiguous-column resolution.
+
+    ``how``: 'inner' or 'leftOuter' (unmatched left rows emit with null
+    right columns once the watermark passes their interval).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select(
+        [F.col(c).alias(f"r_{c}") for c in r.columns]
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.r_{key}"))
+        & (F.col(f"r.r_{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.r_{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return l.join(r, cond, how)

@@ -542,3 +542,106 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(sink) == [("k1", "h1"), ("k1", "h3"), ("k2", "h9")]
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Watermarked stream-stream interval join: clicks attribute to the
+    impression of the same user within 10 minutes; outside-window and
+    wrong-key clicks drop."""
+    from etl_stack_spark.streaming.joins import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imps = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", "ad1"),
+            ("u2", "2024-01-01 00:05:00", "ad2"),
+            ("u3", "2024-01-01 00:00:00", "ad3"),
+        ],
+        "user string, ts_s string, ad string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    clicks = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:04:00", "c1"),   # in window -> match
+            ("u2", "2024-01-01 00:30:00", "c2"),   # 25 min after -> drop
+            ("u4", "2024-01-01 00:02:00", "c3"),   # no impression -> drop
+            ("u3", "2023-12-31 23:59:00", "c4"),   # BEFORE impression -> drop
+        ],
+        "user string, ts_s string, click_id string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    imps.write.parquet(str(imp_dir))
+    clicks.write.parquet(str(clk_dir))
+
+    j = interval_join(
+        spark.readStream.schema(imps.schema).parquet(str(imp_dir)),
+        spark.readStream.schema(clicks.schema).parquet(str(clk_dir)),
+        key="user",
+        upper="10 minutes",
+        watermark="30 minutes",
+    )
+    sink: list[tuple] = []
+
+    def collect(df, _epoch):
+        sink.extend((r["user"], r["ad"], r["r_click_id"]) for r in df.collect())
+
+    q = (
+        j.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(sink) == [("u1", "ad1", "c1")]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """leftOuter interval join: the unmatched impression emits with a null
+    click once a later batch's events push the watermark past its window."""
+    from etl_stack_spark.streaming.joins import interval_join
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    schema_i = "user string, ts_s string, ad string"
+    schema_c = "user string, ts_s string, click_id string"
+
+    def _w(df, path):
+        df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+            .coalesce(1).write.parquet(str(path))
+
+    _w(spark.createDataFrame([("u1", "2024-01-01 00:00:00", "ad1")], schema_i),
+       imp_dir / "b1")
+    _w(spark.createDataFrame([("u9", "2024-01-01 00:01:00", "c0")], schema_c),
+       clk_dir / "b1")
+    # watermark pushers: far-future events on both sides
+    _w(spark.createDataFrame([("u8", "2024-01-01 06:00:00", "ad9")], schema_i),
+       imp_dir / "b2")
+    _w(spark.createDataFrame([("u8", "2024-01-01 06:00:30", "c9")], schema_c),
+       clk_dir / "b2")
+
+    ts_schema = "user string, ts timestamp, ad string"
+    tc_schema = "user string, ts timestamp, click_id string"
+    j = interval_join(
+        spark.readStream.schema(ts_schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(imp_dir / "*")),
+        spark.readStream.schema(tc_schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(clk_dir / "*")),
+        key="user",
+        upper="10 minutes",
+        watermark="30 minutes",
+        how="leftOuter",
+    )
+    sink: list[tuple] = []
+
+    def collect(df, _epoch):
+        sink.extend((r["user"], r["ad"], r["r_click_id"]) for r in df.collect())
+
+    q = (
+        j.writeStream.outputMode("append")
+        .foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert ("u1", "ad1", None) in sink          # unmatched -> null side emitted
+    assert ("u8", "ad9", "c9") in sink          # matched pair still joins
