@@ -173,3 +173,61 @@ def connected_components(
             break
     e.unpersist()
     return cur.select(F.col("_nid").alias(id_col), "component_id")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count by degree-ordered edge orientation
+    (the node-iterator++ / "compact-forward" algorithm every
+    distributed graph engine uses).
+
+    Self-loops drop, direction and multiplicity collapse, then each
+    undirected edge is oriented from the endpoint with the smaller
+    (degree, id) rank to the larger. Every triangle {a,b,c} with rank
+    a<b<c appears EXACTLY once: as the wedge (a->b, a->c) closed by the
+    oriented edge (b->c) — so one wedge self-join keyed on the source
+    plus one closing equi-join keyed on the (src,dst) pair counts each
+    triangle once, no dedup stage.
+
+    100 TB shape: orientation bounds every out-neighborhood by
+    O(sqrt(E)) regardless of degree skew (the classic bound — a
+    celebrity node's edges mostly point AT it), so the wedge join's
+    per-key fan-out is capped; all three joins are equi-joins under
+    AQE's skew splitting. Returns one row: ``n_triangles``.
+    """
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("lo"),
+            F.greatest(src_col, dst_col).alias("hi"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("n"))
+        .unionAll(und.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "lo").withColumnRenamed("d", "d_lo"), "lo")
+        .join(deg.withColumnRenamed("n", "hi").withColumnRenamed("d", "d_hi"), "hi")
+    )
+    lo_first = F.struct(F.col("d_lo"), F.col("lo")) < F.struct(F.col("d_hi"), F.col("hi"))
+    o = ranked.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("s"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("t"),
+    )
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.s") == F.col("e2.s"))
+        .filter(F.col("e1.t") != F.col("e2.t"))
+        .select(F.col("e1.t").alias("a"), F.col("e2.t").alias("b"))
+    )
+    closed = wedges.join(
+        o.alias("e3"),
+        (F.col("a") == F.col("e3.s")) & (F.col("b") == F.col("e3.t")),
+        "inner",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -43,3 +43,53 @@ def pr1_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("node"))
     )
     return pagerank(nodes, edges, iterations=3, id_col="node")
+
+
+# ---------------------------------------------------------------------------
+# TC1 — exact triangle count over the nation trade graph (degree-ordered
+# orientation; see operators/graph.py:triangle_count for the O(sqrt(E))
+# fan-out bound). The oracle replicates the same orientation, so the
+# count matches exactly — each triangle closes exactly one rank-ordered
+# wedge.
+# ---------------------------------------------------------------------------
+_TC1_ORACLE = f"""
+WITH e0 AS ({_EDGES_CTE}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT lo AS n FROM und UNION ALL SELECT hi AS n FROM und)
+  GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.lo ELSE u.hi END AS s,
+         CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.hi ELSE u.lo END AS t
+  FROM und u JOIN deg dl ON dl.n = u.lo JOIN deg dh ON dh.n = u.hi
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM o e1
+JOIN o e2 ON e2.s = e1.s AND e1.t <> e2.t
+JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+"""
+
+
+@register("tc1_triangle_count", _TC1_ORACLE)
+def tc1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.graph import triangle_count
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

@@ -367,3 +367,21 @@ def test_classify_poi_two_strategy_with_veto(spark):
     ]
     assert out == ["Education", "Health", "Other", "Sport_Leisure", "Other"]
     assert len(POI_CATEGORIES) == 9  # full reference category set
+
+
+def test_triangle_count_known_graphs(spark):
+    from etl_stack_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    # K4: 4 triangles — given with duplicate/reversed/self-loop noise
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    assert tc(k4 + [(0, 0), (1, 2), (2, 1)]) == 4
+    # path 0-1-2-3: no triangles
+    assert tc([(0, 1), (1, 2), (2, 3)]) == 0
+    # star hub (celebrity node): no triangles despite max degree
+    assert tc([(9, i) for i in range(6)]) == 0
+    # two triangles sharing an edge: {0,1,2} and {0,1,3}
+    assert tc([(0, 1), (1, 2), (0, 2), (1, 3), (0, 3)]) == 2
