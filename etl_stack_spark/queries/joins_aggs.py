@@ -352,3 +352,50 @@ def u2_array_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.split(F.col("p_name"), " "), F.split(F.col("p_type"), " "))
     )
     return part.select("p_partkey", F.array_sort(merged).alias("tokens"))
+
+
+# --- FO1: full-outer reconciliation — the two-system diff shape (rows only
+# left, only right, or value-mismatched on both sides). Completes the join
+# matrix (J1-J9 cover broadcast/inner/left/semi/anti/geo); full outer is
+# what a migration off the reference's loaders runs to prove table parity.
+_FO1_ORACLE = """
+WITH a AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM orders WHERE o_totalprice >= 100000 GROUP BY o_custkey
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey, a.n_a, b.n_b,
+  CASE WHEN a.custkey IS NULL THEN 'right_only'
+       WHEN b.custkey IS NULL THEN 'left_only'
+       WHEN a.n_a = b.n_b THEN 'match' ELSE 'mismatch' END AS reconcile
+FROM a FULL OUTER JOIN b ON b.custkey = a.custkey
+"""
+
+
+@register("fo1_full_outer_reconcile", _FO1_ORACLE)
+def fo1_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        orders.filter(F.col("o_totalprice") >= 100000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    j = a.join(b, "custkey", "full_outer")
+    return j.select(
+        "custkey",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a").isNull(), "right_only")
+        .when(F.col("n_b").isNull(), "left_only")
+        .when(F.col("n_a") == F.col("n_b"), "match")
+        .otherwise("mismatch")
+        .alias("reconcile"),
+    )
