@@ -380,3 +380,67 @@ def qs1_exact_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("q_label")
         .agg(F.min("c").alias("value_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# EWM1 — exponentially weighted moving average of hourly event volume,
+# halving decay (a=1/2) over a trailing-8 window. Weights 2^7..2^0 are
+# exact BIGINT, the division is integer div of milli-units, and the
+# denominator adapts to the observations actually present at the series
+# head — so the smoother is bit-identical cross-engine with NO float in
+# the pipeline (the an1/lm1 portability discipline; float EWMA recursions
+# drift by accumulation order). Long-division range: num*1000 stays
+# under 2^63 to ~3.6e16 events/hour — never binding.
+# ---------------------------------------------------------------------------
+def _ewm1_terms() -> tuple[str, str]:
+    num, den = [], []
+    for j in range(8):
+        w = 1 << (7 - j)
+        num.append(f"COALESCE(LAG(cnt, {j}) OVER win * {w}, 0)")
+        den.append(f"CASE WHEN LAG(cnt, {j}) OVER win IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWM1_NUM, _EWM1_DEN = _ewm1_terms()
+
+_EWM1_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, cnt,
+  CAST(({_EWM1_NUM}) * 1000 // ({_EWM1_DEN}) AS BIGINT) AS ewma_milli
+FROM hourly
+WINDOW win AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+@register("ewm1_halving_ewma", _EWM1_ORACLE)
+def ewm1_halving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    num = sum(
+        (F.coalesce(F.lag("cnt", j).over(w), F.lit(0)) * F.lit(1 << (7 - j))
+         for j in range(8)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(F.lag("cnt", j).over(w).isNull(), 0).otherwise(1 << (7 - j))
+         for j in range(8)),
+        F.lit(0),
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        (num.cast("long") * 1000).cast("long").alias("_n"),
+        den.cast("long").alias("_d"),
+    ).select(
+        "event_type", "hour", "cnt",
+        F.expr("_n div _d").alias("ewma_milli"),
+    )

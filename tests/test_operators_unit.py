@@ -385,3 +385,36 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(9, i) for i in range(6)]) == 0
     # two triangles sharing an edge: {0,1,2} and {0,1,3}
     assert tc([(0, 1), (1, 2), (0, 2), (1, 3), (0, 3)]) == 2
+
+
+def test_ewm1_halving_weights_known_sequence(spark, tmp_path):
+    """Trailing-8 halving EWMA on a hand-checkable series: constant input
+    smooths to itself; a step input decays toward the new level with
+    weight 2^7/(2^8-1) on the newest point."""
+    import pyspark.sql.functions as F
+    from etl_stack_spark.queries import all_queries
+
+    rows = []
+    # 10 hours of 'a' at 4 events/hour, then 2 hours at 8/hour
+    for h in range(10):
+        rows += [(f"e{h}_{i}", 1, "a", h * 3600 + 60 * i, 0.0) for i in range(4)]
+    for h in (10, 11):
+        rows += [(f"e{h}_{i}", 1, "a", h * 3600 + 60 * i, 0.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "event_id string, user_id long, event_type string, sec long, value double"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.col("sec").cast("timestamp").alias("ts"), "value",
+    )
+    out = tmp_path / "ev"
+    df.write.parquet(str(out / "events.parquet"))
+    got = {
+        r["hour"]: (r["cnt"], r["ewma_milli"])
+        for r in all_queries()["ewm1_halving_ewma"](spark, str(out)).collect()
+    }
+    assert got[9] == (4, 4000)              # steady state: EWMA == level
+    # hour 10: newest=8 with weight 128, seven 4s with weights 127 -> 
+    # (8*128 + 4*127)*1000 div 255 = 6007
+    assert got[10] == (8, (8 * 128 + 4 * 127) * 1000 // 255)
+    # hour 0: only itself present -> denominator adapts
+    assert got[0] == (4, 4000)
