@@ -1,0 +1,83 @@
+"""Data-quality expectations: declarative checks evaluated in as few
+passes as the check class allows, returning one row per check —
+``(check, n_violations, passed)``.
+
+The validation layer the reference runs implicitly (loader_v2.py's
+per-row cleaning rejects + the dimension assert in
+src/test_sdk_migration.py:36-41) made explicit and batch-auditable —
+what Delta calls constraints and Great Expectations calls a suite.
+
+Three check classes, three cost shapes:
+- **row checks** (not-null, range, enum, regex, cross-column): ALL of
+  them fold into ONE global aggregate over a single scan — a
+  conditional sum per check, no shuffle beyond the final 1-row reduce
+  (the prof1 single-pass discipline).
+- **uniqueness**: one groupBy on the key (the unavoidable shuffle),
+  violations = sum(count-1) over groups.
+- **referential**: one left-anti join per FK against the dimension
+  (broadcast when small — Catalyst's call).
+
+At 100 TB you run the row-check class continuously (it is free on top
+of any existing full scan) and schedule the shuffle classes with the
+table's maintenance jobs (compaction/vacuum cadence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def run_expectations(
+    df: DataFrame,
+    row_checks: dict[str, Column] | None = None,
+    unique_keys: dict[str, list[str]] | None = None,
+    foreign_keys: dict[str, tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate a suite. ``row_checks`` maps check name → boolean Column
+    that is True when the ROW PASSES (violations = rows where false or
+    null). ``unique_keys`` maps name → key columns. ``foreign_keys``
+    maps name → (fact column, dimension df, dimension column); NULL fact
+    keys are not violations (SQL FK semantics).
+    """
+    parts: list[DataFrame] = []
+    if row_checks:
+        aggs = [
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).cast("long").alias(name)
+            for name, cond in row_checks.items()
+        ]
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{n}', `{n}`" for n in row_checks)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(row_checks)}, {stack}) AS (check, n_violations)"
+            )
+        )
+    for name, cols in (unique_keys or {}).items():
+        parts.append(
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.coalesce(F.sum(F.col("_c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+            .select(F.lit(name).alias("check"), "n_violations")
+        )
+    for name, (col, dim, dim_col) in (foreign_keys or {}).items():
+        orphans = (
+            df.filter(F.col(col).isNotNull())
+            .select(F.col(col).alias("_k"))
+            .join(dim.select(F.col(dim_col).alias("_k")), "_k", "left_anti")
+        )
+        parts.append(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+                F.lit(name).alias("check"), "n_violations"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)

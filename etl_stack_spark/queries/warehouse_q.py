@@ -155,3 +155,64 @@ def tt1_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= asof)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
     ).select("cust_id", "segment", "acctbal")
+
+
+# ---------------------------------------------------------------------------
+# DQ1 — data-quality expectation suite over orders/lineitem: row checks
+# fold into ONE scan-aggregate, uniqueness is one groupBy, referential
+# is one anti-join (operators/dq.py). The suite mixes passing and
+# genuinely failing checks (l_discount > 0.05 on ~45% of lineitems at
+# every scale) so `passed` is non-vacuous and detection is proven, not
+# assumed.
+# ---------------------------------------------------------------------------
+_DQ1_ORACLE = """
+SELECT "check", n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'orderdate_not_null' AS "check",
+    CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'status_enum', CAST(COUNT(*) FILTER (
+    WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'totalprice_positive', CAST(COUNT(*) FILTER (
+    WHERE o_totalprice IS NULL OR NOT o_totalprice > 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'discount_cap_5pct', CAST(COUNT(*) FILTER (
+    WHERE l_discount IS NULL OR NOT l_discount <= 0.05) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orderkey_unique',
+    CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'custkey_fk', CAST(COUNT(*) AS BIGINT)
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+"""
+
+
+@register("dq1_expectations", _DQ1_ORACLE)
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.dq import run_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    order_suite = run_expectations(
+        orders,
+        row_checks={
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "status_enum": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        foreign_keys={"custkey_fk": ("o_custkey", customer, "c_custkey")},
+    )
+    li_suite = run_expectations(
+        lineitem, row_checks={"discount_cap_5pct": F.col("l_discount") <= 0.05}
+    )
+    return order_suite.unionAll(li_suite)

@@ -136,3 +136,31 @@ def test_qs1_matches_sorted_rank_semantics(spark):
     n = len(cents)
     for label, q in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
         assert out[label] == cents[math.ceil(q * n) - 1]
+
+
+def test_dq_expectations_detect_injected_defects(spark):
+    """Each check class flags exactly the rows planted to violate it."""
+    import pyspark.sql.functions as F
+    from etl_stack_spark.operators.dq import run_expectations
+
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, -1.0), (2, 99, None), (3, None, 2.0)],
+        "id long, dim_id long, amount double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "dim_id long")
+    out = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in run_expectations(
+            fact,
+            row_checks={
+                "amount_positive": F.col("amount") > 0,   # -1 and NULL violate
+                "id_not_null": F.col("id").isNotNull(),   # none violate
+            },
+            unique_keys={"id_unique": ["id"]},            # id=2 twice -> 1
+            foreign_keys={"dim_fk": ("dim_id", dim, "dim_id")},  # 99 orphan; NULL ok
+        ).collect()
+    }
+    assert out["amount_positive"] == (2, False)
+    assert out["id_not_null"] == (0, True)
+    assert out["id_unique"] == (1, False)
+    assert out["dim_fk"] == (1, False)
