@@ -128,6 +128,20 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "au1_audio_features",  # Arrow batches of WAV bytes -> frame features
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
     }
+    # all-pairs joins: only the declared broadcast-small-side shapes may
+    # compile to BroadcastNestedLoopJoin; nothing may CartesianProduct
+    nested_loop_allowed = {
+        "ss1_bruteforce_topk",   # broadcast query side x corpus, by design
+        "q22_dormant_rich",      # scalar subquery threshold (1-row side)
+        "q11_important_stock",   # scalar subquery threshold
+        "bf1_bloom_prune",       # broadcast bit-table probe + 1-row x 1-row
+        "dsir1_importance_weights",  # 1-row global-stats side
+        "hll1_portable_distinct",    # sketch-state merge, 1-row side
+        "ir1_bm25_topk",             # 1-row corpus stats (N, avgdl)
+        "lm1_trigram_lm_score",      # 1-row LM stats (t_total, v_size)
+        "qs1_exact_quantiles_histogram",  # 1-row total-count side
+        "sp3_domain_mix",            # 1-row scale-factor side
+    }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
@@ -138,6 +152,12 @@ def test_no_row_at_a_time_python_anywhere(spark):
         ):
             assert name in arrow_allowed, (
                 f"{name}: unexpected Python stage — hot paths must stay JVM-side"
+            )
+        assert "CartesianProduct" not in plan, f"{name}: unbroadcast all-pairs join"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in nested_loop_allowed, (
+                f"{name}: undeclared nested-loop join — broadcast a declared "
+                f"small side or re-shape to an equi-join"
             )
 
 
