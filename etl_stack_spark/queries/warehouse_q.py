@@ -216,3 +216,60 @@ def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, row_checks={"discount_cap_5pct": F.col("l_discount") <= 0.05}
     )
     return order_suite.unionAll(li_suite)
+
+
+# ---------------------------------------------------------------------------
+# SKW1 — join-key skew report: the top-10 heaviest keys with exact ppm
+# shares and cumulative share. THE pre-flight for any 100 TB shuffle:
+# decides whether a key needs salting / AQE skew-split before you pay
+# for the job. Shares in integer ppm (cnt*1e6 div total) so the report
+# is bit-exact cross-engine; ordering is (count desc, key) so mid-rank
+# ties are deterministic. The counts table is |keys| rows — orderBy +
+# limit on it is the t3 shape, negligible at any corpus size.
+# ---------------------------------------------------------------------------
+_SKW1_ORACLE = """
+WITH c AS (
+  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c),
+top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+  key, cnt,
+  CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm,
+  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+       ROWS UNBOUNDED PRECEDING) * 1000000 // n_rows AS BIGINT)
+  AS cum_share_ppm
+FROM top, tot
+"""
+
+
+@register("skw1_key_skew", _SKW1_ORACLE)
+def skw1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_rows"))
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(10)
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 div n_rows").alias("share_ppm"),
+            F.expr(
+                "sum(cnt) over (order by cnt desc, key"
+                " rows unbounded preceding) * 1000000"
+            ).cast("long").alias("_cum"),
+            F.col("n_rows"),
+        )
+        .select(
+            "rank", "key", "cnt", "share_ppm",
+            F.expr("_cum div n_rows").alias("cum_share_ppm"),
+        )
+    )

@@ -141,6 +141,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "lm1_trigram_lm_score",      # 1-row LM stats (t_total, v_size)
         "qs1_exact_quantiles_histogram",  # 1-row total-count side
         "sp3_domain_mix",            # 1-row scale-factor side
+        "skw1_key_skew",             # 1-row total x top-10 report rows
     }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
