@@ -124,3 +124,23 @@ def test_assignment_plan_is_one_hash_exchange_no_global_sort(spark):
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
     assert plan.lower().count("exchange") <= 2  # one exchange (+AQE read)
+
+
+def test_assignment_invariant_to_input_partitioning(spark):
+    """The permutation is a pure function of (seed, id): however the input
+    arrives partitioned (one partition, many, pre-sorted, shuffled), the
+    (shard, shard_pos) assignment is identical — the property that makes
+    re-runs on different cluster layouts reproducible."""
+    base = _docs(spark, 500)
+    ref = shard_assignment(base.coalesce(1), n_shards=4, seed="s0").select(
+        "doc_id", "shard", "shard_pos"
+    )
+    for variant in (
+        base.repartition(7),
+        base.repartition(3, "doc_id"),
+        base.orderBy(F.col("doc_id").desc()),
+    ):
+        got = shard_assignment(variant, n_shards=4, seed="s0").select(
+            "doc_id", "shard", "shard_pos"
+        )
+        assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
