@@ -40,6 +40,8 @@ def run_expectations(
     maps name → (fact column, dimension df, dimension column); NULL fact
     keys are not violations (SQL FK semantics).
     """
+    if not (row_checks or unique_keys or foreign_keys):
+        raise ValueError("run_expectations: no checks given")
     parts: list[DataFrame] = []
     if row_checks:
         aggs = [

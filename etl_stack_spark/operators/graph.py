@@ -196,6 +196,9 @@ def triangle_count(
     per-key fan-out is capped; all three joins are equi-joins under
     AQE's skew splitting. Returns one row: ``n_triangles``.
     """
+    # GC-owned lazy checkpoint: the distinct edge set fans out three ways
+    # (both degree streams + the orientation join) — without it the
+    # dedup shuffle re-runs per consumer
     und = (
         edges.filter(F.col(src_col) != F.col(dst_col))
         .select(
@@ -203,6 +206,7 @@ def triangle_count(
             F.greatest(src_col, dst_col).alias("hi"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("lo").alias("n"))
