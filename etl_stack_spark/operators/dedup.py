@@ -420,3 +420,104 @@ def semantic_dedup(
         .distinct()
     )
     return v.join(losers, id_col, "left_anti").select(id_col, F.col("_cl").alias(cluster_col))
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    state,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 3,
+    n_minhash: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Cross-batch near-dup dedup: dd2's MinHash+LSH made INCREMENTAL.
+
+    ``state`` is a :class:`~etl_stack_spark.operators.merge.ParquetMergeTable`
+    holding one row per (band_key, surviving doc): the 8-byte LSH band
+    key plus the doc's full signature DENORMALIZED onto the row, so a
+    probe verifies candidates in the same join that finds them — no
+    second lookup. Per batch:
+
+    1. signatures for the new docs (one shingle shuffle, batch-sized);
+    2. in-batch near-dups drop (min-id survivor, the llm1 convention);
+    3. survivors' band rows equi-join the state on ``band_key``;
+       agreement ≥ threshold against ANY previously-kept doc drops the
+       newcomer;
+    4. the remaining newcomers' band rows MERGE into the state keyed on
+       (band_key, doc) with a constant hash gate — replays skip.
+
+    Replay-idempotent under the feed contract (globally unique, stable
+    ids): a replayed survivor matches only ITSELF in the state
+    (self-matches are excluded by id), survives again, and its band
+    rows merge as unchanged. Cost per batch scales with the batch and
+    its candidate fan-out, never the corpus; the state table is the
+    only corpus-sized object and is only ever equi-joined on the band
+    key (AQE-splittable — boilerplate bands are the skew to watch).
+    Docs shorter than ``n`` tokens have no signature and pass through
+    (not near-dup-detectable, same contract as minhash_signatures).
+
+    Returns the kept rows of ``new_docs`` (original columns).
+    """
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, n=n, n_minhash=n_minhash
+    ).localCheckpoint(eager=False)  # feeds in-batch pairs, probe, append
+
+    # in-batch: pairwise min-id survivor
+    in_pairs = lsh_candidate_pairs(sigs, id_col, band_size=band_size)
+    agree = lambda l, r: sum(  # noqa: E731
+        F.when(F.col(f"{l}.mh{i}") == F.col(f"{r}.mh{i}"), 1).otherwise(0)
+        for i in range(n_minhash)
+    ) / float(n_minhash)
+    a_sigs, b_sigs = sigs.alias("a"), sigs.alias("b")
+    in_losers = (
+        in_pairs.join(a_sigs, in_pairs["doc_a"] == F.col(f"a.{id_col}"))
+        .join(b_sigs, in_pairs["doc_b"] == F.col(f"b.{id_col}"))
+        .filter(agree("a", "b") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    surv_sigs = sigs.join(in_losers, id_col, "left_anti")
+
+    mh_cols = [f"mh{i}" for i in range(n_minhash)]
+    n_bands = n_minhash // band_size
+    def banded(s: DataFrame) -> DataFrame:
+        parts = []
+        for b in range(n_bands):
+            key = F.xxhash64(
+                F.lit(b), *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+            )
+            parts.append(s.select(F.col(id_col), key.alias("band_key"), *mh_cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    new_bands = banded(surv_sigs)
+    if state.exists():
+        old = state.read().alias("o")
+        cross_losers = (
+            new_bands.alias("nb")
+            .join(old, "band_key")
+            .filter(F.col(f"o.{id_col}") != F.col(f"nb.{id_col}"))
+            .filter(agree("nb", "o") >= threshold)
+            .select(F.col(f"nb.{id_col}").alias(id_col))
+            .distinct()
+        )
+        surv_sigs = surv_sigs.join(cross_losers, id_col, "left_anti")
+        new_bands = banded(surv_sigs)
+    # constant hash gate ⇒ an existing (band_key, doc) row is always
+    # "unchanged": replays and re-banding are free no-ops
+    append = new_bands.withColumn("_gate", F.lit("v1"))
+    if state.exists():
+        state.merge(append, keys=["band_key", id_col], hash_col="_gate",
+                    audit_ts_col=None)
+    else:
+        state.overwrite(append)
+    return new_docs.join(
+        surv_sigs.select(id_col), id_col, "left_semi"
+    ).unionByName(
+        # sub-n-token docs: no signature, pass through
+        new_docs.join(sigs.select(id_col), id_col, "left_anti")
+    )

@@ -418,3 +418,45 @@ def test_train_linear_classifier_learns_separable_corpus(spark):
     )
     wm = {r["bucket"]: r["w_milli"] for r in weights.collect()}
     assert wm[b["pos"]] > 0 > wm[b["neg"]]
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Cross-batch LSH state: batch-2 near-copies of batch-1 survivors
+    drop; fresh docs survive; replaying batch 2 is a no-op."""
+    from etl_stack_spark.operators.dedup import incremental_minhash_dedup
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+
+    state = ParquetMergeTable(spark, str(tmp_path / "lsh_state"))
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),              # near-dup of 1 -> in-batch drop
+            (3, "completely different words about spark shuffles and joins"),
+            (4, "tiny"),                       # < n tokens: passes through
+        ],
+        "doc_id long, text string",
+    )
+    kept1 = {r["doc_id"] for r in incremental_minhash_dedup(b1, state).collect()}
+    assert kept1 == {1, 3, 4}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " once more"),         # near-dup of doc 1 -> drop
+            (11, "an entirely novel document about parquet row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    kept2 = {r["doc_id"] for r in incremental_minhash_dedup(b2, state).collect()}
+    assert kept2 == {11}
+
+    # replay batch 2: doc 11 self-matches in state (excluded by id) and
+    # survives again; doc 10 still drops
+    kept2r = {r["doc_id"] for r in incremental_minhash_dedup(b2, state).collect()}
+    assert kept2r == {11}
+
+    # fresh session-independent check: state holds bands only for survivors
+    ids_in_state = {
+        r["doc_id"] for r in state.read().select("doc_id").distinct().collect()
+    }
+    assert ids_in_state == {1, 3, 11}
