@@ -460,64 +460,79 @@ def incremental_minhash_dedup(
 
     Returns the kept rows of ``new_docs`` (original columns).
     """
-    sigs = minhash_signatures(
-        new_docs, text_col, id_col, n=n, n_minhash=n_minhash
-    ).localCheckpoint(eager=False)  # feeds in-batch pairs, probe, append
+    # Evaluation discipline, streaming-safe: ``sigs`` is persist()ed and
+    # fully consumed INSIDE this function (every decision materializes
+    # here, the losers/survivors sever lineage via EAGER ids-only local
+    # checkpoints), then unpersisted before returning — so the caller
+    # gets a plan over tiny materialized id sets, not a tower of
+    # re-derived joins. Lazy checkpoints are avoided on purpose: inside
+    # foreachBatch their deferred materialization trips Spark's
+    # zipPartitions mismatch, and NO caching at all re-derives the
+    # signature pipeline once per band per consumer (measured: 299s for
+    # a 3-doc batch).
+    sigs = minhash_signatures(new_docs, text_col, id_col, n=n, n_minhash=n_minhash)
+    sigs.persist()
+    try:
+        sig_ids = sigs.select(id_col).localCheckpoint(eager=True)
 
-    # in-batch: pairwise min-id survivor
-    in_pairs = lsh_candidate_pairs(sigs, id_col, band_size=band_size)
-    agree = lambda l, r: sum(  # noqa: E731
-        F.when(F.col(f"{l}.mh{i}") == F.col(f"{r}.mh{i}"), 1).otherwise(0)
-        for i in range(n_minhash)
-    ) / float(n_minhash)
-    a_sigs, b_sigs = sigs.alias("a"), sigs.alias("b")
-    in_losers = (
-        in_pairs.join(a_sigs, in_pairs["doc_a"] == F.col(f"a.{id_col}"))
-        .join(b_sigs, in_pairs["doc_b"] == F.col(f"b.{id_col}"))
-        .filter(agree("a", "b") >= threshold)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
-    )
-    surv_sigs = sigs.join(in_losers, id_col, "left_anti")
-
-    mh_cols = [f"mh{i}" for i in range(n_minhash)]
-    n_bands = n_minhash // band_size
-    def banded(s: DataFrame) -> DataFrame:
-        parts = []
-        for b in range(n_bands):
-            key = F.xxhash64(
-                F.lit(b), *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-            )
-            parts.append(s.select(F.col(id_col), key.alias("band_key"), *mh_cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    new_bands = banded(surv_sigs)
-    if state.exists():
-        old = state.read().alias("o")
-        cross_losers = (
-            new_bands.alias("nb")
-            .join(old, "band_key")
-            .filter(F.col(f"o.{id_col}") != F.col(f"nb.{id_col}"))
-            .filter(agree("nb", "o") >= threshold)
-            .select(F.col(f"nb.{id_col}").alias(id_col))
+        # in-batch: pairwise min-id survivor
+        in_pairs = lsh_candidate_pairs(sigs, id_col, band_size=band_size)
+        agree = lambda l, r: sum(  # noqa: E731
+            F.when(F.col(f"{l}.mh{i}") == F.col(f"{r}.mh{i}"), 1).otherwise(0)
+            for i in range(n_minhash)
+        ) / float(n_minhash)
+        a_sigs, b_sigs = sigs.alias("a"), sigs.alias("b")
+        in_losers = (
+            in_pairs.join(a_sigs, in_pairs["doc_a"] == F.col(f"a.{id_col}"))
+            .join(b_sigs, in_pairs["doc_b"] == F.col(f"b.{id_col}"))
+            .filter(agree("a", "b") >= threshold)
+            .select(F.col("doc_b").alias(id_col))
             .distinct()
         )
-        surv_sigs = surv_sigs.join(cross_losers, id_col, "left_anti")
-        new_bands = banded(surv_sigs)
-    # constant hash gate ⇒ an existing (band_key, doc) row is always
-    # "unchanged": replays and re-banding are free no-ops
-    append = new_bands.withColumn("_gate", F.lit("v1"))
-    if state.exists():
-        state.merge(append, keys=["band_key", id_col], hash_col="_gate",
-                    audit_ts_col=None)
-    else:
-        state.overwrite(append)
-    return new_docs.join(
-        surv_sigs.select(id_col), id_col, "left_semi"
-    ).unionByName(
+        surv_sigs = sigs.join(in_losers, id_col, "left_anti")
+
+        mh_cols = [f"mh{i}" for i in range(n_minhash)]
+        n_bands = n_minhash // band_size
+
+        def banded(s: DataFrame) -> DataFrame:
+            parts = []
+            for b in range(n_bands):
+                key = F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)],
+                )
+                parts.append(s.select(F.col(id_col), key.alias("band_key"), *mh_cols))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        if state.exists():
+            old = state.read().alias("o")
+            cross_losers = (
+                banded(surv_sigs).alias("nb")
+                .join(old, "band_key")
+                .filter(F.col(f"o.{id_col}") != F.col(f"nb.{id_col}"))
+                .filter(agree("nb", "o") >= threshold)
+                .select(F.col(f"nb.{id_col}").alias(id_col))
+                .distinct()
+            )
+            surv_sigs = surv_sigs.join(cross_losers, id_col, "left_anti")
+        surv_ids = surv_sigs.select(id_col).localCheckpoint(eager=True)
+
+        # constant hash gate => an existing (band_key, doc) row is always
+        # "unchanged": replays and re-banding are free no-ops
+        append = banded(sigs.join(surv_ids, id_col, "left_semi")).withColumn(
+            "_gate", F.lit("v1")
+        )
+        if state.exists():
+            state.merge(append, keys=["band_key", id_col], hash_col="_gate",
+                        audit_ts_col=None)
+        else:
+            state.overwrite(append)
+    finally:
+        sigs.unpersist()
+    return new_docs.join(surv_ids, id_col, "left_semi").unionByName(
         # sub-n-token docs: no signature, pass through
-        new_docs.join(sigs.select(id_col), id_col, "left_anti")
+        new_docs.join(sig_ids, id_col, "left_anti")
     )

@@ -34,8 +34,17 @@ def corpus_clean_batch_fn(
     results: ParquetMergeTable,
     min_quality: float = 0.4,
     keep_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    lsh_state: ParquetMergeTable | None = None,
+    near_dup_threshold: float = 0.5,
 ):
-    """Build the foreachBatch callback: gate, redact, dedup, merge."""
+    """Build the foreachBatch callback: gate, redact, dedup, merge.
+
+    With ``lsh_state`` given, cross-batch NEAR-dup dedup runs between
+    the exact first-seen pick and the merge: survivors probe (and then
+    extend) the incremental LSH band table, so a later batch's
+    paraphrase of an already-kept document drops even though its
+    fingerprint differs (``operators/dedup.py:incremental_minhash_dedup``
+    — replay-idempotent like everything else in this flow)."""
     from etl_stack_spark.operators.curation import redact_pii
     from etl_stack_spark.operators.rank import top_1_per_group
     from etl_stack_spark.operators.text import fingerprint, lang_id, quality_score
@@ -52,6 +61,8 @@ def corpus_clean_batch_fn(
             quality_score(F.col("text")).alias("quality"),
             lang_id(F.col("text")).alias("pred_lang"),
             redact_pii(F.col("text")).alias("text_redacted"),
+            # original text rides along for near-dup shingling only
+            F.col("text").alias("_text_orig"),
         )
         kept = scored.filter(
             (F.col("quality") >= min_quality)
@@ -59,9 +70,20 @@ def corpus_clean_batch_fn(
         )
         # in-batch first-seen: min doc_id per fingerprint — deterministic
         # even when a replayed backlog collapses into one micro-batch
-        first = top_1_per_group(kept, ["fp"], [F.col("doc_id").asc()]).select(
-            *_RESULT_COLS
-        )
+        first = top_1_per_group(kept, ["fp"], [F.col("doc_id").asc()])
+        if lsh_state is not None:
+            from etl_stack_spark.operators.dedup import incremental_minhash_dedup
+
+            # rebind the state table to THIS micro-batch's (cloned)
+            # session: mixing the outer session's state.read() into the
+            # batch plan zips RDDs across sessions and AQE trips over it
+            # ("Can't zip RDDs with unequal numbers of partitions")
+            state = type(lsh_state)(batch_df.sparkSession, lsh_state.root)
+            first = incremental_minhash_dedup(
+                first, state, text_col="_text_orig",
+                threshold=near_dup_threshold,
+            )
+        first = first.select(*_RESULT_COLS)
         if results.exists():
             # keys=fp AND hash_col=fp: a matched row can never have a
             # differing hash, so matches are always "unchanged" → the
@@ -78,16 +100,18 @@ def run_corpus_clean_stream(
     feed_dir: str,
     results: ParquetMergeTable,
     checkpoint_dir: str,
+    lsh_state: ParquetMergeTable | None = None,
 ):
     """Drain the document feed through the wash into ``results``.
     availableNow (process backlog, stop) — on a cluster the same call
-    with a processingTime trigger runs continuously."""
+    with a processingTime trigger runs continuously. ``lsh_state``
+    switches on cross-batch near-dup dedup (see corpus_clean_batch_fn)."""
     from etl_stack_spark.streaming.queue import run_stream
 
     return run_stream(
         spark,
         feed_dir,
         DOC_FEED_SCHEMA,
-        corpus_clean_batch_fn(results),
+        corpus_clean_batch_fn(results, lsh_state=lsh_state),
         checkpoint_dir,
     )

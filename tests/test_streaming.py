@@ -645,3 +645,57 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     q.awaitTermination(240)
     assert ("u1", "ad1", None) in sink          # unmatched -> null side emitted
     assert ("u8", "ad9", "c9") in sink          # matched pair still joins
+
+
+def test_corpus_clean_stream_near_dup_across_batches(spark, tmp_path):
+    """With an LSH state table, the streaming wash drops a LATER batch's
+    near-copy (different fingerprint!) of an already-kept document, and a
+    fresh-checkpoint replay changes nothing."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs with the pack "
+        "through the field and the forest and the hills beyond them all"
+    )
+    other = (
+        "entirely different prose about catalyst optimizer rules and the "
+        "shuffle exchanges that adaptive execution coalesces at runtime"
+    )
+    feed = tmp_path / "ndfeed"
+    b1 = spark.createDataFrame(
+        [(1, good, "srcA", "2024-01-01 00:00:00")],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b1.write.mode("append").parquet(str(feed))
+
+    results = ParquetMergeTable(spark, str(tmp_path / "nd_corpus"))
+    lsh = ParquetMergeTable(spark, str(tmp_path / "nd_lsh"))
+    ckpt = str(tmp_path / "ckpt_nd")
+    assert run_corpus_clean_stream(
+        spark, str(feed), results, ckpt, lsh_state=lsh
+    ).awaitTermination(600), "stream did not drain in time"
+    assert {r["doc_id"] for r in results.read().collect()} == {1}
+
+    # batch 2: 10 = near-copy of 1 (extra tail -> NEW fingerprint);
+    # 11 = genuinely new content
+    b2 = spark.createDataFrame(
+        [
+            (10, good + " with a tiny tail", "srcB", "2024-01-02 00:00:00"),
+            (11, other, "srcB", "2024-01-02 00:00:01"),
+        ],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b2.write.mode("append").parquet(str(feed))
+    assert run_corpus_clean_stream(
+        spark, str(feed), results, ckpt, lsh_state=lsh
+    ).awaitTermination(600), "stream did not drain in time"
+    assert {r["doc_id"] for r in results.read().collect()} == {1, 11}
+
+    # full replay from a fresh checkpoint: near-dup state is hash-gated
+    # too, so nothing changes
+    assert run_corpus_clean_stream(
+        spark, str(feed), results, str(tmp_path / "ckpt_nd_replay"),
+        lsh_state=lsh,
+    ).awaitTermination(600), "stream did not drain in time"
+    assert {r["doc_id"] for r in results.read().collect()} == {1, 11}
