@@ -168,12 +168,27 @@ def bench_streaming_corpus(spark, sf_dir: str) -> dict:
         q = run_corpus_clean_stream(spark, feed, results, os.path.join(work, "ckpt"))
         q.awaitTermination(600)
         secs = round(time.perf_counter() - t0, 3)
-        return {
+        base = {
             "docs": n_docs,
             "result_rows": results.read().count(),
             "secs": secs,
             "docs_per_sec": round(n_docs / secs, 1) if secs else None,
         }
+        # same feed, cross-batch NEAR-dup enabled (incremental LSH state)
+        results_nd = ParquetMergeTable(spark, os.path.join(work, "results_nd"))
+        lsh = ParquetMergeTable(spark, os.path.join(work, "lsh_state"))
+        t0 = time.perf_counter()
+        q = run_corpus_clean_stream(
+            spark, feed, results_nd, os.path.join(work, "ckpt_nd"), lsh_state=lsh
+        )
+        q.awaitTermination(600)
+        secs_nd = round(time.perf_counter() - t0, 3)
+        base["neardup"] = {
+            "result_rows": results_nd.read().count(),
+            "secs": secs_nd,
+            "docs_per_sec": round(n_docs / secs_nd, 1) if secs_nd else None,
+        }
+        return base
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
