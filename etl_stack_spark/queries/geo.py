@@ -141,11 +141,16 @@ def p23_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J6 — distance-bounded join with per-category radius: the central
 # analytical join. Oracle = brute-force theta join; engine = grid prefilter.
 # ---------------------------------------------------------------------------
+# haversine computed ONCE per pair (a second copy in WHERE doubled the
+# 33M-pair transcendental work and dominated the sf0.1 audit wall time)
 _J6_ORACLE = f"""
-WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL})
-SELECT prop_id, poi_id, category, round({_HAVERSINE_SQL}, 9) AS distance_km
-FROM props CROSS JOIN pois
-WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
+pairs AS (
+  SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS d
+  FROM props CROSS JOIN pois
+)
+SELECT prop_id, poi_id, category, round(d, 9) AS distance_km
+FROM pairs WHERE d <= {_RADIUS_CASE}
 """
 
 

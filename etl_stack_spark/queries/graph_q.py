@@ -53,17 +53,17 @@ def pr1_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wedge.
 # ---------------------------------------------------------------------------
 _TC1_ORACLE = f"""
-WITH e0 AS ({_EDGES_CTE}),
-und AS (
+WITH e0 AS MATERIALIZED ({_EDGES_CTE}),
+und AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
   FROM e0 WHERE src <> dst
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT n, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT lo AS n FROM und UNION ALL SELECT hi AS n FROM und)
   GROUP BY n
 ),
-o AS (
+o AS MATERIALIZED (
   SELECT CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.lo ELSE u.hi END AS s,
          CASE WHEN (dl.d, u.lo) < (dh.d, u.hi) THEN u.hi ELSE u.lo END AS t
   FROM und u JOIN deg dl ON dl.n = u.lo JOIN deg dh ON dh.n = u.hi
