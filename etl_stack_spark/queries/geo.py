@@ -89,6 +89,14 @@ _RADIUS_CASE = (
 )
 
 
+# Exactness-safe box prefilter for the brute-force oracles: 0.15 deg is
+# >= 16km of latitude (and >= 16km of longitude at this latitude), and
+# every radius in _RADIUS_CASE is <= 10km — the box strictly contains
+# any qualifying circle, so the prefilter can never drop a true match;
+# it only spares the 33M-pair transcendental evaluation.
+_BOX_PREFILTER = "WHERE abs(poi_lat - lat) <= 15e-2 AND abs(poi_lon - lon) <= 15e-2"
+
+
 # ---------------------------------------------------------------------------
 # P21/P22 — haversine distance + walkable flag against a fixed point (SJO)
 # ---------------------------------------------------------------------------
@@ -148,6 +156,7 @@ WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
 pairs AS (
   SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS d
   FROM props CROSS JOIN pois
+  {_BOX_PREFILTER}
 )
 SELECT prop_id, poi_id, category, round(d, 9) AS distance_km
 FROM pairs WHERE d <= {_RADIUS_CASE}
@@ -183,12 +192,15 @@ _K_CASE = (
 )
 
 _LEAD_TOPK_ORACLE = f"""
-WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
-matched AS (
+WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
+pairs AS (
   SELECT prop_id, poi_id, category, brand, quality_score,
          {_HAVERSINE_SQL} AS distance_km
   FROM props CROSS JOIN pois
-  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+  {_BOX_PREFILTER}
+),
+matched AS (
+  SELECT * FROM pairs WHERE distance_km <= {_RADIUS_CASE}
 ),
 ranked AS (
   SELECT *, {_tier_sql()} AS tier,
@@ -366,11 +378,14 @@ def a4b_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T2 — top-5-per-category slice (frontend map payload) — same window, k=5
 # ---------------------------------------------------------------------------
 _T2_ORACLE = f"""
-WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
-matched AS (
+WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
+pairs AS (
   SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS distance_km
   FROM props CROSS JOIN pois
-  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+  {_BOX_PREFILTER}
+),
+matched AS (
+  SELECT * FROM pairs WHERE distance_km <= {_RADIUS_CASE}
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -398,11 +413,14 @@ def t2_top5_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T6 — closest-of-category pick (closest school = first of sorted list)
 # ---------------------------------------------------------------------------
 _T6_ORACLE = f"""
-WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
-matched AS (
+WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
+pairs AS (
   SELECT prop_id, poi_id, category, {_HAVERSINE_SQL} AS distance_km
-  FROM props CROSS JOIN pois
-  WHERE category = 'Education' AND {_HAVERSINE_SQL} <= 10e0
+  FROM props CROSS JOIN (SELECT * FROM pois WHERE category = 'Education') pois
+  {_BOX_PREFILTER}
+),
+matched AS (
+  SELECT * FROM pairs WHERE distance_km <= 10e0
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY prop_id ORDER BY distance_km, poi_id) AS rn
@@ -435,11 +453,14 @@ def t6_closest_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregated from the radius join in the same job.
 # ---------------------------------------------------------------------------
 _LEAD_METRICS_ORACLE = f"""
-WITH props AS ({_PROPS_SQL}), pois AS ({_POIS_SQL}),
-matched AS (
+WITH props AS MATERIALIZED ({_PROPS_SQL}), pois AS MATERIALIZED ({_POIS_SQL}),
+pairs AS (
   SELECT prop_id, category, brand, {_HAVERSINE_SQL} AS distance_km
   FROM props CROSS JOIN pois
-  WHERE {_HAVERSINE_SQL} <= {_RADIUS_CASE}
+  {_BOX_PREFILTER}
+),
+matched AS (
+  SELECT * FROM pairs WHERE distance_km <= {_RADIUS_CASE}
 )
 SELECT prop_id,
   CAST(COUNT(CASE WHEN distance_km < 1e0 THEN 1 END) AS BIGINT) AS n_walkable,
