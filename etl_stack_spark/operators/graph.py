@@ -235,3 +235,62 @@ def triangle_count(
         "inner",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    id_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Hop distance (BFS level) from a source set to every reachable
+    node — unweighted single/multi-source shortest paths, the frontier
+    form every distributed graph engine uses.
+
+    ``sources`` is a one-column frame of start nodes (level 0). Each
+    round relaxes one hop: current levels join edges on the source end,
+    candidate ``level+1`` labels group-min with the standing levels. A
+    node's level only ever decreases, so ``max_iter`` rounds bound the
+    discovered radius (pass the graph's diameter bound; unreachable
+    nodes are absent from the result — the caller left-joins if it
+    wants NULLs).
+
+    Scale shape: per round one equi-join of the (node, level) frame —
+    |reached| rows, compact — against the cached edge list plus one
+    groupBy-min; lineage truncates per round with GC-owned local
+    checkpoints like connected_components. Returns (id_col, level).
+    """
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")).cache()
+    cur = sources.select(F.col(sources.columns[0]).alias("_nid")).distinct().select(
+        "_nid", F.lit(0).cast("long").alias("level")
+    )
+    for _ in range(max_iter):
+        hop = (
+            e.join(cur.select(F.col("_nid").alias("_src"), "level"), "_src")
+            .select(F.col("_dst").alias("_nid"), (F.col("level") + 1).alias("level"))
+        )
+        nxt = (
+            cur.unionByName(hop)
+            .groupBy("_nid")
+            .agg(F.min("level").alias("level"))
+            .localCheckpoint(eager=True)  # probe below materializes it anyway
+        )
+        # fixpoint probe (the CC discipline): BFS on a small-diameter
+        # graph converges long before the cap, and each blind round is
+        # two jobs — stop when no node was discovered or improved
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), "_nid", "left")
+            .filter(
+                F.col("c.level").isNull() | (F.col("n.level") < F.col("c.level"))
+            )
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    e.unpersist()
+    return cur.select(F.col("_nid").alias(id_col), "level")

@@ -93,3 +93,44 @@ def tc1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# BFS1 — hop distance from nation 0 over the DIRECTED trade graph
+# (customer-nation → supplier-nation). Oracle: recursive CTE with the
+# same diameter cap the engine's frontier loop uses; MIN(dist) per node
+# collapses revisits. Levels 0/1/2 all occur on the sampled graph.
+# ---------------------------------------------------------------------------
+_BFS1_ORACLE = f"""
+WITH RECURSIVE e AS MATERIALIZED ({_EDGES_CTE}),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT CAST(e.dst AS BIGINT), w.dist + 1
+  FROM walk w JOIN e ON CAST(e.src AS BIGINT) = w.node
+  WHERE w.dist < 25
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS level FROM walk GROUP BY node
+"""
+
+
+@register("bfs1_trade_hops", _BFS1_ORACLE)
+def bfs1_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.graph import bfs_levels
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return bfs_levels(edges, sources, id_col="node", max_iter=25)

@@ -418,3 +418,19 @@ def test_ewm1_halving_weights_known_sequence(spark, tmp_path):
     assert got[10] == (8, (8 * 128 + 4 * 127) * 1000 // 255)
     # hour 0: only itself present -> denominator adapts
     assert got[0] == (4, 4000)
+
+
+def test_bfs_levels_known_graph(spark):
+    """Path + branch + unreachable: 0->1->2->3, 0->4; node 9 isolated."""
+    from etl_stack_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (9, 9)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["level"] for r in bfs_levels(edges, src).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1}  # 9 unreachable -> absent
+    # multi-source: min level wins
+    src2 = spark.createDataFrame([(0,), (2,)], "node long")
+    got2 = {r["node"]: r["level"] for r in bfs_levels(edges, src2).collect()}
+    assert got2 == {0: 0, 2: 0, 1: 1, 3: 1, 4: 1}
