@@ -231,3 +231,69 @@ def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 
         .orderBy(F.desc("score_millis"), "doc_id")
         .limit(top_k)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: the ``top_k`` bigrams by pointwise mutual
+    information, PMI = ln(C(ab)·N / (C(a)·C(b))) over corpus bigram
+    occurrences — the classic corpus-analysis signal for multiword
+    expressions (and a quality probe: high-PMI junk = boilerplate).
+
+    Integer-exact cross-engine via the lm1 discipline: the PMI argument
+    is an exact BIGINT ratio both engines compute identically, and the
+    log is quantized to milli-nats (floor(x·1000 + 0.5)) where a 1-ulp
+    libm difference flips ~1e-12 of values. ``min_count`` kills the
+    hapax noise PMI is notorious for.
+
+    Shapes: one explode + bigram groupBy (the heavy shuffle), a unigram
+    groupBy over the same stream, two equi-joins token→count (the
+    unigram table is vocabulary-sized — broadcastable in practice), and
+    a top-k over the filtered bigram table (t3 shape: orderBy+limit on
+    an aggregated frame, never the corpus). Returns
+    (gram_a, gram_b, n_pair, pmi_milli), ties broken by the pair text.
+    """
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p")
+    ).select(F.col("p.a").alias("gram_a"), F.col("p.b").alias("gram_b"))
+    big = pairs.groupBy("gram_a", "gram_b").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        pairs.select(F.col("gram_a").alias("tok"))
+        .unionAll(pairs.select(F.col("gram_b").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n_total = big.agg(F.sum("n_pair").cast("long").alias("n_total"))
+    scored = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("tok").alias("gram_a"), F.col("n_tok").alias("n_a")), "gram_a")
+        .join(uni.select(F.col("tok").alias("gram_b"), F.col("n_tok").alias("n_b")), "gram_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "gram_a", "gram_b", "n_pair",
+            F.floor(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n_total"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ) * 1000 + F.lit(0.5)
+            ).cast("long").alias("pmi_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_milli").desc(), "gram_a", "gram_b"
+    ).limit(top_k)

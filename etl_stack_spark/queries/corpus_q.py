@@ -276,3 +276,46 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         emb,
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI1 — collocation mining: top-50 bigrams by pointwise mutual
+# information, milli-nat quantized (the lm1 portability discipline; the
+# PMI argument is an exact BIGINT ratio). min_count=5 kills hapax noise.
+# ---------------------------------------------------------------------------
+_PMI1_ORACLE = """
+WITH t AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+p AS MATERIALIZED (
+  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+  FROM t WHERE len(toks) >= 2
+),
+big AS MATERIALIZED (
+  SELECT z[1] AS gram_a, z[2] AS gram_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM p GROUP BY 1, 2
+),
+uni AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM (
+    SELECT gram_a AS tok FROM (SELECT z[1] AS gram_a FROM p)
+    UNION ALL SELECT z[2] FROM p
+  ) GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM big)
+SELECT gram_a, gram_b, n_pair,
+  CAST(floor(ln((n_pair * n_total) / (1e0 * ua.n_tok * ub.n_tok)) * 1000 + 0.5)
+       AS BIGINT) AS pmi_milli
+FROM big JOIN uni ua ON ua.tok = gram_a JOIN uni ub ON ub.tok = gram_b, tot
+WHERE n_pair >= 5
+ORDER BY pmi_milli DESC, gram_a, gram_b
+LIMIT 50
+"""
+
+
+@register("pmi1_collocations", _PMI1_ORACLE)
+def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs)

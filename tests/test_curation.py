@@ -460,3 +460,22 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
         r["doc_id"] for r in state.read().select("doc_id").distinct().collect()
     }
     assert ids_in_state == {1, 3, 11}
+
+
+def test_pmi_collocations_finds_the_planted_pair(spark):
+    """'san francisco' always co-occurs -> top PMI; common filler pairs
+    score near zero; hapax pairs are filtered by min_count."""
+    from etl_stack_spark.operators.text import pmi_collocations
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"we flew to san francisco on day{i} the the the the"))
+    rows.append((99, "unique singleton pair here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(docs, min_count=5, top_k=10).collect()
+    grams = [(r["gram_a"], r["gram_b"]) for r in out]
+    assert ("san", "francisco") in grams[:5]  # consistent pair ranks high
+    assert ("unique", "singleton") not in grams  # hapax filtered
+    by_pair = {(r["gram_a"], r["gram_b"]): r["pmi_milli"] for r in out}
+    # the repetitive filler ("the the") scores far below the collocation
+    assert by_pair[("san", "francisco")] > by_pair.get(("the", "the"), -10**9)
