@@ -1,0 +1,98 @@
+"""Market-basket pair affinity — co-occurrence mining over transactions.
+
+The transaction analogue of PMI collocations (operators/text.py): where
+pmi1 scores *adjacent* token pairs in a document stream, this scores
+*all pairs within a basket* (order, session, cart), the classic
+frequent-itemset / recommendation primitive ("users who bought A also
+bought B"). Reference scope: the stack's analytics tier computes POI
+category co-occurrence per property the same way (SURVEY §2.4 A2/A3
+conditional counts); this generalizes it to a first-class operator.
+
+Scale shape (100 TB):
+- ONE shuffle of the deduplicated (basket, item) stream on basket id;
+  the per-basket self-join fan-out is bounded by basket size k (k·(k-1)/2
+  pairs — TPC-H baskets are ≤7 lines; a retail cart is tens, never
+  millions), so the pair stream is O(N·k²/2), not O(N²).
+- Item counts are a vocabulary-sized aggregate (catalog cardinality),
+  broadcastable for the count-attach joins.
+- Lift is computed in pure BIGINT (milli-units, floor division) so the
+  result is bit-identical cross-engine: lift_milli =
+  (1000·n_ab·N) DIV (n_a·n_b). Overflow bound: 1000·n_ab·N < 2^63
+  holds through ~3·10^7 baskets with n_ab=N; past that, move the
+  constant into the divisor or widen to DECIMAL(38,0).
+- Output is a t3-shape top-k (orderBy+limit on the *aggregated* pair
+  table — catalog², never the transaction stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pair_affinity(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` item pairs by basket co-occurrence, with exact
+    integer lift.
+
+    Returns (item_a, item_b, n_ab, n_a, n_b, lift_milli) where
+    item_a < item_b, n_ab ≥ ``min_support``, ordered by support then
+    pair id; lift_milli = floor(1000·n_ab·N / (n_a·n_b)) with N = the
+    number of distinct baskets. lift > 1000 ⇔ positive association.
+    """
+    pairs_src = items.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()  # presence, not multiplicity: a basket counts a pair once
+
+    n_baskets = pairs_src.agg(
+        F.countDistinct("_basket").cast("long").alias("n_baskets")
+    )
+    item_counts = pairs_src.groupBy(F.col("_item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+
+    a = pairs_src.select(F.col("_basket"), F.col("_item").alias("item_a"))
+    b = pairs_src.select(F.col("_basket"), F.col("_item").alias("item_b"))
+    co = (
+        a.join(b, "_basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+
+    scored = (
+        co.join(
+            F.broadcast(item_counts.select(F.col("_item").alias("item_a"), F.col("n_item").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("_item").alias("item_b"), F.col("n_item").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.lit(1000) * F.col("n_ab") * F.col("n_baskets"))
+            .cast("long")
+            .alias("_num"),
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("_num DIV (n_a * n_b)").cast("long").alias("lift_milli"),
+        )
+    )
+    return scored.orderBy(F.col("n_ab").desc(), "item_a", "item_b").limit(top_k)

@@ -1,0 +1,89 @@
+"""Point-in-polygon containment — the real geometry predicate behind
+SURVEY §2.3 J10 (the reference delegates `ST_Contains` to PostGIS;
+here it is the textbook even-odd ray cast, expressed as Catalyst
+higher-order functions so the hot path stays JVM-side with NO join and
+NO shuffle).
+
+Scale shape (100 TB): polygon sets in the reference's domain are
+config-sized (city districts, delivery zones — thousands of vertices,
+not billions), i.e. the same class as the POI rule table: collect once
+on the driver, embed as a literal array-of-structs, and evaluate
+O(total_edges) per point in a single projection. A billion-point scan
+stays one stage, perfectly partition-parallel, zero exchanges. For
+truly large polygon sets the coarse-then-fine pattern of
+operators/geo_join.py applies first (bbox grid prune), with this
+predicate as the refine step.
+
+Containment rule: even-odd crossing number with the half-open ray cast
+`(y1 > py) != (y2 > py) AND px < x1 + (x2-x1)·(py-y1)/(y2-y1)` — the
+public-domain PNPOLY formulation (W. R. Franklin), which handles
+concave rings and is boundary-consistent (shared edges assign a point
+to exactly one side). Horizontal edges fail the first conjunct; the
+IEEE ±inf from its zero denominator never surfaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (poly_id, closed ring) — rings repeat the first vertex last.
+Ring = tuple[int, Sequence[tuple[float, float]]]
+
+
+def _poly_literal(polygons: Sequence[Ring]) -> Column:
+    """array<struct<poly_id, edges:array<struct<x1,y1,x2,y2>>>> literal."""
+    polys = []
+    for pid, ring in polygons:
+        if ring[0] != ring[-1]:
+            raise ValueError(f"polygon {pid}: ring is not closed")
+        edges = [
+            F.struct(
+                F.lit(float(x1)).alias("x1"),
+                F.lit(float(y1)).alias("y1"),
+                F.lit(float(x2)).alias("x2"),
+                F.lit(float(y2)).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:])
+        ]
+        polys.append(
+            F.struct(F.lit(int(pid)).alias("poly_id"), F.array(*edges).alias("edges"))
+        )
+    return F.array(*polys)
+
+
+def point_in_polygon(
+    points: DataFrame,
+    polygons: Sequence[Ring],
+    point_id: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """(point_id, poly_id) for every point strictly inside a ring.
+
+    ``polygons`` is driver-side config (see module docstring); the
+    evaluation is one shuffle-free projection over ``points``.
+    """
+    px, py = F.col(x_col), F.col(y_col)
+    polys = _poly_literal(polygons)
+
+    def crossings(p: Column) -> Column:
+        return F.size(
+            F.filter(
+                p["edges"],
+                lambda e: ((e["y1"] > py) != (e["y2"] > py))
+                & (
+                    px
+                    < e["x1"]
+                    + (e["x2"] - e["x1"]) * (py - e["y1"]) / (e["y2"] - e["y1"])
+                ),
+            )
+        )
+
+    inside = F.filter(polys, lambda p: crossings(p) % 2 == 1)
+    return points.select(
+        F.col(point_id),
+        F.explode(F.transform(inside, lambda p: p["poly_id"])).alias("poly_id"),
+    )

@@ -15,7 +15,7 @@ minhash signatures should be computed once and persisted next to the text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # language markers: tiny stopword sets with high mutual exclusivity.
@@ -230,6 +230,60 @@ def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 
         .agg(F.sum("milli").alias("score_millis"))
         .orderBy(F.desc("score_millis"), "doc_id")
         .limit(top_k)
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF·IDF —
+    the inverse shape of bm25_rank (that ranks DOCS for a query; this
+    ranks TERMS for every doc), the standard corpus-labeling /
+    faceting primitive (reference counterpart: the tag columns its
+    document search endpoints facet on).
+
+    Integer-exact cross-engine: idf quantizes to milli-nats
+    (floor(ln(N/df)·1000 + 0.5) — the lm1 discipline; the ln argument
+    is an exact integer ratio), then score = tf · idf_milli is a pure
+    BIGINT product. Ties break on the term text.
+
+    100 TB shapes: tokenize-explode then ONE (doc, term) partial agg
+    is the heavy shuffle; document frequency is a vocabulary-sized agg
+    whose count-attach join broadcasts; the per-doc top-k is a
+    WindowGroupLimit over the aggregated (doc, term) table (rank
+    pushdown — never a global sort), same as the t1 family.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("tok").alias("keyword"),
+            "tf",
+            F.floor(
+                F.log((F.lit(1.0) * F.col("n_docs")) / F.col("df")) * 1000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+        .withColumn("score_milli", (F.col("tf") * F.col("idf_milli")).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("keyword")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "keyword", "tf", "idf_milli", "score_milli", F.col("rnk").cast("int").alias("rnk"))
     )
 
 

@@ -60,6 +60,7 @@ def _load_all() -> None:
         export_q,
         geo,
         graph_q,
+        mining_q,
         multimodal_q,
         joins_aggs,
         profile_q,

@@ -1,0 +1,171 @@
+"""Mining-family coverage: market-basket pair affinity, per-document
+TF·IDF keyword extraction, and real point-in-polygon containment —
+each integer-exact cross-engine with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.affinity import basket_pair_affinity
+from etl_stack_spark.operators.polygon import point_in_polygon
+from etl_stack_spark.operators.text import tfidf_keywords
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# MB1 — market-basket pair affinity over order line items: which parts
+# ship together? Support + exact integer lift (see operators/affinity.py
+# for the 100 TB shape: one basket-keyed shuffle, bounded k² fan-out).
+# ---------------------------------------------------------------------------
+_MB1_ORACLE = """
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+ic AS MATERIALIZED (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, c.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST((1000 * n_ab * n_baskets) // (ia.n_item * ib.n_item) AS BIGINT)
+         AS lift_milli
+FROM co JOIN ic ia ON ia.item = item_a JOIN ic ib ON ib.item = item_b, n
+ORDER BY n_ab DESC, item_a, item_b
+LIMIT 100
+"""
+
+
+@register("mb1_pair_affinity", _MB1_ORACLE)
+def mb1_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pair_affinity(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_support=2, top_k=100
+    ).select(
+        F.col("item_a"), F.col("item_b"), "n_ab", "n_a", "n_b", "lift_milli"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KW1 — per-document TF·IDF keywords (top-3); milli-nat idf, BIGINT score.
+# ---------------------------------------------------------------------------
+_KW1_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dfreq AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS keyword, tf.tf,
+         CAST(floor(ln((1e0 * n_docs) / df) * 1000 + 0.5) AS BIGINT) AS idf_milli
+  FROM tf JOIN dfreq USING (tok), n
+)
+SELECT doc_id, keyword, tf, idf_milli,
+       CAST(tf * idf_milli AS BIGINT) AS score_milli,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, tf * idf_milli AS s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tf * idf_milli DESC, keyword) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+@register("kw1_tfidf_keywords", _KW1_ORACLE)
+def kw1_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, id_col="doc_id", text_col="text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# GP1 — point-in-polygon (PNPOLY even-odd ray cast) over deterministic
+# synthetic zones; customers placed on a 0..100 grid from c_custkey via
+# exact integer arithmetic (both engines derive identical doubles).
+# The four rings include two concave shapes so the even-odd rule is
+# actually exercised (a bbox test would get those wrong).
+# ---------------------------------------------------------------------------
+_GP1_POLYGONS = [
+    (1, [(5.23, 5.17), (38.91, 8.41), (31.57, 39.73), (9.11, 33.29), (5.23, 5.17)]),
+    (2, [(45.03, 52.11), (93.47, 55.23), (69.91, 94.87), (45.03, 52.11)]),
+    (
+        3,
+        [
+            (52.19, 5.07),
+            (94.83, 7.93),
+            (92.11, 44.17),
+            (73.57, 23.09),
+            (55.13, 41.87),
+            (52.19, 5.07),
+        ],
+    ),
+    (
+        4,
+        [
+            (8.17, 55.91),
+            (35.73, 58.13),
+            (33.11, 91.47),
+            (21.03, 72.19),
+            (10.91, 89.53),
+            (8.17, 55.91),
+        ],
+    ),
+]
+
+
+def _gp1_edges_values() -> str:
+    rows = []
+    for pid, ring in _GP1_POLYGONS:
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            rows.append(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ",\n    ".join(rows)
+
+
+_GP1_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 37) % 1000) / 10.0 AS px,
+         ((c_custkey * 91) % 1000) / 10.0 AS py
+  FROM customer
+),
+edges(poly_id, x1, y1, x2, y2) AS (
+  VALUES
+    {_gp1_edges_values()}
+),
+cr AS (
+  SELECT c_custkey, poly_id, COUNT(*) AS k
+  FROM pts JOIN edges
+    ON ((y1 > py) <> (y2 > py))
+   AND (px < x1 + (x2 - x1) * (py - y1) / (y2 - y1))
+  GROUP BY 1, 2
+)
+SELECT c_custkey, CAST(poly_id AS INT) AS poly_id FROM cr WHERE k % 2 = 1
+"""
+
+
+@register("gp1_point_in_polygon", _GP1_ORACLE)
+def gp1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 1000) / F.lit(10.0)).alias("px"),
+        (((F.col("c_custkey") * 91) % 1000) / F.lit(10.0)).alias("py"),
+    )
+    return point_in_polygon(
+        pts, _GP1_POLYGONS, point_id="c_custkey", x_col="px", y_col="py"
+    ).select("c_custkey", F.col("poly_id").cast("int").alias("poly_id"))

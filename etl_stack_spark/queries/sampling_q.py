@@ -63,6 +63,39 @@ def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SP4 — weighted sampling without replacement (priority sampling,
+# Duffield/Lund/Thorup): key = hash/weight, keep the k smallest keys —
+# longer documents are proportionally likelier to be drawn, yet the
+# draw is deterministic, engine-portable, and repartition-stable
+# (everything sp1 demands, plus weights). Integer-exact: priority is
+# BIGINT floor division of the 60-bit hash by the weight; the k-smallest
+# slice is a TakeOrdered (never a global sort).
+# ---------------------------------------------------------------------------
+_SP4_ORACLE = """
+SELECT doc_id, n_chars,
+  CAST((('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+       // greatest(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 50
+"""
+
+
+@register("sp4_weighted_sample", _SP4_ORACLE)
+def sp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    priority = F.expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 15), 16, 10) AS BIGINT) "
+        "DIV greatest(n_chars, 1L)"
+    )
+    return (
+        docs.select("doc_id", "n_chars", priority.cast("long").alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SP3 — domain-mixture sampling to target token shares
 # ---------------------------------------------------------------------------
 _TOP_SOURCES = ("src0", "src1", "src2", "src3", "src4")

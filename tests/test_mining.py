@@ -1,0 +1,120 @@
+"""Planted-value units for the mining family: basket pair affinity,
+point-in-polygon ray casting, TF·IDF keywords, weighted priority
+sampling. The sf0.01 cross-engine checks live in test_oracle_parity;
+these pin the *semantics* on frames small enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.affinity import basket_pair_affinity
+from etl_stack_spark.operators.polygon import point_in_polygon
+from etl_stack_spark.operators.text import tfidf_keywords
+
+
+def test_basket_affinity_counts_presence_not_multiplicity(spark):
+    # basket 1 holds item A twice — the (A,B) pair still counts once
+    rows = [
+        (1, "A"), (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = basket_pair_affinity(df, "basket", "item", min_support=1, top_k=10)
+    got = {(r.item_a, r.item_b): r for r in out.collect()}
+    ab = got[("A", "B")]
+    assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3
+    # lift = N*n_ab/(n_a*n_b) = 4*2/9 = 0.888… → 888 milli (floor)
+    assert ab.lift_milli == 888
+    ac = got[("A", "C")]
+    assert ac.n_ab == 1 and ac.lift_milli == 4 * 1 * 1000 // (3 * 1)
+
+
+def test_basket_affinity_min_support_and_order(spark):
+    rows = [(b, i) for b in range(6) for i in ("X", "Y")] + [(0, "Z"), (1, "Z")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = basket_pair_affinity(df, "basket", "item", min_support=3, top_k=10).collect()
+    assert [(r.item_a, r.item_b, r.n_ab) for r in out] == [("X", "Y", 6)]
+
+
+SQUARE = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+# concave "C": a 10x10 square with a 4-wide notch cut from the right side
+NOTCHED = [
+    (20.0, 0.0), (30.0, 0.0), (30.0, 3.0), (24.0, 3.0), (24.0, 7.0),
+    (30.0, 7.0), (30.0, 10.0), (20.0, 10.0), (20.0, 0.0),
+]
+
+
+def test_point_in_polygon_convex_and_concave(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 5.0, 5.0),     # inside square
+            (2, 15.0, 5.0),    # between the shapes
+            (3, 22.0, 5.0),    # inside notched body
+            (4, 27.0, 5.0),    # inside the notch -> OUTSIDE (bbox would say inside)
+            (5, 27.0, 8.5),    # upper arm of the C -> inside
+            (6, -1.0, 5.0),    # left of everything
+        ],
+        "point_id int, x double, y double",
+    )
+    out = point_in_polygon(pts, [(1, SQUARE), (2, NOTCHED)])
+    got = sorted((r.point_id, r.poly_id) for r in out.collect())
+    assert got == [(1, 1), (3, 2), (5, 2)]
+
+
+def test_point_in_polygon_requires_closed_ring(spark):
+    import pytest
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "point_id int, x double, y double")
+    with pytest.raises(ValueError, match="not closed"):
+        point_in_polygon(pts, [(1, SQUARE[:-1])])
+
+
+def test_tfidf_keywords_planted_term(spark):
+    # "zebra" appears 3x in doc 1 and nowhere else; "the" is in every doc.
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra the cat"),
+            (2, "the dog sat"),
+            (3, "the cat sat"),
+            (4, "the bird flew"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    top = {r.doc_id: [] for r in out.collect()}
+    for r in sorted(out.collect(), key=lambda r: (r.doc_id, r.rnk)):
+        top[r.doc_id].append(r.keyword)
+    assert top[1][0] == "zebra"
+    # idf of "the" is ln(4/4)=0 -> score 0 for every doc; planted rank-1
+    # terms must be the distinctive ones, never "the"
+    for d, kws in top.items():
+        assert kws[0] != "the"
+    one = {r.keyword: r for r in out.collect() if r.doc_id == 1}
+    z = one["zebra"]
+    assert z.tf == 3 and z.idf_milli == 1386 and z.score_milli == 3 * 1386
+
+
+def test_weighted_priority_sample_prefers_heavy_docs(spark):
+    # priority = hash60 // weight: a weight ~1e15 crushes priority toward 0,
+    # so the heavy doc must be drawn first no matter its hash.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etl_stack_spark.queries.sampling_q import sp4_weighted_sample  # noqa: F401
+    from etl_stack_spark.operators.text import portable_hash60
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(1, 40)] + [(1000, 10**15)],
+        "doc_id long, n_chars long",
+    )
+    pri = F.expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 15), 16, 10) AS BIGINT) "
+        "DIV greatest(n_chars, 1L)"
+    )
+    first = (
+        docs.select("doc_id", pri.alias("p")).orderBy("p", "doc_id").limit(1).collect()
+    )
+    assert first[0].doc_id == 1000 and first[0].p < 10**6

@@ -142,6 +142,9 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "qs1_exact_quantiles_histogram",  # 1-row total-count side
         "sp3_domain_mix",            # 1-row scale-factor side
         "skw1_key_skew",             # 1-row total x top-10 report rows
+        "pmi1_collocations",         # 1-row corpus bigram total
+        "mb1_pair_affinity",         # 1-row basket-count side
+        "kw1_tfidf_keywords",        # 1-row doc-count side
     }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
