@@ -158,6 +158,89 @@ SELECT c_custkey, CAST(poly_id AS INT) AS poly_id FROM cr WHERE k % 2 = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ER1 — entity resolution: blocked fuzzy match (fz1's shape, tighter
+# threshold) → similarity edge graph → connected components → every
+# name labeled with its canonical entity (min node id in the
+# component) and the canonical spelling. The classic MDM / author-dedup
+# pipeline as ONE composed query; oracle = recursive-CTE reachability
+# (the dd6/a4b pattern).
+#
+# 100 TB shapes: the match graph is built from a BLOCKED self-join
+# (first-token equi-key — O(block²), never O(n²)); components use the
+# pointer-jumping loop of operators/graph.py (edge-keyed equi-joins,
+# lineage truncated per round); the canonical join-back broadcasts the
+# component→name map only if small (it is entity-cardinality).
+# ---------------------------------------------------------------------------
+_ER1_ORACLE = """
+WITH RECURSIVE
+names AS MATERIALIZED (
+  SELECT lower(p_name) AS nm, CAST(MIN(p_partkey) AS BIGINT) AS nid,
+         split_part(lower(p_name), ' ', 1) AS blk
+  FROM part GROUP BY lower(p_name)
+),
+m AS MATERIALIZED (
+  SELECT a.nid AS src, b.nid AS dst
+  FROM names a JOIN names b ON a.blk = b.blk AND a.nid < b.nid
+  WHERE 1e0 - levenshtein(a.nm, b.nm) / greatest(len(a.nm), len(b.nm)) >= 0.6
+),
+edges AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+reach AS (
+  SELECT nid AS p, nid AS q FROM names
+  UNION
+  SELECT r.p, e.dst FROM reach r JOIN edges e ON r.q = e.src
+),
+cc AS (SELECT p AS nid, CAST(MIN(q) AS BIGINT) AS entity_id FROM reach GROUP BY p)
+SELECT n.nm, cc.entity_id, cn.nm AS canonical_nm,
+       CAST(COUNT(*) OVER (PARTITION BY cc.entity_id) AS BIGINT) AS n_members
+FROM names n JOIN cc ON n.nid = cc.nid JOIN names cn ON cn.nid = cc.entity_id
+"""
+
+
+@register("er1_entity_resolution", _ER1_ORACLE)
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy(F.lower("p_name").alias("nm"))
+        .agg(F.min("p_partkey").cast("long").alias("nid"))
+        .withColumn("blk", F.get(F.split(F.col("nm"), " "), 0))
+    )
+    a = names.select(F.col("nm").alias("nm_a"), F.col("nid").alias("src"), "blk")
+    b = names.select(F.col("nm").alias("nm_b"), F.col("nid").alias("dst"), "blk")
+    sim = F.lit(1.0) - F.levenshtein("nm_a", "nm_b") / F.greatest(
+        F.length("nm_a"), F.length("nm_b")
+    )
+    edges = (
+        a.join(b, "blk")
+        .filter((F.col("src") < F.col("dst")) & (sim >= 0.6))
+        .select("src", "dst")
+    )
+    cc = connected_components(
+        names.select("nid"),
+        edges,
+        id_col="nid",
+        src_col="src",
+        dst_col="dst",
+        # the name graph is entity-scale (vocabulary of distinct names,
+        # not corpus rows); size the loop's shuffles accordingly
+        loop_shuffle_partitions=8,
+    ).withColumnRenamed("component_id", "entity_id")
+    canon = names.select(
+        F.col("nid").alias("entity_id"), F.col("nm").alias("canonical_nm")
+    )
+    out = (
+        names.join(cc, "nid")
+        .join(F.broadcast(canon), "entity_id")
+        .select("nm", "entity_id", "canonical_nm")
+    )
+    w = Window.partitionBy("entity_id")
+    return out.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+
+
 @register("gp1_point_in_polygon", _GP1_ORACLE)
 def gp1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

@@ -118,3 +118,28 @@ def test_weighted_priority_sample_prefers_heavy_docs(spark):
         docs.select("doc_id", pri.alias("p")).orderBy("p", "doc_id").limit(1).collect()
     )
     assert first[0].doc_id == 1000 and first[0].p < 10**6
+
+
+def test_entity_resolution_transitive_chain(spark):
+    # "alpha xx" ~ "alpha xy" ~ "alpha yy" chain: a-b and b-c match at
+    # 0.6 but a-c alone would not -> one entity via transitivity.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etl_stack_spark.queries.mining_q import er1_entity_resolution  # noqa: F401
+    from etl_stack_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    names = spark.createDataFrame(
+        [(1, "alpha xx"), (2, "alpha xy"), (3, "alpha yy"), (9, "beta zz")],
+        "nid long, nm string",
+    )
+    a = names.select(F.col("nid").alias("src"), F.col("nm").alias("na"))
+    b = names.select(F.col("nid").alias("dst"), F.col("nm").alias("nb"))
+    sim = F.lit(1.0) - F.levenshtein("na", "nb") / F.greatest(
+        F.length("na"), F.length("nb")
+    )
+    edges = a.crossJoin(b).filter((F.col("src") < F.col("dst")) & (sim >= 0.8))
+    cc = connected_components(names.select("nid"), edges, id_col="nid")
+    got = {r.nid: r.component_id for r in cc.collect()}
+    assert got[1] == got[2] == got[3] == 1 and got[9] == 9
