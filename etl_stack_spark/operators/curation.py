@@ -25,6 +25,8 @@ DuckDB oracle pair in ``queries/curation_q.py``.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -346,6 +348,49 @@ def pack_sequences_ffd(
         partition_col, order_col, F.col(token_col).cast("long").alias(token_col)
     )
     return proj.groupBy(partition_col).applyInPandas(pack, out_schema)
+
+
+def compression_ratio_milli(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deflate compression ratio per document, in MILLI-UNITS:
+    ``len(zlib(text, level=6)) * 1000 // len(utf8(text))`` — the
+    Dolma/RedPajama-class quality signal: boilerplate, template spam,
+    and keyword-stuffed SEO pages compress far below natural prose
+    (typical English lands ~350-600 milli; sub-~200 is a red flag,
+    near/over 1000 is random or already-compressed bytes).
+
+    This is the engine's third permanent Python surface (with P12
+    accent-fold and the media codecs): DEFLATE has no Column-expression
+    form, so the batch runs as an Arrow-vectorized pandas UDF —
+    per-partition scan, zero shuffle, and the regex-free hot loop is
+    C (zlib) per batch. Determinism: zlib's output for a fixed input
+    and level is stable for a given zlib build; the RATIO additionally
+    absorbs byte-level wiggle between builds in all but adversarial
+    cases, and the oracle pair is rows-only by design (no SQL engine
+    exposes deflate) with planted-value units pinning the semantics.
+
+    Returns (all input columns) + ``zratio_milli`` BIGINT; empty/null
+    text maps to NULL (no length to ratio against).
+    """
+    from pyspark.sql.types import LongType
+
+    def _zratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) * 1000 // len(raw)
+
+        return s.map(one)
+
+    # explicit returnType + a plain function: @pandas_udf's hint
+    # inspection can't resolve annotations under
+    # `from __future__ import annotations` when pandas is scope-local
+    zratio = F.pandas_udf(_zratio, LongType())
+    return docs.withColumn("zratio_milli", zratio(F.col(text_col)))
 
 
 def trigram_lm_score(docs: DataFrame, ref: DataFrame, text_col: str = "text") -> DataFrame:

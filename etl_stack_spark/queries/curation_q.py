@@ -632,3 +632,21 @@ def ql2_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_classifier(
         docs.filter(F.col("source") != "src0"), weights
     ).select("doc_id", "n_tokens", "keep_quality")
+
+
+# ---------------------------------------------------------------------------
+# ZR1 — deflate compression-ratio quality signal (rows-only tier: no SQL
+# engine exposes zlib; semantics pinned by planted-value units in
+# tests/test_curation.py). Output is deterministic for a given zlib
+# build; the Arrow batch path is the declared Python surface.
+# ---------------------------------------------------------------------------
+@register("zr1_compression_ratio")
+def zr1_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import compression_ratio_milli
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        compression_ratio_milli(docs)
+        .select("doc_id", "zratio_milli")
+        .withColumn("flag_boilerplate", (F.col("zratio_milli") < 200).cast("int"))
+    )

@@ -479,3 +479,25 @@ def test_pmi_collocations_finds_the_planted_pair(spark):
     by_pair = {(r["gram_a"], r["gram_b"]): r["pmi_milli"] for r in out}
     # the repetitive filler ("the the") scores far below the collocation
     assert by_pair[("san", "francisco")] > by_pair.get(("the", "the"), -10**9)
+
+
+def test_compression_ratio_orders_boilerplate_below_prose(spark):
+    from etl_stack_spark.operators.curation import compression_ratio_milli
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 500),                           # template spam
+            (2, "The quick brown fox jumps over the lazy dog. "
+                "Pack my box with five dozen liquor jugs. "
+                "Sphinx of black quartz, judge my vow. " * 4),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.zratio_milli for r in compression_ratio_milli(docs).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[1] < 100 < got[2]          # spam compresses an order harder
+    import zlib
+    raw = ("buy now " * 500).encode()
+    assert got[1] == len(zlib.compress(raw, 6)) * 1000 // len(raw)  # exact contract
