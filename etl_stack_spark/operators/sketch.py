@@ -86,6 +86,94 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     return harmonic.select(est.alias("est_distinct"))
 
 
+def hll_sketch_grouped(df: DataFrame, group_col: str, key: Column) -> DataFrame:
+    """(group, register, max_rank) — the per-KEY sketch family ("distinct
+    users per day/event type"), m rows per group after ONE partial-agg
+    shuffle on (group, register). Shards/late data merge by re-running
+    the same groupBy-max — the mergeability that makes this the 100 TB
+    shape where countDistinct per group would need a full re-shuffle of
+    raw keys per refresh."""
+    h = portable_hash60(key)
+    return (
+        df.select(
+            F.col(group_col),
+            (h % M_REGISTERS).alias("register"),
+            _rank_expr(F.shiftright(h, 6)).alias("rank"),
+        )
+        .groupBy(group_col, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_grouped(sketch: DataFrame, group_col: str) -> DataFrame:
+    """(group, est_distinct) — the hll_estimate arithmetic applied per
+    group over a (groups × m) dense spine. The spine is group-cardinality
+    × 64 rows: broadcast-sized by construction for any real grouping
+    column."""
+    groups = sketch.select(group_col).distinct()
+    spine = groups.crossJoin(
+        F.broadcast(
+            sketch.sparkSession.range(M_REGISTERS).select(F.col("id").alias("register"))
+        )
+    )
+    dense = spine.join(F.broadcast(sketch), [group_col, "register"], "left").select(
+        F.col(group_col), F.coalesce("max_rank", F.lit(0)).alias("rank")
+    )
+    out = F.lit(_CONTRIB[0]).cast("decimal(38,18)")
+    for r in range(MAX_RANK, 0, -1):
+        out = F.when(F.col("rank") == r, F.lit(_CONTRIB[r]).cast("decimal(38,18)")).otherwise(out)
+    harmonic = dense.groupBy(group_col).agg(F.sum(out).alias("s"))
+    est = F.round(
+        F.lit(ALPHA) * F.lit(M_REGISTERS) * F.lit(M_REGISTERS) / F.col("s").cast("double"), 4
+    )
+    return harmonic.select(F.col(group_col), est.alias("est_distinct"))
+
+
+def hll_grouped_oracle_sql(group_sql: str, key_sql: str, from_sql: str) -> str:
+    """DuckDB rendering of the identical grouped sketch + estimate."""
+    lowbit_cases = " ".join(
+        f"WHEN {1 << j} THEN {j + 1}" for j in range(_SUFFIX_BITS)
+    )
+    contrib_cases = " ".join(
+        f"WHEN {r} THEN CAST('{_CONTRIB[r]}' AS DECIMAL(38,18))"
+        for r in range(1, MAX_RANK + 1)
+    )
+    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {group_sql} AS grp,
+         {h} % {M_REGISTERS} AS register,
+         {h} >> 6 AS suffix
+  {from_sql}
+),
+ranked AS (
+  SELECT grp, register,
+         CASE WHEN suffix = 0 THEN {MAX_RANK}
+              ELSE CASE suffix & -suffix {lowbit_cases} ELSE {MAX_RANK} END
+         END AS rank
+  FROM hashed
+),
+sketch AS (
+  SELECT grp, register, MAX(rank) AS max_rank FROM ranked GROUP BY grp, register
+),
+dense AS (
+  SELECT g.grp, coalesce(s.max_rank, 0) AS rank
+  FROM (SELECT DISTINCT grp FROM sketch) g
+  CROSS JOIN range({M_REGISTERS}) r(register)
+  LEFT JOIN sketch s ON s.grp = g.grp AND s.register = r.register
+),
+s AS (
+  SELECT grp,
+         SUM(CASE rank {contrib_cases}
+             ELSE CAST('{_CONTRIB[0]}' AS DECIMAL(38,18)) END) AS s
+  FROM dense GROUP BY grp
+)
+SELECT grp, round(CAST({ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
+                  / CAST(s AS DOUBLE), 4) AS est_distinct
+FROM s
+"""
+
+
 def hll_oracle_sql(key_sql: str, from_sql: str) -> str:
     """DuckDB rendering of the identical sketch + estimate."""
     lowbit_cases = " ".join(

@@ -125,3 +125,51 @@ def cm1_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(probe, F.col("c_custkey").cast("string"), sketch).select(
         "c_custkey", "true_cnt", "cm_est"
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL2 — grouped portable HLL: estimated distinct users per event_type,
+# side-by-side with the exact count and relative error. The per-group
+# sketch (m rows per group after one partial-agg shuffle) is the 100 TB
+# refresh shape — see operators/sketch.py.
+# ---------------------------------------------------------------------------
+from etl_stack_spark.operators.sketch import (  # noqa: E402
+    hll_estimate_grouped,
+    hll_grouped_oracle_sql,
+    hll_sketch_grouped,
+)
+
+_HLL2_ORACLE = f"""
+WITH est AS ({hll_grouped_oracle_sql(
+    "event_type", "CAST(user_id AS VARCHAR)", "FROM events"
+)}),
+tru AS (
+  SELECT event_type AS grp,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT est.grp AS event_type, est.est_distinct, tru.true_distinct,
+       round(abs(est.est_distinct - tru.true_distinct) / tru.true_distinct, 4)
+         AS rel_err
+FROM est JOIN tru ON est.grp = tru.grp
+"""
+
+
+@register("hll2_grouped_distinct", _HLL2_ORACLE)
+def hll2_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = hll_sketch_grouped(ev, "event_type", F.col("user_id").cast("string"))
+    est = hll_estimate_grouped(sk, "event_type")
+    tru = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("true_distinct")
+    )
+    return est.join(F.broadcast(tru), "event_type").select(
+        "event_type",
+        "est_distinct",
+        "true_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("true_distinct"))
+            / F.col("true_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

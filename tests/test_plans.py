@@ -146,6 +146,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "pmi1_collocations",         # 1-row corpus bigram total
         "mb1_pair_affinity",         # 1-row basket-count side
         "kw1_tfidf_keywords",        # 1-row doc-count side
+        "hll2_grouped_distinct",     # groups x 64-register broadcast spine
     }
     for name, fn in sorted(all_queries().items()):
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()

@@ -99,3 +99,28 @@ def test_countmin_never_undercounts_and_merges(spark):
         )
     )
     assert whole == merged
+
+
+def test_grouped_hll_shard_merge_equals_single_pass(spark):
+    """Sketching two shards separately then merging by groupBy-max must
+    equal the one-pass grouped sketch — the property that makes per-group
+    refresh cheap at 100 TB."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+
+    rows = [(f"g{i % 3}", f"u{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    full = hll_sketch_grouped(df, "grp", F.col("uid"))
+    s1 = hll_sketch_grouped(df.filter(F.col("uid") < "u3"), "grp", F.col("uid"))
+    s2 = hll_sketch_grouped(df.filter(F.col("uid") >= "u3"), "grp", F.col("uid"))
+    merged = (
+        s1.unionAll(s2)
+        .groupBy("grp", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    a = {tuple(r) for r in hll_estimate_grouped(full, "grp").collect()}
+    b = {tuple(r) for r in hll_estimate_grouped(merged, "grp").collect()}
+    assert a == b
