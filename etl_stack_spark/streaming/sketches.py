@@ -1,0 +1,86 @@
+"""Streaming sketch maintenance: running distinct-per-key estimates
+from the portable grouped HLL (operators/sketch.py), maintained across
+micro-batches as a (group, register, max_rank) state TABLE.
+
+Why this shape at 100 TB: the streaming state is m=64 rows per group —
+BYTES per key, independent of how many raw values ever flowed through —
+and the merge operation is the same groupBy-max as the batch sketch, so
+
+* a replayed micro-batch is a NO-OP (max is idempotent) — exactly-once
+  estimates from at-least-once delivery with no dedup bookkeeping;
+* late/out-of-order data needs no watermark: registers only ratchet up;
+* shard/backfill sketches computed offline union straight into the
+  state table.
+
+The reference's analytics tier recomputes COUNT(DISTINCT ...) per
+refresh (SURVEY §2.4 A2/A3-adjacent dashboards); this maintains the
+same signal incrementally with per-batch cost proportional to the
+BATCH, never the history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.operators.sketch import hll_estimate_grouped, hll_sketch_grouped
+
+
+def hll_stream_batch_fn(state: ParquetMergeTable, group_col: str, key_col: str):
+    """foreachBatch callback: sketch the micro-batch, ratchet the state
+    table by (group, register) max."""
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = hll_sketch_grouped(
+            batch_df, group_col, F.col(key_col).cast("string")
+        )
+        # rebind to the micro-batch's cloned session (see
+        # plans/corpus_stream.py for the cross-session zip hazard)
+        st = type(state)(batch_df.sparkSession, state.root)
+        if st.exists():
+            merged = (
+                st.read()
+                .unionByName(sk)
+                .groupBy(group_col, "register")
+                .agg(F.max("max_rank").alias("max_rank"))
+            )
+            # the merged frame reads the state table it overwrites —
+            # materialize it off the input snapshot first
+            merged = merged.localCheckpoint(eager=True)
+            st.overwrite(merged)
+        else:
+            st.overwrite(sk)
+
+    return batch_fn
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    state: ParquetMergeTable,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+):
+    """Drain a file-source feed into the grouped-HLL state table
+    (availableNow; continuous triggers reuse the same batch_fn)."""
+    from etl_stack_spark.streaming.queue import run_stream
+
+    return run_stream(
+        spark,
+        feed_dir,
+        schema,
+        hll_stream_batch_fn(state, group_col, key_col),
+        checkpoint_dir,
+    )
+
+
+def read_distinct_estimates(state: ParquetMergeTable, group_col: str) -> DataFrame:
+    """(group, est_distinct) from the current state — identical
+    arithmetic to the batch hll2 query, so a drained stream's estimates
+    EQUAL the one-shot batch estimates over the same data."""
+    return hll_estimate_grouped(state.read(), group_col)

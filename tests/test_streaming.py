@@ -699,3 +699,53 @@ def test_corpus_clean_stream_near_dup_across_batches(spark, tmp_path):
         lsh_state=lsh,
     ).awaitTermination(600), "stream did not drain in time"
     assert {r["doc_id"] for r in results.read().collect()} == {1, 11}
+
+
+def test_streaming_grouped_hll_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Grouped-HLL state across micro-batches: after draining a 3-batch
+    feed, per-group estimates EQUAL the one-shot batch sketch over the
+    same rows; re-merging a batch (at-least-once replay) changes
+    nothing (register max is idempotent)."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_sketch_grouped,
+    )
+    from etl_stack_spark.streaming.sketches import (
+        hll_stream_batch_fn,
+        read_distinct_estimates,
+        run_hll_stream,
+    )
+
+    feed = tmp_path / "hllfeed"
+    rows = [(f"g{i % 3}", f"user{i % 97}") for i in range(600)]
+    full = spark.createDataFrame(rows, "grp string, uid string")
+    for part in range(3):
+        full.filter(F.crc32(F.col("uid")) % 3 == part).write.mode("append").parquet(
+            str(feed)
+        )
+
+    state = ParquetMergeTable(spark, str(tmp_path / "hllstate"))
+    run_hll_stream(
+        spark, str(feed), "grp string, uid string", state,
+        str(tmp_path / "ckpt_hll"), "grp", "uid",
+    ).awaitTermination(120)
+
+    streamed = {
+        r.grp: r.est_distinct for r in read_distinct_estimates(state, "grp").collect()
+    }
+    oneshot = {
+        r.grp: r.est_distinct
+        for r in hll_estimate_grouped(
+            hll_sketch_grouped(full, "grp", F.col("uid")), "grp"
+        ).collect()
+    }
+    assert streamed == oneshot and len(streamed) == 3
+
+    # replay: merge batch 0 again through the same callback — no change
+    b0 = full.filter(F.crc32(F.col("uid")) % 3 == 0)
+    hll_stream_batch_fn(state, "grp", "uid")(b0, 999)
+    replayed = {
+        r.grp: r.est_distinct for r in read_distinct_estimates(state, "grp").collect()
+    }
+    assert replayed == streamed
