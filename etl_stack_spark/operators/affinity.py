@@ -36,6 +36,7 @@ def basket_pair_affinity(
     item_col: str,
     min_support: int = 5,
     top_k: int = 100,
+    max_basket_size: int | None = None,
 ) -> DataFrame:
     """Top-``top_k`` item pairs by basket co-occurrence, with exact
     integer lift.
@@ -44,6 +45,15 @@ def basket_pair_affinity(
     item_a < item_b, n_ab ≥ ``min_support``, ordered by support then
     pair id; lift_milli = floor(1000·n_ab·N / (n_a·n_b)) with N = the
     number of distinct baskets. lift > 1000 ⇔ positive association.
+
+    ``max_basket_size`` is the skew guard: a single pathological basket
+    of 10⁵ items would emit ~5·10⁹ pairs from one shuffle key. Baskets
+    above the bound are DROPPED ENTIRELY (not truncated — truncation
+    would bias which pairs survive) before the self-join; they still
+    count toward N and the item counts, keeping lift denominators
+    honest. Real retail/product baskets are ≤ tens; anything larger is
+    a bot or an aggregation bug, which is exactly what skw1's key-skew
+    report surfaces before this runs.
     """
     pairs_src = items.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
@@ -56,8 +66,19 @@ def basket_pair_affinity(
         F.count(F.lit(1)).cast("long").alias("n_item")
     )
 
-    a = pairs_src.select(F.col("_basket"), F.col("_item").alias("item_a"))
-    b = pairs_src.select(F.col("_basket"), F.col("_item").alias("item_b"))
+    joinable = pairs_src
+    if max_basket_size is not None:
+        sizes = pairs_src.groupBy("_basket").agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        joinable = pairs_src.join(
+            sizes.filter(F.col("_bsize") <= max_basket_size).select("_basket"),
+            "_basket",
+            "left_semi",
+        )
+
+    a = joinable.select(F.col("_basket"), F.col("_item").alias("item_a"))
+    b = joinable.select(F.col("_basket"), F.col("_item").alias("item_b"))
     co = (
         a.join(b, "_basket")
         .filter(F.col("item_a") < F.col("item_b"))

@@ -1,0 +1,41 @@
+"""Differential fuzz for the unrolled ray cast: the Spark expression
+compilation must agree with a direct Python PNPOLY reference on
+arbitrary closed rings (even-odd semantics make ANY ring valid,
+including self-intersecting ones) and arbitrary points."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_stack_spark.operators.polygon import point_in_polygon
+
+
+def _pnpoly(ring, px, py):
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if (y1 > py) != (y2 > py) and px < x1 + (x2 - x1) * (py - y1) / (y2 - y1):
+            inside = not inside
+    return inside
+
+
+coord = st.floats(
+    min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 3))
+vertex = st.tuples(coord, coord)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    ring=st.lists(vertex, min_size=3, max_size=8),
+    pts=st.lists(st.tuples(coord, coord), min_size=1, max_size=20),
+)
+def test_ray_cast_matches_python_reference(spark, ring, pts):
+    closed = ring + [ring[0]]
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "point_id int, x double, y double",
+    )
+    got = {r.point_id for r in point_in_polygon(df, [(1, closed)]).collect()}
+    want = {i for i, (x, y) in enumerate(pts) if _pnpoly(closed, x, y)}
+    assert got == want

@@ -143,3 +143,19 @@ def test_entity_resolution_transitive_chain(spark):
     cc = connected_components(names.select("nid"), edges, id_col="nid")
     got = {r.nid: r.component_id for r in cc.collect()}
     assert got[1] == got[2] == got[3] == 1 and got[9] == 9
+
+
+def test_basket_affinity_mega_basket_guard_drops_not_truncates(spark):
+    # basket 99 holds everything; with the guard its pairs vanish but it
+    # still counts toward N and the item counts (honest lift denominators)
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B")] + [(99, x) for x in "ABCDEFGH"]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = basket_pair_affinity(
+        df, "basket", "item", min_support=1, top_k=100, max_basket_size=4
+    )
+    got = {(r.item_a, r.item_b): r for r in out.collect()}
+    assert set(got) == {("A", "B")}          # no pair from basket 99
+    ab = got[("A", "B")]
+    assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3  # 99 still counted
+    # lift = 3 baskets * 2 / (3*3)
+    assert ab.lift_milli == 3 * 2 * 1000 // 9
