@@ -58,6 +58,10 @@ def basket_pair_affinity(
     pairs_src = items.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
     ).distinct()  # presence, not multiplicity: a basket counts a pair once
+    # 4-5 consumers (N, item counts, size guard, both join sides) with
+    # subtly different subplans defeat ReuseExchange — pin the dedup
+    # shuffle once (lazy: GC owns the blocks; the triangle_count pattern)
+    pairs_src = pairs_src.localCheckpoint(eager=False)
 
     n_baskets = pairs_src.agg(
         F.countDistinct("_basket").cast("long").alias("n_baskets")

@@ -135,7 +135,12 @@ def connected_components(
     per round when the graph is entity-scale (er1: 14s → <2s with 8).
     Size it to the EDGE table: one core-worth of tasks per ~64 MB of
     edges; leave None to inherit the session conf (the 100 TB default).
-    The override is scoped to this call and restored on exit.
+    The override is scoped to this call and restored on exit — but it IS
+    a session-conf mutation: not safe under concurrent query planning in
+    the SAME SparkSession (another thread planning a shuffle mid-loop
+    would pick up the small value). The engine's batch contexts run
+    queries sequentially and streaming micro-batches plan on cloned
+    sessions; in a shared-session service, leave it None.
     """
     if symmetrize:
         # explode, not union: a union's two branches each recompute the
