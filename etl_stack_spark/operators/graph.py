@@ -165,6 +165,11 @@ def connected_components(
     spark = nodes.sparkSession
     saved_parts: str | None = None
     if loop_shuffle_partitions is not None:
+        # materialize the cached edge list BEFORE shrinking the conf:
+        # the upstream edge derivation (often an expensive similarity
+        # self-join) must plan at the session's full parallelism — only
+        # the loop's per-round shuffles should see the small value
+        e.count()
         saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:

@@ -66,24 +66,31 @@ def hll_sketch(df: DataFrame, key: Column) -> DataFrame:
     return df.select(reg, rank).groupBy("register").agg(F.max("rank").alias("max_rank"))
 
 
+def _contrib_expr() -> Column:
+    """2^-rank as an exact decimal CASE over the ``rank`` column."""
+    out = F.lit(_CONTRIB[0]).cast("decimal(38,18)")
+    for r in range(MAX_RANK, 0, -1):
+        out = F.when(F.col("rank") == r, F.lit(_CONTRIB[r]).cast("decimal(38,18)")).otherwise(out)
+    return out
+
+
+def _estimate_expr() -> Column:
+    """alpha_m * m^2 / harmonic-sum ``s`` — the only double op, rounded."""
+    return F.round(
+        F.lit(ALPHA) * F.lit(M_REGISTERS) * F.lit(M_REGISTERS) / F.col("s").cast("double"), 4
+    )
+
+
 def hll_estimate(sketch: DataFrame) -> DataFrame:
     """One row: (est_distinct,) — raw HLL harmonic estimate, no
     small/large-range corrections (they need ln(), whose last-ulp
     behavior differs across libm builds; the oracle contract beats the
-    marginal accuracy). Empty registers enter the sum as 2^0 = 1."""
-    spark = sketch.sparkSession
-    spine = spark.range(M_REGISTERS).select(F.col("id").alias("register"))
-    dense = spine.join(F.broadcast(sketch), "register", "left").select(
-        F.coalesce("max_rank", F.lit(0)).alias("rank")
-    )
-    out = F.lit(_CONTRIB[0]).cast("decimal(38,18)")
-    for r in range(MAX_RANK, 0, -1):
-        out = F.when(F.col("rank") == r, F.lit(_CONTRIB[r]).cast("decimal(38,18)")).otherwise(out)
-    harmonic = dense.agg(F.sum(out).alias("s"))
-    est = F.round(
-        F.lit(ALPHA) * F.lit(M_REGISTERS) * F.lit(M_REGISTERS) / F.col("s").cast("double"), 4
-    )
-    return harmonic.select(est.alias("est_distinct"))
+    marginal accuracy). Empty registers enter the sum as 2^0 = 1.
+    Delegates to the grouped form with a constant group so the sketch
+    arithmetic lives in exactly one place."""
+    return hll_estimate_grouped(
+        sketch.withColumn("_grp", F.lit(1)), "_grp"
+    ).select("est_distinct")
 
 
 def hll_sketch_grouped(df: DataFrame, group_col: str, key: Column) -> DataFrame:
@@ -119,25 +126,25 @@ def hll_estimate_grouped(sketch: DataFrame, group_col: str) -> DataFrame:
     dense = spine.join(F.broadcast(sketch), [group_col, "register"], "left").select(
         F.col(group_col), F.coalesce("max_rank", F.lit(0)).alias("rank")
     )
-    out = F.lit(_CONTRIB[0]).cast("decimal(38,18)")
-    for r in range(MAX_RANK, 0, -1):
-        out = F.when(F.col("rank") == r, F.lit(_CONTRIB[r]).cast("decimal(38,18)")).otherwise(out)
-    harmonic = dense.groupBy(group_col).agg(F.sum(out).alias("s"))
-    est = F.round(
-        F.lit(ALPHA) * F.lit(M_REGISTERS) * F.lit(M_REGISTERS) / F.col("s").cast("double"), 4
+    harmonic = dense.groupBy(group_col).agg(F.sum(_contrib_expr()).alias("s"))
+    return harmonic.select(F.col(group_col), _estimate_expr().alias("est_distinct"))
+
+
+def _lowbit_cases_sql() -> str:
+    return " ".join(f"WHEN {1 << j} THEN {j + 1}" for j in range(_SUFFIX_BITS))
+
+
+def _contrib_cases_sql() -> str:
+    return " ".join(
+        f"WHEN {r} THEN CAST('{_CONTRIB[r]}' AS DECIMAL(38,18))"
+        for r in range(1, MAX_RANK + 1)
     )
-    return harmonic.select(F.col(group_col), est.alias("est_distinct"))
 
 
 def hll_grouped_oracle_sql(group_sql: str, key_sql: str, from_sql: str) -> str:
     """DuckDB rendering of the identical grouped sketch + estimate."""
-    lowbit_cases = " ".join(
-        f"WHEN {1 << j} THEN {j + 1}" for j in range(_SUFFIX_BITS)
-    )
-    contrib_cases = " ".join(
-        f"WHEN {r} THEN CAST('{_CONTRIB[r]}' AS DECIMAL(38,18))"
-        for r in range(1, MAX_RANK + 1)
-    )
+    lowbit_cases = _lowbit_cases_sql()
+    contrib_cases = _contrib_cases_sql()
     h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
     return f"""
 WITH hashed AS (
@@ -175,42 +182,11 @@ FROM s
 
 
 def hll_oracle_sql(key_sql: str, from_sql: str) -> str:
-    """DuckDB rendering of the identical sketch + estimate."""
-    lowbit_cases = " ".join(
-        f"WHEN {1 << j} THEN {j + 1}" for j in range(_SUFFIX_BITS)
-    )
-    contrib_cases = " ".join(
-        f"WHEN {r} THEN CAST('{_CONTRIB[r]}' AS DECIMAL(38,18))"
-        for r in range(1, MAX_RANK + 1)
-    )
-    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
-    return f"""
-WITH hashed AS (
-  SELECT {h} % {M_REGISTERS} AS register,
-         {h} >> 6 AS suffix
-  {from_sql}
-),
-ranked AS (
-  SELECT register,
-         CASE WHEN suffix = 0 THEN {MAX_RANK}
-              ELSE CASE suffix & -suffix {lowbit_cases} ELSE {MAX_RANK} END
-         END AS rank
-  FROM hashed
-),
-sketch AS (SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register),
-dense AS (
-  SELECT coalesce(max_rank, 0) AS rank
-  FROM range({M_REGISTERS}) r(register) LEFT JOIN sketch USING (register)
-),
-s AS (
-  SELECT SUM(CASE rank {contrib_cases}
-             ELSE CAST('{_CONTRIB[0]}' AS DECIMAL(38,18)) END) AS s
-  FROM dense
-)
-SELECT round(CAST({ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
-             / CAST(s AS DOUBLE), 4) AS est_distinct
-FROM s
-"""
+    """DuckDB rendering of the identical sketch + estimate — the grouped
+    rendering with a constant group, projected down to one column, so
+    the SQL skeleton lives in exactly one place."""
+    inner = hll_grouped_oracle_sql("1", key_sql, from_sql)
+    return f"SELECT est_distinct FROM (\n{inner}\n)"
 
 
 # ---------------------------------------------------------------------------

@@ -182,6 +182,16 @@ def simhash16(text: Column) -> Column:
     return out
 
 
+def _tokenize_explode(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) stream: lowercase, split on non-letters, drop empties —
+    the [^a-z]+ tokenization contract shared by the rankers (and
+    mirrored in their oracle SQL strings; change those with this)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
 def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 20):
     """BM25 ranking of ``docs`` (``doc_id``, ``text``) against a bag of
     query terms — the search-engine counterpart of the ANN similarity
@@ -204,9 +214,7 @@ def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 
     sort of the corpus.
     """
     spark = docs.sparkSession
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = _tokenize_explode(docs, "doc_id", "text")
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_total"))
     qt = spark.createDataFrame([(t,) for t in query_terms], "tok string")
@@ -256,9 +264,7 @@ def tfidf_keywords(
     WindowGroupLimit over the aggregated (doc, term) table (rank
     pushdown — never a global sort), same as the t1 family.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok")
-    ).filter(F.col("tok") != "")
+    toks = _tokenize_explode(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

@@ -232,6 +232,12 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = names.select(
         F.col("nid").alias("entity_id"), F.col("nm").alias("canonical_nm")
     )
+    # only component representatives can match the entity_id join — semi-
+    # join first so the broadcast is entity-cardinality (clusters), not
+    # vocabulary-cardinality (every distinct name)
+    canon = canon.join(
+        cc.select("entity_id").distinct(), "entity_id", "left_semi"
+    )
     out = (
         names.join(cc, "nid")
         .join(F.broadcast(canon), "entity_id")

@@ -84,12 +84,16 @@ LIMIT 50
 @register("sp4_weighted_sample", _SP4_ORACLE)
 def sp4_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    priority = F.expr(
-        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 15), 16, 10) AS BIGINT) "
-        "DIV greatest(n_chars, 1L)"
-    )
+    # one hash definition engine-wide: build on portable_hash60, don't
+    # re-type its sha2/conv expansion here
+    h = portable_hash60(F.col("doc_id").cast("string"))
     return (
-        docs.select("doc_id", "n_chars", priority.cast("long").alias("priority"))
+        docs.select("doc_id", "n_chars", h.cast("long").alias("_h"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("_h DIV greatest(n_chars, 1L)").cast("long").alias("priority"),
+        )
         .orderBy("priority", "doc_id")
         .limit(50)
     )

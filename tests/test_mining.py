@@ -97,36 +97,25 @@ def test_tfidf_keywords_planted_term(spark):
     assert z.tf == 3 and z.idf_milli == 1386 and z.score_milli == 3 * 1386
 
 
-def test_weighted_priority_sample_prefers_heavy_docs(spark):
+def test_weighted_priority_sample_prefers_heavy_docs(spark, tmp_path):
     # priority = hash60 // weight: a weight ~1e15 crushes priority toward 0,
-    # so the heavy doc must be drawn first no matter its hash.
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    from etl_stack_spark.queries.sampling_q import sp4_weighted_sample  # noqa: F401
-    from etl_stack_spark.operators.text import portable_hash60
+    # so the heavy doc must be drawn first no matter its hash. Exercises
+    # the REGISTERED query (not a re-typed expression copy) so drift in
+    # sampling_q.py is caught here.
+    from etl_stack_spark.queries.sampling_q import sp4_weighted_sample
 
     docs = spark.createDataFrame(
         [(i, 10) for i in range(1, 40)] + [(1000, 10**15)],
         "doc_id long, n_chars long",
     )
-    pri = F.expr(
-        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 15), 16, 10) AS BIGINT) "
-        "DIV greatest(n_chars, 1L)"
-    )
-    first = (
-        docs.select("doc_id", pri.alias("p")).orderBy("p", "doc_id").limit(1).collect()
-    )
-    assert first[0].doc_id == 1000 and first[0].p < 10**6
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    first = sp4_weighted_sample(spark, str(tmp_path)).limit(1).collect()
+    assert first[0].doc_id == 1000 and first[0].priority < 10**6
 
 
 def test_entity_resolution_transitive_chain(spark):
     # "alpha xx" ~ "alpha xy" ~ "alpha yy" chain: a-b and b-c match at
     # 0.6 but a-c alone would not -> one entity via transitivity.
-    import sys
-
-    sys.path.insert(0, "/root/repo")
-    from etl_stack_spark.queries.mining_q import er1_entity_resolution  # noqa: F401
     from etl_stack_spark.operators.graph import connected_components
     from pyspark.sql import functions as F
 

@@ -726,10 +726,10 @@ def test_streaming_grouped_hll_matches_batch_and_replay_is_noop(spark, tmp_path)
         )
 
     state = ParquetMergeTable(spark, str(tmp_path / "hllstate"))
-    run_hll_stream(
+    assert run_hll_stream(
         spark, str(feed), "grp string, uid string", state,
         str(tmp_path / "ckpt_hll"), "grp", "uid",
-    ).awaitTermination(120)
+    ).awaitTermination(600), "stream did not drain in time"
 
     streamed = {
         r.grp: r.est_distinct for r in read_distinct_estimates(state, "grp").collect()
