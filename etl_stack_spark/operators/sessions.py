@@ -1,0 +1,79 @@
+"""Batch sessionization — gap-based session assignment over an event
+stream, the batch twin of the streaming session window (stw3 /
+``F.session_window``). Reference scope: the stack's analytics tier
+reports per-visit activity the same way (SURVEY §2.4 A1-A3 group
+stats); this is the canonical "visits from events" primitive every
+warehouse user expects.
+
+Cross-engine exactness: gaps are compared in epoch MICROSECONDS as
+BIGINT (``unix_micros`` / ``epoch_us``) — never float epoch seconds,
+where DuckDB's CAST rounds and Spark's truncates (the wf3 trap,
+SURVEY §10). Session duration is an exact integer microsecond
+difference.
+
+Scale shape (100 TB):
+- ONE wide shuffle of the event stream, on the entity key (the window
+  partition). boundary → running-sum session_seq → per-session agg all
+  happen inside that partitioning; the trailing groupBy keys
+  (entity, session_seq) are a superset of the window partition key, so
+  its exchange moves session-cardinality partial aggregates, not
+  events.
+- No driver-side state, no iteration: sessionization is one window
+  pass regardless of session count.
+- Skewed entities (a bot with millions of events) concentrate in one
+  task — the same hazard class as any per-entity window; skw1's
+  key-skew report is the pre-flight check, and a count cap upstream
+  is the mitigation (documented in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Tag every event with ``session_seq`` — a 1-based per-entity
+    session counter that increments whenever the gap since the
+    entity's previous event exceeds ``gap_seconds``.
+
+    ``order_tiebreak`` breaks equal timestamps deterministically (pass
+    the event id column); required for exact cross-engine parity when
+    timestamps can collide.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col))
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    boundary = F.when(
+        F.lag(ts_us).over(w).isNull() | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn(
+        "session_seq", F.sum(boundary).over(running).cast("long")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup: (entity, session_seq, n_events,
+    duration_us) with duration as an exact integer microsecond span
+    (0 for single-event sessions)."""
+    tagged = sessionize(events, entity_col, ts_col, gap_seconds, order_tiebreak)
+    ts_us = F.unix_micros(F.col(ts_col))
+    return tagged.groupBy(entity_col, "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(ts_us) - F.min(ts_us)).cast("long").alias("duration_us"),
+    )

@@ -324,3 +324,72 @@ cm AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM raw GROUP BY row, c
 SELECT *, least({", ".join(lookups)}) AS cm_est
 {query_from_sql}
 """
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV (k-minimum-values / bottom-k theta) sketch — distinct-count
+# SET ALGEBRA, the capability HLL structurally lacks: two KMV sketches
+# support union (merge hash lists, keep k smallest — itself a valid KMV)
+# and intersection (inclusion-exclusion over the three estimates), so
+# "distinct users who did A AND B" never needs a full distinct shuffle of
+# either side. The sketch is a TABLE of ≤ k hash values: building it is a
+# TakeOrdered (per-partition bottom-k, never a global sort), merging
+# shards is union + bottom-k again, and at 100 TB the k rows broadcast
+# anywhere. Deterministic by construction (the engine-wide
+# portable_hash60, no RNG), so estimates are bit-identical cross-engine:
+# est = floor((k-1) * 2^60 / theta) with theta = the k-th smallest hash —
+# both the product (63 * 2^60: 6-bit mantissa times a power of two) and
+# the correctly-rounded IEEE division are exact in any engine. Below k
+# distinct values the sketch IS the set and the estimate is exact.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_HASH_SPAN_DOUBLE = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact
+
+
+def kmv_sketch(df: DataFrame, key: Column, k: int = KMV_K) -> DataFrame:
+    """The k smallest distinct ``portable_hash60(key)`` values — one
+    column ``h``. Plan shape: distinct (one shuffle of hashes, not
+    rows) then TakeOrdered."""
+    return (
+        df.select(portable_hash60(key).alias("h")).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketch: merged hash lists, k smallest kept — a valid KMV
+    sketch of the UNION of the underlying sets (also the shard-merge
+    operation)."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One row (est_distinct BIGINT). Exact when the set had < k
+    distinct values (the sketch is the whole set); otherwise the
+    classic (k-1)/theta estimator in exact-IEEE double."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.max("h").alias("theta")
+    )
+    est = F.when(F.col("n") < k, F.col("n")).otherwise(
+        F.floor(
+            F.expr(f"CAST({k - 1} AS DOUBLE) * {_HASH_SPAN_DOUBLE} / CAST(theta AS DOUBLE)")
+        ).cast("long")
+    )
+    return agg.select(est.alias("est_distinct"))
+
+
+def kmv_sketch_oracle_sql(key_sql: str, from_sql: str, k: int = KMV_K) -> str:
+    """DuckDB CTE body producing the identical ≤k-row hash table."""
+    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
+    return f"SELECT DISTINCT {h} AS h {from_sql} ORDER BY h LIMIT {k}"
+
+
+def kmv_estimate_oracle_sql(sketch_cte: str, k: int = KMV_K) -> str:
+    """DuckDB scalar select of the identical estimate over a named
+    sketch CTE."""
+    return (
+        f"SELECT CASE WHEN COUNT(*) < {k} THEN COUNT(*) "
+        f"ELSE CAST(floor(CAST({k - 1} AS DOUBLE) * {_HASH_SPAN_DOUBLE} "
+        f"/ CAST(MAX(h) AS DOUBLE)) AS BIGINT) END AS est_distinct "
+        f"FROM {sketch_cte}"
+    )

@@ -444,3 +444,43 @@ def ewm1_halving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour", "cnt",
         F.expr("_n div _d").alias("ewma_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SES1 — batch sessionization: gap-based visits from the event stream
+# (the batch twin of stw3's streaming session window). Gap compares are
+# exact integer epoch-microseconds in both engines (the wf3 float-epoch
+# trap never enters), 8h chosen from the measured inter-event gap
+# distribution so sessions are multi-event at every scale factor.
+# ---------------------------------------------------------------------------
+_SES1_GAP_US = 8 * 3600 * 1_000_000
+
+_SES1_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             > {_SES1_GAP_US}
+         THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+seq AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged
+)
+SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+FROM seq GROUP BY user_id, session_seq
+"""
+
+
+@register("ses1_sessionize", _SES1_ORACLE)
+def ses1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.sessions import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(
+        events, "user_id", "ts", gap_seconds=8 * 3600, order_tiebreak="event_id"
+    )

@@ -173,3 +173,91 @@ def hll2_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV1 — distinct-count SET ALGEBRA via the portable KMV/theta sketch:
+# estimated |A|, |B|, |A∪B| (a valid KMV merge) and |A∩B|
+# (inclusion-exclusion), with the exact intersection alongside — the
+# "users active on A and B days" question HLL cannot answer without a
+# full distinct shuffle. Sets are (user, day) activity keys with the
+# day as a pure integer epoch-us DIV (never a timezone-dependent date
+# cast). At 100 TB each sketch build is one hash-distinct + TakeOrdered
+# and the sketches would be persisted once and reused; here the ≤k-row
+# sketch tables simply recompute per consumer.
+# ---------------------------------------------------------------------------
+from etl_stack_spark.operators.sketch import (  # noqa: E402
+    KMV_K,
+    kmv_estimate,
+    kmv_estimate_oracle_sql,
+    kmv_merge,
+    kmv_sketch,
+    kmv_sketch_oracle_sql,
+)
+
+_KMV1_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || '#' || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)"
+)
+
+_KMV1_ORACLE = f"""
+WITH ka AS ({kmv_sketch_oracle_sql(_KMV1_KEY_SQL, "FROM events WHERE event_type = 'click'")}),
+kb AS ({kmv_sketch_oracle_sql(_KMV1_KEY_SQL, "FROM events WHERE event_type = 'purchase'")}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {KMV_K}),
+ea AS ({kmv_estimate_oracle_sql("ka")}),
+eb AS ({kmv_estimate_oracle_sql("kb")}),
+eu AS ({kmv_estimate_oracle_sql("ku")}),
+ti AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_intersect FROM (
+    SELECT DISTINCT {_KMV1_KEY_SQL} AS k FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT {_KMV1_KEY_SQL} AS k FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT ea.est_distinct AS est_a, eb.est_distinct AS est_b,
+       eu.est_distinct AS est_union,
+       greatest(0, ea.est_distinct + eb.est_distinct - eu.est_distinct) AS est_intersect,
+       true_intersect
+FROM ea, eb, eu, ti
+"""
+
+
+@register("kmv1_distinct_set_algebra", _KMV1_ORACLE)
+def kmv1_distinct_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    keyed = events.select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("#"), day.cast("string")
+        ).alias("k"),
+    )
+    clicks = keyed.filter(F.col("event_type") == "click")
+    purch = keyed.filter(F.col("event_type") == "purchase")
+    ka = kmv_sketch(clicks, F.col("k"))
+    kb = kmv_sketch(purch, F.col("k"))
+    est_a = kmv_estimate(ka).select(F.col("est_distinct").alias("est_a"))
+    est_b = kmv_estimate(kb).select(F.col("est_distinct").alias("est_b"))
+    est_u = kmv_estimate(kmv_merge(ka, kb)).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    ti = (
+        clicks.select("k")
+        .distinct()
+        .intersect(purch.select("k").distinct())
+        .agg(F.count(F.lit(1)).cast("long").alias("true_intersect"))
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(ti))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("long"),
+            ).alias("est_intersect"),
+            "true_intersect",
+        )
+    )

@@ -1,0 +1,56 @@
+"""Batch sessionization units: hand-checked boundaries, single-event
+sessions, timestamp-tie determinism, per-entity independence."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.sessions import session_stats, sessionize
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + timedelta(seconds=s)) for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+
+
+def test_gap_splits_sessions_exactly(spark):
+    # user 1: events at 0s, 100s | 4000s | 8000s with gap=1800 ->
+    # sessions {0,100}, {4000}, {8000}; 3600 < 4000-100 and 8000-4000.
+    ev = _ev(spark, [(1, 0), (1, 100), (1, 4000), (1, 8000)])
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_us)
+        for r in session_stats(ev, "user_id", "ts", 1800, "event_id").collect()
+    }
+    assert got == {
+        (1, 1): (2, 100_000_000),
+        (1, 2): (1, 0),
+        (1, 3): (1, 0),
+    }
+
+
+def test_boundary_is_strict_greater_than(spark):
+    # a gap EXACTLY equal to gap_seconds does NOT split (strict >).
+    ev = _ev(spark, [(1, 0), (1, 60)])
+    out = session_stats(ev, "user_id", "ts", 60, "event_id").collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_entities_are_independent(spark):
+    ev = _ev(spark, [(1, 0), (2, 0), (1, 10_000), (2, 5)])
+    got = {
+        (r.user_id, r.session_seq): r.n_events
+        for r in session_stats(ev, "user_id", "ts", 3600, "event_id").collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (2, 1): 2}
+
+
+def test_tie_timestamps_deterministic(spark):
+    # two events with IDENTICAL ts: the tiebreak column pins the order,
+    # so session_seq assignment is stable (both land in one session).
+    ev = _ev(spark, [(1, 0), (1, 0), (1, 0)])
+    tagged = sessionize(ev, "user_id", "ts", 10, "event_id")
+    assert [r.session_seq for r in tagged.orderBy("event_id").collect()] == [1, 1, 1]

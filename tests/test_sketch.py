@@ -124,3 +124,62 @@ def test_grouped_hll_shard_merge_equals_single_pass(spark):
     a = {tuple(r) for r in hll_estimate_grouped(full, "grp").collect()}
     b = {tuple(r) for r in hll_estimate_grouped(merged, "grp").collect()}
     assert a == b
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values: the sketch IS the set, estimate
+    exact."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([(f"v{i % 40}",) for i in range(300)], "k string")
+    est = kmv_estimate(kmv_sketch(df, F.col("k"))).collect()[0].est_distinct
+    assert est == 40
+
+
+def test_kmv_shard_merge_equals_whole(spark):
+    """kmv_merge of two shard sketches is row-identical to the sketch of
+    the full stream — the 100 TB shard-build path is lossless."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "k string")
+    full = kmv_sketch(df, F.col("k"))
+    s1 = kmv_sketch(df.filter(F.crc32(F.col("k")) % 2 == 0), F.col("k"))
+    s2 = kmv_sketch(df.filter(F.crc32(F.col("k")) % 2 == 1), F.col("k"))
+    assert [r.h for r in full.collect()] == [r.h for r in kmv_merge(s1, s2).collect()]
+
+
+def test_kmv_estimate_within_error_band(spark):
+    """(k-1)/theta at k=64 has std error ~1/sqrt(k-2) ~ 12.7%; assert a
+    generous 3-sigma band on a 5000-distinct stream."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], "k string")
+    est = kmv_estimate(kmv_sketch(df, F.col("k"))).collect()[0].est_distinct
+    assert abs(est - 5000) / 5000 < 0.4, est
+
+
+def test_kmv_union_and_intersection_algebra(spark):
+    """A=0..2999, B=2000..4999 (overlap 1000, union 5000): the union
+    sketch's estimate lands in the band and inclusion-exclusion yields
+    a plausible non-negative intersection."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(3000)], "k string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(2000, 5000)], "k string")
+    ka, kb = kmv_sketch(a, F.col("k")), kmv_sketch(b, F.col("k"))
+    ea = kmv_estimate(ka).collect()[0].est_distinct
+    eb = kmv_estimate(kb).collect()[0].est_distinct
+    eu = kmv_estimate(kmv_merge(ka, kb)).collect()[0].est_distinct
+    assert abs(eu - 5000) / 5000 < 0.4, eu
+    inter = max(0, ea + eb - eu)
+    # truth 1000; union of three ~13% errors -> very loose band, but it
+    # must be the right order of magnitude and never negative
+    assert 0 <= inter < 3000, (ea, eb, eu)
