@@ -66,3 +66,39 @@ def refresh_additive_agg(
     )
     aggs = [_COMBINE[kind](F.col(out)).alias(out) for out, (kind, _) in measures.items()]
     return combined.groupBy(*keys).agg(*aggs)
+
+
+def refresh_join_view(
+    view: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: Sequence[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Insert-only incremental maintenance of an INNER equi-join view
+    ``V = A ⋈ B``: the classic delta rule
+
+        dV = dA ⋈ B_old  ∪  A_old ⋈ dB  ∪  dA ⋈ dB
+
+    appended to the existing view — bit-identical to a full recompute
+    over (A_old ∪ dA) ⋈ (B_old ∪ dB), which the mv2 oracle proves.
+
+    100 TB notes: the delta sides broadcast (a refresh batch is small
+    by definition), so neither base table is SHUFFLED — each is scanned
+    once against a broadcast, and when the base is stored partitioned /
+    bucketed on the join key (PartitionedMergeTable keyed the same
+    way), partition pruning on the delta's keys cuts that scan to the
+    touched partitions. The old view itself is never read beyond the
+    final append. Deletes/updates need keyed tombstones (compose with
+    ParquetMergeTable's soft-delete); this operator is the append path.
+    """
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    dv = (
+        da.join(b_old, list(on))
+        .unionByName(a_old.join(db, list(on)))
+        .unionByName(da.join(db, list(on)))
+    )
+    return view.unionByName(dv)

@@ -273,3 +273,45 @@ def skw1_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_cum div n_rows").alias("cum_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MV2 — incremental JOIN-view maintenance (mv1's aggregate rule covers
+# additive measures; this is the other half of IVM): the engine splits
+# orders/customer into deterministic hash slices (95% "old", 5% "delta"
+# on each side), maintains V = orders ⋈ customer through the delta rule
+# dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB, and the oracle proves the refreshed view is
+# bit-identical to a full recompute over the whole tables. Money in
+# integer cents (the mv1 discipline).
+# ---------------------------------------------------------------------------
+_MV2_ORACLE = """
+SELECT c_custkey AS custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       c_name, CAST(c_nationkey AS BIGINT) AS nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("mv2_incremental_join_view", _MV2_ORACLE)
+def mv2_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.incremental import refresh_join_view
+    from etl_stack_spark.operators.text import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("total_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    )
+    o_delta = portable_hash60(F.col("o_orderkey").cast("string")) % 100 < 5
+    c_delta = portable_hash60(F.col("custkey").cast("string")) % 100 < 5
+    a_old, da = orders.filter(~o_delta), orders.filter(o_delta)
+    b_old, db = cust.filter(~c_delta), cust.filter(c_delta)
+    view_old = a_old.join(b_old, "custkey")
+    return refresh_join_view(view_old, a_old, b_old, da, db, ["custkey"]).select(
+        "custkey", "o_orderkey", "total_cents", "c_name", "nationkey"
+    )

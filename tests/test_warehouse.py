@@ -164,3 +164,30 @@ def test_dq_expectations_detect_injected_defects(spark):
     assert out["id_not_null"] == (0, True)
     assert out["id_unique"] == (1, False)
     assert out["dim_fk"] == (1, False)
+
+
+def test_refresh_join_view_equals_full_recompute(spark):
+    """The delta rule dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB: refreshed view is
+    multiset-identical to joining the full tables, including rows that
+    need dA⋈dB (order 103 × customer 3 are both in the deltas)."""
+    from etl_stack_spark.operators.incremental import refresh_join_view
+    from pyspark.sql import functions as F
+
+    a_old = spark.createDataFrame([(1, 100), (2, 101)], "k long, oid long")
+    da = spark.createDataFrame([(1, 102), (3, 103)], "k long, oid long")
+    b_old = spark.createDataFrame([(1, "a"), (2, "b")], "k long, nm string")
+    db = spark.createDataFrame([(3, "c")], "k long, nm string")
+    view_old = a_old.join(b_old, "k")
+    got = refresh_join_view(view_old, a_old, b_old, da, db, ["k"])
+    full = a_old.unionByName(da).join(b_old.unionByName(db), "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_refresh_join_view_empty_deltas_is_noop(spark):
+    from etl_stack_spark.operators.incremental import refresh_join_view
+
+    a = spark.createDataFrame([(1, 100)], "k long, oid long")
+    b = spark.createDataFrame([(1, "a")], "k long, nm string")
+    view = a.join(b, "k")
+    got = refresh_join_view(view, a, b, a.limit(0), b.limit(0), ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, view.collect()))
