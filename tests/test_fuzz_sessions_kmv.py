@@ -1,0 +1,85 @@
+"""Differential fuzz for sessionization and the KMV sketch: tiny
+in-process Python models of each spec are the truth; Spark must match
+VALUE-exactly on random inputs. One Spark job per example (the repo's
+fuzz convention)."""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+T0 = datetime(2024, 1, 1)
+
+# small user/offset spaces force collisions: same-user bursts, ties
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)),  # (user, offset s)
+    min_size=1,
+    max_size=30,
+)
+
+
+def _ref_sessions(rows, gap_s):
+    """(user, session_seq) -> (n_events, duration_us), matching
+    sessionize's spec: strict-> boundary, ts then event_id order."""
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for eid, (u, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off * 1_000_000, eid))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq, prev = 0, None
+        members: list[int] = []
+        for ts_us, _eid in evs:
+            if prev is None or ts_us - prev > gap_s * 1_000_000:
+                seq += 1
+                members = []
+            members.append(ts_us)
+            prev = ts_us
+            out[(u, seq)] = (len(members), max(members) - min(members))
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(events_strategy, st.sampled_from([30, 120, 499]))
+def test_sessionize_matches_reference_model(spark, rows, gap_s):
+    from etl_stack_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(
+        [(i, u, T0 + timedelta(seconds=off)) for i, (u, off) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_us)
+        for r in session_stats(df, "user_id", "ts", gap_s, "event_id").collect()
+    }
+    assert got == _ref_sessions(rows, gap_s)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_kmv_estimate(keys, k):
+    hs = sorted({_h60(x) for x in keys})[:k]
+    if len(hs) < k:
+        return len(hs)
+    import math
+
+    return math.floor(float(k - 1) * float(1 << 60) / float(hs[-1]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=4), min_size=1, max_size=120))
+def test_kmv_estimate_matches_reference_model(spark, keys):
+    """Both branches (exact-below-k with k=8 forces the estimator on
+    most draws) must match the Python model bit-exactly — the same
+    IEEE product/division/floor."""
+    from etl_stack_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame([(x,) for x in keys], "k string")
+    est = kmv_estimate(kmv_sketch(df, F.col("k"), k=8), k=8).collect()[0].est_distinct
+    assert est == _ref_kmv_estimate(keys, 8)
