@@ -484,3 +484,106 @@ def ses1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(
         events, "user_id", "ts", gap_seconds=8 * 3600, order_tiebreak="event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# AT1 — last-touch attribution: every purchase is credited to the most
+# recent preceding touch event (click/view) of the same user — the
+# marketing-analytics complement of fn1's funnel and ses1's visits. One
+# window pass (exclusive preceding frame + IGNORE NULLS last_value), one
+# shuffle on the entity key; no self-join of the event stream.
+# ---------------------------------------------------------------------------
+_AT1_ORACLE = """
+SELECT event_id, user_id, touch_type FROM (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM events
+) WHERE event_type = 'purchase'
+"""
+
+
+@register("at1_last_touch_attribution", _AT1_ORACLE)
+def at1_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "touch_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM1 — recency/frequency/monetary customer segmentation: per-customer
+# order stats quintiled by ntile(5) with a deterministic custkey
+# tie-break (ntile is portable only under a TOTAL order). Recency is an
+# integer day index (epoch_us DIV) against a fixed anchor — no
+# timezone-dependent date math. Money in integer cents.
+#
+# Scale note: the quintile windows are GLOBAL (single-partition) over
+# the per-customer stats — dimension-cardinality rows, not the order
+# stream, so fine to ~10^7 customers. Past that, swap ntile for
+# breakpoint bucketing: exact P20/P40/P60/P80 via qs1's histogram
+# inversion, then a comparison CASE — same segments up to tie placement,
+# no global sort (documented in SCALE.md single-node artifacts).
+# ---------------------------------------------------------------------------
+_RFM_ANCHOR_DAY = 11566  # 2001-09-01, just past the data's max order date
+
+_RFM1_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         {_RFM_ANCHOR_DAY} - MAX(epoch_us(o_orderdate) // 86400000000) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS INT) AS m_score
+FROM base
+"""
+
+
+@register("rfm1_customer_segments", _RFM1_ORACLE)
+def rfm1_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (
+            F.lit(_RFM_ANCHOR_DAY)
+            - F.max(
+                F.expr(
+                    # NTZ parquet timestamp: cast under the UTC session TZ
+                    # = DuckDB's naive epoch_us
+                    "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+                )
+            )
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), "custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+        .alias("m_score"),
+    )
