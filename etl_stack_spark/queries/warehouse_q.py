@@ -315,3 +315,64 @@ def mv2_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_join_view(view_old, a_old, b_old, da, db, ["custkey"]).select(
         "custkey", "o_orderkey", "total_cents", "c_name", "nationkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# GR1 — golden-record survivorship (the MDM step after er1's entity
+# resolution): one row per entity whose fields each take the LATEST
+# NON-NULL observed value — per-field arg-max with a null filter, a pure
+# one-shuffle aggregate (no window, no per-field join). Orders act as
+# observations of the customer profile; ~30% of each field is nulled by
+# a deterministic hash (the PII-fixture discipline) so survivorship is
+# actually exercised — a field's latest observation being null must NOT
+# erase the older value. Observation order is an integer
+# (day_index * 1e10 + orderkey) sortkey: total, portable, no timestamp
+# comparisons inside the aggregate.
+# ---------------------------------------------------------------------------
+_GR1_H = "(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR) || '{tag}'), 1, 15))::BIGINT)"
+_GR1_ORACLE = f"""
+WITH obs AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN {_GR1_H.format(tag='#prio')} % 10 < 3 THEN NULL ELSE o_orderpriority END AS prio_obs,
+         CASE WHEN {_GR1_H.format(tag='#stat')} % 10 < 3 THEN NULL ELSE o_orderstatus END AS stat_obs,
+         (epoch_us(o_orderdate) // 86400000000) * 10000000000 + o_orderkey AS sortkey,
+         epoch_us(o_orderdate) // 86400000000 AS day_idx
+  FROM orders
+)
+SELECT custkey,
+       arg_max(prio_obs, sortkey) FILTER (WHERE prio_obs IS NOT NULL) AS golden_priority,
+       arg_max(stat_obs, sortkey) FILTER (WHERE stat_obs IS NOT NULL) AS golden_status,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(MAX(day_idx) AS BIGINT) AS last_seen_day
+FROM obs GROUP BY custkey
+"""
+
+
+@register("gr1_golden_record", _GR1_ORACLE)
+def gr1_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+
+    def nulled(col: str, tag: str):
+        h = portable_hash60(F.concat(F.col("o_orderkey").cast("string"), F.lit(tag)))
+        return F.when(h % 10 < 3, F.lit(None)).otherwise(F.col(col))
+
+    obs = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        nulled("o_orderpriority", "#prio").alias("prio_obs"),
+        nulled("o_orderstatus", "#stat").alias("stat_obs"),
+        (day * 10_000_000_000 + F.col("o_orderkey")).cast("long").alias("sortkey"),
+        day.cast("long").alias("day_idx"),
+    )
+    return obs.groupBy("custkey").agg(
+        F.expr(
+            "max_by(prio_obs, sortkey) FILTER (WHERE prio_obs IS NOT NULL)"
+        ).alias("golden_priority"),
+        F.expr(
+            "max_by(stat_obs, sortkey) FILTER (WHERE stat_obs IS NOT NULL)"
+        ).alias("golden_status"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max("day_idx").cast("long").alias("last_seen_day"),
+    )

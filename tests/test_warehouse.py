@@ -191,3 +191,34 @@ def test_refresh_join_view_empty_deltas_is_noop(spark):
     view = a.join(b, "k")
     got = refresh_join_view(view, a, b, a.limit(0), b.limit(0), ["k"])
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, view.collect()))
+
+
+def test_golden_record_survivorship_rule(spark):
+    """Latest-non-null per field: a NULL newest observation must not
+    erase the older value, fields survive independently, and an
+    all-null field yields NULL."""
+    from pyspark.sql import functions as F
+
+    obs = spark.createDataFrame(
+        [
+            (1, "HIGH", "O", 10),
+            (1, None, "F", 20),   # newest prio is null -> HIGH survives
+            (2, None, None, 10),  # all-null prio for entity 2
+            (2, None, "P", 20),
+        ],
+        "custkey long, prio_obs string, stat_obs string, sortkey long",
+    )
+    got = {
+        r.custkey: (r.golden_priority, r.golden_status)
+        for r in obs.groupBy("custkey")
+        .agg(
+            F.expr(
+                "max_by(prio_obs, sortkey) FILTER (WHERE prio_obs IS NOT NULL)"
+            ).alias("golden_priority"),
+            F.expr(
+                "max_by(stat_obs, sortkey) FILTER (WHERE stat_obs IS NOT NULL)"
+            ).alias("golden_status"),
+        )
+        .collect()
+    }
+    assert got == {1: ("HIGH", "F"), 2: (None, "P")}
