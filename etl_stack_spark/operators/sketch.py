@@ -86,11 +86,17 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     small/large-range corrections (they need ln(), whose last-ulp
     behavior differs across libm builds; the oracle contract beats the
     marginal accuracy). Empty registers enter the sum as 2^0 = 1.
-    Delegates to the grouped form with a constant group so the sketch
-    arithmetic lives in exactly one place."""
-    return hll_estimate_grouped(
-        sketch.withColumn("_grp", F.lit(1)), "_grp"
-    ).select("est_distinct")
+    ALWAYS one row, even for a 0-row sketch (empty input): the spine is
+    unconditional — delegating to the grouped form would derive groups
+    from the sketch and return zero rows. The arithmetic (contrib CASE,
+    estimate expr) is shared with the grouped form."""
+    spark = sketch.sparkSession
+    spine = spark.range(M_REGISTERS).select(F.col("id").alias("register"))
+    dense = spine.join(F.broadcast(sketch), "register", "left").select(
+        F.coalesce("max_rank", F.lit(0)).alias("rank")
+    )
+    harmonic = dense.agg(F.sum(_contrib_expr()).alias("s"))
+    return harmonic.select(_estimate_expr().alias("est_distinct"))
 
 
 def hll_sketch_grouped(df: DataFrame, group_col: str, key: Column) -> DataFrame:
@@ -182,11 +188,41 @@ FROM s
 
 
 def hll_oracle_sql(key_sql: str, from_sql: str) -> str:
-    """DuckDB rendering of the identical sketch + estimate — the grouped
-    rendering with a constant group, projected down to one column, so
-    the SQL skeleton lives in exactly one place."""
-    inner = hll_grouped_oracle_sql("1", key_sql, from_sql)
-    return f"SELECT est_distinct FROM (\n{inner}\n)"
+    """DuckDB rendering of the identical sketch + estimate. The dense
+    spine is unconditional range(m) (one row out even on empty input —
+    the grouped rendering derives its groups from the data and would
+    return zero rows); the generated CASE chains are shared with the
+    grouped form."""
+    lowbit_cases = _lowbit_cases_sql()
+    contrib_cases = _contrib_cases_sql()
+    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {h} % {M_REGISTERS} AS register,
+         {h} >> 6 AS suffix
+  {from_sql}
+),
+ranked AS (
+  SELECT register,
+         CASE WHEN suffix = 0 THEN {MAX_RANK}
+              ELSE CASE suffix & -suffix {lowbit_cases} ELSE {MAX_RANK} END
+         END AS rank
+  FROM hashed
+),
+sketch AS (SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register),
+dense AS (
+  SELECT coalesce(max_rank, 0) AS rank
+  FROM range({M_REGISTERS}) r(register) LEFT JOIN sketch USING (register)
+),
+s AS (
+  SELECT SUM(CASE rank {contrib_cases}
+             ELSE CAST('{_CONTRIB[0]}' AS DECIMAL(38,18)) END) AS s
+  FROM dense
+)
+SELECT round(CAST({ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
+             / CAST(s AS DOUBLE), 4) AS est_distinct
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -350,9 +386,16 @@ _HASH_SPAN_DOUBLE = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact
 def kmv_sketch(df: DataFrame, key: Column, k: int = KMV_K) -> DataFrame:
     """The k smallest distinct ``portable_hash60(key)`` values — one
     column ``h``. Plan shape: distinct (one shuffle of hashes, not
-    rows) then TakeOrdered."""
+    rows) then TakeOrdered. NULL keys are excluded (COUNT DISTINCT
+    semantics) — also a cross-engine necessity: Spark's ascending sort
+    puts NULL first, DuckDB's puts it last, so a NULL hash would evict
+    the true k-th smallest on one engine only."""
     return (
-        df.select(portable_hash60(key).alias("h")).distinct().orderBy("h").limit(k)
+        df.select(portable_hash60(key).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
     )
 
 
@@ -379,9 +422,13 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
 
 
 def kmv_sketch_oracle_sql(key_sql: str, from_sql: str, k: int = KMV_K) -> str:
-    """DuckDB CTE body producing the identical ≤k-row hash table."""
+    """DuckDB CTE body producing the identical ≤k-row hash table
+    (NULL keys excluded, matching kmv_sketch)."""
     h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
-    return f"SELECT DISTINCT {h} AS h {from_sql} ORDER BY h LIMIT {k}"
+    return (
+        f"SELECT h FROM (SELECT DISTINCT {h} AS h {from_sql}) "
+        f"WHERE h IS NOT NULL ORDER BY h LIMIT {k}"
+    )
 
 
 def kmv_estimate_oracle_sql(sketch_cte: str, k: int = KMV_K) -> str:

@@ -482,7 +482,11 @@ def ses1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return session_stats(
-        events, "user_id", "ts", gap_seconds=8 * 3600, order_tiebreak="event_id"
+        events,
+        "user_id",
+        "ts",
+        gap_seconds=_SES1_GAP_US // 1_000_000,  # one constant, both engines
+        order_tiebreak="event_id",
     )
 
 

@@ -183,3 +183,30 @@ def test_kmv_union_and_intersection_algebra(spark):
     # truth 1000; union of three ~13% errors -> very loose band, but it
     # must be the right order of magnitude and never negative
     assert 0 <= inter < 3000, (ea, eb, eu)
+
+
+def test_hll_estimate_empty_input_still_one_row(spark):
+    """The one-row contract holds on an empty slice: the dense spine is
+    unconditional, so estimate = alpha*m (all registers rank 0), not a
+    0-row frame that crashes collect()[0] callers."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import hll_estimate, hll_sketch
+
+    empty = spark.createDataFrame([], "k string")
+    rows = hll_estimate(hll_sketch(empty, F.col("k"))).collect()
+    assert len(rows) == 1 and rows[0].est_distinct is not None
+
+
+def test_kmv_null_keys_excluded(spark):
+    """NULL keys never enter the sketch (COUNT DISTINCT semantics), so
+    n/theta stay consistent and Spark/DuckDB NULL sort order can't
+    diverge the bottom-k."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string"
+    )
+    sk = kmv_sketch(df, F.col("k"))
+    assert sk.filter(F.col("h").isNull()).count() == 0
+    assert kmv_estimate(sk).collect()[0].est_distinct == 2
