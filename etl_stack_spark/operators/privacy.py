@@ -1,0 +1,72 @@
+"""Privacy preparation for training-data release: keyed pseudonymization
+and a k-anonymity audit — the two checks a corpus passes through before
+leaving the controlled environment (complementing pii1's in-text
+redaction: pii1 scrubs free text, these govern STRUCTURED identifiers).
+
+- ``pseudonymize``: replace identifier columns with a deterministic
+  salted 60-bit token. Consistency is the point — the same raw value
+  always maps to the same token under one salt, so joins, groupBys, and
+  sessionization still work on the released data; without the salt the
+  mapping is not recomputable from public knowledge. This is
+  tokenization, not encryption: re-identification resistance comes from
+  keeping the salt (and the optional vault) private.
+- ``token_vault``: the (original, token) lookup — kept PRIVATE — that
+  makes tokenization reversible for authorized re-joins.
+- ``k_anonymity_report``: per quasi-identifier combination, the group
+  size and a below-k flag — the release gate ("no QI combination may
+  isolate fewer than k people"). Generalization/suppression to FIX a
+  failing table is policy-specific and stays with the caller; the audit
+  is the engine's job.
+
+Scale shape (100 TB): pseudonymization is a pure scan-side column
+expression (zero shuffles, rides WholeStageCodegen); the vault is one
+distinct per identifier column; the k-anonymity report is one partial
+groupBy on the QI tuple — group-cardinality output, the dq1 class.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import portable_hash60
+
+
+def _token(col: str, salt: str):
+    # NULL stays NULL (concat propagates); salt prefix is length-tagged
+    # so salt="a", value="bc" can't collide with salt="ab", value="c"
+    return portable_hash60(
+        F.concat(F.lit(f"{len(salt)}:{salt}:"), F.col(col).cast("string"))
+    )
+
+
+def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str) -> DataFrame:
+    """Replace each named identifier column with its salted 60-bit
+    token (BIGINT). Same salt ⇒ same token across tables and runs, so
+    referential joins survive the release."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, _token(c, salt))
+    return out
+
+
+def token_vault(df: DataFrame, col: str, salt: str) -> DataFrame:
+    """(original, token) distinct lookup for one identifier column —
+    the PRIVATE reversibility table."""
+    return (
+        df.select(F.col(col).alias("original"), _token(col, salt).alias("token"))
+        .filter(F.col("original").isNotNull())
+        .distinct()
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_identifiers: Sequence[str], k: int
+) -> DataFrame:
+    """One row per QI combination: (qi..., group_n, below_k). A release
+    passes when no row has below_k — the classic k-anonymity gate."""
+    return df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n")
+    ).withColumn("below_k", F.col("group_n") < k)

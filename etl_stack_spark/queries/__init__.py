@@ -63,6 +63,7 @@ def _load_all() -> None:
         mining_q,
         multimodal_q,
         joins_aggs,
+        privacy_q,
         profile_q,
         relational,
         sampling_q,

@@ -1,0 +1,57 @@
+"""Privacy-release queries: keyed pseudonymization (ps1) and the
+k-anonymity audit (ka1) — see operators/privacy.py for the contracts.
+Both oracle-exact: the token is the engine-wide portable hash under a
+length-tagged salt, so DuckDB reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.session import load_table
+
+_PS1_SALT = "release-2026Q3"
+# must mirror operators/privacy.py::_token — length-tagged salt prefix
+_PS1_TOKEN_SQL = (
+    "(('0x' || substr(sha256('"
+    + f"{len(_PS1_SALT)}:{_PS1_SALT}:"
+    + "' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+)
+
+_PS1_ORACLE = f"""
+SELECT event_id, {_PS1_TOKEN_SQL} AS user_id, event_type
+FROM events
+"""
+
+
+@register("ps1_pseudonymize", _PS1_ORACLE)
+def ps1_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.privacy import pseudonymize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return pseudonymize(events, ["user_id"], _PS1_SALT)
+
+
+_KA1_K = 10
+
+_KA1_ORACLE = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       COUNT(*) < {_KA1_K} AS below_k
+FROM customer GROUP BY 1, 2
+"""
+
+
+@register("ka1_k_anonymity", _KA1_ORACLE)
+def ka1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return k_anonymity_report(cust, ["nationkey", "segment"], _KA1_K)

@@ -1,0 +1,58 @@
+"""Privacy-op units: tokenization consistency (joins survive), vault
+round-trip, NULL passthrough, salt separation, and the k-anonymity
+flag on a planted small group."""
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.privacy import (
+    k_anonymity_report,
+    pseudonymize,
+    token_vault,
+)
+
+
+def test_pseudonymize_preserves_joins(spark):
+    """Same salt ⇒ same token in both tables, so the token join equals
+    the raw join."""
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "uid long, pa string")
+    b = spark.createDataFrame([(1, "q"), (3, "r"), (4, "s")], "uid long, pb string")
+    raw = {(r.pa, r.pb) for r in a.join(b, "uid").collect()}
+    ta, tb = pseudonymize(a, ["uid"], "s1"), pseudonymize(b, ["uid"], "s1")
+    tok = {(r.pa, r.pb) for r in ta.join(tb, "uid").collect()}
+    assert tok == raw == {("x", "q"), ("z", "r")}
+
+
+def test_vault_round_trip_and_null_passthrough(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,), (2,)], "uid long")
+    vault = token_vault(df, "uid", "s1")
+    assert vault.count() == 2  # distinct, null excluded
+    toks = pseudonymize(df, ["uid"], "s1")
+    assert toks.filter(F.col("uid").isNull()).count() == 1  # NULL stays NULL
+    joined = toks.join(
+        vault.withColumnRenamed("token", "uid"), "uid"
+    ).select("original")
+    assert sorted(r.original for r in joined.collect()) == [1, 2, 2]
+
+
+def test_different_salts_give_different_tokens(spark):
+    df = spark.createDataFrame([(1,)], "uid long")
+    t1 = pseudonymize(df, ["uid"], "a").collect()[0].uid
+    t2 = pseudonymize(df, ["uid"], "b").collect()[0].uid
+    assert t1 != t2
+    # length-tagged prefix: salt "a" + value "1" can't alias salt "a1" + ""
+    t3 = pseudonymize(spark.createDataFrame([("",)], "uid string"), ["uid"], "a1")
+    assert t3.collect()[0].uid != t1
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [("US", "A")] * 12 + [("US", "B")] * 3 + [("FR", "A")] * 10
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {
+        (r.nation, r.seg): (r.group_n, r.below_k)
+        for r in k_anonymity_report(df, ["nation", "seg"], 10).collect()
+    }
+    assert got == {
+        ("US", "A"): (12, False),
+        ("US", "B"): (3, True),
+        ("FR", "A"): (10, False),
+    }
