@@ -591,3 +591,75 @@ def rfm1_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
         .alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TR1 — per-key linear trend: the least-squares slope of daily revenue
+# over time, closed-form from four integer aggregates (n, Σt, Σy, Σty,
+# Σt²) — one daily rollup + one per-key aggregate, no iteration, no
+# window. All arithmetic is BIGINT: t is a 0-based day index per key,
+# y is integer cents, slope is milli-cents/day via DIV; single-day keys
+# yield NULL (denominator 0). Overflow bound: 1000·n·Σty needs
+# n·t_max·y_max·n·1000 < 2^63 — holds through ~10^4 days of 10^9-cent
+# daily revenue; past that, widen to DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+_TR1_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+rel AS (
+  SELECT event_type,
+         day_idx - MIN(day_idx) OVER (PARTITION BY event_type) AS t,
+         cents AS y
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * y) AS BIGINT) AS sty, CAST(SUM(t * t) AS BIGINT) AS stt
+  FROM rel GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n * stt - st * st = 0 THEN NULL
+            ELSE CAST((1000 * (n * sty - st * sy)) // (n * stt - st * st) AS BIGINT)
+       END AS slope_millicents_per_day
+FROM agg
+"""
+
+
+@register("tr1_trend_slope", _TR1_ORACLE)
+def tr1_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    rel = daily.select(
+        "event_type",
+        (F.col("day_idx") - F.min("day_idx").over(w)).alias("t"),
+        F.col("cents").alias("y"),
+    )
+    agg = rel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+    )
+    denom = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(denom == 0, F.lit(None))
+        .otherwise(F.expr(
+            "CAST((1000 * (n * sty - st * sy)) DIV (n * stt - st * st) AS BIGINT)"
+        ))
+        .alias("slope_millicents_per_day"),
+    )

@@ -222,3 +222,23 @@ def test_golden_record_survivorship_rule(spark):
         .collect()
     }
     assert got == {1: ("HIGH", "F"), 2: (None, "P")}
+
+
+def test_trend_slope_known_series(spark):
+    """y = 250 + 300t exactly -> slope 300000 milli-units/day; a
+    single-day key yields NULL (zero denominator guard)."""
+    from etl_stack_spark.queries.analytics_q import tr1_trend_slope
+    from datetime import datetime, timedelta
+    import pyspark.sql.functions as F  # noqa: F401
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(days=t), "lin", (250 + 300 * t) / 100.0)
+        for i, t in enumerate(range(5))
+    ] + [(99, t0, "single", 7.77)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.event_type: r.slope_millicents_per_day for r in tr1_trend_slope(spark, d).collect()}
+    assert got == {"lin": 300000, "single": None}
