@@ -663,3 +663,72 @@ def tr1_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .alias("slope_millicents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PA1 — the product-analytics composition (the funnel family's llm1):
+# sessionize (ses1 machinery) → per-session first event type + converted
+# flag → per-(first_type, converted) session counts and total dwell.
+# Everything stays inside the ONE user-key shuffle until the final
+# group-cardinality rollup; durations are exact integer microseconds.
+# ---------------------------------------------------------------------------
+_PA1_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             > {_SES1_GAP_US}
+         THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged
+),
+sess AS (
+  SELECT user_id, session_seq,
+         first_value(event_type) OVER (PARTITION BY user_id, session_seq
+             ORDER BY ts_us, event_id) AS first_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id, session_seq) AS converted,
+         MAX(ts_us) OVER (PARTITION BY user_id, session_seq)
+           - MIN(ts_us) OVER (PARTITION BY user_id, session_seq) AS dur
+  FROM seq
+),
+one AS (
+  SELECT DISTINCT user_id, session_seq, first_type, converted, dur FROM sess
+)
+SELECT first_type, CAST(converted AS INT) AS converted,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur) AS BIGINT) AS total_duration_us
+FROM one GROUP BY first_type, converted
+"""
+
+
+@register("pa1_session_conversion", _PA1_ORACLE)
+def pa1_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.sessions import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    tagged = sessionize(
+        events, "user_id", "ts", _SES1_GAP_US // 1_000_000, "event_id"
+    ).withColumn("ts_us", F.unix_micros(F.col("ts")))
+    ws = Window.partitionBy("user_id", "session_seq")
+    w_ord = ws.orderBy("ts_us", "event_id")
+    sess = tagged.select(
+        "user_id",
+        "session_seq",
+        F.first("event_type").over(w_ord).alias("first_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(ws)
+        .alias("converted"),
+        (F.max("ts_us").over(ws) - F.min("ts_us").over(ws)).alias("dur"),
+    ).distinct()
+    return sess.groupBy("first_type", F.col("converted").cast("int").alias("converted")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("dur").cast("long").alias("total_duration_us"),
+    )
