@@ -42,31 +42,69 @@ def _token(col: str, salt: str):
     )
 
 
-def pseudonymize(df: DataFrame, cols: Sequence[str], salt: str) -> DataFrame:
-    """Replace each named identifier column with its salted 60-bit
-    token (BIGINT). Same salt ⇒ same token across tables and runs, so
-    referential joins survive the release."""
+def _token_wide(col: str, salt: str):
+    # 120-bit hex token as a string — collision odds ~n²/2^121
+    return F.substring(
+        F.sha2(F.concat(F.lit(f"{len(salt)}:{salt}:"), F.col(col).cast("string")), 256),
+        1,
+        30,
+    )
+
+
+def pseudonymize(
+    df: DataFrame, cols: Sequence[str], salt: str, wide: bool = False
+) -> DataFrame:
+    """Replace each named identifier column with its salted token.
+    Same salt ⇒ same token across tables and runs, so referential joins
+    survive the release.
+
+    Token width is a collision-tolerance decision — identity tokens are
+    collision-INTOLERANT (a collision merges two people's activity):
+    the default 60-bit BIGINT is safe to ~10^7 identifiers (birthday
+    odds n²/2^61 ≈ 4e-5 at 1e7) and keeps join keys numeric; at
+    ~10^9 identifiers (the 100 TB shape) the odds approach 40%, so pass
+    ``wide=True`` for a 120-bit hex-string token (odds ~4e-19 at 1e9).
+    NULLs pass through as NULL either way."""
+    tok = _token_wide if wide else _token
     out = df
     for c in cols:
-        out = out.withColumn(c, _token(c, salt))
+        out = out.withColumn(c, tok(c, salt))
     return out
 
 
-def token_vault(df: DataFrame, col: str, salt: str) -> DataFrame:
+def token_vault(
+    df: DataFrame, col: str, salt: str, wide: bool = False
+) -> DataFrame:
     """(original, token) distinct lookup for one identifier column —
-    the PRIVATE reversibility table."""
+    the PRIVATE reversibility table. Match ``wide`` to the
+    pseudonymize call it backs."""
+    tok = _token_wide if wide else _token
     return (
-        df.select(F.col(col).alias("original"), _token(col, salt).alias("token"))
+        df.select(F.col(col).alias("original"), tok(col, salt).alias("token"))
         .filter(F.col("original").isNotNull())
         .distinct()
     )
 
 
 def k_anonymity_report(
-    df: DataFrame, quasi_identifiers: Sequence[str], k: int
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int,
+    id_col: str | None = None,
 ) -> DataFrame:
     """One row per QI combination: (qi..., group_n, below_k). A release
-    passes when no row has below_k — the classic k-anonymity gate."""
+    passes when no row has below_k — the classic k-anonymity gate.
+
+    ``group_n`` must count INDIVIDUALS, not rows: pass ``id_col`` for
+    any table with multiple rows per person (event logs, order lines) —
+    one user with 50 events in a QI group is still ONE identifiable
+    person. Omit it only when the input is one row per individual
+    (a dimension table)."""
+    n = (
+        F.count_distinct(F.col(id_col))
+        if id_col is not None
+        else F.count(F.lit(1))
+    )
     return df.groupBy(*quasi_identifiers).agg(
-        F.count(F.lit(1)).cast("long").alias("group_n")
+        n.cast("long").alias("group_n")
     ).withColumn("below_k", F.col("group_n") < k)

@@ -455,9 +455,12 @@ def ewm1_halving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SES1_GAP_US = 8 * 3600 * 1_000_000
 
-_SES1_ORACLE = f"""
+# the ONE sessionization CTE prefix (boundary + running session counter),
+# shared by every oracle that builds on sessions (ses1, pa1) so a gap-rule
+# or tie-break change can never drift between them
+_SESSION_CTES = f"""
 WITH tagged AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
     CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              > {_SES1_GAP_US}
@@ -465,11 +468,13 @@ WITH tagged AS (
   FROM events
 ),
 seq AS (
-  SELECT user_id, ts_us,
+  SELECT user_id, event_id, event_type, ts_us,
          CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM tagged
-)
+)"""
+
+_SES1_ORACLE = f"""{_SESSION_CTES}
 SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
 FROM seq GROUP BY user_id, session_seq
@@ -599,9 +604,13 @@ def rfm1_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Σt²) — one daily rollup + one per-key aggregate, no iteration, no
 # window. All arithmetic is BIGINT: t is a 0-based day index per key,
 # y is integer cents, slope is milli-cents/day via DIV; single-day keys
-# yield NULL (denominator 0). Overflow bound: 1000·n·Σty needs
-# n·t_max·y_max·n·1000 < 2^63 — holds through ~10^4 days of 10^9-cent
-# daily revenue; past that, widen to DECIMAL(38,0).
+# yield NULL (denominator 0). Overflow bound: the widest intermediate is
+# 1000·n·Σty ≤ 1000·n³·y_max (Σty ≤ n·t_max·y_max, t_max < n after the
+# rebase), so n³·y_max must stay under ~9.2·10^15 — e.g. 2,000 days of
+# $10k/day (10^6 cents) or ~200 days of $10M/day (10^9 cents). Past
+# that, widen the products to DECIMAL(38,0) in BOTH engines; note Spark
+# runs ANSI-off and would wrap silently where DuckDB raises, so the
+# bound is a contract, not a runtime check.
 # ---------------------------------------------------------------------------
 _TR1_ORACLE = """
 WITH daily AS (
@@ -672,38 +681,19 @@ def tr1_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Everything stays inside the ONE user-key shuffle until the final
 # group-cardinality rollup; durations are exact integer microseconds.
 # ---------------------------------------------------------------------------
-_PA1_ORACLE = f"""
-WITH tagged AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             > {_SES1_GAP_US}
-         THEN 1 ELSE 0 END AS boundary
-  FROM events
-),
-seq AS (
-  SELECT user_id, event_id, event_type, ts_us,
-         CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-  FROM tagged
-),
+_PA1_ORACLE = f"""{_SESSION_CTES},
 sess AS (
   SELECT user_id, session_seq,
-         first_value(event_type) OVER (PARTITION BY user_id, session_seq
-             ORDER BY ts_us, event_id) AS first_type,
-         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id, session_seq) AS converted,
-         MAX(ts_us) OVER (PARTITION BY user_id, session_seq)
-           - MIN(ts_us) OVER (PARTITION BY user_id, session_seq) AS dur
-  FROM seq
-),
-one AS (
-  SELECT DISTINCT user_id, session_seq, first_type, converted, dur FROM sess
+         arg_min(event_type, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS first_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur
+  FROM seq GROUP BY user_id, session_seq
 )
 SELECT first_type, CAST(converted AS INT) AS converted,
        CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(dur) AS BIGINT) AS total_duration_us
-FROM one GROUP BY first_type, converted
+FROM sess GROUP BY first_type, converted
 """
 
 
@@ -715,19 +705,21 @@ def pa1_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = sessionize(
         events, "user_id", "ts", _SES1_GAP_US // 1_000_000, "event_id"
     ).withColumn("ts_us", F.unix_micros(F.col("ts")))
-    ws = Window.partitionBy("user_id", "session_seq")
-    w_ord = ws.orderBy("ts_us", "event_id")
-    sess = tagged.select(
-        "user_id",
-        "session_seq",
-        F.first("event_type").over(w_ord).alias("first_type"),
+    # per-session facts as ONE partial-aggregable groupBy (no window
+    # passes + distinct): first_type via min_by on a zero-padded
+    # (ts_us, event_id) string sortkey — deterministic under ties and
+    # representable in both engines (a BIGINT composite would overflow)
+    sortkey = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", sortkey).alias("first_type"),
         F.max(
             F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
-        )
-        .over(ws)
-        .alias("converted"),
-        (F.max("ts_us").over(ws) - F.min("ts_us").over(ws)).alias("dur"),
-    ).distinct()
+        ).alias("converted"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur"),
+    )
     return sess.groupBy("first_type", F.col("converted").cast("int").alias("converted")).agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("dur").cast("long").alias("total_duration_us"),

@@ -40,8 +40,8 @@ _KA1_K = 10
 
 _KA1_ORACLE = f"""
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS segment,
-       CAST(COUNT(*) AS BIGINT) AS group_n,
-       COUNT(*) < {_KA1_K} AS below_k
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS group_n,
+       COUNT(DISTINCT c_custkey) < {_KA1_K} AS below_k
 FROM customer GROUP BY 1, 2
 """
 
@@ -51,7 +51,12 @@ def ka1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.privacy import k_anonymity_report
 
     cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
         F.col("c_nationkey").cast("long").alias("nationkey"),
         F.col("c_mktsegment").alias("segment"),
     )
-    return k_anonymity_report(cust, ["nationkey", "segment"], _KA1_K)
+    # id_col counts INDIVIDUALS — customer happens to be one row per
+    # person, but the call shape must survive multi-row inputs
+    return k_anonymity_report(
+        cust, ["nationkey", "segment"], _KA1_K, id_col="custkey"
+    )

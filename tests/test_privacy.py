@@ -56,3 +56,27 @@ def test_k_anonymity_flags_small_groups(spark):
         ("US", "B"): (3, True),
         ("FR", "A"): (10, False),
     }
+
+
+def test_k_anonymity_counts_individuals_not_rows(spark):
+    """One person with 50 event rows is still ONE identifiable person:
+    with id_col the group stays below k; a row count would hide it."""
+    rows = [(7, "US", "A")] * 50 + [(i, "FR", "B") for i in range(12)]
+    df = spark.createDataFrame(rows, "uid long, nation string, seg string")
+    got = {
+        (r.nation, r.seg): (r.group_n, r.below_k)
+        for r in k_anonymity_report(df, ["nation", "seg"], 10, id_col="uid").collect()
+    }
+    assert got == {("US", "A"): (1, True), ("FR", "B"): (12, False)}
+
+
+def test_wide_tokens_preserve_joins_and_vault(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "uid long, pa string")
+    b = spark.createDataFrame([(1, "q")], "uid long, pb string")
+    ta = pseudonymize(a, ["uid"], "s1", wide=True)
+    tb = pseudonymize(b, ["uid"], "s1", wide=True)
+    joined = ta.join(tb, "uid").collect()
+    assert len(joined) == 1 and joined[0].pa == "x"
+    assert isinstance(joined[0].uid, str) and len(joined[0].uid) == 30
+    vault = token_vault(a, "uid", "s1", wide=True)
+    assert vault.count() == 2

@@ -224,12 +224,11 @@ def test_golden_record_survivorship_rule(spark):
     assert got == {1: ("HIGH", "F"), 2: (None, "P")}
 
 
-def test_trend_slope_known_series(spark):
+def test_trend_slope_known_series(spark, tmp_path):
     """y = 250 + 300t exactly -> slope 300000 milli-units/day; a
     single-day key yields NULL (zero denominator guard)."""
     from etl_stack_spark.queries.analytics_q import tr1_trend_slope
     from datetime import datetime, timedelta
-    import pyspark.sql.functions as F  # noqa: F401
 
     t0 = datetime(2024, 1, 1)
     rows = [
@@ -237,8 +236,9 @@ def test_trend_slope_known_series(spark):
         for i, t in enumerate(range(5))
     ] + [(99, t0, "single", 7.77)]
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
-    import tempfile, os
-    d = tempfile.mkdtemp()
-    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
-    got = {r.event_type: r.slope_millicents_per_day for r in tr1_trend_slope(spark, d).collect()}
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: r.slope_millicents_per_day
+        for r in tr1_trend_slope(spark, str(tmp_path)).collect()
+    }
     assert got == {"lin": 300000, "single": None}
