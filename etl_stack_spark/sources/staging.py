@@ -49,3 +49,37 @@ def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFr
         .load(path)
     )
     return df.withColumn("content_hash", F.sha2(F.col("content"), 256))
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Error-tolerant CSV ingest: rows that parse against ``schema``
+    flow through; rows that don't are QUARANTINED with their raw text
+    instead of silently nulling out (PERMISSIVE + columnNameOfCorruptRecord
+    — the standard Spark pattern, pinned here because getting it wrong
+    silently corrupts ingest). Returns (good, quarantined).
+
+    The corrupt-record column must be part of the declared schema and
+    the frame must be materialized from the raw parse — a filter on the
+    corrupt column after other projections can be optimized away, so
+    both outputs project from one cached parse. At 100 TB the
+    quarantine stream is the error-budget signal: route it to a dq1
+    expectation, never drop it.
+    """
+    full = (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        # one parse feeds both outputs, and Spark disallows filtering on
+        # only the corrupt column straight off the raw relation; a LAZY
+        # local checkpoint satisfies both with GC-owned blocks (no
+        # CacheManager pin to leak — the repo-wide discipline)
+        .localCheckpoint(eager=False)
+    )
+    good = full.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = full.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return good, bad

@@ -1,0 +1,51 @@
+"""Source-layer robustness: CSV corrupt-record quarantine and the ORC
+round-trip (read/write + predicate pushdown into the ORC scan)."""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.sources.staging import read_csv_quarantine
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "1,alpha,2.5\n"
+        "not-a-number,beta,3.5\n"  # id fails the long cast -> quarantined
+        "3,gamma,oops\n"  # price fails the double cast -> quarantined
+        "4,delta,9.0\n"
+    )
+    good, bad = read_csv_quarantine(spark, str(p), "id long, name string, price double")
+    assert sorted((r.id, r.name) for r in good.collect()) == [(1, "alpha"), (4, "delta")]
+    raws = sorted(r.raw_line for r in bad.collect())
+    assert raws == ["3,gamma,oops", "not-a-number,beta,3.5"]
+
+
+def test_csv_quarantine_all_good_is_empty_quarantine(spark, tmp_path):
+    p = tmp_path / "ok.csv"
+    p.write_text("1,a,1.0\n2,b,2.0\n")
+    good, bad = read_csv_quarantine(spark, str(p), "id long, name string, price double")
+    assert good.count() == 2 and bad.count() == 0
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC is a first-class warehouse format: values survive the round
+    trip exactly and a filter reaches the ORC scan (PushedFilters)."""
+    src = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+    )
+    dest = str(tmp_path / "t.orc")
+    src.write.orc(dest)
+    back = spark.read.orc(dest)
+    assert back.count() == 1000
+    filtered = back.filter(F.col("bucket") == 3)
+    assert filtered.count() == src.filter(F.col("id") % 7 == 3).count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain()
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "EqualTo(bucket,3)" in plan, plan
