@@ -26,6 +26,13 @@ from etl_stack_spark.session import get_spark  # noqa: E402
 
 # Headline queries: the flagship plus one per operator family once they land.
 HEADLINE = [
+    # geo showcase FIRST: the family shares one persisted match stream
+    # that the warmup just materialized — queries between the warmup and
+    # the family can pressure it out of the heap, and a mid-run eviction
+    # turns three ~2s queries into three ~4s recomputes (measured)
+    "j6_radius_join",
+    "t1_lead_prep_topk",
+    "a2a3_lead_metrics",
     # relational spine
     "t1_tiered_topk",
     "a1_group_stats",
@@ -35,10 +42,6 @@ HEADLINE = [
     # scalar/codegen
     "p4_clean_price",
     "p9_content_hash",
-    # geo showcase
-    "j6_radius_join",
-    "t1_lead_prep_topk",
-    "a2a3_lead_metrics",
     # LLM-pipeline ops
     "dd2_minhash_lsh",
     "ss1_bruteforce_topk",
