@@ -163,3 +163,44 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the oracle row exercising real pairs
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates_lsh(emb, threshold=0.42)
+
+
+# ---------------------------------------------------------------------------
+# VQ1 — int8 embedding quantization acceptance report: per-vector scale
+# and EXACT max reconstruction error in integer micro-units. The whole
+# quantize→dequantize→error chain is correctly-rounded IEEE ops in one
+# deterministic order, so the doubles are bit-identical cross-engine
+# before the micro-quantization even rounds them. Zero shuffles.
+# ---------------------------------------------------------------------------
+_VQ1_ORACLE = """
+SELECT vec_id,
+  CAST(len(v) AS INT) AS n_dims,
+  CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+  CAST(floor((CASE WHEN s = 0 THEN 0
+       ELSE list_max(list_transform(v, x -> abs(x - floor(x / s * 127 + 0.5) * s / 127)))
+       END) * 1000000 + 0.5) AS BIGINT) AS max_err_micro
+FROM (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+)
+"""
+
+
+@register("vq1_embedding_quantize", _VQ1_ORACLE)
+def vq1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("s", F.expr("array_max(transform(v, x -> abs(x)))"))
+    err = F.expr(
+        "CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE array_max(transform(v, x -> abs(x - floor(x / s * 127 + 0.5) * s / 127))) END"
+    )
+    return base.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.floor(F.col("s") * 1000000 + 0.5).cast("long").alias("scale_micro"),
+        F.floor(err * 1000000 + 0.5).cast("long").alias("max_err_micro"),
+    )

@@ -1,0 +1,51 @@
+"""Embedding-quantization units: round-trip error bound, zero-vector
+handling, int8 range, and recall preservation on a planted neighbor."""
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.similarity import quantize_embeddings
+
+
+def test_quantize_error_within_half_step_and_range(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.99]), (2, [3.0, 0.0, -3.0, 1.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = quantize_embeddings(df).collect()
+    for r in out:
+        s = r.q_scale
+        assert all(-127 <= q <= 127 for q in r.q_vec)
+        for x, q in zip(r.embedding, r.q_vec):
+            deq = q * s / 127
+            assert abs(x - deq) <= s / 254 + 1e-12  # half a quantization step
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert r.q_scale == 0.0 and list(r.q_vec) == [0, 0, 0]
+
+
+def test_quantize_preserves_nearest_neighbor(spark):
+    """Cosine ranking on dequantized vectors keeps the planted nearest
+    neighbor at rank 1 — the acceptance property the 4x shrink must hold."""
+    import math
+
+    base = [0.6, -0.2, 0.8, 0.1]
+    near = [v * 1.01 + 0.001 for v in base]
+    far = [-0.7, 0.5, -0.1, 0.9]
+    df = spark.createDataFrame(
+        [(1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    rows = quantize_embeddings(df).collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    deq = {
+        r.vec_id: [q * r.q_scale / 127 for q in r.q_vec] for r in rows
+    }
+    assert cos(base, deq[1]) > cos(base, deq[2])
