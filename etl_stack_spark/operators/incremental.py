@@ -102,3 +102,44 @@ def refresh_join_view(
         .unionByName(da.join(db, list(on)))
     )
     return view.unionByName(dv)
+
+
+def refresh_retractable_agg(
+    agg_table: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, Column]],
+    count_col: str,
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Maintain a per-key aggregate from a CHANGE FEED with deletions —
+    the retractable half of IVM (mv1's refresh_additive_agg is the
+    insert-only half; this consumes exactly what the merge layer's
+    change-data-feed emits). ``changes`` carries ``sign_col`` = +1 for
+    inserted rows, -1 for deleted rows; only sum/count retract exactly
+    (min/max need the base — use a rebuild or a sketch for those).
+
+    ``count_col`` names the measure that must be a ("count", ...) entry:
+    groups whose retracted count reaches 0 are DROPPED, so the refreshed
+    table is row-identical to a full recompute over the post-change
+    state (which the mv3 oracle proves). Cost: one partial agg over the
+    delta + one combine shuffle — the base table is never rescanned.
+    """
+    if measures[count_col][0] != "count":
+        raise ValueError(f"count_col {count_col!r} must be a ('count', ...) measure")
+    aggs = []
+    for out, (kind, expr) in measures.items():
+        if kind == "count":
+            aggs.append(F.sum(F.col(sign_col)).alias(out))
+        elif kind == "sum":
+            aggs.append(F.sum(F.col(sign_col) * expr).alias(out))
+        else:
+            raise ValueError(f"measure {out!r}: only sum/count retract exactly")
+    partial = changes.groupBy(*keys).agg(*aggs)
+    combined = agg_table.select(*keys, *measures).unionByName(
+        partial.select(*keys, *measures)
+    )
+    out = combined.groupBy(*keys).agg(
+        *[F.sum(F.col(m)).cast("long").alias(m) for m in measures]
+    )
+    return out.filter(F.col(count_col) > 0)

@@ -376,3 +376,55 @@ def gr1_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_obs"),
         F.max("day_idx").cast("long").alias("last_seen_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MV3 — retractable aggregate maintenance (the IVM family's third leg:
+# mv1 = insert-only aggregates, mv2 = insert-only joins, mv3 = a change
+# feed WITH DELETES): the engine aggregates a 95% base slice, then
+# applies a signed change batch (the 5% inserts as +1, a 3-point slice
+# of the base as -1 deletes) through refresh_retractable_agg; the
+# oracle proves the result row-identical to recomputing over the
+# post-change state. Groups retracted to zero count vanish.
+# ---------------------------------------------------------------------------
+_MV3_H = "(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT) % 100"
+_MV3_ORACLE = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE {_MV3_H} NOT BETWEEN 90 AND 92
+GROUP BY o_orderpriority
+"""
+
+
+@register("mv3_retractable_agg", _MV3_ORACLE)
+def mv3_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.incremental import (
+        partial_agg,
+        refresh_retractable_agg,
+    )
+    from etl_stack_spark.operators.text import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (portable_hash60(F.col("o_orderkey").cast("string")) % 100).alias("_h"),
+    )
+    measures = {
+        "n": ("count", F.lit(1)),
+        "total_cents": ("sum", F.col("cents")),
+    }
+    base = orders.filter(F.col("_h") >= 5)
+    inserts = orders.filter(F.col("_h") < 5).withColumn("_sign", F.lit(1))
+    deletes = orders.filter(F.col("_h").between(90, 92)).withColumn(
+        "_sign", F.lit(-1)
+    )
+    agg0 = partial_agg(base, ["priority"], measures)
+    return refresh_retractable_agg(
+        agg0,
+        inserts.unionByName(deletes),
+        ["priority"],
+        measures,
+        count_col="n",
+    )

@@ -242,3 +242,37 @@ def test_trend_slope_known_series(spark, tmp_path):
         for r in tr1_trend_slope(spark, str(tmp_path)).collect()
     }
     assert got == {"lin": 300000, "single": None}
+
+
+def test_retractable_agg_drops_emptied_groups(spark):
+    """Retracting every row of a group removes the group entirely (a
+    zero-count group must not linger as a zeroed row), and sums retract
+    exactly; non-retractable measures are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.incremental import (
+        partial_agg,
+        refresh_retractable_agg,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7)], "k string, v long"
+    )
+    measures = {"n": ("count", F.lit(1)), "total": ("sum", F.col("v"))}
+    agg0 = partial_agg(base, ["k"], measures)
+    changes = spark.createDataFrame(
+        [("a", 10, -1), ("a", 5, -1), ("b", 3, 1)], "k string, v long, _sign int"
+    )
+    got = {
+        r.k: (r.n, r.total)
+        for r in refresh_retractable_agg(
+            agg0, changes, ["k"], measures, count_col="n"
+        ).collect()
+    }
+    assert got == {"b": (2, 10)}  # group "a" fully retracted -> gone
+
+    with pytest.raises(ValueError):
+        refresh_retractable_agg(
+            agg0, changes, ["k"], {"m": ("max", F.col("v")), "n": ("count", F.lit(1))},
+            count_col="n",
+        )
