@@ -143,3 +143,18 @@ def refresh_retractable_agg(
         *[F.sum(F.col(m)).cast("long").alias(m) for m in measures]
     )
     return out.filter(F.col(count_col) > 0)
+
+
+def changes_to_signed(feed: DataFrame, change_col: str = "_change_type") -> DataFrame:
+    """Adapt the merge layer's change data feed (``diff_versions``:
+    insert / delete / update_preimage / update_postimage) to the signed
+    form ``refresh_retractable_agg`` consumes: post-states add (+1),
+    pre-states retract (-1). An update is exactly one retract plus one
+    add, so updated rows need no special casing anywhere downstream."""
+    sign = (
+        F.when(F.col(change_col).isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col(change_col).isin("delete", "update_preimage"), F.lit(-1))
+    )
+    return feed.withColumn("_sign", sign).filter(
+        F.col("_sign").isNotNull()
+    ).drop(change_col)

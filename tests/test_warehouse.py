@@ -276,3 +276,36 @@ def test_retractable_agg_drops_emptied_groups(spark):
             agg0, changes, ["k"], {"m": ("max", F.col("v")), "n": ("count", F.lit(1))},
             count_col="n",
         )
+
+
+def test_change_feed_drives_retractable_agg(spark, tmp_path):
+    """The full IVM loop: merge-table v1 -> overwrite v2 -> diff_versions
+    change feed -> signed deltas -> refresh_retractable_agg == a direct
+    aggregate of v2. Inserts, deletes, AND updates all flow through."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.incremental import (
+        changes_to_signed,
+        partial_agg,
+        refresh_retractable_agg,
+    )
+    from etl_stack_spark.operators.merge import ParquetMergeTable, diff_versions
+
+    t = ParquetMergeTable(spark, str(tmp_path / "t"))
+    mk = lambda *rws: spark.createDataFrame(  # noqa: E731
+        list(rws), "id string, grp string, v long"
+    )
+    t.overwrite(mk(("a", "x", 10), ("b", "x", 5), ("c", "y", 7)))
+    v1 = t.current_version()
+    measures = {"n": ("count", F.lit(1)), "total": ("sum", F.col("v"))}
+    agg_v1 = partial_agg(t.read(), ["grp"], measures)
+
+    # v2: a updated (10->12), c deleted, d inserted into a NEW group
+    t.overwrite(mk(("a", "x", 12), ("b", "x", 5), ("d", "z", 4)))
+    feed = diff_versions(t, v1, keys=["id"], hash_col=None)
+    refreshed = refresh_retractable_agg(
+        agg_v1, changes_to_signed(feed), ["grp"], measures, count_col="n"
+    )
+    direct = partial_agg(t.read(), ["grp"], measures)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
