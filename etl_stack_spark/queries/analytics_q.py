@@ -724,3 +724,63 @@ def pa1_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("dur").cast("long").alias("total_duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CS1 — chi-squared association between two categorical columns (event
+# type × value tercile): observed counts are exact integers; expected
+# counts and per-cell contributions are correctly-rounded IEEE doubles
+# in one deterministic order, micro-quantized per CELL before any
+# cross-engine comparison (the lm1 discipline — engines may sum floats
+# in different orders, so the oracle never sums unquantized doubles).
+# One shuffle for the cell counts; the marginals are group-cardinality
+# broadcasts.
+# ---------------------------------------------------------------------------
+_CS1_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < 5 THEN 0 WHEN value < 12 THEN 1 ELSE 2 END AS bucket
+  FROM events
+),
+cells AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+rows_ AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT bucket, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT ce.event_type, ce.bucket, ce.o,
+       CAST(floor((CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS expected_micro,
+       CAST(floor(((CAST(ce.o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(ce.o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+FROM cells ce JOIN rows_ USING (event_type) JOIN cols_ USING (bucket) CROSS JOIN tot
+"""
+
+
+@register("cs1_chi_squared", _CS1_ORACLE)
+def cs1_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 5, 0).when(F.col("value") < 12, 1).otherwise(2)
+    )
+    cells = events.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("bucket").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    e = F.expr("CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)")
+    joined = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_e", e)
+    )
+    contrib = F.expr(
+        "(CAST(o AS DOUBLE) - _e) * (CAST(o AS DOUBLE) - _e) / _e"
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.floor(F.col("_e") * 1000000 + 0.5).cast("long").alias("expected_micro"),
+        F.floor(contrib * 1000000 + 0.5).cast("long").alias("contrib_micro"),
+    )
