@@ -428,3 +428,56 @@ def mv3_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         measures,
         count_col="n",
     )
+
+
+# ---------------------------------------------------------------------------
+# CAL1 — date-dimension spine (the calendar table every warehouse joins
+# against), generated from the fact table's own min/max day so it's
+# scale-invariant. Day-of-week comes from the pure integer identity
+# (day_idx + 4) % 7 (1970-01-01 was a Thursday) — no engine DOW
+# convention (Sunday=0? Monday=1?) can disagree; year/month/day-of-month
+# extraction agrees on DATE in both engines.
+# ---------------------------------------------------------------------------
+_CAL1_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS d0,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS d1
+  FROM orders
+),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds),
+days AS (SELECT day_idx, DATE '1970-01-01' + CAST(day_idx AS INT) AS d FROM spine)
+SELECT day_idx, CAST(d AS VARCHAR) AS d,
+       CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
+       CAST(day(d) AS INT) AS dom,
+       CAST((day_idx + 4) % 7 AS INT) AS dow,
+       (day_idx + 4) % 7 IN (5, 6) AS is_weekend,
+       CAST((month(d) - 1) // 3 + 1 AS INT) AS quarter
+FROM days
+"""
+
+
+@register("cal1_date_dimension", _CAL1_ORACLE)
+def cal1_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+    bounds = orders.agg(
+        F.min(day).cast("long").alias("d0"), F.max(day).cast("long").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_idx")
+    )
+    d = F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int"))
+    dow = (F.col("day_idx") + 4) % 7
+    return spine.select(
+        "day_idx",
+        d.cast("string").alias("d"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        dow.cast("int").alias("dow"),
+        dow.isin(5, 6).alias("is_weekend"),
+        ((F.month(d) - 1).cast("int") / 3).cast("int").alias("_q"),
+    ).select(
+        "day_idx", "d", "y", "m", "dom", "dow", "is_weekend",
+        (F.col("_q") + 1).cast("int").alias("quarter"),
+    )
