@@ -784,3 +784,65 @@ def cs1_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("_e") * 1000000 + 0.5).cast("long").alias("expected_micro"),
         F.floor(contrib * 1000000 + 0.5).cast("long").alias("contrib_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BD1 — Benford first-digit analysis (the fraud/data-forensics staple):
+# the leading digit of positive amounts in integer cents, extracted via
+# STRING head (never a float log10, whose power-of-ten edges differ);
+# expected Benford frequencies log10(1+1/d) are computed ONCE in Python
+# and emitted as identical double literals into both engines; deviation
+# is micro-quantized per digit (the cs1/lm1 discipline).
+# ---------------------------------------------------------------------------
+import math as _math
+
+_BD1_EXPECTED = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+_BD1_EXP_SQL = " ".join(
+    f"WHEN {d} THEN CAST({_BD1_EXPECTED[d]!r} AS DOUBLE)" for d in range(1, 10)
+)
+
+_BD1_ORACLE = f"""
+WITH amounts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit FROM amounts
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+SELECT digit, n,
+  CAST(floor((CASE digit {_BD1_EXP_SQL} END) * 1000000 + 0.5) AS BIGINT) AS expected_ppm,
+  CAST(floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS observed_ppm
+FROM obs CROSS JOIN tot
+"""
+
+
+@register("bd1_benford_digits", _BD1_ORACLE)
+def bd1_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(F.col("digit") == d, F.lit(_BD1_EXPECTED[d])).otherwise(
+            expected
+        )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.floor(expected * 1000000 + 0.5).cast("long").alias("expected_ppm"),
+            F.floor(
+                F.expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)") * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("observed_ppm"),
+        )
+    )

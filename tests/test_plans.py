@@ -146,6 +146,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "pmi1_collocations",         # 1-row corpus bigram total
         "kmv1_distinct_set_algebra",  # four 1-row estimate sides
         "cs1_chi_squared",            # 1-row grand-total side
+        "bd1_benford_digits",         # 1-row total side
         "mb1_pair_affinity",         # 1-row basket-count side
         "kw1_tfidf_keywords",        # 1-row doc-count side
         "hll2_grouped_distinct",     # groups x 64-register broadcast spine
