@@ -846,3 +846,60 @@ def bd1_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("observed_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GC1 — Gini concentration of customer revenue (the inequality /
+# concentration KPI): rank customers by revenue ascending (custkey
+# tie-break = total order), G = (2·Σ(i·y_i) − (n+1)·Σy) / (n·Σy). Both
+# Σ-terms accumulate as DECIMAL(38,0) (i·y_i reaches ~1e15 at sf0.1 and
+# the SUM would wrap BIGINT at warehouse scale; DuckDB's HUGEINT and
+# Spark's decimal sum are both exact), and only the final ratio is a
+# correctly-rounded double, milli-quantized. The global rank window is
+# dimension-cardinality — the documented rfm1 class.
+# ---------------------------------------------------------------------------
+_GC1_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, custkey) AS i FROM rev
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(i AS HUGEINT) * cents) AS s1,
+         SUM(CAST(cents AS HUGEINT)) AS s0
+  FROM ranked
+)
+SELECT n,
+  CAST(s0 AS BIGINT) AS total_cents,
+  CAST(floor((CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS gini_milli
+FROM agg
+"""
+
+
+@register("gc1_gini_concentration", _GC1_ORACLE)
+def gc1_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "custkey")).alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * cents")).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
+    )
+    gini = F.expr(
+        "CAST(floor((CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"
+    )
+    return agg.select(
+        "n", F.col("s0").cast("long").alias("total_cents"), gini.alias("gini_milli")
+    )
