@@ -903,3 +903,75 @@ def gc1_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n", F.col("s0").cast("long").alias("total_cents"), gini.alias("gini_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# AB1 — two-proportion z-test (the A/B-testing staple): users split into
+# deterministic variants by id parity, conversion = a purchase above a
+# threshold chosen non-degenerate at every SF; the pooled z-statistic is
+# a chain of correctly-rounded IEEE ops (sqrt is exact per IEEE-754),
+# micro-quantized, NULL when the pooled rate is 0 or 1 (zero variance —
+# ANSI Spark raises on the div-by-zero a naive formula hits).
+# ---------------------------------------------------------------------------
+_AB1_ORACLE = """
+WITH users AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INT) AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+    MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+    MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM v
+)
+SELECT n0, c0, n1, c1,
+  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+  ELSE CAST(floor(((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+    / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         * (1 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+         * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT)
+  END AS z_micro
+FROM w
+"""
+
+
+@register("ab1_two_proportion_z", _AB1_ORACLE)
+def ab1_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 300),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    v = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    z = F.expr(
+        "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL"
+        " ELSE CAST(floor(((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+        " / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+        " * (1 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+        " * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) END"
+    )
+    return w.select("n0", "c0", "n1", "c1", z.alias("z_micro"))
