@@ -1,0 +1,131 @@
+"""DBSCAN density clustering (Ester et al. 1996) — the classic
+density-based clusterer, built from the engine's own scale primitives:
+grid-cell candidate generation (the J6 radius-join shape, planar form)
+and the shared min-label connected-components loop.
+
+Semantics (deterministic, oracle-checkable):
+- neighborhood N_eps(p) counts points with squared distance ≤ eps²,
+  INCLUDING p itself (the textbook convention);
+- core: |N_eps(p)| ≥ min_pts;
+- clusters: connected components over core-core eps-edges; the cluster
+  id is the MINIMUM core point id in the component (the engine-wide
+  CC convention, matching a recursive-CTE oracle);
+- border: non-core with ≥1 core neighbor — assigned the MINIMUM
+  cluster id among its core neighbors (the textbook leaves this
+  tie-break unspecified; pinning it makes the result deterministic);
+- noise: everything else (cluster_id NULL).
+
+Scale shape (100 TB):
+- Candidate pairs via eps-sized grid cells with a 3×3 probe: each
+  right-side point lives in ONE cell, the left side explodes to its 9
+  neighbor cells, so every qualifying pair is generated exactly once
+  and the candidate set is O(local density), never O(n²) — the same
+  argument as operators/geo_join.py, in planar coordinates.
+- Neighbor counts and the core filter are one partial-agg shuffle on
+  the point id; the CC loop runs over CORE-CORE edges only (dense
+  regions by definition, but bounded by the same density argument).
+- Skewed cells (a dense downtown) are the J6 hazard class: AQE
+  skew-split plus the salt lever apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.graph import connected_components
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+) -> DataFrame:
+    """Label every point: (id_col, role ∈ core/border/noise,
+    cluster_id BIGINT nullable — NULL exactly for noise)."""
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    cx = F.floor(F.col("_x") / F.lit(eps)).cast("long")
+    cy = F.floor(F.col("_y") / F.lit(eps)).cast("long")
+    right = pts.select(
+        F.col("_id").alias("_j"),
+        F.col("_x").alias("_xj"),
+        F.col("_y").alias("_yj"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = (
+        pts.select("_id", "_x", "_y", cx.alias("_cx0"), cy.alias("_cy0"))
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            "_id",
+            "_x",
+            "_y",
+            (F.col("_cx0") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy0") + F.col("_o.dy")).alias("_cy"),
+        )
+    )
+    d2 = (F.col("_x") - F.col("_xj")) * (F.col("_x") - F.col("_xj")) + (
+        F.col("_y") - F.col("_yj")
+    ) * (F.col("_y") - F.col("_yj"))
+    pairs = (
+        left.join(right, ["_cx", "_cy"])
+        .filter(d2 <= F.lit(eps * eps))
+        .select("_id", "_j")
+    )
+
+    nb = pairs.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    core_ids = nb.filter(F.col("_n") >= min_pts).select("_id")
+    core_edges = (
+        pairs.filter(F.col("_id") != F.col("_j"))
+        .join(core_ids, "_id", "left_semi")
+        .join(core_ids.select(F.col("_id").alias("_j")), "_j", "left_semi")
+        .select(F.col("_id").alias("src"), F.col("_j").alias("dst"))
+    )
+    # the eps-pair relation is symmetric, so the edge list already
+    # contains both directions — skip the symmetrizing explode
+    clusters = connected_components(
+        core_ids.select(F.col("_id").alias("nid")),
+        core_edges,
+        id_col="nid",
+        symmetrize=False,
+    ).select(F.col("nid").alias("_id"), F.col("component_id").alias("cluster_id"))
+
+    core_out = clusters.select("_id", F.lit("core").alias("role"), "cluster_id")
+    border_out = (
+        pairs.join(core_ids, "_id", "left_anti")  # left side non-core
+        .join(
+            clusters.select(F.col("_id").alias("_j"), F.col("cluster_id")),
+            "_j",
+        )  # right side core with its cluster
+        .groupBy("_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select("_id", F.lit("border").alias("role"), "cluster_id")
+    )
+    labeled = core_out.unionByName(border_out)
+    noise_out = (
+        pts.select("_id")
+        .join(labeled.select("_id"), "_id", "left_anti")
+        .select(
+            "_id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("cluster_id"),
+        )
+    )
+    return (
+        labeled.unionByName(noise_out)
+        .select(F.col("_id").alias(id_col), "role", F.col("cluster_id").cast("long"))
+    )

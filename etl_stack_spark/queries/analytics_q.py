@@ -975,3 +975,51 @@ def ab1_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (1 / CAST(n0 AS DOUBLE) + 1 / CAST(n1 AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) END"
     )
     return w.select("n0", "c0", "n1", "c1", z.alias("z_micro"))
+
+
+# ---------------------------------------------------------------------------
+# TM1 — event transition matrix (the user-journey / Sankey primitive):
+# per (prev_type, type) transition counts from one lag window over the
+# event stream, with row-normalized shares in exact ppm (integer DIV
+# against the row total). Session starts (no previous event) count
+# under prev_type '<start>'.
+# ---------------------------------------------------------------------------
+_TM1_ORACLE = """
+WITH seq_ AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '<start>') AS prev_type,
+         event_type
+  FROM events
+),
+cells AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq_ GROUP BY 1, 2
+),
+rows_ AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1)
+SELECT prev_type, event_type, n,
+       CAST((n * 1000000) // r AS BIGINT) AS share_ppm
+FROM cells JOIN rows_ USING (prev_type)
+"""
+
+
+@register("tm1_transition_matrix", _TM1_ORACLE)
+def tm1_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq_ = events.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("<start>")).alias("prev_type"),
+        "event_type",
+    )
+    cells = seq_.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows_ = cells.groupBy("prev_type").agg(F.sum("n").cast("long").alias("r"))
+    return (
+        cells.join(F.broadcast(rows_), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.expr("CAST((n * 1000000) DIV r AS BIGINT)").alias("share_ppm"),
+        )
+    )

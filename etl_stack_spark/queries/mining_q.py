@@ -258,3 +258,67 @@ def gp1_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon(
         pts, _GP1_POLYGONS, point_id="c_custkey", x_col="px", y_col="py"
     ).select("c_custkey", F.col("poly_id").cast("int").alias("poly_id"))
+
+
+# ---------------------------------------------------------------------------
+# DB1 — DBSCAN density clustering over synthesized planar points (the
+# gp1 coordinate recipe): core/border/noise roles plus min-id cluster
+# labels, checked against a recursive-CTE oracle that re-derives the
+# same fixpoint. eps/min_pts picked so ALL THREE roles are non-vacuous
+# at sf0.01 AND sf0.1 (density grows 10x between them).
+# ---------------------------------------------------------------------------
+_DB1_EPS = 1.5
+_DB1_MINPTS = 4
+
+_DB1_ORACLE = f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         ((c_custkey * 37) % 1000) / 10.0 AS x,
+         ((c_custkey * 91) % 1000) / 10.0 AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.id AS i, b.id AS j FROM pts a JOIN pts b
+  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_DB1_EPS * _DB1_EPS!r}
+),
+nb AS (SELECT i, COUNT(*) AS n FROM pairs GROUP BY i),
+core AS (SELECT i FROM nb WHERE n >= {_DB1_MINPTS}),
+core_edges AS (
+  SELECT p.i, p.j FROM pairs p
+  JOIN core c1 ON c1.i = p.i JOIN core c2 ON c2.i = p.j
+  WHERE p.i <> p.j
+),
+reach(i, lbl) AS (
+  SELECT i, i FROM core
+  UNION
+  SELECT e.i, r.lbl FROM core_edges e JOIN reach r ON r.i = e.j
+),
+clusters AS (SELECT i, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY i),
+border AS (
+  SELECT p.i, CAST(MIN(c.cluster_id) AS BIGINT) AS cluster_id
+  FROM pairs p JOIN clusters c ON c.i = p.j
+  WHERE p.i NOT IN (SELECT i FROM core)
+  GROUP BY p.i
+)
+SELECT id, role, cluster_id FROM (
+  SELECT i AS id, 'core' AS role, cluster_id FROM clusters
+  UNION ALL
+  SELECT i AS id, 'border' AS role, cluster_id FROM border
+  UNION ALL
+  SELECT id, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster_id FROM pts
+  WHERE id NOT IN (SELECT i FROM clusters) AND id NOT IN (SELECT i FROM border)
+)
+"""
+
+
+@register("db1_dbscan", _DB1_ORACLE)
+def db1_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.density import dbscan
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (((F.col("c_custkey") * 37) % 1000) / F.lit(10.0)).alias("x"),
+        (((F.col("c_custkey") * 91) % 1000) / F.lit(10.0)).alias("y"),
+    )
+    return dbscan(pts, "id", "x", "y", eps=_DB1_EPS, min_pts=_DB1_MINPTS)

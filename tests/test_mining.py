@@ -148,3 +148,26 @@ def test_basket_affinity_mega_basket_guard_drops_not_truncates(spark):
     assert ab.n_ab == 2 and ab.n_a == 3 and ab.n_b == 3  # 99 still counted
     # lift = 3 baskets * 2 / (3*3)
     assert ab.lift_milli == 3 * 2 * 1000 // 9
+
+
+def test_dbscan_roles_and_clusters(spark):
+    """Hand-built geometry: a 5-point dense blob (all core), one border
+    point hanging off it, one far noise point, and a second 4-point
+    blob — two clusters labeled by their minimum core id."""
+    from etl_stack_spark.operators.density import dbscan
+
+    pts = [
+        # blob A around (0,0): pairwise within eps=1.5 of the center
+        (1, 0.0, 0.0), (2, 0.5, 0.0), (3, 0.0, 0.5), (4, -0.5, 0.0), (5, 0.0, -0.5),
+        (6, 1.45, 0.0),  # within eps of 1 and 2 only -> border (n_nb=3 < 4)
+        (7, 50.0, 50.0),  # noise
+        # blob B around (20,20): 4 points, each within eps of all others
+        (10, 20.0, 20.0), (11, 20.5, 20.0), (12, 20.0, 20.5), (13, 20.4, 20.4),
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {r.id: (r.role, r.cluster_id) for r in
+           dbscan(df, "id", "x", "y", eps=1.5, min_pts=4).collect()}
+    assert {i: got[i] for i in (1, 2, 3, 4, 5)} == {i: ("core", 1) for i in (1, 2, 3, 4, 5)}
+    assert got[6] == ("border", 1)
+    assert got[7] == ("noise", None)
+    assert {i: got[i] for i in (10, 11, 12, 13)} == {i: ("core", 10) for i in (10, 11, 12, 13)}
