@@ -342,3 +342,63 @@ def bfs_levels(
             break
     e.unpersist()
     return cur.select(F.col("_nid").alias(id_col), "level")
+
+
+def flatten_hierarchy(
+    parents: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Flatten a parent-pointer forest to (node, root, depth) — the
+    recursive-dimension classic (org charts, category trees, BOM
+    roll-ups). ``parents`` has one row per node; roots carry NULL in
+    ``parent_col``.
+
+    Pointer DOUBLING with distance accumulation: state (node, anc, d)
+    starts at (parent, 1) — or (self, 0) for roots — and each round
+    substitutes anc := state[anc].anc, d += state[anc].d, so the
+    distance-to-root resolves in ceil(log2(depth)) rounds (a 2^20-deep
+    chain needs 20 rounds). This is the loop neither
+    connected_components (no distances) nor bfs (single source) covers.
+    Each round is ONE equi-join on the ancestor key + an eager local
+    checkpoint (the engine-wide iterative-lineage discipline); a
+    changed-row probe exits early at the fixpoint.
+    """
+    state = parents.select(
+        F.col(node_col).alias("_n"),
+        F.coalesce(F.col(parent_col), F.col(node_col)).alias("_anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1))
+        .cast("int")
+        .alias("_d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("_n").alias("_anc"),
+            F.col("_anc").alias("_anc2"),
+            F.col("_d").alias("_d2"),
+        )
+        nxt = (
+            state.join(hop, "_anc")
+            .select(
+                "_n",
+                F.col("_anc2").alias("_anc"),
+                (F.col("_d") + F.col("_d2")).cast("int").alias("_d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("a")
+            .join(state.alias("b"), "_n")
+            .filter(F.col("a._anc") != F.col("b._anc"))
+            .limit(1)
+            .count()
+        )
+        state = nxt
+        if changed == 0:
+            break
+    return state.select(
+        F.col("_n").alias(node_col),
+        F.col("_anc").alias("root"),
+        F.col("_d").alias("depth"),
+    )

@@ -134,3 +134,40 @@ def bfs1_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
     return bfs_levels(edges, sources, id_col="node", max_iter=25)
+
+
+# ---------------------------------------------------------------------------
+# HF1 — hierarchy flattening (the recursive-dimension classic: category
+# trees, org charts, BOM roll-ups): a synthetic 4-ary forest over the
+# part keys (parent = k DIV 4; keys 1-3 are roots), flattened to
+# (node, root, depth) by pointer DOUBLING — ceil(log2 depth) rounds,
+# each one equi-join (see operators/graph.py:flatten_hierarchy). The
+# oracle descends the same forest with a recursive CTE.
+# ---------------------------------------------------------------------------
+_HF1_ORACLE = """
+WITH RECURSIVE par AS (
+  SELECT p_partkey AS n,
+         CASE WHEN p_partkey // 4 >= 1 THEN p_partkey // 4 END AS p
+  FROM part
+),
+climb(n, root, d) AS (
+  SELECT n, n, 0 FROM par WHERE p IS NULL
+  UNION ALL
+  SELECT c.n, climb.root, climb.d + 1 FROM par c JOIN climb ON climb.n = c.p
+)
+SELECT n AS node, CAST(root AS BIGINT) AS root, CAST(d AS INT) AS depth FROM climb
+"""
+
+
+@register("hf1_hierarchy_flatten", _HF1_ORACLE)
+def hf1_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.graph import flatten_hierarchy
+
+    part = load_table(spark, sf_dir, "part")
+    parents = part.select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            F.expr("p_partkey DIV 4") >= 1, F.expr("p_partkey DIV 4")
+        ).alias("parent"),
+    )
+    return flatten_hierarchy(parents)

@@ -1,0 +1,31 @@
+"""Hierarchy-flattening units: deep-chain depth accumulation (the
+pointer-doubling distance arithmetic), forest separation, and root
+self-reference."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from etl_stack_spark.operators.graph import flatten_hierarchy
+
+
+def test_flatten_deep_chain_exact_depths(spark):
+    # one chain 0 <- 1 <- 2 <- ... <- 12: depth doubling must ACCUMULATE
+    # distances correctly, not just converge (12 needs 4 rounds)
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got == {i: (0, i) for i in range(13)}
+
+
+def test_flatten_forest_keeps_trees_separate(spark):
+    rows = [
+        (1, None), (2, 1), (3, 1), (4, 2),
+        (10, None), (11, 10),
+        (20, None),  # isolated root
+    ]
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 2),
+        10: (10, 0), 11: (10, 1),
+        20: (20, 0),
+    }
