@@ -399,3 +399,95 @@ def fo1_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("mismatch")
         .alias("reconcile"),
     )
+
+
+# --- FO2: per-COLUMN drift report — fo1 answers "which rows differ";
+# this answers the practical migration question "WHICH COLUMNS drift,
+# and how often": system B is the orders table with deterministic
+# hash-sliced perturbations (status flipped on ~10%, price shifted on a
+# different ~10%), and the report is one row per compared column with
+# null-safe mismatch counts and ppm. ONE join on the key, one
+# conditional-sum aggregate, a zero-shuffle unpivot — the dq1 cost
+# class, so it runs on every migration batch.
+_FO2_H = "(('0x' || substr(sha256(CAST(o_orderkey AS VARCHAR) || '{tag}'), 1, 15))::BIGINT) % 100"
+_FO2_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS priority
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN {_FO2_H.format(tag='#s')} < 10 THEN 'X' ELSE o_orderstatus END AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN {_FO2_H.format(tag='#p')} < 10 THEN 1 ELSE 0 END AS cents,
+         o_orderpriority AS priority
+  FROM orders
+),
+j AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a.status IS DISTINCT FROM b.status THEN 1 ELSE 0 END) AS BIGINT) AS d_status,
+         CAST(SUM(CASE WHEN a.cents IS DISTINCT FROM b.cents THEN 1 ELSE 0 END) AS BIGINT) AS d_cents,
+         CAST(SUM(CASE WHEN a.priority IS DISTINCT FROM b.priority THEN 1 ELSE 0 END) AS BIGINT) AS d_priority
+  FROM a JOIN b USING (k)
+)
+SELECT col_name, n_mismatch, n_rows, CAST((n_mismatch * 1000000) // n_rows AS BIGINT) AS ppm
+FROM (
+  SELECT 'status' AS col_name, d_status AS n_mismatch, n AS n_rows FROM j
+  UNION ALL SELECT 'cents', d_cents, n FROM j
+  UNION ALL SELECT 'priority', d_priority, n FROM j
+)
+"""
+
+
+@register("fo2_column_drift", _FO2_ORACLE)
+def fo2_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import portable_hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def h(tag: str):
+        return portable_hash60(
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(tag))
+        ) % 100
+
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status_a"),
+        cents.alias("cents_a"),
+        F.col("o_orderpriority").alias("priority_a"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(h("#s") < 10, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status_b"),
+        (cents + F.when(h("#p") < 10, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("cents_b"),
+        F.col("o_orderpriority").alias("priority_b"),
+    )
+    diff = lambda x: F.sum(  # noqa: E731
+        F.when(~F.col(f"{x}_a").eqNullSafe(F.col(f"{x}_b")), 1).otherwise(0)
+    ).cast("long")
+    j = a.join(b, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        diff("status").alias("d_status"),
+        diff("cents").alias("d_cents"),
+        diff("priority").alias("d_priority"),
+    )
+    cols = ["status", "cents", "priority"]
+    rows = [
+        j.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"d_{c}").alias("n_mismatch"),
+            F.col("n").alias("n_rows"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "col_name",
+        "n_mismatch",
+        "n_rows",
+        F.expr("CAST((n_mismatch * 1000000) DIV n_rows AS BIGINT)").alias("ppm"),
+    )
