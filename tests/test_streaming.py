@@ -749,3 +749,44 @@ def test_streaming_grouped_hll_matches_batch_and_replay_is_noop(spark, tmp_path)
         r.grp: r.est_distinct for r in read_distinct_estimates(state, "grp").collect()
     }
     assert replayed == streamed
+
+
+def test_streaming_retractable_agg_matches_recompute_and_gates_replay(spark, tmp_path):
+    """Streaming IVM: after draining a 3-batch signed change feed, the
+    maintained aggregate equals a direct recompute over the net rows;
+    re-invoking the callback with an already-applied batch id is a
+    PROVABLE no-op (signed deltas are not idempotent — the atomic
+    batch-id gate is what makes replay safe)."""
+    from pyspark.sql import functions as F
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.streaming.incremental_agg import (
+        agg_maintenance_batch_fn,
+        read_aggregate,
+        run_agg_maintenance_stream,
+    )
+
+    feed = tmp_path / "feed"
+    # batch files: b0 inserts 6 rows; b1 inserts 2 + deletes 2 of b0's;
+    # b2 deletes the whole 'y' group
+    b0 = [("x", 10, 1), ("x", 5, 1), ("y", 7, 1), ("y", 3, 1), ("z", 2, 1), ("z", 4, 1)]
+    b1 = [("x", 20, 1), ("z", 2, -1), ("x", 5, -1), ("w", 9, 1)]
+    b2 = [("y", 7, -1), ("y", 3, -1)]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, "grp string, v long, _sign int").write.parquet(
+            str(feed / f"b{i}.parquet")
+        )
+    measures = {"n": ("count", F.lit(1)), "total": ("sum", F.col("v"))}
+    state = ParquetMergeTable(spark, str(tmp_path / "aggstate"))
+    assert run_agg_maintenance_stream(
+        spark, str(feed / "*"), "grp string, v long", state,
+        str(tmp_path / "ckpt"), ["grp"], measures, count_col="n",
+    ).awaitTermination(600), "stream did not drain in time"
+
+    got = {r.grp: (r.n, r.total) for r in read_aggregate(state, ["grp"]).collect()}
+    assert got == {"x": (2, 30), "z": (1, 4), "w": (1, 9)}  # y fully retracted
+
+    # replay: re-apply batch id 0 through the same callback -> no change
+    replay = spark.createDataFrame(b0, "grp string, v long, _sign int")
+    agg_maintenance_batch_fn(state, ["grp"], measures, "n")(replay, 0)
+    again = {r.grp: (r.n, r.total) for r in read_aggregate(state, ["grp"]).collect()}
+    assert again == got
