@@ -81,14 +81,20 @@ def dbscan(
     d2 = (F.col("_x") - F.col("_xj")) * (F.col("_x") - F.col("_xj")) + (
         F.col("_y") - F.col("_yj")
     ) * (F.col("_y") - F.col("_yj"))
+    # pin the expensive stages once — pairs feeds 4 consumers (counts,
+    # core edges, border assignment via two joins) and core_ids three;
+    # lazy checkpoints so GC owns the blocks (the triangle_count pattern)
     pairs = (
         left.join(right, ["_cx", "_cy"])
         .filter(d2 <= F.lit(eps * eps))
         .select("_id", "_j")
+        .localCheckpoint(eager=False)
     )
 
     nb = pairs.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    core_ids = nb.filter(F.col("_n") >= min_pts).select("_id")
+    core_ids = (
+        nb.filter(F.col("_n") >= min_pts).select("_id").localCheckpoint(eager=False)
+    )
     core_edges = (
         pairs.filter(F.col("_id") != F.col("_j"))
         .join(core_ids, "_id", "left_semi")
@@ -115,17 +121,24 @@ def dbscan(
         .agg(F.min("cluster_id").alias("cluster_id"))
         .select("_id", F.lit("border").alias("role"), "cluster_id")
     )
-    labeled = core_out.unionByName(border_out)
+    id_type = points.schema[id_col].dataType
+    labeled = core_out.unionByName(border_out).localCheckpoint(eager=False)
     noise_out = (
         pts.select("_id")
         .join(labeled.select("_id"), "_id", "left_anti")
         .select(
             "_id",
             F.lit("noise").alias("role"),
-            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast(id_type).alias("cluster_id"),
         )
     )
     return (
         labeled.unionByName(noise_out)
-        .select(F.col("_id").alias(id_col), "role", F.col("cluster_id").cast("long"))
+        # cluster labels ARE node ids: cast to the id column's own type
+        # (a hard cast('long') would NULL every string cluster id)
+        .select(
+            F.col("_id").alias(id_col),
+            "role",
+            F.col("cluster_id").cast(id_type).alias("cluster_id"),
+        )
     )

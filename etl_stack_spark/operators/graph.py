@@ -361,9 +361,15 @@ def flatten_hierarchy(
     distance-to-root resolves in ceil(log2(depth)) rounds (a 2^20-deep
     chain needs 20 rounds). This is the loop neither
     connected_components (no distances) nor bfs (single source) covers.
-    Each round is ONE equi-join on the ancestor key + an eager local
-    checkpoint (the engine-wide iterative-lineage discipline); a
+    Each round is ONE left equi-join on the ancestor key + an eager
+    local checkpoint (the engine-wide iterative-lineage discipline); a
     changed-row probe exits early at the fixpoint.
+
+    DANGLING PARENTS (a parent id with no row — the routine feed
+    defect) terminate their subtree at the dangling id: those nodes
+    resolve with root = the missing ancestor id and the depth walked so
+    far, NEVER silently dropped. Detect them by anti-joining the output
+    roots against the node set.
     """
     state = parents.select(
         F.col(node_col).alias("_n"),
@@ -379,11 +385,13 @@ def flatten_hierarchy(
             F.col("_d").alias("_d2"),
         )
         nxt = (
-            state.join(hop, "_anc")
+            state.join(hop, "_anc", "left")  # left: dangling anc = terminal
             .select(
                 "_n",
-                F.col("_anc2").alias("_anc"),
-                (F.col("_d") + F.col("_d2")).cast("int").alias("_d"),
+                F.coalesce(F.col("_anc2"), F.col("_anc")).alias("_anc"),
+                (F.col("_d") + F.coalesce(F.col("_d2"), F.lit(0)))
+                .cast("int")
+                .alias("_d"),
             )
             .localCheckpoint(eager=True)
         )

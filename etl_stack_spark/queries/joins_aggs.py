@@ -473,19 +473,16 @@ def fo2_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff("cents").alias("d_cents"),
         diff("priority").alias("d_priority"),
     )
-    cols = ["status", "cents", "priority"]
-    rows = [
-        j.select(
-            F.lit(c).alias("col_name"),
-            F.col(f"d_{c}").alias("n_mismatch"),
-            F.col("n").alias("n_rows"),
-        )
-        for c in cols
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.select(
+    # stack() unpivots the ONE aggregate row in place (the dq1 pattern,
+    # operators/dq.py) — a union of per-column selects would plan and
+    # execute the whole join+aggregate once per branch
+    return j.select(
+        F.expr(
+            "stack(3, 'status', d_status, 'cents', d_cents, 'priority', d_priority)"
+            " AS (col_name, n_mismatch)"
+        ),
+        F.col("n").alias("n_rows"),
+    ).select(
         "col_name",
         "n_mismatch",
         "n_rows",

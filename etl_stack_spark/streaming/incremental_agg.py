@@ -46,14 +46,19 @@ def agg_maintenance_batch_fn(
         st = type(state)(spark, state.root)
         if st.exists():
             cur = st.read()
-            applied = {
-                r._batch_id for r in cur.filter(F.col("_kind") == "batch").collect()
-            }
-            if batch_id in applied:
+            # foreachBatch ids are MONOTONIC and only the latest
+            # uncommitted batch ever replays, so one watermark row (the
+            # max applied id) is the whole replay proof — O(1) state,
+            # never a growing id set
+            max_applied = (
+                cur.filter(F.col("_kind") == "batch")
+                .agg(F.max("_batch_id"))
+                .collect()[0][0]
+            )
+            if max_applied is not None and batch_id <= max_applied:
                 return  # replayed batch: provable no-op
             agg = cur.filter(F.col("_kind") == "agg").select(*keys, *measure_cols)
         else:
-            applied = set()
             # empty aggregate with the right schema, derived from the batch
             agg = partial_agg(
                 batch_df.drop("_sign").limit(0), keys, measures
@@ -68,14 +73,14 @@ def agg_maintenance_batch_fn(
             F.lit(None).cast("long").alias("_batch_id"),
         )
         id_rows = spark.createDataFrame(
-            [(int(b),) for b in sorted(applied | {batch_id})], "_batch_id long"
+            [(int(batch_id),)], "_batch_id long"
         ).select(
             F.lit("batch").alias("_kind"),
             *[F.lit(None).cast(new_agg.schema[k].dataType).alias(k) for k in keys],
             *[F.lit(None).cast("long").alias(m) for m in measure_cols],
             "_batch_id",
         )
-        # one overwrite = one manifest swap: aggregate + applied ids
+        # one overwrite = one manifest swap: aggregate + the watermark
         # commit atomically (materialize first — the plan reads the
         # table it replaces)
         out = agg_rows.unionByName(id_rows).localCheckpoint(eager=True)
@@ -109,7 +114,7 @@ def run_agg_maintenance_stream(
     )
 
 
-def read_aggregate(state: ParquetMergeTable, keys: Sequence[str]) -> DataFrame:
+def read_aggregate(state: ParquetMergeTable) -> DataFrame:
     """The maintained aggregate (agg rows only, discriminator dropped)."""
     return (
         state.read()

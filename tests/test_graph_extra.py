@@ -29,3 +29,12 @@ def test_flatten_forest_keeps_trees_separate(spark):
         10: (10, 0), 11: (10, 1),
         20: (20, 0),
     }
+
+
+def test_flatten_dangling_parent_terminates_not_drops(spark):
+    """A missing parent id (routine feed defect) terminates the walk at
+    the dangling id — the subtree is NEVER silently dropped."""
+    rows = [(1, None), (2, 5), (3, 2)]  # parent 5 has no row
+    df = spark.createDataFrame(rows, "node long, parent long")
+    got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
+    assert got == {1: (1, 0), 2: (5, 1), 3: (5, 2)}

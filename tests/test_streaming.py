@@ -782,11 +782,11 @@ def test_streaming_retractable_agg_matches_recompute_and_gates_replay(spark, tmp
         str(tmp_path / "ckpt"), ["grp"], measures, count_col="n",
     ).awaitTermination(600), "stream did not drain in time"
 
-    got = {r.grp: (r.n, r.total) for r in read_aggregate(state, ["grp"]).collect()}
+    got = {r.grp: (r.n, r.total) for r in read_aggregate(state).collect()}
     assert got == {"x": (2, 30), "z": (1, 4), "w": (1, 9)}  # y fully retracted
 
     # replay: re-apply batch id 0 through the same callback -> no change
     replay = spark.createDataFrame(b0, "grp string, v long, _sign int")
     agg_maintenance_batch_fn(state, ["grp"], measures, "n")(replay, 0)
-    again = {r.grp: (r.n, r.total) for r in read_aggregate(state, ["grp"]).collect()}
+    again = {r.grp: (r.n, r.total) for r in read_aggregate(state).collect()}
     assert again == got
