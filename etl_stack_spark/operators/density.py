@@ -43,6 +43,7 @@ def dbscan(
     y_col: str,
     eps: float,
     min_pts: int,
+    loop_shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Label every point: (id_col, role ∈ core/border/noise,
     cluster_id BIGINT nullable — NULL exactly for noise)."""
@@ -108,6 +109,10 @@ def dbscan(
         core_edges,
         id_col="nid",
         symmetrize=False,
+        # size the per-round shuffles to the core-edge table (the er1
+        # lesson: the loop's checkpoints blind AQE, so rounds otherwise
+        # plan at the session's full width)
+        loop_shuffle_partitions=loop_shuffle_partitions,
     ).select(F.col("nid").alias("_id"), F.col("component_id").alias("cluster_id"))
 
     core_out = clusters.select("_id", F.lit("core").alias("role"), "cluster_id")

@@ -321,4 +321,8 @@ def db1_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c_custkey") * 37) % 1000) / F.lit(10.0)).alias("x"),
         (((F.col("c_custkey") * 91) % 1000) / F.lit(10.0)).alias("y"),
     )
-    return dbscan(pts, "id", "x", "y", eps=_DB1_EPS, min_pts=_DB1_MINPTS)
+    return dbscan(
+        pts, "id", "x", "y", eps=_DB1_EPS, min_pts=_DB1_MINPTS,
+        # the core graph is point-cardinality (entity-scale, the er1 class)
+        loop_shuffle_partitions=8,
+    )
