@@ -283,3 +283,54 @@ def quantize_embeddings(
         f"ELSE transform(_v, x -> CAST(floor(x / q_scale * {levels} + 0.5) AS INT)) END"
     )
     return out.withColumn("q_vec", q).drop("_v")
+
+
+def knn_graph_within(
+    df: DataFrame,
+    k: int,
+    part_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN GRAPH construction (every point finds its k nearest, not a
+    small query set against a corpus — the retrieval-training /
+    graph-building shape): exact cosine within a partition column (an
+    IVF cell from ivf_train/nearest_cell at scale, or any existing
+    cluster label). Cost is Σ|cell|², never corpus² — the sd1/SemDeDup
+    scoping argument. Norms are hoisted once per side; the per-point
+    top-k is a WindowGroupLimit (rank pushdown), never a global sort.
+    Returns (id, neighbor_id, cosine, rank)."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(part_col).alias("_p"),
+        F.col(id_col).alias("_i"),
+        _as_double(F.col(vec_col)).alias("_va"),
+    ).withColumn("_na", _norm(F.col("_va")))
+    b = df.select(
+        F.col(part_col).alias("_p"),
+        F.col(id_col).alias("_j"),
+        _as_double(F.col(vec_col)).alias("_vb"),
+    ).withColumn("_nb", _norm(F.col("_vb")))
+    scored = (
+        a.join(b, "_p")
+        .filter(F.col("_i") != F.col("_j"))
+        .select(
+            "_i",
+            "_j",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("_i").orderBy(F.desc("cosine"), "_j")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_i").alias(id_col),
+            F.col("_j").alias("neighbor_id"),
+            "cosine",
+            F.col("rank").cast("int"),
+        )
+    )

@@ -204,3 +204,37 @@ def vq1_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s") * 1000000 + 0.5).cast("long").alias("scale_micro"),
         F.floor(err * 1000000 + 0.5).cast("long").alias("max_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KNN1 — kNN graph construction: EVERY point's 3 nearest neighbors by
+# exact cosine within its cluster label (the sd1 scoping: Σ|cell|²,
+# never corpus²; at scale the label comes from ivf_train). The shape
+# the query-vs-corpus family (ss1-ss4) doesn't cover — retrieval
+# training data and graph building need neighbors for all points.
+# ---------------------------------------------------------------------------
+_KNN1_COS = (
+    "list_dot_product(av, bv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv)))"
+)
+_KNN1_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("knn1_graph_within_label", _KNN1_ORACLE)
+def knn1_graph_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.similarity import knn_graph_within
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_within(emb, k=3, part_col="label")
