@@ -58,6 +58,59 @@ def tiered_top_k(
     return out if keep_rank else out.drop(rank_col)
 
 
+def lead_prep_tiered_rank(
+    matched: DataFrame, categories: dict, rank_col: str = "rnk"
+) -> DataFrame:
+    """The lead-prep tier CASE + per-(prop_id, category) top-k, shared by the
+    benched query (queries/geo.py t1) and the production/streaming plan
+    (plans/lead_prep.py) so the two paths cannot drift.
+
+    ``categories`` maps category -> {"anchor": [...], "priority": [...],
+    "k": int, ...}. The rank window runs at ``k = max(cfg["k"])`` — a
+    concrete bound so Catalyst inserts a partial WindowGroupLimit before the
+    rank shuffle (each task ships ≤ k rows per group, not its full match
+    stream) — then filters to each category's own k, which is lossless
+    because every per-category k ≤ max. Returns columns
+    ``prop_id, category, poi_id, brand, quality_score, distance_km
+    (unrounded), tier, <rank_col>``.
+
+    Reference semantics: cl_test1.py:90-98,149-157,203-204.
+    """
+    tier = F.lit(2)
+    for cat, cfg in categories.items():
+        is_cat = F.col("category") == cat
+        tier = (
+            F.when(is_cat & F.col("brand").isin(cfg["anchor"]), 0)
+            .when(is_cat & F.col("brand").isin(cfg["priority"]), 1)
+            .otherwise(tier)
+        )
+    k_col = F.element_at(
+        F.create_map(
+            *[x for c, cfg in categories.items() for x in (F.lit(c), F.lit(cfg["k"]))]
+        ),
+        F.col("category"),
+    )
+    # project down to the window's working set BEFORE the rank shuffle —
+    # the matched stream is tens of millions of rows at sf0.1 (billions at
+    # 100 TB); every dropped column is shuffle bytes saved
+    slim = matched.select(
+        "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
+    )
+    ranked = tiered_top_k(
+        slim.withColumn("tier", tier),
+        partition_by=["prop_id", "category"],
+        order_by=[
+            F.col("tier"),
+            F.col("distance_km"),
+            F.col("quality_score").desc(),
+            F.col("poi_id"),
+        ],
+        k=max(cfg["k"] for cfg in categories.values()),
+        rank_col=rank_col,
+    )
+    return ranked.filter(F.col(rank_col) <= k_col)
+
+
 def top_1_per_group(
     df: DataFrame, partition_by: Sequence[str | Column], order_by: Sequence[Column]
 ) -> DataFrame:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_stack_spark.operators.geo_join import radius_join_by_category
-from etl_stack_spark.operators.rank import tiered_top_k
+from etl_stack_spark.operators.rank import lead_prep_tiered_rank
 
 
 def lead_prep_packages(
@@ -29,28 +29,11 @@ def lead_prep_packages(
     radii = {cat: cfg["radius_km"] for cat, cfg in categories.items()}
     matched = radius_join_by_category(props, pois, radii)
 
-    tier = F.lit(2)
-    for cat, cfg in categories.items():
-        is_cat = F.col("category") == cat
-        tier = (
-            F.when(is_cat & F.col("brand").isin(cfg["anchor"]), 0)
-            .when(is_cat & F.col("brand").isin(cfg["priority"]), 1)
-            .otherwise(tier)
-        )
-    k_col = F.element_at(
-        F.create_map(*[x for c, cfg in categories.items() for x in (F.lit(c), F.lit(cfg["k"]))]),
-        F.col("category"),
-    )
-    slim = matched.select(
-        "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
-    ).withColumn("tier", tier)
-    ranked = tiered_top_k(
-        slim,
-        partition_by=["prop_id", "category"],
-        order_by=[F.col("tier"), F.col("distance_km"), F.col("quality_score").desc(), F.col("poi_id")],
-        k=10**9,
-        rank_col="rnk",
-    ).filter(F.col("rnk") <= k_col)
+    # rank through the SAME concrete-k code as the benched t1 query — the
+    # max-k bound lets Catalyst insert a partial WindowGroupLimit before the
+    # rank shuffle, so the exchange carries ~k rows per (prop, category)
+    # instead of the full match stream (billions of rows at 100 TB)
+    ranked = lead_prep_tiered_rank(matched, categories)
 
     # per-category ranked arrays
     per_cat = ranked.groupBy("prop_id", "category").agg(

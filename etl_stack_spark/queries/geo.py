@@ -231,39 +231,14 @@ def lead_prep_rank(props: DataFrame, pois: DataFrame) -> DataFrame:
 def lead_prep_rank_from_matched(matched: DataFrame) -> DataFrame:
     """Tier CASE + per-(prop, category) top-k over an already-computed
     match stream — lets the t1 query rank the persisted ``j6_base``
-    intermediate instead of recomputing the radius join."""
-    tier = F.lit(2)
-    for cat, cfg in CATEGORIES.items():
-        is_cat = F.col("category") == cat
-        tier = (
-            F.when(is_cat & F.col("brand").isin(cfg["anchor"]), 0)
-            .when(is_cat & F.col("brand").isin(cfg["priority"]), 1)
-            .otherwise(tier)
-        )
-    k_col = F.element_at(
-        F.create_map(*[x for k, c in CATEGORIES.items() for x in (F.lit(k), F.lit(c["k"]))]),
-        F.col("category"),
-    )
-    # project down to the window's working set BEFORE the rank shuffle —
-    # the matched stream is tens of millions of rows at sf0.1 (billions at
-    # 100 TB); every dropped column is shuffle bytes saved
-    matched = matched.select(
-        "prop_id", "category", "poi_id", "brand", "quality_score", "distance_km"
-    )
-    # k = the max per-category k, NOT 10**9: a concrete small k lets
-    # Catalyst insert a partial WindowGroupLimit BEFORE the rank shuffle —
-    # each task keeps only its local top-k per (prop, category), so the
-    # exchange carries ~k rows per group instead of the full 33M-row match
-    # stream (569 MB -> a few MB at sf0.1). The per-category k (≤ max)
-    # still filters below; pruning at max-k is lossless for it.
-    ranked = tiered_top_k(
-        matched.withColumn("tier", tier),
-        partition_by=["prop_id", "category"],
-        order_by=[F.col("tier"), F.col("distance_km"), F.col("quality_score").desc(), F.col("poi_id")],
-        k=max(c["k"] for c in CATEGORIES.values()),
-        rank_col="rnk",
-    )
-    return ranked.filter(F.col("rnk") <= k_col).select(
+    intermediate instead of recomputing the radius join. The ranking itself
+    (concrete-k WindowGroupLimit form) lives in
+    ``operators/rank.py::lead_prep_tiered_rank``, shared with the
+    production/streaming plan so the paths cannot drift."""
+    from etl_stack_spark.operators.rank import lead_prep_tiered_rank
+
+    ranked = lead_prep_tiered_rank(matched, CATEGORIES)
+    return ranked.select(
         "prop_id", "category", "poi_id", "brand", "tier", "rnk",
         F.round("distance_km", 9).alias("distance_km"),
     )

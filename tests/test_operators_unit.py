@@ -239,6 +239,22 @@ def test_lead_prep_package_assembly(spark):
     assert 0 <= payload["walk_score"] <= 10
 
 
+def test_lead_prep_packages_plan_has_partial_window_group_limit(spark):
+    """The production lead-prep plan must rank through the concrete-k path
+    (operators/rank.py lead_prep_tiered_rank): Catalyst's partial
+    WindowGroupLimit before the rank exchange is the whole point — with
+    k=10**9 (the round-5 defect) the exchange carries the FULL match
+    stream, billions of rows at 100 TB."""
+    from etl_stack_spark.plans.lead_prep import lead_prep_packages
+    from etl_stack_spark.queries.geo import CATEGORIES, pois_df, props_df
+
+    props = props_df(spark, "/root/testdata/sf0.001").limit(20)
+    pois = pois_df(spark, "/root/testdata/sf0.001")
+    pkg = lead_prep_packages(props, pois, CATEGORIES)
+    plan = pkg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+
+
 def test_canonical_json_matches_python_dumps(spark):
     """P9 hash canonicalization: the expression must reproduce
     json.dumps(d, sort_keys=True) byte-for-byte for flat string dicts."""
