@@ -25,6 +25,46 @@ from pyspark.sql import functions as F
 PAGERANK_SCALE = 10**12
 
 
+def truncate_round(
+    df: DataFrame, prev: DataFrame | None = None, reset_stats: bool = True
+) -> DataFrame:
+    """Per-round state truncation for iterative loops: cut BOTH the
+    logical plan AND the Catalyst statistics chain.
+
+    ``localCheckpoint`` truncates the plan but PROPAGATES the child
+    plan's statistics into the resulting LogicalRDD. In a loop whose
+    round joins state with a projection of ITSELF (min-label CC,
+    pointer doubling), the join's ``sizeInBytes`` is the product of two
+    state-derived sizes — it SQUARES every round, the BigInt doubles in
+    digit count, and the driver ends up in BigInteger Toom-Cook
+    multiplies during planning: measured on a 4-row input, round cost
+    is flat to ~round 14 then grows ~2.5×/round (58 s/round by round
+    21) — identical under local, reliable, and shuffle-barrier
+    checkpoints, because all of them keep origin stats. The fix is
+    ``persist``+``count``: a MATERIALIZED InMemoryRelation reports its
+    real cached bytes (64, not a 2^2^k-digit product), which resets the
+    chain for the next round's planning. With the reset, 30 rounds run
+    flat at ~0.2 s each.
+
+    The reset is an extra full job (the count), so loops amortize it:
+    pass ``reset_stats=True`` every few rounds only. Bits in the stat
+    double per squaring, so a reset every R rounds bounds the BigInt at
+    ~64·2^R bits (R=4 → 1k bits, multiply cost microseconds) while
+    paying the extra job R× less often — er1's measured regression from
+    an every-round reset (2.0 → 3.3 s at sf0.1) disappears.
+
+    Returns the truncated state; unpersists ``prev`` (the previous
+    round's state — pass it once no probe still needs it).
+    """
+    out = df.localCheckpoint(eager=True)
+    if reset_stats:
+        out = out.persist()
+        out.count()
+    if prev is not None:
+        prev.unpersist()
+    return out
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -135,12 +175,12 @@ def connected_components(
     per round when the graph is entity-scale (er1: 14s → <2s with 8).
     Size it to the EDGE table: one core-worth of tasks per ~64 MB of
     edges; leave None to inherit the session conf (the 100 TB default).
-    The override is scoped to this call and restored on exit — but it IS
-    a session-conf mutation: not safe under concurrent query planning in
-    the SAME SparkSession (another thread planning a shuffle mid-loop
-    would pick up the small value). The engine's batch contexts run
-    queries sequentially and streaming micro-batches plan on cloned
-    sessions; in a shared-session service, leave it None.
+    The width is applied with explicit per-round ``repartition(n, key)``
+    calls on each join/agg input — EnsureRequirements then sees both
+    sides already hash-partitioned at n, so no extra exchanges are
+    inserted — NOT by mutating ``spark.sql.shuffle.partitions``, which
+    would leak the shrunk width to any thread planning on the same
+    SparkSession mid-loop (round-5 advisor).
     """
     if symmetrize:
         # explode, not union: a union's two branches each recompute the
@@ -161,36 +201,42 @@ def connected_components(
         # edge-side exchange is satisfied by the cached partitioning
         e = e.repartition(loop_shuffle_partitions, "_dst")
     e = e.cache()
-
-    spark = nodes.sparkSession
-    saved_parts: str | None = None
-    if loop_shuffle_partitions is not None:
-        # materialize the cached edge list BEFORE shrinking the conf:
-        # the upstream edge derivation (often an expensive similarity
-        # self-join) must plan at the session's full parallelism — only
-        # the loop's per-round shuffles should see the small value
-        e.count()
-        saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_shuffle_partitions))
     try:
-        return _cc_loop(e, nodes, id_col, max_iter)
+        return _cc_loop(e, nodes, id_col, max_iter, parts=loop_shuffle_partitions)
     finally:
         e.unpersist()
-        if saved_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
 
 
-def _cc_loop(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+def _cc_loop(
+    e: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    max_iter: int,
+    parts: int | None = None,
+) -> DataFrame:
+    # sized(): explicit hash-repartition on the upcoming join/agg key at
+    # the loop width. It IS the exchange the operation would insert
+    # anyway (EnsureRequirements sees the child already hash-partitioned
+    # on the key, at `parts`), just at a width scoped to THIS plan rather
+    # than a session-conf override visible to concurrent planners.
+    def sized(df: DataFrame, *keys: str) -> DataFrame:
+        return df if parts is None else df.repartition(parts, *keys)
+
     cur = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("component_id"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_labels = e.join(
-            cur.select(F.col("_nid").alias("_dst"), F.col("component_id").alias("_dst_label")),
+            sized(
+                cur.select(
+                    F.col("_nid").alias("_dst"), F.col("component_id").alias("_dst_label")
+                ),
+                "_dst",
+            ),
             "_dst",
         )
-        new_labels = neighbor_labels.groupBy(F.col("_src").alias("_nid")).agg(
-            F.min("_dst_label").alias("_new_label")
-        )
-        nxt = cur.join(new_labels, "_nid", "left").select(
+        new_labels = sized(neighbor_labels, "_src").groupBy(
+            F.col("_src").alias("_nid")
+        ).agg(F.min("_dst_label").alias("_new_label"))
+        nxt = sized(cur, "_nid").join(new_labels, "_nid", "left").select(
             "_nid",
             F.least(
                 F.col("component_id"), F.coalesce("_new_label", "component_id")
@@ -201,22 +247,25 @@ def _cc_loop(e: DataFrame, nodes: DataFrame, id_col: str, max_iter: int) -> Data
         parents = nxt.select(
             F.col("_nid").alias("component_id"), F.col("component_id").alias("_parent")
         )
-        nxt = nxt.join(parents, "component_id", "left").select(
+        nxt = sized(nxt, "component_id").join(
+            sized(parents, "component_id"), "component_id", "left"
+        ).select(
             "_nid",
             F.least(
                 F.col("component_id"), F.coalesce("_parent", F.col("component_id"))
             ).alias("component_id"),
         )
-        # eager, not lazy: the convergence probe's limit(1) would only
-        # partially materialize a lazy checkpoint (A/B'd — no gain)
-        nxt = nxt.localCheckpoint(eager=True)  # truncate iterative lineage
+        # truncate plan AND (every 4th round — the CC round squares
+        # sizeInBytes twice, so bits ×4/round) the stats chain
+        nxt = truncate_round(nxt, reset_stats=(it % 4 == 3))
         changed = (
-            nxt.alias("n")
-            .join(cur.alias("c"), "_nid")
+            sized(nxt.alias("n"), "_nid")
+            .join(sized(cur.alias("c"), "_nid"), "_nid")
             .filter(F.col("n.component_id") != F.col("c.component_id"))
             .limit(1)
             .count()
         )
+        cur.unpersist()  # probe done; no-op on the round-0 projection
         cur = nxt
         if changed == 0:
             break
@@ -349,6 +398,7 @@ def flatten_hierarchy(
     node_col: str = "node",
     parent_col: str = "parent",
     max_iter: int = 40,
+    on_cycle: str = "raise",
 ) -> DataFrame:
     """Flatten a parent-pointer forest to (node, root, depth) — the
     recursive-dimension classic (org charts, category trees, BOM
@@ -370,30 +420,47 @@ def flatten_hierarchy(
     resolve with root = the missing ancestor id and the depth walked so
     far, NEVER silently dropped. Detect them by anti-joining the output
     roots against the node set.
+
+    CYCLES (a parent chain that loops — the other feed defect) cannot
+    flatten: the ancestor pointer orbits the cycle, so affected rows
+    would exit with a cycle member as "root" and a meaningless doubled
+    depth. They are detected after the loop — a resolved root that
+    EXISTS in the node set with a non-null parent is only possible
+    inside a cycle (legitimate roots have NULL parents; dangling roots
+    are absent from the node set) — and handled per ``on_cycle``:
+    ``"raise"`` (default) raises ValueError; ``"flag"`` returns the
+    extra boolean column ``in_cycle`` (root/depth are meaningless where
+    it is true, the caller quarantines those rows). Depth accumulates
+    in BIGINT because a cycle spins the doubling loop to ``max_iter``
+    (non-power-of-2 cycle lengths never stabilize the pointer).
     """
-    state = parents.select(
-        F.col(node_col).alias("_n"),
-        F.coalesce(F.col(parent_col), F.col(node_col)).alias("_anc"),
-        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1))
-        .cast("int")
-        .alias("_d"),
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    if on_cycle not in ("raise", "flag"):
+        raise ValueError(f"on_cycle must be 'raise' or 'flag', got {on_cycle!r}")
+    state = truncate_round(
+        parents.select(
+            F.col(node_col).alias("_n"),
+            F.coalesce(F.col(parent_col), F.col(node_col)).alias("_anc"),
+            F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("_d"),
+        )
+    )
+    for it in range(max_iter):
         hop = state.select(
             F.col("_n").alias("_anc"),
             F.col("_anc").alias("_anc2"),
             F.col("_d").alias("_d2"),
         )
-        nxt = (
+        nxt = truncate_round(
             state.join(hop, "_anc", "left")  # left: dangling anc = terminal
             .select(
                 "_n",
                 F.coalesce(F.col("_anc2"), F.col("_anc")).alias("_anc"),
                 (F.col("_d") + F.coalesce(F.col("_d2"), F.lit(0)))
-                .cast("int")
+                .cast("long")
                 .alias("_d"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            reset_stats=(it % 8 == 7),  # one squaring/round: bits ×2
         )
         changed = (
             nxt.alias("a")
@@ -402,11 +469,33 @@ def flatten_hierarchy(
             .limit(1)
             .count()
         )
+        state.unpersist()
         state = nxt
         if changed == 0:
             break
-    return state.select(
+    out = state.select(
         F.col("_n").alias(node_col),
         F.col("_anc").alias("root"),
-        F.col("_d").alias("depth"),
+        # least() guards the ANSI int cast: cycle rows carry a doubled
+        # BIGINT _d; their depth is meaningless anyway (flagged below)
+        F.least(F.col("_d"), F.lit(2**31 - 1)).cast("int").alias("depth"),
     )
+    # cycle probe: one broadcast-sized equi-join of resolved roots
+    # against the parent table (roots are few; the flag join is on the
+    # full output but stays an equi-join — no extra pass over `parents`)
+    root_parent = parents.select(
+        F.col(node_col).alias("root"), F.col(parent_col).alias("_root_parent")
+    )
+    flagged = out.join(root_parent, "root", "left").select(
+        node_col, "root", "depth", F.col("_root_parent").isNotNull().alias("in_cycle")
+    )
+    if on_cycle == "flag":
+        return flagged
+    n_bad = flagged.filter(F.col("in_cycle")).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            "flatten_hierarchy: parent feed contains a cycle (a resolved "
+            "root has a non-null parent); pass on_cycle='flag' to "
+            "quarantine affected rows instead"
+        )
+    return flagged.drop("in_cycle")

@@ -4,7 +4,8 @@ leaving the controlled environment (complementing pii1's in-text
 redaction: pii1 scrubs free text, these govern STRUCTURED identifiers).
 
 - ``pseudonymize``: replace identifier columns with a deterministic
-  salted 60-bit token. Consistency is the point — the same raw value
+  salted token (120-bit hex by default; 60-bit BIGINT as a declared
+  small-domain opt-in). Consistency is the point — the same raw value
   always maps to the same token under one salt, so joins, groupBys, and
   sessionization still work on the released data; without the salt the
   mapping is not recomputable from public knowledge. This is
@@ -52,18 +53,19 @@ def _token_wide(col: str, salt: str):
 
 
 def pseudonymize(
-    df: DataFrame, cols: Sequence[str], salt: str, wide: bool = False
+    df: DataFrame, cols: Sequence[str], salt: str, wide: bool = True
 ) -> DataFrame:
     """Replace each named identifier column with its salted token.
     Same salt ⇒ same token across tables and runs, so referential joins
     survive the release.
 
     Token width is a collision-tolerance decision — identity tokens are
-    collision-INTOLERANT (a collision merges two people's activity):
-    the default 60-bit BIGINT is safe to ~10^7 identifiers (birthday
-    odds n²/2^61 ≈ 4e-5 at 1e7) and keeps join keys numeric; at
-    ~10^9 identifiers (the 100 TB shape) the odds approach 40%, so pass
-    ``wide=True`` for a 120-bit hex-string token (odds ~4e-19 at 1e9).
+    collision-INTOLERANT (a collision merges two people's activity), so
+    the DEFAULT is the wide 120-bit hex-string token (birthday odds
+    ~n²/2^121 ≈ 4e-19 at the 100 TB shape's 10^9 identifiers). Pass
+    ``wide=False`` to opt in to the compact 60-bit BIGINT token —
+    numeric join keys, but only safe to ~10^7 identifiers (odds reach
+    ~40% at 1e9); the caller asserts the domain is small by choosing it.
     NULLs pass through as NULL either way."""
     tok = _token_wide if wide else _token
     out = df
@@ -73,7 +75,7 @@ def pseudonymize(
 
 
 def token_vault(
-    df: DataFrame, col: str, salt: str, wide: bool = False
+    df: DataFrame, col: str, salt: str, wide: bool = True
 ) -> DataFrame:
     """(original, token) distinct lookup for one identifier column —
     the PRIVATE reversibility table. Match ``wide`` to the

@@ -13,11 +13,12 @@ from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
 _PS1_SALT = "release-2026Q3"
-# must mirror operators/privacy.py::_token — length-tagged salt prefix
+# must mirror operators/privacy.py::_token_wide (the collision-safe
+# DEFAULT token) — length-tagged salt prefix, first 30 hex chars of sha256
 _PS1_TOKEN_SQL = (
-    "(('0x' || substr(sha256('"
+    "substr(sha256('"
     + f"{len(_PS1_SALT)}:{_PS1_SALT}:"
-    + "' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    + "' || CAST(user_id AS VARCHAR)), 1, 30)"
 )
 
 _PS1_ORACLE = f"""

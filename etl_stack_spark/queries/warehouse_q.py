@@ -436,7 +436,9 @@ def mv3_retractable_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale-invariant. Day-of-week comes from the pure integer identity
 # (day_idx + 4) % 7 (1970-01-01 was a Thursday) — no engine DOW
 # convention (Sunday=0? Monday=1?) can disagree; year/month/day-of-month
-# extraction agrees on DATE in both engines.
+# extraction agrees on DATE in both engines. Under that identity
+# Sunday=0 .. Saturday=6, so the weekend set is {0, 6} (Sunday, Saturday)
+# — NOT {5, 6}, which would flag Friday+Saturday (round-5 advisor catch).
 # ---------------------------------------------------------------------------
 _CAL1_ORACLE = """
 WITH bounds AS (
@@ -450,7 +452,7 @@ SELECT day_idx, CAST(d AS VARCHAR) AS d,
        CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
        CAST(day(d) AS INT) AS dom,
        CAST((day_idx + 4) % 7 AS INT) AS dow,
-       (day_idx + 4) % 7 IN (5, 6) AS is_weekend,
+       (day_idx + 4) % 7 IN (0, 6) AS is_weekend,
        CAST((month(d) - 1) // 3 + 1 AS INT) AS quarter
 FROM days
 """
@@ -475,7 +477,7 @@ def cal1_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("m"),
         F.dayofmonth(d).alias("dom"),
         dow.cast("int").alias("dow"),
-        dow.isin(5, 6).alias("is_weekend"),
+        dow.isin(0, 6).alias("is_weekend"),
         ((F.month(d) - 1).cast("int") / 3).cast("int").alias("_q"),
     ).select(
         "day_idx", "d", "y", "m", "dom", "dow", "is_weekend",

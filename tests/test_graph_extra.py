@@ -38,3 +38,56 @@ def test_flatten_dangling_parent_terminates_not_drops(spark):
     df = spark.createDataFrame(rows, "node long, parent long")
     got = {r.node: (r.root, r.depth) for r in flatten_hierarchy(df).collect()}
     assert got == {1: (1, 0), 2: (5, 1), 3: (5, 2)}
+
+
+def test_flatten_hierarchy_raises_on_cycle(spark):
+    """A parent cycle cannot flatten; the default contract is an explicit
+    ValueError, and on_cycle='flag' quarantines the affected rows while
+    acyclic rows keep their correct (root, depth)."""
+    import pytest
+
+    # cycle a<->b (power-of-2 orbit: anc stabilizes silently without the
+    # probe) plus a clean chain r -> c
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, None), (11, 10)], "node long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(df)
+    got = {r.node: r for r in flatten_hierarchy(df, on_cycle="flag").collect()}
+    assert got[10].in_cycle is False and (got[10].root, got[10].depth) == (10, 0)
+    assert got[11].in_cycle is False and (got[11].root, got[11].depth) == (10, 1)
+    assert got[1].in_cycle is True and got[2].in_cycle is True
+
+
+def test_flatten_hierarchy_odd_cycle_terminates(spark):
+    """A 3-cycle's ancestor pointer never stabilizes (2^k mod 3 orbits), so
+    the loop runs to max_iter — depth must accumulate in BIGINT and the
+    int output cast must be guarded, not overflow under ANSI."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (9, None)], "node long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        flatten_hierarchy(df, max_iter=10)
+    # default max_iter=40 drives _d to ~2^40: exercises the real overflow
+    got = {r.node: r for r in flatten_hierarchy(df, on_cycle="flag").collect()}
+    assert {n for n, r in got.items() if r.in_cycle} == {1, 2, 3}
+    assert got[9].in_cycle is False and got[9].depth == 0
+
+
+def test_connected_components_does_not_mutate_session_conf(spark):
+    """The loop-width lever must be plan-scoped (explicit repartition),
+    never a spark.sql.shuffle.partitions override a concurrent planner
+    could observe (round-5 advisor)."""
+    from etl_stack_spark.operators.graph import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 10, 2)], "src long, dst long"
+    )
+    got = connected_components(nodes, edges, loop_shuffle_partitions=4)
+    comp = {r.id: r.component_id for r in got.collect()}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert comp[1] == comp[0] and comp[3] == comp[2] and comp[11] == 11

@@ -80,3 +80,15 @@ def test_wide_tokens_preserve_joins_and_vault(spark):
     assert isinstance(joined[0].uid, str) and len(joined[0].uid) == 30
     vault = token_vault(a, "uid", "s1", wide=True)
     assert vault.count() == 2
+
+
+def test_pseudonymize_default_is_wide_narrow_is_opt_in(spark):
+    """Identity tokens are collision-intolerant, so the collision-safe
+    120-bit hex token must be the DEFAULT; the 60-bit BIGINT is the
+    explicit small-domain opt-in (round-5 advisor: the dangerous width
+    must not be the path of least resistance)."""
+    df = spark.createDataFrame([(1,)], "uid long")
+    dflt = pseudonymize(df, ["uid"], "s1").collect()[0].uid
+    assert isinstance(dflt, str) and len(dflt) == 30
+    narrow = pseudonymize(df, ["uid"], "s1", wide=False).collect()[0].uid
+    assert isinstance(narrow, int)

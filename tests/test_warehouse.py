@@ -309,3 +309,24 @@ def test_change_feed_drives_retractable_agg(spark, tmp_path):
     assert sorted(map(tuple, refreshed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_cal1_dow_matches_real_calendar(spark):
+    """Pin the (day_idx+4)%7 identity to Python's calendar: Sunday=0 ..
+    Saturday=6 and weekend == {Sunday, Saturday}. The DuckDB oracle shares
+    the formula, so cross-engine parity alone cannot catch a wrong weekend
+    set (round-5 advisor: IN (5,6) flagged Friday+Saturday)."""
+    from etl_stack_spark.queries.warehouse_q import cal1_date_dimension
+
+    rows = {
+        r["d"]: r
+        for r in cal1_date_dimension(spark, "/root/testdata/sf0.001").collect()
+    }
+    some = list(rows)[:40]
+    assert some
+    for d in some:
+        py = datetime.date.fromisoformat(d)
+        # Python: Monday=0..Sunday=6  ->  engine: Sunday=0..Saturday=6
+        expect_dow = (py.weekday() + 1) % 7
+        assert rows[d]["dow"] == expect_dow, d
+        assert rows[d]["is_weekend"] == (py.weekday() >= 5), d
