@@ -26,6 +26,64 @@ from etl_stack_spark.operators.text import (
 )
 
 
+def score_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The scan-side scoring projection every wash starts with: quality,
+    language, exact-dedup fingerprint. Factored out so the llm1/llm2/llm3
+    registry entries can compute it ONCE per (session, sf_dir), persist
+    it, and inject it into each wash (``scored=`` below) instead of each
+    wash re-running the 6-regex scoring scan."""
+    return docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        quality_score(F.col(text_col)).alias("quality"),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        fingerprint(F.col(text_col)).alias("fp"),
+        *[F.col(c) for c in extra_cols],
+    )
+
+
+def quality_lang_filter(
+    scored: DataFrame, min_quality: float, keep_langs: tuple[str, ...]
+) -> DataFrame:
+    """The shared per-doc quality floor + language keep-list gate."""
+    return scored.filter(
+        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
+    )
+
+
+def gate_ids_v2(
+    kept: DataFrame,
+    benchmark: DataFrame,
+    max_top_frac: float = 0.05,
+    max_dup_frac: float = 0.10,
+    contamination_threshold: float = 0.08,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The v2 curation gate SET as one ids-only stream: repetition gate ∩
+    decontamination gate. One implementation consumed by clean_corpus_v2,
+    clean_corpus_v3, and the registry's shared cache — so the gate logic
+    cannot drift between the three washes."""
+    from etl_stack_spark.operators.curation import decontaminate, repetition_metrics
+
+    rep_ok = repetition_metrics(
+        kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
+    ).filter(F.col("keep_repetition")).select(id_col)
+    clean_ids = (
+        decontaminate(
+            kept, benchmark, id_col, text_col, threshold=contamination_threshold
+        )
+        .filter(~F.col("contaminated"))
+        .select(id_col)
+    )
+    return rep_ok.join(clean_ids, id_col, "left_semi")
+
+
 def clean_corpus(
     docs: DataFrame,
     min_quality: float = 0.4,
@@ -34,18 +92,14 @@ def clean_corpus(
     sample_pct: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns the surviving documents with their quality/lang metadata."""
-    scored = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        quality_score(F.col(text_col)).alias("quality"),
-        lang_id(F.col(text_col)).alias("pred_lang"),
-        fingerprint(F.col(text_col)).alias("fp"),
-    )
-    kept = scored.filter(
-        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
-    )
+    """Returns the surviving documents with their quality/lang metadata.
+    ``scored`` injects a precomputed (usually persisted) score_documents
+    frame; extra columns on it flow through harmlessly."""
+    if scored is None:
+        scored = score_documents(docs, id_col, text_col)
+    kept = quality_lang_filter(scored, min_quality, keep_langs)
 
     # exact dedup: lowest id per fingerprint survives. GC-owned lazy
     # checkpoint: `exact` fans out to the MinHash pair stream AND the
@@ -78,6 +132,8 @@ def clean_corpus_v2(
     near_dup_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scored: DataFrame | None = None,
+    gate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The modern wash: ``clean_corpus`` extended with the curation
     family — Gopher-style repetition filtering and eval-benchmark
@@ -93,35 +149,33 @@ def clean_corpus_v2(
     so the join is pinned shuffled-hash; sf0.1 pays ~18% on this plan
     versus the broadcast cascade, the 100 TB shape doesn't get a
     choice). Dedup shuffles then run over the shrunken corpus.
+
+    ``scored`` / ``gate_ids`` inject precomputed (usually persisted)
+    intermediates — see score_documents / gate_ids_v2; the llm registry
+    shares them across llm1/llm2/llm3 so the scoring scan and the gate
+    shuffles run once per session instead of once per wash.
     """
-    from etl_stack_spark.operators.curation import decontaminate, repetition_metrics
+    if scored is None:
+        # explicit-N round-robin spread (exempt from AQE coalescing, same
+        # lever as the geo cell explode, geo_join.py:107): the checkpointed
+        # `kept` below inherits ITS partitioning from this input, and every
+        # downstream consumer (repetition explode, decontamination explode,
+        # dedup) reads the checkpoint — from a compact single-partition file
+        # the whole wash would run single-core (measured 10.4s vs 6.8s at
+        # sf0.1). clean_corpus deliberately does NOT spread: without a
+        # checkpoint its downstream repartitions at the first shuffle anyway,
+        # and the extra exchange only adds latency (measured there too).
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        scored = score_documents(docs, id_col, text_col)
 
-    # explicit-N round-robin spread (exempt from AQE coalescing, same
-    # lever as the geo cell explode, geo_join.py:107): the checkpointed
-    # `kept` below inherits ITS partitioning from this input, and every
-    # downstream consumer (repetition explode, decontamination explode,
-    # dedup) reads the checkpoint — from a compact single-partition file
-    # the whole wash would run single-core (measured 10.4s vs 6.8s at
-    # sf0.1). clean_corpus deliberately does NOT spread: without a
-    # checkpoint its downstream repartitions at the first shuffle anyway,
-    # and the extra exchange only adds latency (measured there too).
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-
-    scored = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        quality_score(F.col(text_col)).alias("quality"),
-        lang_id(F.col(text_col)).alias("pred_lang"),
-        fingerprint(F.col(text_col)).alias("fp"),
-    )
     # GC-owned lazy checkpoint (same rationale as minhash signatures):
     # this frame fans out to THREE consumers (repetition metrics, both
     # decontamination sub-streams, the dedup stages) — without it the
     # 6-regex scoring scan re-runs per consumer (measured 17s → 4s at
     # sf0.1 for the whole wash)
-    kept = scored.filter(
-        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
-    ).localCheckpoint(eager=False)
+    kept = quality_lang_filter(scored, min_quality, keep_langs).localCheckpoint(
+        eager=False
+    )
 
     # Gate-set shape, not a gate CASCADE: both curation gates (repetition,
     # decontamination) are per-doc-independent signals, so they compute in
@@ -134,18 +188,17 @@ def clean_corpus_v2(
     # off the checkpoint's unknown stats the static planner would
     # broadcast it (the esd1/rep2 hazard class — AQE never demotes a
     # static broadcast).
-    rep_ok = repetition_metrics(
-        kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
-    ).filter(F.col("keep_repetition")).select(id_col)
-    clean_ids = (
-        decontaminate(
-            kept, benchmark, id_col, text_col, threshold=contamination_threshold
+    if gate_ids is None:
+        gate_ids = gate_ids_v2(
+            kept,
+            benchmark,
+            max_top_frac=max_top_frac,
+            max_dup_frac=max_dup_frac,
+            contamination_threshold=contamination_threshold,
+            id_col=id_col,
+            text_col=text_col,
         )
-        .filter(~F.col("contaminated"))
-        .select(id_col)
-    )
-    good_ids = rep_ok.join(clean_ids, id_col, "left_semi")
-    kept = kept.join(good_ids.hint("shuffle_hash"), id_col, "left_semi")
+    kept = kept.join(gate_ids.hint("shuffle_hash"), id_col, "left_semi")
 
     w = Window.partitionBy("fp")
     exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
@@ -173,6 +226,8 @@ def clean_corpus_v3(
     id_col: str = "doc_id",
     text_col: str = "text",
     emb_id_col: str = "vec_id",
+    scored: DataFrame | None = None,
+    gate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The full modern wash: v2's stages plus the two corpus-level
     signals v2 can't see —
@@ -196,51 +251,49 @@ def clean_corpus_v3(
     decontamination) next — intersected as an ids-only gate SET with one
     wide semi-join, per clean_corpus_v2's rationale — and the
     survivor-picking dedup shuffles last, over the shrunken corpus.
+
+    ``scored`` / ``gate_ids`` inject the shared precomputed intermediates
+    (see clean_corpus_v2); the cross-doc gate is v3-only and always
+    computes here — off ``scored``'s (id, text) columns, which are the
+    same rows as the raw input (Catalyst prunes the unused score exprs).
     """
-    from etl_stack_spark.operators.curation import (
-        cross_doc_dup_ngrams,
-        decontaminate,
-        repetition_metrics,
-    )
+    from etl_stack_spark.operators.curation import cross_doc_dup_ngrams
     from etl_stack_spark.operators.dedup import semantic_dedup
 
-    # same AQE-exempt spread rationale as clean_corpus_v2
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    if scored is None:
+        # same AQE-exempt spread rationale as clean_corpus_v2
+        docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        scored = score_documents(docs, id_col, text_col)
 
-    scored = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        quality_score(F.col(text_col)).alias("quality"),
-        lang_id(F.col(text_col)).alias("pred_lang"),
-        fingerprint(F.col(text_col)).alias("fp"),
+    kept = quality_lang_filter(scored, min_quality, keep_langs).localCheckpoint(
+        eager=False
     )
-    kept = scored.filter(
-        (F.col("quality") >= min_quality) & F.col("pred_lang").isin(list(keep_langs))
-    ).localCheckpoint(eager=False)
 
     # same gate-set (not cascade) shape as clean_corpus_v2 above: all three
     # per-doc gates intersect as ids-only streams, the wide text stream
     # semi-joins once, and the corpus-sized id set is hinted shuffled-hash
-    rep_ok = repetition_metrics(
-        kept, id_col, text_col, max_top_frac=max_top_frac, max_dup_frac=max_dup_frac
-    ).filter(F.col("keep_repetition")).select(id_col)
-    clean_ids = (
-        decontaminate(
-            kept, benchmark, id_col, text_col, threshold=contamination_threshold
+    if gate_ids is None:
+        gate_ids = gate_ids_v2(
+            kept,
+            benchmark,
+            max_top_frac=max_top_frac,
+            max_dup_frac=max_dup_frac,
+            contamination_threshold=contamination_threshold,
+            id_col=id_col,
+            text_col=text_col,
         )
-        .filter(~F.col("contaminated"))
-        .select(id_col)
-    )
     xd_ok = (
         cross_doc_dup_ngrams(
-            docs, id_col, text_col, n=cross_n, max_dup_frac=max_cross_frac
+            scored.select(id_col, text_col),
+            id_col,
+            text_col,
+            n=cross_n,
+            max_dup_frac=max_cross_frac,
         )
         .filter(F.col("keep_cross_doc"))
         .select(id_col)
     )
-    good_ids = rep_ok.join(clean_ids, id_col, "left_semi").join(
-        xd_ok, id_col, "left_semi"
-    )
+    good_ids = gate_ids.join(xd_ok, id_col, "left_semi")
     kept = kept.join(good_ids.hint("shuffle_hash"), id_col, "left_semi")
 
     w = Window.partitionBy("fp")
