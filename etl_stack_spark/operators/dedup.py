@@ -378,6 +378,7 @@ def semantic_dedup(
     threshold: float = 0.6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters —
     pairwise cosine runs only WITHIN a cluster, which is the paper's
@@ -391,11 +392,18 @@ def semantic_dedup(
     trick), and ``ivf_train``+``nearest_cell`` produce the real thing at
     scale (unit-tested in tests/test_ivf.py).
 
-    Returns survivors (id, cluster) — one shuffle on the cluster key,
-    skew bounded by the largest cluster (re-cluster or cap cluster sizes
-    upstream if one cell dominates).
+    Returns survivors (id, cluster) — one shuffle on the cluster key.
+    Skew is bounded by the largest cluster: pass ``max_cell_rows`` to
+    tile an oversized cluster's pair grid into bounded blocks
+    (similarity.blocked_cell_pairs — identical pair stream, per-task
+    work capped at ~max_cell_rows² instead of |largest cluster|²).
     """
-    from etl_stack_spark.operators.similarity import _as_double, _dot, _norm
+    from etl_stack_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        blocked_cell_pairs,
+    )
 
     # Norms are computed ONCE per vector, before the pair join — the
     # per-pair work is then a single array traversal (the dot product)
@@ -408,7 +416,7 @@ def semantic_dedup(
     a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     losers = (
-        a.join(b, "_cl")
+        blocked_cell_pairs(a, b, "_cl", "_ida", "_idb", max_cell_rows)
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
             F.round(

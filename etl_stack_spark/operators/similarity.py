@@ -44,6 +44,55 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def blocked_cell_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    cell_col: str,
+    a_id: str,
+    b_id: str,
+    max_cell_rows: int | None,
+) -> DataFrame:
+    """Join the two sides of a within-cell all-pairs self-join, tiling
+    each oversized cell's pair GRID into s×s blocks (s = ⌈|cell| /
+    max_cell_rows⌉): side A replicates each row once per column-block,
+    side B once per row-block, and the equi-join key (cell, bi, bj)
+    meets every pair in EXACTLY one block — identical pair stream, but
+    per-task work is bounded by ~max_cell_rows² instead of |largest
+    cell|². This is the skew guard for the Σ|cell|² families (knn
+    graph, SemDeDup): Σ|cell|² is only a scale argument while no cell
+    is corpus-sized, and real embedding clusterings are heavy-tailed.
+
+    Exact — no recall loss (unlike re-clustering an oversized cell) —
+    at the cost of one cell-size aggregate and s× replication of the
+    oversized cell's rows. ``max_cell_rows=None`` skips the size
+    aggregate entirely and degenerates to the plain equi-join.
+    """
+    if max_cell_rows is None:
+        return a.join(b, cell_col)
+    sizes = (
+        a.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_csz"))
+        .select(
+            cell_col,
+            F.ceil(F.col("_csz") / max_cell_rows).cast("int").alias("_s"),
+        )
+    )
+    blocks = F.explode(F.sequence(F.lit(0), F.col("_s") - 1))
+    ab = (
+        a.join(sizes, cell_col)
+        .withColumn("_bi", F.pmod(F.xxhash64(a_id), F.col("_s")).cast("int"))
+        .withColumn("_bj", blocks)
+        .drop("_s")
+    )
+    bb = (
+        b.join(sizes, cell_col)
+        .withColumn("_bj", F.pmod(F.xxhash64(b_id), F.col("_s")).cast("int"))
+        .withColumn("_bi", blocks)
+        .drop("_s")
+    )
+    return ab.join(bb, [cell_col, "_bi", "_bj"]).drop("_bi", "_bj")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -291,6 +340,7 @@ def knn_graph_within(
     part_col: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """kNN GRAPH construction (every point finds its k nearest, not a
     small query set against a corpus — the retrieval-training /
@@ -299,7 +349,13 @@ def knn_graph_within(
     cluster label). Cost is Σ|cell|², never corpus² — the sd1/SemDeDup
     scoping argument. Norms are hoisted once per side; the per-point
     top-k is a WindowGroupLimit (rank pushdown), never a global sort.
-    Returns (id, neighbor_id, cosine, rank)."""
+    Returns (id, neighbor_id, cosine, rank).
+
+    ``max_cell_rows`` is the cell-SKEW guard: Σ|cell|² assumes no cell
+    is corpus-sized, but real embedding clusterings are heavy-tailed —
+    set it to tile oversized cells' pair grids into bounded blocks
+    (see blocked_cell_pairs; identical output, per-task work capped at
+    ~max_cell_rows²)."""
     from pyspark.sql import Window
 
     a = df.select(
@@ -313,7 +369,7 @@ def knn_graph_within(
         _as_double(F.col(vec_col)).alias("_vb"),
     ).withColumn("_nb", _norm(F.col("_vb")))
     scored = (
-        a.join(b, "_p")
+        blocked_cell_pairs(a, b, "_p", "_i", "_j", max_cell_rows)
         .filter(F.col("_i") != F.col("_j"))
         .select(
             "_i",
