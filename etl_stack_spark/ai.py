@@ -154,9 +154,9 @@ def transcode_image_batch(content: pd.Series, max_dim: int = 512) -> pd.Series:
             out, _, _ = transcode_webp(data, max_dim=max_dim)
         else:
             raise NotImplementedError(
-                "only PPM(P6), PNG, baseline JPEG, and WebP (via the "
-                "system libwebp) decode in this environment; plug a "
-                "codec-backed provider for other payloads"
+                "only PPM(P6), PNG, baseline+progressive JPEG, and WebP "
+                "(via the system libwebp) decode in this environment; "
+                "plug a codec-backed provider for other payloads"
             )
         return out
 

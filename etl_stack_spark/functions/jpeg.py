@@ -4,9 +4,11 @@ Closes the P31 codec gap for the dominant web format without PIL/libjpeg
 (reference transcodes real web images via PIL —
 `/root/reference/src/ETL_IMAGES/providers/image_base_provider.py:94-106`).
 
-Scope (honest, asserted): baseline sequential DCT, 8-bit, Huffman coding,
-1 or 3 components, subsampling 4:4:4 / 4:2:2 / 4:2:0, restart markers.
-Progressive (SOF2), arithmetic coding, 12-bit, and CMYK raise with a
+Scope (honest, asserted): baseline sequential DCT (SOF0/1) AND
+progressive DCT (SOF2 — spectral selection + successive approximation,
+the libjpeg scan-script shape real crawled images use), 8-bit, Huffman
+coding, 1 or 3 components, subsampling 4:4:4 / 4:2:2 / 4:2:0, restart
+markers. Arithmetic coding, 12-bit, hierarchical, and CMYK raise with a
 specific message.
 
 Tables are the JPEG spec's own (Annex K) — public standard content. The
@@ -354,11 +356,226 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _emit_eobrun(wtr, codes, eobrun: int) -> int:
+    """Flush a pending EOB run (T.81 G.1.2.2): symbol (nbits<<4) + the
+    low nbits of the run. Returns the reset run count (0)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = codes[nbits << 4]
+        wtr.write(code, ln)
+        if nbits:
+            wtr.write(eobrun, nbits)
+    return 0
+
+
+def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
+    """(H, W, 1|3) uint8 → PROGRESSIVE JPEG (SOF2), 4:4:4, Annex K base
+    quantization — the same quantized coefficients as encode_jpeg,
+    delivered through the classic libjpeg-style scan script:
+
+        DC first (interleaved, Al=1) → DC refine (Al=0)
+        per component: AC 1-5 first (Al=1) → AC 6-63 first (Al=1)
+                       → AC 1-63 refine (Ah=1, Al=0)
+
+    which exercises every progressive decode path (interleaved DC,
+    spectral bands, EOB runs, ZRL, successive-approximation correction
+    bits). Because the coefficients are identical to the baseline
+    encoder's, decode(progressive(x)) must equal decode(baseline(x))
+    EXACTLY — the round-trip pin the tests use."""
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg_progressive wants (H, W, 1|3) uint8")
+    h, w, ncomp = arr.shape
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    planes = (
+        [_rgb_to_ycbcr(padded)[..., i] for i in range(3)]
+        if ncomp == 3
+        else [padded[..., 0].astype(np.float64)]
+    )
+    qtabs = [QUANT_LUMA] + ([QUANT_CHROMA] if ncomp == 3 else [])
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    if ncomp == 3:
+        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    # Progressive AC scans emit EOB-run symbols (nbits<<4) the Annex K
+    # baseline tables don't contain (real progressive encoders always
+    # ship custom tables). A flat 8-bit code over all 176 (r<<4)|s
+    # symbols (r 0-15, s 0-10) is a valid canonical Huffman table that
+    # covers every run/size/EOB-run/ZRL symbol — suboptimal compression,
+    # maximal decoder coverage.
+    prog_ac_bits = [0] * 7 + [176] + [0] * 8
+    prog_ac_vals = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_codes = [_canonical_codes(prog_ac_bits, prog_ac_vals)] * 2
+
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        blocks = _blocks_of(plane - 128.0)
+        coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = qtabs[min(ci, 1)].reshape(8, 8).astype(np.float64)
+        comp_coefs.append(
+            np.round(coefs / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        )
+    n_mcu = comp_coefs[0].shape[0]
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for m in range(n_mcu):
+            for ci in range(ncomp):
+                v = int(comp_coefs[ci][m][0]) >> al  # arithmetic shift (T.81)
+                diff = v - pred[ci]
+                pred[ci] = v
+                size, bits = _magnitude(diff)
+                code, ln = dc_codes[min(ci, 1)][size]
+                wtr.write(code, ln)
+                if size:
+                    wtr.write(bits, size)
+        return wtr.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for m in range(n_mcu):
+            for ci in range(ncomp):
+                wtr.write((int(comp_coefs[ci][m][0]) >> al) & 1, 1)
+        return wtr.flush()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        codes = ac_codes[min(ci, 1)]
+        eobrun = 0
+        for m in range(n_mcu):
+            zz = comp_coefs[ci][m]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                mag = (abs(v) >> al)
+                if mag == 0:
+                    run += 1
+                    continue
+                eobrun = _emit_eobrun(wtr, codes, eobrun)
+                while run > 15:
+                    code, ln = codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(mag if v > 0 else -mag)
+                code, ln = codes[(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(bits, size)
+                run = 0
+            if run > 0:  # band ends in zeros → fold into the EOB run
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(wtr, codes, eobrun)
+        _emit_eobrun(wtr, codes, eobrun)
+        return wtr.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        # T.81 G.1.2.3 with the two-buffer discipline the decoder's
+        # positional walk requires: `be` holds correction bits owed right
+        # after the NEXT EOB-run symbol (accumulated across blocks);
+        # `br` holds the current block's bits owed after the next
+        # ZRL/new-coefficient symbol. Runs count ZERO-HISTORY positions
+        # only; history-nonzero coefficients never break a run.
+        wtr = _BitWriter()
+        codes = ac_codes[min(ci, 1)]
+        eobrun = 0
+        be: list[int] = []
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                eobrun = _emit_eobrun(wtr, codes, eobrun)
+                for b in be:
+                    wtr.write(b, 1)
+                be.clear()
+
+        for m in range(n_mcu):
+            zz = comp_coefs[ci][m]
+            absv = [abs(int(zz[ss + i])) >> al for i in range(se - ss + 1)]
+            eob = 0  # index AFTER the last newly-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i + 1
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRLs that cannot fold into an EOB run (a new nonzero
+                # still follows) flush here — at ANY nonzero position,
+                # like libjpeg, so bit order stays positional
+                while run > 15 and i < eob:
+                    flush_eob()
+                    code, ln = codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if t > 1:  # history-nonzero: owes one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, ln = codes[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    out = bytearray(JPEG_MAGIC)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) + bytes(int(x) for x in q)
+    comp_specs = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, min(ci, 1)) for ci in range(ncomp)
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comp_specs
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, prog_ac_bits, prog_ac_vals)]
+    if ncomp == 3:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, prog_ac_bits, prog_ac_vals)]
+    for tc, bits, vals in huffs:
+        payload = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int, scan: bytes) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            ti = min(cid - 1, 1)
+            hdr += struct.pack("BB", cid, (ti << 4) | ti)
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + scan
+
+    all_ids = list(range(1, ncomp + 1))
+    out += sos(all_ids, 0, 0, 0, 1, dc_first_scan(1))
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+        out += sos([ci + 1], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    out += sos(all_ids, 0, 0, 1, 0, dc_refine_scan(0))
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 1, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) RGB or (H, W, 1) grayscale uint8."""
+    """Baseline or progressive JPEG → (H, W, 3) RGB or (H, W, 1)
+    grayscale uint8. Progressive streams accumulate coefficients across
+    scans (spectral selection + successive approximation, T.81 G.2) and
+    reconstruct once at EOI."""
     if not data.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -367,12 +584,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0x00:  # stuffed 0xFF00 straggler between scans
+            continue
+        if marker == 0xFF:  # fill byte — next 0xFF may start the marker
+            pos -= 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
@@ -396,13 +620,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -412,11 +637,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_sel[cid] = (tt >> 4, tt & 0xF)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             pos += seglen
-            return _decode_scan(
-                data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
+                )
+            _init_coef_state(comps, h, w)
+            pos = _progressive_scan(
+                data, pos, comps, scan_sel, huff, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
             )
+            saw_scan = True
+            continue
         pos += seglen
+    if progressive and saw_scan:
+        return _reconstruct(comps, qtabs, h, w)
     raise ValueError("JPEG stream has no SOS scan")
 
 
@@ -481,6 +718,15 @@ def _decode_scan(data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
             # the 0xFF, so the re-decoded MCU re-raises the same marker.
             raise ValueError(f"unexpected marker 0x{m.marker:x} mid-scan") from None
 
+    return _reconstruct(comps, qtabs, h, w)
+
+
+def _reconstruct(comps, qtabs, h, w) -> np.ndarray:
+    """Dequantize + IDCT + upsample + crop — shared by the baseline and
+    progressive paths (progressive calls it once at EOI, after every
+    scan has accumulated its coefficients)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qtabs[c["tq"]][UNZIGZAG].reshape(8, 8).astype(np.float64)
@@ -492,6 +738,170 @@ def _decode_scan(data, pos, h, w, comps, scan_sel, qtabs, huff, restart_interval
     if len(planes) == 1:
         return np.clip(planes[0], 0, 255).round().astype(np.uint8)[..., None]
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+def _init_coef_state(comps, h, w) -> None:
+    """Allocate the per-component coefficient planes a progressive
+    stream's scans accumulate into (idempotent across scans). Block
+    grids are padded to the interleaved MCU grid (like baseline), but
+    non-interleaved scans traverse only the REAL block counts
+    (ceil of the component's sampled dimensions — T.81 A.2.2)."""
+    if comps and "coef" in comps[0]:
+        return
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw_real"] = (cw + 7) // 8
+        c["bh_real"] = (ch + 7) // 8
+    comps[0]["_mcus"] = (mcus_x, mcus_y)
+
+
+def _progressive_scan(
+    data, pos, comps, scan_sel, huff, restart_interval, ss, se, ah, al
+) -> int:
+    """Decode ONE progressive SOS (T.81 G.2 / the libjpeg jdphuff
+    semantics): DC scans (ss=0) may interleave components; AC scans
+    cover one component's spectral band [ss, se]. ``ah=0`` is a band's
+    first pass at point transform ``al``; ``ah>0`` refines bit ``al``
+    with correction bits and EOB runs. Mutates the coef planes; returns
+    the stream position after the scan's entropy segment."""
+    scomps = [c for c in comps if c["id"] in scan_sel]
+    mcus_x, mcus_y = comps[0]["_mcus"]
+    rdr = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scomps}
+    state = {"eobrun": 0}
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if len(scomps) > 1:
+            units = mcus_x * mcus_y
+        else:
+            units = scomps[0]["bw_real"] * scomps[0]["bh_real"]
+    else:
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        units = scomps[0]["bw_real"] * scomps[0]["bh_real"]
+
+    def dc_block(c, idx):
+        zz = c["coef"][idx]
+        if ah == 0:
+            sym = rdr.decode_symbol(huff[(0, scan_sel[c["id"]][0])])
+            if sym > 15:
+                raise ValueError(f"invalid DC magnitude category {sym}")
+            diff = _extend(rdr.read_bits(sym), sym) if sym else 0
+            pred[c["id"]] += diff
+            zz[0] = pred[c["id"]] << al
+        else:
+            zz[0] = int(zz[0]) | (rdr.read_bit() << al)
+
+    def ac_first(c, idx):
+        zz = c["coef"][idx]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        table = huff[(1, scan_sel[c["id"]][1])]
+        k = ss
+        while k <= se:
+            rs = rdr.decode_symbol(table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += rdr.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(rdr.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(c, idx):
+        # the T.81 G.2 correction-bit walk (libjpeg decode_mcu_AC_refine
+        # semantics): runs count ZERO-HISTORY positions; every nonzero-
+        # history coefficient passed consumes one correction bit
+        zz = c["coef"][idx]
+        table = huff[(1, scan_sel[c["id"]][1])]
+        p1, m1 = 1 << al, -(1 << al)
+
+        def correct(k):
+            v = int(zz[k])
+            if rdr.read_bit() and (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rdr.decode_symbol(table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rdr.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement scan with |coef| > 1")
+                    newval = p1 if rdr.read_bit() else m1
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    done = 0
+    while done < units:
+        if ss == 0 and len(scomps) > 1:
+            my, mx = divmod(done, mcus_x)
+            for c in scomps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row, col = my * c["v"] + by, mx * c["h"] + bx
+                        dc_block(c, row * c["bw"] + col)
+        else:
+            c = scomps[0]
+            row, col = divmod(done, c["bw_real"])
+            idx = row * c["bw"] + col
+            if ss == 0:
+                dc_block(c, idx)
+            elif ah == 0:
+                ac_first(c, idx)
+            else:
+                ac_refine(c, idx)
+        done += 1
+        if restart_interval and done % restart_interval == 0 and done < units:
+            marker = rdr.align_to_marker()
+            if not (0xFFD0 <= marker <= 0xFFD7):
+                raise ValueError("expected restart marker")
+            pred = {c["id"]: 0 for c in scomps}
+            state["eobrun"] = 0
+    rdr.nbits = 0
+    return rdr.pos
 
 
 def transcode_jpeg(data: bytes, max_dim: int = 512) -> tuple[bytes, int, int]:

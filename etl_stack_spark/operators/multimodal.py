@@ -107,6 +107,64 @@ WEBP_PROBE_SCHEMA = (
     "rt_r int, rt_g int, rt_b int, out_is_webp boolean"
 )
 
+JPEG_PROG_PROBE_SCHEMA = (
+    "media_id long, in_w int, in_h int, gray int, was_progressive boolean, "
+    "out_w int, out_h int, rt_gray int"
+)
+
+
+def jpeg_progressive_probe(docs: DataFrame, max_dim: int = 16) -> DataFrame:
+    """REAL-codec PROGRESSIVE JPEG probe (the P31 gap closed in r6),
+    oracle-checkable end to end: per doc_id, build a solid EVEN-gray
+    image (gray = 2·(doc_id % 128) — even grays survive the Annex K
+    quantizer exactly: DC = 8·(g−128), /16 rounds losslessly, so
+    decode(encode(g)) == g), encode it PROGRESSIVE (SOF2, the full
+    libjpeg-style scan script: interleaved DC + spectral bands +
+    successive-approximation refinement), decode it through the
+    production decoder, then run the production resize transcode and
+    decode ITS output. Width 8..19 × height 20 keeps the 0.8 resize off
+    .5 boundaries (the mm3 convention). Every reported value is doc_id
+    arithmetic, so a hash match pins the whole progressive entropy
+    decoder — not a mock."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_stack_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+            transcode_jpeg,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "in_w", "in_h", "gray", "was_progressive",
+                    "out_w", "out_h", "rt_gray",
+                )
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 12, 20
+                g = 2 * (did % 128)
+                arr = np.full((h, w), g, dtype=np.uint8)
+                prog = encode_jpeg_progressive(arr)
+                rt = decode_jpeg(prog)
+                transcoded, _, _ = transcode_jpeg(prog, max_dim=max_dim)
+                emitted = decode_jpeg(transcoded)
+                out["media_id"].append(did)
+                out["in_h"].append(rt.shape[0])
+                out["in_w"].append(rt.shape[1])
+                out["gray"].append(int(rt[0, 0, 0]))
+                out["was_progressive"].append(b"\xff\xc2" in prog[:200])
+                out["out_h"].append(emitted.shape[0])
+                out["out_w"].append(emitted.shape[1])
+                out["rt_gray"].append(int(emitted[0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, schema=JPEG_PROG_PROBE_SCHEMA)
+
 
 def webp_roundtrip_probe(docs: DataFrame, max_dim: int = 16) -> DataFrame:
     """REAL-codec WebP probe, oracle-checkable end to end: per doc_id,

@@ -105,6 +105,35 @@ def mm3_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MM5 — REAL PROGRESSIVE JPEG codec round-trip (closes P31's last gap):
+# even-gray solid images survive the Annex K quantizer exactly, so the
+# oracle states decode(progressive_encode(g)) == g in closed form — a
+# hash match pins the SOF2 entropy decoder (interleaved DC, spectral
+# bands, EOB runs, successive-approximation refinement) plus the
+# production transcode routing progressive inputs.
+# ---------------------------------------------------------------------------
+_MM5_ORACLE = """
+SELECT doc_id AS media_id,
+  CAST(8 + doc_id % 12 AS INT) AS in_w,
+  CAST(20 AS INT) AS in_h,
+  CAST(2 * (doc_id % 128) AS INT) AS gray,
+  true AS was_progressive,
+  CAST(ROUND((8 + doc_id % 12) * 16.0 / 20) AS INT) AS out_w,
+  CAST(16 AS INT) AS out_h,
+  CAST(2 * (doc_id % 128) AS INT) AS rt_gray
+FROM documents WHERE doc_id % 5 = 1
+"""
+
+
+@register("mm5_jpeg_progressive", _MM5_ORACLE)
+def mm5_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.multimodal import jpeg_progressive_probe
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    return jpeg_progressive_probe(docs, max_dim=16)
+
+
+# ---------------------------------------------------------------------------
 # MM4 — perceptual-hash (dHash) image dedup: the LAION shape. The oracle
 # recomputes the 6x11-grid gradient hash from the content hash in SQL
 # (60 bits summed as shifted BIGINTs) and groups identically.

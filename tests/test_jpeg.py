@@ -167,9 +167,15 @@ def test_rejects_out_of_scope_streams():
     good = bytearray(encode_jpeg(arr))
     sof = good.find(b"\xff\xc0")
     bad = good.copy()
-    bad[sof + 1] = 0xC2  # progressive
+    bad[sof + 1] = 0xC9  # arithmetic coding (progressive SOF2 is in scope now)
     with pytest.raises(ValueError, match="non-baseline"):
         decode_jpeg(bytes(bad))
+    # a baseline full-band scan relabeled SOF2 is a MALFORMED progressive
+    # stream (DC scan with Se=63) — rejected with a specific message
+    bad2 = good.copy()
+    bad2[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(bytes(bad2))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"RIFF....WEBP" + b"\x00" * 16)
 
@@ -243,3 +249,84 @@ def test_fuzz_truncated_and_corrupted_streams_raise_cleanly():
             assert out.dtype == np.uint8  # decoded despite damage: fine
         except (ValueError, IndexError, KeyError, struct.error):
             pass  # clean structured failure: fine
+
+
+def test_progressive_equals_baseline_decode():
+    """The progressive encoder delivers the SAME quantized coefficients
+    as the baseline encoder through the SOF2 scan script, so the decoded
+    images must be IDENTICAL — this pins every progressive decode path
+    (interleaved DC, spectral bands, EOB runs, ZRL, refinement bits)
+    against the already-trusted baseline path."""
+    import numpy as np
+
+    from etl_stack_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    g = np.zeros((37, 53, 3), np.uint8)
+    for y in range(37):
+        for x in range(53):
+            g[y, x] = [(x * 4) % 256, (y * 6) % 256, (x * 2 + y * 3) % 256]
+    edges = np.zeros((48, 48, 3), np.uint8)
+    edges[::8] = 255
+    edges[:, ::5] = 128
+    cases = [
+        g,
+        rng.randint(0, 256, (24, 31, 3)).astype(np.uint8),
+        edges,
+        rng.randint(0, 256, (19, 22)).astype(np.uint8),  # grayscale
+        np.full((16, 16, 3), 77, np.uint8),  # flat: pure EOB-run stream
+    ]
+    for arr in cases:
+        prog = encode_jpeg_progressive(arr)
+        assert b"\xff\xc2" in prog[:200]  # really SOF2
+        assert np.array_equal(decode_jpeg(prog), decode_jpeg(encode_jpeg(arr)))
+
+
+def test_progressive_fuzz_random_images():
+    """Random-content fuzz over sizes that hit partial MCUs: progressive
+    and baseline decodes must agree exactly on every seed."""
+    import numpy as np
+
+    from etl_stack_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for seed in range(12):
+        rng = np.random.RandomState(seed)
+        h = int(rng.randint(8, 40))
+        w = int(rng.randint(8, 40))
+        ch = 3 if seed % 2 == 0 else 1
+        # mix smooth + noise so scans hit both EOB-heavy and dense paths
+        base = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        if seed % 3 == 0:
+            ramp = (np.arange(w) * 3 % 256).astype(np.uint8)
+            base = np.minimum(base // 2 + ramp[None, :, None], 255).astype(np.uint8)
+        prog = encode_jpeg_progressive(base)
+        assert np.array_equal(
+            decode_jpeg(prog), decode_jpeg(encode_jpeg(base))
+        ), f"seed {seed}"
+
+
+def test_transcode_routes_progressive():
+    """The production transcode must accept a progressive payload
+    (decode_jpeg handles SOF2) and emit a decodable baseline JPEG."""
+    import numpy as np
+
+    from etl_stack_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+        transcode_jpeg,
+    )
+
+    arr = np.full((20, 10), 154, np.uint8)  # even gray -> exact round trip
+    out, out_w, out_h = transcode_jpeg(encode_jpeg_progressive(arr), max_dim=16)
+    assert (out_w, out_h) == (8, 16)
+    dec = decode_jpeg(out)
+    assert dec.shape == (16, 8, 1)
+    assert int(dec[0, 0, 0]) == 154
