@@ -1,10 +1,37 @@
 # CI-equivalent targets for the etl_stack_spark engine.
 
-.PHONY: test bench self-report all
+.PHONY: test test-fast bench self-report all
 
-# full differential + unit suite (the real gate; ~10 min on local[32])
+# full differential + unit suite (the real gate; ~13 min single-process)
 test:
 	python -m pytest tests/ -q
+
+# the same suite in 3 cost-balanced process groups (own JVM each, no
+# pytest-xdist in this container) — same tests, ~max(group) wall time
+# (~5 min). Groups rebalance by --durations output when files move.
+test-fast:
+	@set -e; \
+	python -m pytest -q tests/test_streaming.py tests/test_fuzz_url.py \
+	  tests/test_fuzz_esd.py tests/test_fuzz_pii.py tests/test_fuzz_polygon.py \
+	  tests/test_fuzz_quantized.py tests/test_fuzz_sessions_kmv.py \
+	  tests/test_fuzz_cleaners.py tests/test_bpe.py tests/test_graph_extra.py \
+	  > /tmp/tf_g1.log 2>&1 & p1=$$!; \
+	python -m pytest -q tests/test_merge.py tests/test_merge_delta_contract.py \
+	  tests/test_curation.py tests/test_plans.py tests/test_jpeg.py \
+	  tests/test_pdf_imaging.py tests/test_wav.py > /tmp/tf_g2.log 2>&1 & p2=$$!; \
+	python -m pytest -q --ignore=tests/test_streaming.py --ignore=tests/test_fuzz_url.py \
+	  --ignore=tests/test_fuzz_esd.py --ignore=tests/test_fuzz_pii.py \
+	  --ignore=tests/test_fuzz_polygon.py --ignore=tests/test_fuzz_quantized.py \
+	  --ignore=tests/test_fuzz_sessions_kmv.py --ignore=tests/test_fuzz_cleaners.py \
+	  --ignore=tests/test_bpe.py --ignore=tests/test_merge.py \
+	  --ignore=tests/test_merge_delta_contract.py --ignore=tests/test_curation.py \
+	  --ignore=tests/test_plans.py --ignore=tests/test_jpeg.py \
+	  --ignore=tests/test_pdf_imaging.py --ignore=tests/test_wav.py \
+	  --ignore=tests/test_graph_extra.py \
+	  tests/ > /tmp/tf_g3.log 2>&1 & p3=$$!; \
+	rc=0; wait $$p1 || rc=1; wait $$p2 || rc=1; wait $$p3 || rc=1; \
+	tail -1 /tmp/tf_g1.log; tail -1 /tmp/tf_g2.log; tail -1 /tmp/tf_g3.log; \
+	exit $$rc
 
 # headline bench at $$SPARK_GRAFT_SF_DIR (default sf0.1); compact JSON
 # line on stdout, samples + full sweep in BENCH_DETAIL.json

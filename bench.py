@@ -196,6 +196,125 @@ def bench_streaming_corpus(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_partitioned_merge(spark, sf_dir: str) -> dict:
+    """Partitioned-MERGE tier (VERDICT r5 task 7): load orders into a
+    16-partition PartitionedMergeTable, then merge an update touching ONE
+    partition, and the SAME update into a whole-snapshot ParquetMergeTable.
+    Two recorded signals of the 100 TB claim that a partition-scoped
+    merge's cost follows the touched partition, not the table:
+    ``rows_rewritten`` (the scale-invariant one — 1/16 of the table vs
+    all of it) and the wall ratio (constants-dominated at sf0.1; the
+    rows ratio is what extrapolates)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable, PartitionedMergeTable
+
+    work = tempfile.mkdtemp(prefix="bench_pmerge_")
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                (F.col("o_orderkey") % 16).cast("string").alias("bucket"),
+                F.col("o_orderkey").cast("string").alias("lkey"),
+                F.col("o_totalprice").cast("string").alias("payload"),
+            )
+            .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+        )
+        n = rows.count()
+        pt = PartitionedMergeTable(spark, os.path.join(work, "pt"), "bucket")
+        t0 = time.perf_counter()
+        pt.merge(rows, keys=["bucket", "lkey"])
+        load_secs = round(time.perf_counter() - t0, 3)
+        delta = (
+            rows.filter(F.col("bucket") == "3")
+            .withColumn("payload", F.concat(F.col("payload"), F.lit("-r6")))
+            .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+        )
+        n_delta = delta.count()
+        t0 = time.perf_counter()
+        stats = pt.merge(delta, keys=["bucket", "lkey"])
+        part_secs = round(time.perf_counter() - t0, 3)
+        snap = ParquetMergeTable(spark, os.path.join(work, "snap"))
+        snap.merge(rows, keys=["lkey"])
+        t0 = time.perf_counter()
+        snap.merge(delta, keys=["lkey"])
+        snap_secs = round(time.perf_counter() - t0, 3)
+        return {
+            "rows": n,
+            "partitions": 16,
+            "initial_load_secs": load_secs,
+            "delta_rows": n_delta,
+            "partitions_rewritten": stats["partitions_rewritten"],
+            "rows_rewritten_partitioned": n_delta,
+            "rows_rewritten_snapshot": n,
+            "rewrite_ratio": round(n / n_delta, 1) if n_delta else None,
+            "one_partition_merge_secs": part_secs,
+            "snapshot_merge_secs": snap_secs,
+            "wall_ratio_vs_snapshot": round(snap_secs / part_secs, 2) if part_secs else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_interval_join(spark, sf_dir: str) -> dict:
+    """Watermarked stream-stream interval-join tier (VERDICT r5 task 8):
+    the sf events split into an impression feed (views) and a click feed
+    (clicks/purchases), joined per user within 10 minutes of event time
+    through interval_join in a one-shot availableNow drain. State is
+    bounded by watermark+interval eviction — O(rate x 40min of event
+    time), never O(stream) — which is the property this tier watches:
+    events/sec collapsing round-over-round means state stopped
+    evicting."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.streaming.joins import interval_join
+
+    work = tempfile.mkdtemp(prefix="bench_ijoin_")
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        n_events = events.count()
+        left_dir, right_dir = os.path.join(work, "l"), os.path.join(work, "r")
+        events.filter(F.col("event_type") == "view").write.parquet(left_dir)
+        events.filter(F.col("event_type").isin("click", "purchase")).write.parquet(
+            right_dir
+        )
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+        lstream = spark.readStream.schema(schema).parquet(left_dir)
+        rstream = spark.readStream.schema(schema).parquet(right_dir)
+        joined = interval_join(
+            lstream, rstream, key="user_id", upper="10 minutes", watermark="30 minutes"
+        )
+        t0 = time.perf_counter()
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("bench_ijoin")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        secs = round(time.perf_counter() - t0, 3)
+        pairs = spark.table("bench_ijoin").count()
+        spark.catalog.dropTempView("bench_ijoin")
+        return {
+            "events": n_events,
+            "attributed_pairs": pairs,
+            "secs": secs,
+            "events_per_sec": round(n_events / secs, 1) if secs else None,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     from etl_stack_spark.queries import all_queries
 
@@ -279,6 +398,8 @@ def main() -> None:
 
     streaming = None
     streaming_corpus = None
+    interval = None
+    pmerge = None
     if stream:
         try:
             streaming = bench_streaming(spark, sf_dir)
@@ -292,6 +413,18 @@ def main() -> None:
         except Exception as e:
             streaming_corpus = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# STREAM-ERROR {streaming_corpus['error']}", file=sys.stderr)
+        try:
+            interval = bench_interval_join(spark, sf_dir)
+            print(f"# streaming interval join: {interval}", file=sys.stderr)
+        except Exception as e:
+            interval = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# STREAM-ERROR {interval['error']}", file=sys.stderr)
+        try:
+            pmerge = bench_partitioned_merge(spark, sf_dir)
+            print(f"# partitioned merge: {pmerge}", file=sys.stderr)
+        except Exception as e:
+            pmerge = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# MERGE-ERROR {pmerge['error']}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
@@ -316,6 +449,10 @@ def main() -> None:
         detail["streaming_lead_prep"] = streaming
     if streaming_corpus is not None:
         detail["streaming_corpus_clean"] = streaming_corpus
+    if interval is not None:
+        detail["streaming_interval_join"] = interval
+    if pmerge is not None:
+        detail["partitioned_merge"] = pmerge
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)

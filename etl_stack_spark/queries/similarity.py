@@ -238,3 +238,15 @@ def knn1_graph_within_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_within(emb, k=3, part_col="label")
+
+
+# KNN2 — the SAME computation through the cell-skew guard (pair-grid
+# tiling, max_cell_rows=64): identical oracle, so a hash match proves
+# the blocked path is exact, not just plausible, on real data — the
+# r6 skew-guard's cross-engine pin beside its degenerate-cell unit.
+@register("knn2_graph_blocked", _KNN1_ORACLE)
+def knn2_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.similarity import knn_graph_within
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_within(emb, k=3, part_col="label", max_cell_rows=64)

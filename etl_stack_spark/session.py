@@ -77,6 +77,14 @@ def get_spark(app_name: str = "etl-stack-spark", cpus: int | None = None) -> Spa
         # type for; read as long and convert in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # createDataFrame/parallelize slice local data into defaultParallelism
+    # partitions (= cores), so EVERY tiny literal frame scans as `cores`
+    # tasks. Fixed at context creation, so it's an env lever, not a conf
+    # call: the test session caps it (hand-sized inputs, thousands of
+    # actions); production leaves it unset (= cores, correct for real data)
+    dp = os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM")
+    if dp:
+        builder = builder.config("spark.default.parallelism", dp)
     return builder.getOrCreate()
 
 

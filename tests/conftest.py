@@ -18,7 +18,15 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("etl-stack-spark-tests", cpus=8)
+    # local[16] + 8 shuffle partitions + 4-way local-data slicing: test
+    # inputs are hand-sized, so every stage should be a handful of tasks,
+    # not `cores` of them — the suite runs thousands of Spark actions and
+    # per-stage dispatch overhead IS its wall time. Operators that need
+    # width at scale take explicit levers; oracle values are
+    # partitioning-independent by construction.
+    os.environ.setdefault("SPARK_GRAFT_DEFAULT_PARALLELISM", "4")
+    s = get_spark("etl-stack-spark-tests", cpus=16)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     yield s
 
 

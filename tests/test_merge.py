@@ -575,12 +575,15 @@ def test_partitioned_compact_reduces_files_keeps_data(spark, tmp_path):
         d = os.path.join(root, t.parts()[part])
         return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
-    assert n_files("c1") > 2
+    n_before = n_files("c1")
+    assert n_before > 2
     before = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
     old_dir = t.parts()["c1"]
 
     out = t.compact(target_files_per_partition=1)
-    assert out["compacted"] == {"c1": 6} and out["skipped"] == []
+    # file count before compaction depends on the session's write width —
+    # assert against the measured count, not a hardcoded one
+    assert out["compacted"] == {"c1": n_before} and out["skipped"] == []
     assert n_files("c1") == 1 and t.parts()["c1"] != old_dir
     after = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
     assert after == before  # data-identical rewrite

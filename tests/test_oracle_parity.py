@@ -2,26 +2,49 @@
 DuckDB oracle at sf0.01, compare exactly (driver-style).
 
 Any query without an oracle gets a rows-run smoke check instead.
+
+The Spark side of all ~190 queries is computed ONCE, through an
+8-thread pool, by a session-scoped fixture — Spark job submission is
+thread-safe and the queries are independent, so the wall time is the
+longest chain instead of the sum (164s -> ~1/3; this file was tied for
+the suite's most expensive). Each parametrized test then compares its
+own precomputed frame, keeping per-query granularity in reports: a
+failure still names exactly one query. DuckDB stays on the test thread
+(one connection, sequential by design).
 """
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pytest
 
 from etl_stack_spark.queries import all_oracles, all_queries
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, duck_with_views
 from tests.oracle import compare
-from tests.conftest import duck_with_views
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
+@pytest.fixture(scope="session")
+def spark_results(spark):
+    def run(name):
+        try:
+            return QUERIES[name](spark, SF_ORACLE).toPandas()
+        except Exception as e:  # surfaced by the owning test, not the pool
+            return e
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        names = sorted(QUERIES)
+        return dict(zip(names, pool.map(run, names)))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_parity(name, spark, duck):
-    fn = QUERIES[name]
-    sdf = fn(spark, SF_ORACLE)
-    spark_pdf = sdf.toPandas()
+def test_query_parity(name, spark_results, duck):
+    spark_pdf = spark_results[name]
+    if isinstance(spark_pdf, Exception):
+        raise spark_pdf
     if name in ORACLES:
         con = duck_with_views(duck, SF_ORACLE)
         oracle_pdf = con.execute(ORACLES[name]).fetchdf()

@@ -125,6 +125,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "p12_accent_normalize", "p32_vision_tags", "p33_embedding_contract",
         "mm1_media_features", "mm2_frame_sample", "mm3_webp_roundtrip",
         "mm4_phash_dedup",  # Arrow batches of binary media -> 60-bit hashes
+        "mm5_jpeg_progressive",  # real SOF2 codec round-trip, Arrow batches
         "au1_audio_features",  # Arrow batches of WAV bytes -> frame features
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
         "zr1_compression_ratio",  # zlib deflate has no Column form
@@ -151,7 +152,13 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "kw1_tfidf_keywords",        # 1-row doc-count side
         "hll2_grouped_distinct",     # groups x 64-register broadcast spine
     }
-    for name, fn in sorted(all_queries().items()):
+    # plan-building is driver-side and thread-safe; 8 planner threads cut
+    # this registry-wide sweep from 65s to a fraction (it was the suite's
+    # slowest test) without changing what it checks
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
         if (
@@ -168,6 +175,9 @@ def test_no_row_at_a_time_python_anywhere(spark):
                 f"{name}: undeclared nested-loop join — broadcast a declared "
                 f"small side or re-shape to an equi-join"
             )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, sorted(all_queries().items())))
 
 
 def test_dd5_plan_has_no_all_pairs_join(spark):
