@@ -310,6 +310,80 @@ def ivf_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the k most-similar corpus vectors whose LABEL differs
+    from the query's — maximally confusable negatives, the pairs a
+    contrastive loss learns most from (the standard dense-retrieval
+    data-prep step; random negatives are too easy to carry gradient).
+
+    Same plan shape as brute_force_topk — broadcast query side,
+    per-partition scoring, WindowGroupLimit top-k — plus the label
+    inequality pushed below the rank window so mismatched labels never
+    reach the shuffle. Returns (query_id, vec_id, cosine, rank).
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("_clabel"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("_qlabel"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("_clabel") != F.col("_qlabel"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("rank").cast("int"))
+    )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack & Clarke 2009) over any number of
+    ranked retrieval legs (lexical BM25, vector cosine, ...): score =
+    Σ 1/(k + rank). Scores are integer micro-units — ``quantum div
+    (k + rank)`` — so two engines agree bit-for-bit (the lm1/ir1
+    quantization discipline). An id absent from a leg simply contributes
+    nothing (the union-then-sum shape gives outer-join semantics without
+    an N-way outer join).
+
+    100 TB shape: each leg is already a bounded top-N (the expensive
+    part is producing the legs); fusion is one union + one groupBy on
+    the id — a single small shuffle, broadcastable output.
+    """
+    fused = None
+    for leg in legs:
+        contrib = leg.select(
+            F.col(id_col),
+            F.expr(f"{quantum} div ({k} + {rank_col})").cast("long").alias("_c"),
+        )
+        fused = contrib if fused is None else fused.unionByName(contrib)
+    return fused.groupBy(id_col).agg(F.sum("_c").cast("long").alias("rrf_micros"))
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", bits: int = 8
 ) -> DataFrame:

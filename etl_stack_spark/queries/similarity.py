@@ -250,3 +250,133 @@ def knn2_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph_within(emb, k=3, part_col="label", max_cell_rows=64)
+
+
+# ---------------------------------------------------------------------------
+# RRF1 — hybrid retrieval: BM25 lexical top-50 (ir1's terms) ⊕ vector
+# cosine top-50 (query = embedding of vec_id 0) fused by Reciprocal Rank
+# Fusion, Σ 1000000 div (60 + rank) in integer micro-units — the standard
+# hybrid-search shape retrieval-training pipelines mine hard positives
+# from. Exact cross-engine: ranks are integers, the contribution is
+# integer division, fusion is a sum.
+# ---------------------------------------------------------------------------
+def _rrf1_oracle() -> str:
+    from etl_stack_spark.queries.text_dedup import _IR1_TERMS
+
+    qt_vals = ", ".join(f"('{t}')" for t in _IR1_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_total FROM dl),
+qt(tok) AS (VALUES {qt_vals}),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks JOIN qt USING (tok) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+lexm AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (t_total / n_docs)))
+           * 1000 + 0.5) AS BIGINT) AS milli
+  FROM tf JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, stats
+),
+lexs AS (SELECT doc_id, CAST(SUM(milli) AS BIGINT) AS s FROM lexm GROUP BY doc_id),
+lexr AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r FROM lexs
+  ) WHERE r <= 50
+),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vscored AS (
+  SELECT vec_id, round({_COS}, 6) AS cosine FROM corpus CROSS JOIN q WHERE vec_id <> 0
+),
+vecr AS (
+  SELECT vec_id AS doc_id, r FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r FROM vscored
+  ) WHERE r <= 50
+),
+contrib AS (
+  SELECT doc_id, 1000000 // (60 + r) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + r) FROM vecr
+),
+fused AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros FROM contrib GROUP BY doc_id)
+SELECT doc_id, rrf_micros,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_micros DESC, doc_id) AS INT) AS fused_rank
+FROM fused ORDER BY fused_rank LIMIT 20
+"""
+
+
+@register("rrf1_hybrid_retrieval", _rrf1_oracle())
+def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.similarity import rrf_fuse
+    from etl_stack_spark.operators.text import bm25_rank
+    from etl_stack_spark.queries.text_dedup import _IR1_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_rank(docs, list(_IR1_TERMS), top_k=50).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score_millis"), "doc_id")),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, qv, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(
+        [lex.select("doc_id", "rank"), vec], id_col="doc_id", rank_col="rank"
+    )
+    w = Window.orderBy(F.desc("rrf_micros"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .orderBy("fused_rank")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HN1 — hard-negative mining: for each query vector (vec_id < 10), the 5
+# most-similar corpus vectors with a DIFFERENT label — the contrastive-
+# training data-prep step (random negatives are too easy; the near-but-
+# wrong ones carry the gradient). Broadcast query side × corpus with the
+# label inequality below the rank window, ss1's declared nested-loop
+# shape.
+# ---------------------------------------------------------------------------
+_HN1_ORACLE = f"""
+WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 6) AS cosine
+  FROM corpus CROSS JOIN q WHERE label <> qlabel
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("hn1_hard_negatives", _HN1_ORACLE)
+def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(emb, queries, k=5)

@@ -134,6 +134,8 @@ def test_no_row_at_a_time_python_anywhere(spark):
     # compile to BroadcastNestedLoopJoin; nothing may CartesianProduct
     nested_loop_allowed = {
         "ss1_bruteforce_topk",   # broadcast query side x corpus, by design
+        "hn1_hard_negatives",    # broadcast query side x corpus, label != join
+        "rrf1_hybrid_retrieval",  # ss1's 1-row broadcast query-vector side
         "q22_dormant_rich",      # scalar subquery threshold (1-row side)
         "q11_important_stock",   # scalar subquery threshold
         "bf1_bloom_prune",       # broadcast bit-table probe + 1-row x 1-row
