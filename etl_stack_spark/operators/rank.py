@@ -111,6 +111,71 @@ def lead_prep_tiered_rank(
     return ranked.filter(F.col(rank_col) <= k_col)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global row_number without a single-partition window — the
+    scalable form of ``row_number() OVER (ORDER BY ...)``:
+
+        range-repartition on the order → per-partition local sort +
+        row_number → add broadcast per-partition offsets.
+
+    No task ever sees more than its range slice; the only driver state
+    is one row-count per partition (num_partitions values). This is the
+    same decomposition TakeOrderedAndProject uses for LIMIT, extended to
+    full ranking — and what closes rfm1's documented "global ntile past
+    ~10^7 customers" gap.
+
+    ``order_by`` MUST be a total order (unique trailing tie-break):
+    exactness needs every row to have one well-defined position. The
+    range exchange is pinned with a lazy localCheckpoint so its sampled
+    boundaries are computed once and shared by the count and rank
+    passes (repartitionByRange samples — two plans would disagree).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df.withColumn(rank_col, F.lit(None).cast("long")).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(*[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]),
+        F.col("_pid"),
+    )
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
+    return ranged.withColumn(rank_col, (local + off).cast("long")).drop("_pid")
+
+
+def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:
+    """The exact NTILE(k) bucket as a function of a 1-based global rank
+    over ``n`` rows (both Spark's and DuckDB's semantics: the first
+    n % k buckets get one extra row). Pairs with global_row_number to
+    express quantile scoring without any single-partition window."""
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: bucket = rank
+        return F.col(rank_col).cast("int")
+    thresh = r * (q + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {thresh} "
+        f"THEN ({rank_col} - 1) DIV {q + 1} + 1 "
+        f"ELSE {r} + ({rank_col} - 1 - {thresh}) DIV {q} + 1 END AS INT)"
+    )
+
+
 def top_1_per_group(
     df: DataFrame, partition_by: Sequence[str | Column], order_by: Sequence[Column]
 ) -> DataFrame:

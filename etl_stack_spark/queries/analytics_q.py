@@ -675,6 +675,50 @@ def tr1_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RFM2 — rfm1's EXACT output through the scalable ranking path: every
+# quintile comes from global_row_number (range repartition + local sorts
+# + broadcast offsets — no single-partition window) and the closed-form
+# ntile_from_rank bucket. Same oracle as rfm1, so a hash match proves
+# the distributed rank is exact — this closes rfm1's documented
+# "global ntile past ~10^7 customers" scale gap with a verified twin
+# rather than an approximation.
+# ---------------------------------------------------------------------------
+@register("rfm2_segments_scalable", _RFM1_ORACLE)
+def rfm2_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.rank import global_row_number, ntile_from_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (
+            F.lit(_RFM_ANCHOR_DAY)
+            - F.max(
+                F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            )
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    ).localCheckpoint(eager=False)  # three rank passes + a count share it
+    n = base.count()
+    scores = {
+        "r_score": [F.col("recency_days"), F.col("custkey")],
+        "f_score": [F.col("frequency").desc(), F.col("custkey")],
+        "m_score": [F.col("monetary_cents").desc(), F.col("custkey")],
+    }
+    out = base
+    for name, order in scores.items():
+        ranked = global_row_number(out, order, rank_col="_gr")
+        out = ranked.withColumn(name, ntile_from_rank("_gr", n, 5)).drop("_gr")
+    return out.select(
+        "custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score",
+    )
+
+
+# ---------------------------------------------------------------------------
 # PA1 — the product-analytics composition (the funnel family's llm1):
 # sessionize (ses1 machinery) → per-session first event type + converted
 # flag → per-(first_type, converted) session counts and total dwell.

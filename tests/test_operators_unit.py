@@ -450,3 +450,53 @@ def test_bfs_levels_known_graph(spark):
     src2 = spark.createDataFrame([(0,), (2,)], "node long")
     got2 = {r["node"]: r["level"] for r in bfs_levels(edges, src2).collect()}
     assert got2 == {0: 0, 2: 0, 1: 1, 3: 1, 4: 1}
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """The distributed rank (range repartition + local sorts + broadcast
+    offsets) must equal row_number() OVER (ORDER BY ...) exactly,
+    including descending orders and ties broken by the trailing key."""
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.rank import global_row_number
+
+    rows = [(i, (i * 37) % 50) for i in range(501)]  # heavy value ties
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    got = {
+        r.id: r.rnk
+        for r in global_row_number(
+            df, [F.col("v").desc(), F.col("id")], num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    want = {r.id: r.rnk for r in df.withColumn("rnk", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """Closed-form bucket == ntile(k) for n not divisible by k (the
+    extra-row-to-first-buckets rule) and for n < k."""
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.rank import global_row_number, ntile_from_rank
+
+    for n, k in ((23, 5), (3, 5), (25, 5), (7, 3)):
+        df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        ranked = global_row_number(df, [F.col("id")], rank_col="r")
+        got = {
+            row.id: row.b
+            for row in ranked.withColumn("b", ntile_from_rank("r", n, k)).collect()
+        }
+        w = Window.orderBy("id")
+        want = {
+            row.id: row.b
+            for row in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_global_row_number_empty_frame(spark):
+    from etl_stack_spark.operators.rank import global_row_number
+
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_row_number(df, [F.col("v"), F.col("id")]).count() == 0
