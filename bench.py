@@ -303,6 +303,17 @@ def bench_interval_join(spark, sf_dir: str) -> dict:
         )
         q.awaitTermination(600)
         secs = round(time.perf_counter() - t0, 3)
+        # state-size note (VERDICT r5 #8): buffered-row bytes from the
+        # join's state store — the number that must track rate x
+        # (watermark + interval), never stream length
+        state = None
+        prog = q.lastProgress
+        if prog and prog.get("stateOperators"):
+            op = prog["stateOperators"][0]
+            state = {
+                "rows": op.get("numRowsTotal"),
+                "bytes": op.get("memoryUsedBytes"),
+            }
         pairs = spark.table("bench_ijoin").count()
         spark.catalog.dropTempView("bench_ijoin")
         return {
@@ -310,6 +321,7 @@ def bench_interval_join(spark, sf_dir: str) -> dict:
             "attributed_pairs": pairs,
             "secs": secs,
             "events_per_sec": round(n_events / secs, 1) if secs else None,
+            "state": state,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
