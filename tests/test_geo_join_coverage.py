@@ -141,3 +141,96 @@ def test_radius_join_exact_seam_points(spark):
     grid = _grid_pairs(spark, left, right, radius_km)
     assert brute == {(1, 1), (1, 2), (2, 1), (2, 2)}
     assert grid == brute
+
+
+def test_haversine_matches_independent_python_reference(spark):
+    """cal1-class audit (r6): the haversine oracle mirrors the Spark
+    expression, so a shared formula bug is invisible to parity — pin the
+    COLUMN expression against an independently written Python
+    implementation on known city pairs + a random sweep."""
+    import math
+    import random
+
+    from etl_stack_spark.functions.geo import haversine_km
+
+    def ref(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 6371.0 * 2 * math.asin(math.sqrt(a))
+
+    rng = random.Random(6)
+    pairs = [
+        (48.8566, 2.3522, 51.5074, -0.1278),   # Paris -> London ~343 km
+        (9.9281, -84.0907, 9.9333, -84.0833),  # San Jose CR short hop
+        (0.0, 179.9, 0.0, -179.9),             # antimeridian
+        (89.9, 0.0, -89.9, 0.0),               # near-antipodal
+    ] + [
+        (rng.uniform(-85, 85), rng.uniform(-180, 180),
+         rng.uniform(-85, 85), rng.uniform(-180, 180))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(pairs, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = [
+        r.d for r in df.select(
+            haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+        ).collect()
+    ]
+    for (la1, lo1, la2, lo2), d in zip(pairs, got):
+        assert abs(d - ref(la1, lo1, la2, lo2)) < 1e-6, (la1, lo1, la2, lo2)
+    # sanity anchor: Paris-London great-circle is ~343-344 km
+    assert 342.0 < got[0] < 345.0
+
+
+def test_web_mercator_matches_independent_python_reference(spark):
+    """Same audit for P25: EPSG:3857 spherical forward/inverse vs an
+    independent Python implementation + the round-trip identity."""
+    import math
+    import random
+
+    from etl_stack_spark.functions.geo import (
+        web_mercator_inverse,
+        web_mercator_x,
+        web_mercator_y,
+    )
+
+    R = 6378137.0
+
+    def fwd(lon, lat):
+        return (
+            R * math.radians(lon),
+            R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)),
+        )
+
+    rng = random.Random(7)
+    pts = [(0.0, 0.0), (2.2945, 48.8584), (-180.0, 0.0), (179.999, 84.9)] + [
+        (rng.uniform(-180, 180), rng.uniform(-85, 85)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        "lon", "lat",
+        web_mercator_x(F.col("lon")).alias("x"),
+        web_mercator_y(F.col("lat")).alias("y"),
+    )
+    ilat, ilon = web_mercator_inverse(F.col("x"), F.col("y"))
+    back = out.select("lon", "lat", "x", "y", ilon.alias("blon"), ilat.alias("blat"))
+    for r in back.collect():
+        ex, ey = fwd(r.lon, r.lat)
+        assert abs(r.x - ex) < 1e-6 * max(1.0, abs(ex)), (r.lon, r.lat)
+        assert abs(r.y - ey) < 1e-6 * max(1.0, abs(ey)), (r.lon, r.lat)
+        assert abs(r.blon - r.lon) < 1e-9 and abs(r.blat - r.lat) < 1e-9
+
+
+def test_luma_matches_wcag_reference(spark):
+    """P27 audit: BT.709 luma coefficients + the 128 threshold vs an
+    independent Python computation over a color sweep."""
+    from etl_stack_spark.functions.misc import luma_text_color
+
+    colors = [f"#{r:02x}{g:02x}{b:02x}"
+              for r in (0, 96, 128, 255) for g in (0, 127, 200) for b in (0, 255)]
+    df = spark.createDataFrame([(c,) for c in colors], "c string")
+    got = {r.c: r.t for r in df.select("c", luma_text_color(F.col("c")).alias("t")).collect()}
+    for c in colors:
+        r, g, b = int(c[1:3], 16), int(c[3:5], 16), int(c[5:7], 16)
+        luma = 0.2126 * r + 0.7152 * g + 0.0722 * b
+        assert got[c] == ("#FFFFFF" if luma < 128 else "#111111"), (c, luma)

@@ -1,0 +1,119 @@
+"""cal1-class audit (r6): the statistical queries' DuckDB oracles MIRROR
+the Spark formulas, so a shared formula bug is invisible to cross-engine
+parity (exactly how cal1's weekend bug survived until an advisor read
+it). These tests recompute each statistic from the raw parquet with an
+INDEPENDENT pure-Python implementation and compare to the registry
+query's output at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _rows(table, cols, sf=SF_SMOKE):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT {', '.join(cols)} FROM read_parquet('{sf}/{table}.parquet')"
+    ).fetchall()
+
+
+def _cents(p: float) -> int:
+    return int(math.floor(p * 100 + 0.5))  # HALF_UP, like both engines' round
+
+
+def test_cs1_chi_squared_matches_python(spark):
+    from etl_stack_spark.queries.analytics_q import cs1_chi_squared
+
+    got = {
+        (r.event_type, r.bucket): (r.o, r.expected_micro, r.contrib_micro)
+        for r in cs1_chi_squared(spark, SF_SMOKE).collect()
+    }
+    cells: Counter = Counter()
+    for et, v in _rows("events", ["event_type", "value"]):
+        b = 0 if v < 5 else (1 if v < 12 else 2)
+        cells[(et, b)] += 1
+    rows_ = Counter()
+    cols_ = Counter()
+    for (et, b), o in cells.items():
+        rows_[et] += o
+        cols_[b] += o
+    n = sum(cells.values())
+    assert set(got) == set(cells)
+    for (et, b), o in cells.items():
+        e = rows_[et] * cols_[b] / n
+        contrib = (o - e) * (o - e) / e
+        assert got[(et, b)] == (
+            o,
+            math.floor(e * 1_000_000 + 0.5),
+            math.floor(contrib * 1_000_000 + 0.5),
+        ), (et, b)
+
+
+def test_bd1_benford_matches_python(spark):
+    from etl_stack_spark.queries.analytics_q import bd1_benford_digits
+
+    got = {
+        r.digit: (r.n, r.expected_ppm, r.observed_ppm)
+        for r in bd1_benford_digits(spark, SF_SMOKE).collect()
+    }
+    obs: Counter = Counter()
+    for (p,) in _rows("orders", ["o_totalprice"]):
+        if p > 0:
+            obs[int(str(_cents(p))[0])] += 1
+    total = sum(obs.values())
+    assert set(got) == set(obs)
+    for d, n in obs.items():
+        assert got[d] == (
+            n,
+            math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5),
+            math.floor(n / total * 1_000_000 + 0.5),
+        ), d
+
+
+def test_gc1_gini_matches_python(spark):
+    from etl_stack_spark.queries.analytics_q import gc1_gini_concentration
+
+    row = gc1_gini_concentration(spark, SF_SMOKE).collect()[0]
+    rev: defaultdict = defaultdict(int)
+    for ck, p in _rows("orders", ["o_custkey", "o_totalprice"]):
+        rev[ck] += _cents(p)
+    ys = [c for _, c in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, s0 = len(ys), sum(ys)
+    s1 = sum(i * y for i, y in enumerate(ys, start=1))  # exact ints
+    gini = (2 * s1 - (n + 1) * s0) / (n * s0)
+    assert (row.n, row.total_cents) == (n, s0)
+    assert row.gini_milli == math.floor(gini * 1000 + 0.5)
+    assert 0 <= row.gini_milli <= 1000  # sanity: Gini is in [0, 1]
+
+
+def test_ab1_z_test_matches_python(spark):
+    from etl_stack_spark.queries.analytics_q import ab1_two_proportion_z
+
+    # sf0.01, not sf0.001: the smoke SF has zero >300 purchases, which
+    # would only exercise the declared-NULL branch
+    row = ab1_two_proportion_z(spark, SF_ORACLE).collect()[0]
+    conv: defaultdict = defaultdict(int)
+    for uid, et, v in _rows("events", ["user_id", "event_type", "value"], SF_ORACLE):
+        if et == "purchase" and v > 300:
+            conv[uid] = 1
+        conv.setdefault(uid, 0)
+    n = Counter()
+    c = Counter()
+    for uid, flag in conv.items():
+        n[uid % 2] += 1
+        c[uid % 2] += flag
+    assert (row.n0, row.c0, row.n1, row.c1) == (n[0], c[0], n[1], c[1])
+    if c[0] + c[1] in (0, n[0] + n[1]):  # zero pooled variance → declared NULL
+        assert row.z_micro is None
+    else:
+        p = (c[0] + c[1]) / (n[0] + n[1])
+        z = (c[0] / n[0] - c[1] / n[1]) / math.sqrt(
+            p * (1 - p) * (1 / n[0] + 1 / n[1])
+        )
+        assert row.z_micro == math.floor(z * 1_000_000 + 0.5)
+    assert row.n0 + row.n1 > 0
