@@ -117,3 +117,42 @@ def test_ab1_z_test_matches_python(spark):
         )
         assert row.z_micro == math.floor(z * 1_000_000 + 0.5)
     assert row.n0 + row.n1 > 0
+
+
+def test_tm1_transition_matrix_matches_python(spark):
+    from etl_stack_spark.queries.analytics_q import tm1_transition_matrix
+
+    got = {
+        (r.prev_type, r.event_type): (r.n, r.share_ppm)
+        for r in tm1_transition_matrix(spark, SF_SMOKE).collect()
+    }
+    per_user: defaultdict = defaultdict(list)
+    for uid, ts, eid, et in _rows("events", ["user_id", "ts", "event_id", "event_type"]):
+        per_user[uid].append((ts, eid, et))
+    cells: Counter = Counter()
+    for seq in per_user.values():
+        prev = "<start>"
+        for _, _, et in sorted(seq):
+            cells[(prev, et)] += 1
+            prev = et
+    rows_ = Counter()
+    for (p, _), n in cells.items():
+        rows_[p] += n
+    assert set(got) == set(cells)
+    for key, n in cells.items():
+        assert got[key] == (n, (n * 1_000_000) // rows_[key[0]]), key
+
+
+def test_pr1_pagerank_conserves_bounded_mass(spark):
+    """Property no mirrored oracle can fake: with damping 0.85 and
+    dangling mass NOT redistributed (the declared simplification), total
+    score is at most the full scale and at least the teleport floor
+    0.15·SCALE; every score is positive and no single node exceeds the
+    total."""
+    from etl_stack_spark.operators.graph import PAGERANK_SCALE
+    from etl_stack_spark.queries.graph_q import pr1_nation_pagerank
+
+    scores = [r.score for r in pr1_nation_pagerank(spark, SF_SMOKE).collect()]
+    total = sum(scores)
+    assert all(s > 0 for s in scores)
+    assert 0.15 * PAGERANK_SCALE * 0.99 <= total <= PAGERANK_SCALE * 1.01
