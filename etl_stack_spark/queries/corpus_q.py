@@ -378,3 +378,129 @@ def pmi1_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs)
+
+
+# ---------------------------------------------------------------------------
+# DS1 — corpus DATASHEET: the per-source summary every training corpus
+# ships with (Gebru et al.'s datasheets, the HF dataset-card stats
+# block): document and token volumes, language mix, quality, and exact-
+# duplicate rate per source. Composes the engine's existing signals into
+# ONE aggregate; all ratios are exact integer ppm / integer-division
+# milli so the oracle matches bit-for-bit (doubles are quantized PER DOC
+# before any sum — the lm1 discipline).
+# ---------------------------------------------------------------------------
+def _ds1_oracle() -> str:
+    from etl_stack_spark.queries.text_dedup import _TOKS, _marker_count
+    from etl_stack_spark.operators.text import LANG_MARKERS
+
+    all_markers = [w for _, ws in LANG_MARKERS for w in ws]
+    count_cols, lang_case = _lang_pieces()
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+    CAST(floor(round(4e-1 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1e0 ELSE 0e0 END)
+        + 4e-1 * least(1e0, {_marker_count(all_markers)} * 5e0 / greatest(len({_TOKS}), 1))
+        + 2e-1 * (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1) <= 2e-1
+                  THEN 1e0 ELSE 0e0 END), 6) * 1000 + 0.5) AS BIGINT) AS q_milli,
+    {count_cols},
+    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+lang AS (SELECT source, doc_id, n_tokens, q_milli, fp, {lang_case} AS pred_lang FROM scored),
+fpc AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS fpn FROM lang GROUP BY fp)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST((SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS en_ppm,
+  CAST(SUM(q_milli) // COUNT(*) AS BIGINT) AS mean_quality_milli,
+  CAST((SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS exact_dup_ppm
+FROM lang JOIN fpc USING (fp)
+GROUP BY source
+"""
+
+
+@register("ds1_corpus_datasheet", _ds1_oracle())
+def ds1_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import fingerprint, lang_id, quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.floor(quality_score(F.col("text")) * 1000 + 0.5)
+        .cast("long")
+        .alias("q_milli"),
+        lang_id(F.col("text")).alias("pred_lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    fpc = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("fpn"))
+    return (
+        scored.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("en_ppm"),
+            F.expr("CAST(SUM(q_milli) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_quality_milli"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("exact_dup_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG1 — sliding-window token chunking (the RAG / long-context prep
+# step): 64-token chunks at stride 48 (16-token overlap), per chunk the
+# token count and the portable content hash. The explode is
+# sequence-gated for empty docs (the descending-sequence trap); chunk
+# boundaries are pure integer arithmetic, so both engines agree exactly.
+# ---------------------------------------------------------------------------
+def _rag1_oracle() -> str:
+    from etl_stack_spark.queries.text_dedup import _H60, _TOKS
+
+    h = _H60.format(expr="array_to_string(chunk, ' ')")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+starts AS (
+  SELECT doc_id, toks, n, unnest(range(1, n + 1, 48)) AS start FROM nz
+),
+chunks AS (
+  SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_idx,
+         toks[start : least(start + 63, n)] AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens, {h} AS chunk_hash
+FROM chunks
+"""
+
+
+@register("rag1_chunk_overlap", _rag1_oracle())
+def rag1_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import portable_hash60, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks")
+    ).filter(F.col("n") >= 1)
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(48))).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(64))
+    return starts.select(
+        "doc_id",
+        F.expr("CAST((start - 1) DIV 48 AS INT)").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        portable_hash60(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
