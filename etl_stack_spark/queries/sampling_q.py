@@ -239,3 +239,50 @@ def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MIX2 — TEMPERATURE-scaled domain sampling (the mT5/XLM-R recipe):
+# target shares ∝ p_s^α with α = 0.5, so low-resource domains are
+# upweighted relative to their natural frequency. Because mix_domains'
+# rate formula is scale-invariant in the share column (a common factor
+# cancels between `scale = min(d/share)` and `rate = scale·share/d`),
+# the UNNORMALIZED share sqrt(d_tokens) expresses p^0.5 exactly — no
+# cross-engine Σ-of-doubles normalization needed; sqrt is IEEE-exact.
+# ---------------------------------------------------------------------------
+_MIX2_ORACLE = f"""
+WITH tok AS (SELECT source, doc_id, CAST(len({_SP3_TOKS}) AS BIGINT) AS n_tok FROM documents),
+dt AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS d_tokens FROM tok GROUP BY source),
+sh AS (SELECT source, d_tokens, sqrt(CAST(d_tokens AS DOUBLE)) AS share FROM dt),
+sc AS (SELECT MIN(d_tokens / share) AS scale FROM sh),
+rates AS (
+  SELECT source, least(1e0, (SELECT scale FROM sc) * share / d_tokens) AS rate FROM sh
+),
+kept AS (
+  SELECT t.source, t.doc_id, t.n_tok, r.rate
+  FROM tok t JOIN rates r USING (source)
+  WHERE (('0x' || substr(sha256(t.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+        < r.rate * 1000000
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+       round(MAX(rate), 6) AS rate
+FROM kept GROUP BY source
+"""
+
+
+@register("mix2_temperature_sampling", _MIX2_ORACLE)
+def mix2_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import mix_domains
+    from etl_stack_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    mixed = mix_domains(t, F.sqrt(F.col("_d_tokens")), "source", "n_tok", "doc_id")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("kept_tokens"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )

@@ -145,6 +145,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "lm1_trigram_lm_score",      # 1-row LM stats (t_total, v_size)
         "qs1_exact_quantiles_histogram",  # 1-row total-count side
         "sp3_domain_mix",            # 1-row scale-factor side
+        "mix2_temperature_sampling",  # same mix_domains 1-row scale side
         "skw1_key_skew",             # 1-row total x top-10 report rows
         "pmi1_collocations",         # 1-row corpus bigram total
         "kmv1_distinct_set_algebra",  # four 1-row estimate sides
