@@ -302,17 +302,20 @@ def clean_corpus_v3(
         F.col(id_col) == F.col("canon")
     ).drop("canon", "fp")
 
-    # NOTE: checkpointing exact/kept/surv_emb here was A/B'd (r5) and is
-    # NEUTRAL at sf0.1 — the expensive upstream is already bounded by the
-    # earlier kept checkpoints, so the late-stage re-runs are cheap
-    # joins/windows only. Keeping the lazy form preserves composability.
     pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    kept = exact.join(losers, id_col, "left_anti")
+    # GC-owned lazy checkpoint: the minhash-survivor set fans out THREE
+    # ways (the embedding semi-join, the final anti-join's left side, and
+    # the sem-loser derivation below) — without it the gate semi-join +
+    # exact window + minhash anti-join chain re-executes per consumer.
+    # The r5 A/B that called this neutral predates the shared persisted
+    # scored/gate base: with the base warm, the re-runs ARE the remaining
+    # cost (re-measured r6: 8.4 -> 6.3s at sf0.1, identical output).
+    kept = exact.join(losers, id_col, "left_anti").localCheckpoint(eager=False)
 
     surv_emb = embeddings.join(
         kept.select(F.col(id_col).alias(emb_id_col)), emb_id_col, "left_semi"
-    )
+    ).localCheckpoint(eager=False)  # consumed by sem survivors AND losers
     # sem_max_cell_rows: the within-cluster pair grid is output-identical
     # with or without the tiling, so the 100 TB deployment (heavy-tailed
     # learned cells, non-broadcastable corpus) sets it; the sf-scale
