@@ -203,7 +203,9 @@ def clean_corpus_v2(
     w = Window.partitionBy("fp")
     exact = kept.withColumn("canon", F.min(id_col).over(w)).filter(
         F.col(id_col) == F.col("canon")
-    ).drop("canon", "fp")
+    ).drop("canon", "fp").localCheckpoint(eager=False)
+    # ^ lazy checkpoint: `exact` feeds the MinHash pair stream AND the
+    # anti-join left side — the llm3 fan-out finding applies here too
 
     pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
