@@ -73,6 +73,7 @@ def _load_all() -> None:
         temporal_q,
         text_dedup,
         tpch_like,
+        warc_q,
         warehouse_q,
         windows_q,
     )

@@ -1,0 +1,75 @@
+"""WARC crawl-ingestion query: real ISO 28500 bytes round-tripped
+through the pure-Python reader (sources/warc.py) — the CommonCrawl
+entry point of every web-scale training pipeline.
+
+The au1/mm3 fixture discipline: per document, a REAL .warc.gz (one gzip
+member per record — the CommonCrawl layout) holding a warcinfo record
+plus an HTTP response record whose body is the document text, with the
+status derived from doc_id arithmetic. The oracle restates every output
+value in closed form from `documents` alone, so a hash match pins the
+whole gzip-member walk + WARC header parse + HTTP split — not a mock.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stack_spark.queries import register
+from etl_stack_spark.queries.text_dedup import _H60
+from etl_stack_spark.session import load_table
+
+_WARC1_ORACLE = f"""
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+  CAST(octet_length(encode(text)) AS INT) AS n_body_bytes,
+  {_H60.format(expr="text")} AS body_hash
+FROM documents
+"""
+
+
+@register("warc1_crawl_ingest", _WARC1_ORACLE)
+def warc1_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import portable_hash60
+    from etl_stack_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_members,
+        parse_warc_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                status = 404 if did % 7 == 0 else 200
+                records = [
+                    encode_warc_record(
+                        f"info-{did}", "warcinfo", None, b"software: etl-stack-spark"
+                    ),
+                    encode_warc_record(
+                        f"resp-{did}",
+                        "response",
+                        f"http://example.test/{did}",
+                        encode_http_response(str(text).encode(), status=status),
+                    ),
+                ]
+                paths.append(f"crawl/{did}.warc.gz")
+                blobs.append(gzip_members(records))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    files = docs.mapInPandas(synth, schema="path string, content binary")
+    recs = parse_warc_batch(files)
+    resp = recs.filter(F.col("warc_type") == "response")
+    return resp.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("http_status"),
+        F.length(F.col("body")).cast("int").alias("n_body_bytes"),
+        portable_hash60(F.col("body").cast("string")).alias("body_hash"),
+    )

@@ -129,6 +129,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "au1_audio_features",  # Arrow batches of WAV bytes -> frame features
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
         "zr1_compression_ratio",  # zlib deflate has no Column form
+        "warc1_crawl_ingest",  # real gzip+WARC byte parsing, Arrow batches
     }
     # all-pairs joins: only the declared broadcast-small-side shapes may
     # compile to BroadcastNestedLoopJoin; nothing may CartesianProduct
