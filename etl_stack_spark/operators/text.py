@@ -102,6 +102,27 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_ok + 0.4 * sw_ratio + 0.2 * punct_ok, 6)
 
 
+def html_to_text(html: Column) -> Column:
+    """HTML → visible text as a pure Column-expression chain (the crawl →
+    text step after the WARC reader): drop <script>/<style> blocks WITH
+    their content, strip remaining tags, decode the five XML entities,
+    collapse whitespace. Deterministic regexes shared verbatim with the
+    DuckDB oracle (both engines' dialects — Java regex and RE2 — agree on
+    ``(?s)`` + non-greedy). This is the tag-stripping primitive; learned
+    boilerplate removal (trafilatura-class) sits above it as a quality
+    gate, not inside it."""
+    # two separate replaces, NOT one with a backreference: the DuckDB
+    # oracle's RE2 has no backrefs
+    out = F.regexp_replace(html, r"(?si)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?si)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):  # &amp; LAST so "&amp;lt;" decodes to the literal "&lt;", not "<"
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 def normalize_for_fingerprint(text: Column) -> Column:
     """lowercase, strip non-word/space, collapse whitespace."""
     s = F.lower(text)

@@ -73,3 +73,50 @@ def warc1_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("body")).cast("int").alias("n_body_bytes"),
         portable_hash60(F.col("body").cast("string")).alias("body_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML1 — HTML → text extraction over in-engine-synthesized pages
+# (title + script + style + nav + body + entity-bearing footer). The
+# oracle NEVER parses HTML: it states the expected visible text in
+# closed form from `documents` alone and applies only the same
+# whitespace collapse — so a hash match proves the extractor dropped
+# script/style content, stripped tags, and decoded XML entities, rather
+# than both engines sharing one broken parse. (The synthetic corpus is
+# alphanumeric, so document text can't itself contain markup.)
+# ---------------------------------------------------------------------------
+_HTML1_ORACLE = f"""
+WITH exp AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      'Doc ' || doc_id || ' & friends home | about ' || text || ' &copy; example',
+      '\\s+', ' ', 'g')) AS t
+  FROM documents
+)
+SELECT doc_id, CAST(length(t) AS INT) AS n_chars,
+       {_H60.format(expr="t")} AS text_hash
+FROM exp
+"""
+
+
+@register("html1_text_extract", _HTML1_ORACLE)
+def html1_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import html_to_text, portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</title><script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script><style>.nav {color: red}</style></head>"
+              "<body><nav>home | about</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>&copy; example</footer></body></html>"),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).cast("int").alias("n_chars"),
+        portable_hash60(extracted).alias("text_hash"),
+    )

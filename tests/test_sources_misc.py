@@ -116,3 +116,24 @@ def test_warc_batch_stage(spark):
     assert len(rows) == 4
     assert {bytes(r.body).decode() for r in rows} == {f"body {i}" for i in range(4)}
     assert all(r.http_status == 200 for r in rows)
+
+
+def test_html_to_text_edge_cases(spark):
+    """Tag stripping: nested attrs, multiline script bodies, self-closing
+    tags, all five XML entities, the double-escape &amp;lt; case, and
+    non-XML entities passing through untouched."""
+    from etl_stack_spark.operators.text import html_to_text
+
+    cases = [
+        ("<p>a<br/>b</p>", "a b"),
+        ("<script>\nvar s = '<p>sneaky</p>';\n</script>after", "after"),
+        ("<STYLE media='x'>\nbody { color: &red }\n</STYLE>ok", "ok"),
+        ("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y", "x <tag> \"q\" 's' & y"),
+        ("&amp;lt; stays literal", "&lt; stays literal"),
+        ("&copy; passes through", "&copy; passes through"),
+        ("<div  class='a'\n data-x='1'>spread\nacross</div>", "spread across"),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    out = df.select("want", html_to_text(F.col("html")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
