@@ -269,6 +269,12 @@ def _cc_loop(
         cur = nxt
         if changed == 0:
             break
+    # a loop that exits on a reset round (it % 4 == 3) leaves `cur`
+    # persisted with no owner; drop the cache layer — the data survives
+    # in the eager localCheckpoint RDD underneath, so the returned frame
+    # stays materialized (round-6 advisor: repeated er1 runs leaked)
+    if cur.storageLevel.useMemory or cur.storageLevel.useDisk:
+        cur.unpersist()
     return cur.select(F.col("_nid").alias(id_col), "component_id")
 
 
@@ -473,6 +479,9 @@ def flatten_hierarchy(
         state = nxt
         if changed == 0:
             break
+    # same exit-on-reset-round cache ownership rule as _cc_loop
+    if state.storageLevel.useMemory or state.storageLevel.useDisk:
+        state.unpersist()
     out = state.select(
         F.col("_n").alias(node_col),
         F.col("_anc").alias("root"),

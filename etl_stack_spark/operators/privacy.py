@@ -66,7 +66,15 @@ def pseudonymize(
     ``wide=False`` to opt in to the compact 60-bit BIGINT token —
     numeric join keys, but only safe to ~10^7 identifiers (odds reach
     ~40% at 1e9); the caller asserts the domain is small by choosing it.
-    NULLs pass through as NULL either way."""
+    NULLs pass through as NULL either way.
+
+    BREAKING CHANGE (round 6): the default flipped narrow→wide, which
+    changes both the token VALUES and the column TYPE (BIGINT → 30-char
+    hex string). Tokens minted under the old default do not join with
+    new releases: re-key historical releases, or pass ``wide=False``
+    explicitly to stay in the old token space. The two spaces cannot
+    collide accidentally — one is numeric, one is hex text — which is
+    the type-level analogue of a versioned salt prefix."""
     tok = _token_wide if wide else _token
     out = df
     for c in cols:

@@ -27,16 +27,24 @@ from etl_stack_spark.session import load_table
 # they are now computed once per (session, sf_dir), persisted
 # MEMORY_AND_DISK, and injected into the plans. On a cluster the same
 # role is played by a checkpointed signals table the washes all read —
-# exactly the j6_base precedent (queries/geo.py).
+# exactly the j6_base precedent (queries/geo.py). The parity suite runs
+# queries through an 8-thread pool, so build-and-persist is guarded by a
+# lock (double-checked get) — otherwise concurrent first calls from
+# llm1/llm2/llm3 each persist their own copy and leak the losers.
 _CORPUS_CACHE: dict[tuple[str, str], dict] = {}
+
+import threading as _threading
+
+_CORPUS_LOCK = _threading.Lock()
 
 
 def clear_corpus_cache() -> None:
     """Unpersist and drop the shared llm-wash intermediates (test hook)."""
-    for entry in _CORPUS_CACHE.values():
-        entry["scored"].unpersist()
-        entry["gate_ids"].unpersist()
-    _CORPUS_CACHE.clear()
+    with _CORPUS_LOCK:
+        for entry in _CORPUS_CACHE.values():
+            entry["scored"].unpersist()
+            entry["gate_ids"].unpersist()
+        _CORPUS_CACHE.clear()
 
 
 def corpus_base(spark: SparkSession, sf_dir: str) -> dict:
@@ -58,20 +66,24 @@ def corpus_base(spark: SparkSession, sf_dir: str) -> dict:
     hit = _CORPUS_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    scored = score_documents(docs, extra_cols=("source",)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    kept_ns = quality_lang_filter(
-        scored.filter(F.col("source") != "src0"), 0.4, ("en", "es", "de", "fr")
-    )
-    bench = docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500))
-    gate_ids = gate_ids_v2(kept_ns, bench).persist(StorageLevel.MEMORY_AND_DISK)
-    entry = {"scored": scored, "gate_ids": gate_ids}
-    _CORPUS_CACHE[key] = entry
-    return entry
+    with _CORPUS_LOCK:
+        hit = _CORPUS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        scored = score_documents(docs, extra_cols=("source",)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        kept_ns = quality_lang_filter(
+            scored.filter(F.col("source") != "src0"), 0.4, ("en", "es", "de", "fr")
+        )
+        bench = docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500))
+        gate_ids = gate_ids_v2(kept_ns, bench).persist(StorageLevel.MEMORY_AND_DISK)
+        entry = {"scored": scored, "gate_ids": gate_ids}
+        _CORPUS_CACHE[key] = entry
+        return entry
 
 
 def _lang_pieces() -> tuple[str, str]:

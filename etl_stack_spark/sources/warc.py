@@ -81,7 +81,10 @@ def gzip_members(records: list[bytes]) -> bytes:
 
 def decode_members(data: bytes) -> bytes:
     """Decompress a multi-member gzip stream (or pass through an
-    uncompressed WARC unchanged)."""
+    uncompressed WARC unchanged). A member that ends mid-stream fails
+    the task (decompressobj returns partial data without error, so the
+    truncation check is `d.eof` — without it a cut-off .warc.gz would
+    silently yield short record bodies)."""
     if not data.startswith(b"\x1f\x8b"):
         return data
     out = bytearray()
@@ -89,6 +92,10 @@ def decode_members(data: bytes) -> bytes:
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
         out += d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member in WARC stream at offset {pos}"
+            )
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("corrupt gzip member in WARC stream")
@@ -116,10 +123,20 @@ def parse_warc(data: bytes) -> list[dict]:
         head_lines = raw[pos:head_end].split(b"\r\n")[1:]
         headers = {}
         for line in head_lines:
-            k, _, v = line.partition(b": ")
-            headers[k.decode().lower()] = v.decode()
+            # spec allows "Name:value" with no space; last duplicate wins
+            k, _, v = line.partition(b":")
+            headers[k.decode().lower()] = v.strip().decode()
+        if "content-length" not in headers:
+            raise ValueError(
+                f"WARC record at offset {pos} has no Content-Length header"
+            )
         length = int(headers["content-length"])
         block = raw[head_end + 4 : head_end + 4 + length]
+        if len(block) != length:
+            raise ValueError(
+                f"WARC record at offset {pos}: block truncated "
+                f"({len(block)} of {length} declared bytes)"
+            )
         pos = head_end + 4 + length
 
         rec = {
@@ -128,7 +145,9 @@ def parse_warc(data: bytes) -> list[dict]:
             "target_uri": headers.get("warc-target-uri"),
             "http_status": None,
             "body": block,
-            "n_headers": len(headers),
+            # count header LINES, not dict entries — duplicate header
+            # names are spec-legal and must not undercount
+            "n_headers": len(head_lines),
         }
         if rec["warc_type"] == "response" and block.startswith(b"HTTP/"):
             hdr_end = block.index(b"\r\n\r\n")

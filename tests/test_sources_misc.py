@@ -96,6 +96,63 @@ def test_warc_roundtrip_and_layout():
     assert parse_warc(gzip.compress(b"".join(recs)))[1]["body"] == body
 
 
+def test_warc_malformed_inputs_fail_loud():
+    """Round-6 advisor fixes: truncated gzip members and malformed
+    headers must raise descriptive errors, never silently mis-parse."""
+    import pytest
+
+    from etl_stack_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_members,
+        parse_warc,
+    )
+
+    rec = encode_warc_record(
+        "t1", "response", "http://t/x", encode_http_response(b"full body")
+    )
+    gz = gzip_members([rec])
+
+    # truncated final member: decompressobj returns partial data with no
+    # error — the d.eof check must catch it
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        parse_warc(gz[:-20])
+
+    # block shorter than the declared Content-Length (cut uncompressed)
+    with pytest.raises(ValueError, match="block truncated"):
+        parse_warc(rec[:-10])
+
+    # spec-legal "Name:value" with no space after the colon
+    no_space = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type:resource\r\n"
+        b"WARC-Record-ID:<urn:uuid:ns1>\r\n"
+        b"Content-Length:5\r\n"
+        b"\r\nhello\r\n\r\n"
+    )
+    [r] = parse_warc(no_space)
+    assert r["warc_type"] == "resource"
+    assert r["record_id"] == "urn:uuid:ns1"
+    assert r["body"] == b"hello"
+    assert r["n_headers"] == 3
+
+    # missing Content-Length: offset-bearing ValueError, not KeyError
+    no_len = b"WARC/1.0\r\nWARC-Type: resource\r\n\r\nxx\r\n\r\n"
+    with pytest.raises(ValueError, match="offset 0 has no Content-Length"):
+        parse_warc(no_len)
+
+    # duplicate header names count as LINES in n_headers
+    dup = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:x>\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:y>\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\nok\r\n\r\n"
+    )
+    assert parse_warc(dup)[0]["n_headers"] == 4
+
+
 def test_warc_batch_stage(spark):
     """The Spark plumbing: binary column in, one row per record out."""
     from etl_stack_spark.sources.warc import (
