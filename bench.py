@@ -177,18 +177,35 @@ def bench_streaming_corpus(spark, sf_dir: str) -> dict:
             "secs": secs,
             "docs_per_sec": round(n_docs / secs, 1) if secs else None,
         }
-        # same feed, cross-batch NEAR-dup enabled (incremental LSH state)
-        results_nd = ParquetMergeTable(spark, os.path.join(work, "results_nd"))
-        lsh = ParquetMergeTable(spark, os.path.join(work, "lsh_state"))
-        t0 = time.perf_counter()
-        q = run_corpus_clean_stream(
-            spark, feed, results_nd, os.path.join(work, "ckpt_nd"), lsh_state=lsh
-        )
-        q.awaitTermination(600)
-        secs_nd = round(time.perf_counter() - t0, 3)
+        # same feed, cross-batch NEAR-dup enabled (incremental LSH state).
+        # TWO samples into fresh state dirs + a per-stage cost split
+        # (VERDICT r6 task 1: the tier's r5->r6 record halved with no code
+        # change in the path — a single cold sample could not adjudicate
+        # plan regression vs environment; now the record carries the
+        # spread AND where each second went)
+        nd_samples = []
+        nd_stage_runs = []
+        nd_rows = None
+        for i in range(2):
+            results_nd = ParquetMergeTable(spark, os.path.join(work, f"results_nd{i}"))
+            lsh = ParquetMergeTable(spark, os.path.join(work, f"lsh_state{i}"))
+            stages: dict = {}
+            t0 = time.perf_counter()
+            q = run_corpus_clean_stream(
+                spark, feed, results_nd, os.path.join(work, f"ckpt_nd{i}"),
+                lsh_state=lsh, stage_secs=stages,
+            )
+            q.awaitTermination(600)
+            nd_samples.append(round(time.perf_counter() - t0, 3))
+            nd_stage_runs.append({k: round(v, 3) if isinstance(v, float) else v
+                                  for k, v in stages.items()})
+            nd_rows = results_nd.read().count()
+        secs_nd = min(nd_samples)  # best-of-2: the steady-state claim
         base["neardup"] = {
-            "result_rows": results_nd.read().count(),
+            "result_rows": nd_rows,
             "secs": secs_nd,
+            "samples": nd_samples,
+            "stages": nd_stage_runs,
             "docs_per_sec": round(n_docs / secs_nd, 1) if secs_nd else None,
         }
         return base

@@ -36,6 +36,7 @@ def corpus_clean_batch_fn(
     keep_langs: tuple[str, ...] = ("en", "es", "de", "fr"),
     lsh_state: ParquetMergeTable | None = None,
     near_dup_threshold: float = 0.5,
+    stage_secs: dict | None = None,
 ):
     """Build the foreachBatch callback: gate, redact, dedup, merge.
 
@@ -44,14 +45,34 @@ def corpus_clean_batch_fn(
     extend) the incremental LSH band table, so a later batch's
     paraphrase of an already-kept document drops even though its
     fingerprint differs (``operators/dedup.py:incremental_minhash_dedup``
-    — replay-idempotent like everything else in this flow)."""
+    — replay-idempotent like everything else in this flow).
+
+    ``stage_secs`` (optional) accumulates per-stage wall seconds across
+    batches: ``gates`` (score/redact/first-seen materialization),
+    ``signatures``/``probe``/``state_append`` (from the incremental
+    dedup), ``result_merge``, and ``batches`` (count)."""
+    import time as _time
+
     from etl_stack_spark.operators.curation import redact_pii
     from etl_stack_spark.operators.rank import top_1_per_group
     from etl_stack_spark.operators.text import fingerprint, lang_id, quality_score
 
+    def _mark(key: str, t0: float) -> None:
+        if stage_secs is not None:
+            stage_secs[key] = stage_secs.get(key, 0.0) + (_time.perf_counter() - t0)
+
     def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if stage_secs is not None:
+            stage_secs["batches"] = stage_secs.get("batches", 0) + 1
+        # a micro-batch's partitioning is whatever the source files gave
+        # it — a single-file backlog arrives as ONE partition and the
+        # regex-heavy gate scan runs on one core; spread it first (the
+        # shuffle moves only the raw batch, the cheapest point to pay it)
+        spread = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < spread:
+            batch_df = batch_df.repartition(spread)
         scored = batch_df.select(
             # fingerprint the ORIGINAL text: redaction must not change
             # a document's dedup identity
@@ -71,26 +92,39 @@ def corpus_clean_batch_fn(
         # in-batch first-seen: min doc_id per fingerprint — deterministic
         # even when a replayed backlog collapses into one micro-batch
         first = top_1_per_group(kept, ["fp"], [F.col("doc_id").asc()])
-        if lsh_state is not None:
-            from etl_stack_spark.operators.dedup import incremental_minhash_dedup
+        # materialize the gated batch ONCE: the regex-heavy score/redact
+        # scan otherwise re-runs per consumer (shingling AND the result
+        # merge — measured 2x the scalar work in the near-dup tier)
+        t0 = _time.perf_counter()
+        first = first.persist()
+        first.count()
+        _mark("gates", t0)
+        try:
+            out = first
+            if lsh_state is not None:
+                from etl_stack_spark.operators.dedup import incremental_minhash_dedup
 
-            # rebind the state table to THIS micro-batch's (cloned)
-            # session: mixing the outer session's state.read() into the
-            # batch plan zips RDDs across sessions and AQE trips over it
-            # ("Can't zip RDDs with unequal numbers of partitions")
-            state = type(lsh_state)(batch_df.sparkSession, lsh_state.root)
-            first = incremental_minhash_dedup(
-                first, state, text_col="_text_orig",
-                threshold=near_dup_threshold,
-            )
-        first = first.select(*_RESULT_COLS)
-        if results.exists():
-            # keys=fp AND hash_col=fp: a matched row can never have a
-            # differing hash, so matches are always "unchanged" → the
-            # first-ever document with this fingerprint is immutable
-            results.merge(first, keys=["fp"], hash_col="fp", audit_ts_col=None)
-        else:
-            results.overwrite(first)
+                # rebind the state table to THIS micro-batch's (cloned)
+                # session: mixing the outer session's state.read() into the
+                # batch plan zips RDDs across sessions and AQE trips over it
+                # ("Can't zip RDDs with unequal numbers of partitions")
+                state = type(lsh_state)(batch_df.sparkSession, lsh_state.root)
+                out = incremental_minhash_dedup(
+                    first, state, text_col="_text_orig",
+                    threshold=near_dup_threshold, stage_secs=stage_secs,
+                )
+            out = out.select(*_RESULT_COLS)
+            t0 = _time.perf_counter()
+            if results.exists():
+                # keys=fp AND hash_col=fp: a matched row can never have a
+                # differing hash, so matches are always "unchanged" → the
+                # first-ever document with this fingerprint is immutable
+                results.merge(out, keys=["fp"], hash_col="fp", audit_ts_col=None)
+            else:
+                results.overwrite(out)
+            _mark("result_merge", t0)
+        finally:
+            first.unpersist()
 
     return batch_fn
 
@@ -101,17 +135,19 @@ def run_corpus_clean_stream(
     results: ParquetMergeTable,
     checkpoint_dir: str,
     lsh_state: ParquetMergeTable | None = None,
+    stage_secs: dict | None = None,
 ):
     """Drain the document feed through the wash into ``results``.
     availableNow (process backlog, stop) — on a cluster the same call
     with a processingTime trigger runs continuously. ``lsh_state``
-    switches on cross-batch near-dup dedup (see corpus_clean_batch_fn)."""
+    switches on cross-batch near-dup dedup (see corpus_clean_batch_fn);
+    ``stage_secs`` collects the per-stage cost split."""
     from etl_stack_spark.streaming.queue import run_stream
 
     return run_stream(
         spark,
         feed_dir,
         DOC_FEED_SCHEMA,
-        corpus_clean_batch_fn(results, lsh_state=lsh_state),
+        corpus_clean_batch_fn(results, lsh_state=lsh_state, stage_secs=stage_secs),
         checkpoint_dir,
     )
