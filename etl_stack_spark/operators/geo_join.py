@@ -261,9 +261,14 @@ def cluster_points(
     radius_m: float = 20.0,
     category_col: str | None = "category",
     max_iter: int = 20,
+    loop_shuffle_partitions: int | None = None,
+    ids_only: bool = False,
 ) -> DataFrame:
     """A4 spatial cluster-merge: group points closer than ``radius_m``
-    (per category) into clusters; returns input + ``cluster_id``.
+    (per category) into clusters; returns input + ``cluster_id``
+    (``ids_only=True`` returns just ``(id_col, cluster_id)`` and skips
+    the re-join with the input — callers that only need the assignment
+    save a full pass over ``df``).
 
     Reference semantics (process_pois.py:396-426) are TRANSITIVE connected
     components (buffer+dissolve chains merge end-to-end). We implement
@@ -280,6 +285,12 @@ def cluster_points(
     counter. (An earlier version re-ran the radius join every round
     because labels rode through it: 2.4× slower at sf0.1 and the join
     cost scaled with round count instead of once.)
+
+    ``loop_shuffle_partitions`` is the engine-wide CC-loop width lever
+    (see connected_components): the loop's checkpoints blind AQE, so
+    without it every round plans at full session width — hundreds of
+    near-empty tasks when the cluster graph is small. Size it to the
+    EDGE set; None inherits the session conf (the 100 TB default).
     """
     radius_km = radius_m / 1000.0
     part_cols = [category_col] if category_col else []
@@ -315,14 +326,14 @@ def cluster_points(
         dst_col="r_pid",
         max_iter=max_iter,
         symmetrize=False,
+        loop_shuffle_partitions=loop_shuffle_partitions,
     )
-    return df.join(
-        labels.select(
-            F.col("_pid").alias(id_col), F.col("component_id").alias("cluster_id")
-        ),
-        on=id_col,
-        how="inner",
+    assignment = labels.select(
+        F.col("_pid").alias(id_col), F.col("component_id").alias("cluster_id")
     )
+    if ids_only:
+        return assignment
+    return df.join(assignment, on=id_col, how="inner")
 
 
 def cluster_representatives(

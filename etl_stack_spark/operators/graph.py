@@ -213,6 +213,7 @@ def _cc_loop(
     id_col: str,
     max_iter: int,
     parts: int | None = None,
+    jumps: int = 1,
 ) -> DataFrame:
     # sized(): explicit hash-repartition on the upcoming join/agg key at
     # the loop width. It IS the exchange the operation would insert
@@ -223,7 +224,17 @@ def _cc_loop(
         return df if parts is None else df.repartition(parts, *keys)
 
     cur = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("component_id"))
+    # `owned` tracks the round's TRUNCATED frame (the thing persist/
+    # checkpoint applies to) — `cur` is a projection of it, so cache
+    # lifecycle must target `owned`, not `cur`
+    owned: DataFrame | None = None
     for it in range(max_iter):
+        # min over {own label} ∪ {neighbor labels} in ONE aggregation:
+        # the self branch rides the same groupBy instead of a separate
+        # left join (round 7: one exchange pair fewer per round). The
+        # self branch also carries the PRE-round label so the round can
+        # emit its own convergence flag — the fixpoint probe is then a
+        # scan of the checkpointed state, not a join against `cur`.
         neighbor_labels = e.join(
             sized(
                 cur.select(
@@ -232,49 +243,73 @@ def _cc_loop(
                 "_dst",
             ),
             "_dst",
+        ).select(
+            F.col("_src").alias("_nid"),
+            F.col("_dst_label").alias("_lbl"),
+            F.lit(None).cast(cur.schema["component_id"].dataType).alias("_own"),
         )
-        new_labels = sized(neighbor_labels, "_src").groupBy(
-            F.col("_src").alias("_nid")
-        ).agg(F.min("_dst_label").alias("_new_label"))
-        nxt = sized(cur, "_nid").join(new_labels, "_nid", "left").select(
-            "_nid",
-            F.least(
-                F.col("component_id"), F.coalesce("_new_label", "component_id")
-            ).alias("component_id"),
+        own_labels = cur.select(
+            "_nid", F.col("component_id").alias("_lbl"), F.col("component_id").alias("_own")
+        )
+        merged = sized(neighbor_labels.unionByName(own_labels), "_nid").groupBy(
+            "_nid"
+        ).agg(
+            F.min("_lbl").alias("component_id"),
+            F.min("_own").alias("_old"),  # exactly one non-null per node
+        ).filter(
+            # edges whose source is outside `nodes` must not mint rows:
+            # every real node contributes its own-label branch, so a
+            # NULL _old marks a foreign source id
+            F.col("_old").isNotNull()
         )
         # pointer jumping: labels are node ids, so they form a pointer
-        # forest — following label→label(label) halves remaining rounds
-        parents = nxt.select(
-            F.col("_nid").alias("component_id"), F.col("component_id").alias("_parent")
+        # forest — following label→label(label) per jump multiplies how
+        # far a component's min travels each round
+        cur_j = merged
+        for _ in range(jumps):
+            parents = cur_j.select(
+                F.col("_nid").alias("component_id"),
+                F.col("component_id").alias("_parent"),
+            )
+            # parents needs no sized(): the rename keeps the agg's hash
+            # partitioning on what is now the join key, so an explicit
+            # repartition would only insert a redundant exchange
+            cur_j = sized(cur_j, "component_id").join(
+                parents, "component_id", "left"
+            ).select(
+                "_nid",
+                F.least(
+                    F.col("component_id"), F.coalesce("_parent", F.col("component_id"))
+                ).alias("component_id"),
+                F.col("_old"),
+            )
+        nxt = cur_j.select(
+            "_nid", "component_id",
+            (F.col("component_id") != F.col("_old")).alias("_changed"),
         )
-        nxt = sized(nxt, "component_id").join(
-            sized(parents, "component_id"), "component_id", "left"
-        ).select(
-            "_nid",
-            F.least(
-                F.col("component_id"), F.coalesce("_parent", F.col("component_id"))
-            ).alias("component_id"),
-        )
-        # truncate plan AND (every 4th round — the CC round squares
-        # sizeInBytes twice, so bits ×4/round) the stats chain
-        nxt = truncate_round(nxt, reset_stats=(it % 4 == 3))
-        changed = (
-            sized(nxt.alias("n"), "_nid")
-            .join(sized(cur.alias("c"), "_nid"), "_nid")
-            .filter(F.col("n.component_id") != F.col("c.component_id"))
-            .limit(1)
-            .count()
-        )
-        cur.unpersist()  # probe done; no-op on the round-0 projection
-        cur = nxt
+        # truncate the plan every round (eager localCheckpoint); the
+        # convergence probe is then a SCAN of the checkpointed state —
+        # the round's own `_changed` flag — instead of the former join
+        # against `cur` (round 7: one exchange pair + a join fewer per
+        # probe). A persist+agg single-job variant was measured and
+        # REJECTED: InMemoryRelation substitution re-derived earlier
+        # rounds (a4b 3.1s → 19s), while the checkpoint RDD pins state
+        # unconditionally.
+        nxt = truncate_round(nxt, reset_stats=False)
+        changed = nxt.filter(F.col("_changed")).limit(1).count()
+        if owned is not None:
+            owned.unpersist()  # probe done with the previous round
+        owned = nxt
+        cur = nxt.select("_nid", "component_id")
         if changed == 0:
             break
-    # a loop that exits on a reset round (it % 4 == 3) leaves `cur`
-    # persisted with no owner; drop the cache layer — the data survives
-    # in the eager localCheckpoint RDD underneath, so the returned frame
-    # stays materialized (round-6 advisor: repeated er1 runs leaked)
-    if cur.storageLevel.useMemory or cur.storageLevel.useDisk:
-        cur.unpersist()
+        # Catalyst-stats reset (the CC round squares sizeInBytes twice,
+        # so bits ×4/round) AFTER the probe — a loop about to exit
+        # never pays the extra persist+count job, and no persisted
+        # state can leak past the loop (round-6 advisor)
+        if it % 4 == 3:
+            nxt.persist()
+            nxt.count()
     return cur.select(F.col("_nid").alias(id_col), "component_id")
 
 
@@ -466,7 +501,7 @@ def flatten_hierarchy(
                 .cast("long")
                 .alias("_d"),
             ),
-            reset_stats=(it % 8 == 7),  # one squaring/round: bits ×2
+            reset_stats=False,
         )
         changed = (
             nxt.alias("a")
@@ -479,9 +514,11 @@ def flatten_hierarchy(
         state = nxt
         if changed == 0:
             break
-    # same exit-on-reset-round cache ownership rule as _cc_loop
-    if state.storageLevel.useMemory or state.storageLevel.useDisk:
-        state.unpersist()
+        # stats reset AFTER the probe (one squaring/round: bits ×2) —
+        # an exiting loop never pays it and nothing stays persisted
+        if it % 8 == 7:
+            state.persist()
+            state.count()
     out = state.select(
         F.col("_n").alias(node_col),
         F.col("_anc").alias("root"),

@@ -345,8 +345,17 @@ def a4b_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lat"),
         F.lit(-84.0).alias("lon"),
     )
-    clustered = cluster_points(pts, radius_m=20.0, category_col=None)
-    return clustered.select("poi_id", "cluster_id")
+    # 400 points / ~1.1k edges: the CC loop would otherwise plan every
+    # round at session width (the er1/db1 lever — see cluster_points).
+    # Width 2, per the documented sizing rule (one core-worth of tasks
+    # per ~64 MB of edges — this edge set is KB); measured 8→2 halves
+    # the loop wall at sf0.1 because per-round cost here is task
+    # scheduling, not data. ids_only skips the re-join with pts (the
+    # query returns only the assignment anyway).
+    return cluster_points(
+        pts, radius_m=20.0, category_col=None,
+        loop_shuffle_partitions=2, ids_only=True,
+    )
 
 
 # ---------------------------------------------------------------------------
