@@ -162,12 +162,28 @@ class ParquetMergeTable:
 
     Layout: ``<root>/v_<n>/part-*.parquet`` + ``<root>/MANIFEST.json``
     (``{"current": "v_<n>", "history": [...]}``).
+
+    ``delta_log=True`` additionally appends every committed snapshot to
+    a real Delta transaction log at ``<root>/_delta_log/`` (public
+    protocol format — see operators/delta_log.py), making the table
+    loadable by any stock Delta reader (``spark.read.format("delta")``,
+    Trino, DuckDB's delta extension) with zero change to the engine's
+    own read/merge paths or result hashes. Once a table has a log, the
+    flag is remembered from the directory (reopening without the flag
+    keeps appending — a half-written log would otherwise go silently
+    stale, which a stock reader cannot detect).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, delta_log: bool = False):
+        from etl_stack_spark.operators.delta_log import DeltaLog
+
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        if delta_log or os.path.isdir(os.path.join(root, "_delta_log")):
+            self.delta_log: DeltaLog | None = DeltaLog(root)
+        else:
+            self.delta_log = None
 
     # -- snapshot plumbing --------------------------------------------------
     @property
@@ -199,7 +215,9 @@ class ParquetMergeTable:
             raise FileNotFoundError(f"no current snapshot in {self.root}")
         return self.spark.read.parquet(os.path.join(self.root, cur))
 
-    def _write_snapshot(self, df: DataFrame, expected_version=_UNCHECKED) -> str:
+    def _write_snapshot(
+        self, df: DataFrame, expected_version=_UNCHECKED, operation: str = "WRITE"
+    ) -> str:
         """Write data files lock-free, then commit the manifest swap under
         a lock with an optional version precondition.
 
@@ -229,6 +247,18 @@ class ParquetMergeTable:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._manifest_path)  # atomic pointer swap
+            if self.delta_log is not None:
+                # inside the lock: log versions serialize with manifest
+                # swaps (the put-if-absent the Delta protocol requires)
+                from etl_stack_spark.operators.delta_log import (
+                    snapshot_parquet_files,
+                )
+
+                self.delta_log.commit(
+                    snapshot_parquet_files(self.root, version),
+                    df.schema.json(),
+                    operation=operation,
+                )
         return version
 
     @contextlib.contextmanager
@@ -326,7 +356,7 @@ class ParquetMergeTable:
         merged.cache()
         try:
             counts = {r["_action"]: r["n"] for r in merged.groupBy("_action").agg(F.count(F.lit(1)).alias("n")).collect()}
-            self._write_snapshot(merged.drop("_action"), expected_version=base_version)
+            self._write_snapshot(merged.drop("_action"), expected_version=base_version, operation="MERGE")
         finally:
             merged.unpersist()  # also on ConcurrentWriteError — retries must not stack cached plans
         return {
@@ -344,7 +374,7 @@ class ParquetMergeTable:
         target = self.read(base_version)
         keep = target.filter(~predicate)
         n = target.count() - keep.count()
-        self._write_snapshot(keep, expected_version=base_version)
+        self._write_snapshot(keep, expected_version=base_version, operation="DELETE")
         return n
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

@@ -146,3 +146,125 @@ def test_schema_drift_matches_delta_automerge_modes(spark, tmp_path):
     t2.overwrite(df(spark, [("c1", "a", "A", "h1", "active")]))
     t2.merge(widened, keys=["client_id", "pk"], on_extra_columns="ignore")
     assert "score" not in t2.read().columns
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the log is no longer a transcript replica — delta_log=True writes
+# a REAL Delta transaction log (_delta_log/*.json + checkpoint parquet per
+# the public protocol spec), structure-asserted here so a stock Delta reader
+# could load the table. delta-spark itself is not installable in this
+# container, so the assertions replay the log exactly as the spec's reader
+# algorithm prescribes (checkpoint + trailing JSON commits) and check the
+# reconstructed state against the table's own read path.
+# ---------------------------------------------------------------------------
+
+
+def _live_files_via_spec_replay(root):
+    from etl_stack_spark.operators.delta_log import DeltaLog
+
+    return DeltaLog(str(root)).state()
+
+
+def test_delta_log_structure_and_replay(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    t.overwrite(df(spark, [("c1", "a", "A", "h1", "active")]))
+    t.merge(
+        df(spark, [("c1", "a", "A2", "h1x", "active"), ("c1", "b", "B", "h2", "active")]),
+        keys=["client_id", "pk"],
+    )
+    t.delete_where(F.col("pk") == "b")
+
+    log_dir = root / "_delta_log"
+    assert log_dir.is_dir()
+    versions = sorted(int(p.name[:20]) for p in log_dir.glob("*.json"))
+    assert versions == [0, 1, 2], "contiguous log versions from 0"
+
+    # version 0 carries protocol + metaData; schemaString parses as a
+    # Spark StructType (the exact payload Delta stores)
+    actions0 = [json.loads(l) for l in (log_dir / f"{0:020d}.json").read_text().splitlines()]
+    kinds0 = {next(iter(a)) for a in actions0}
+    assert {"commitInfo", "protocol", "metaData"} <= kinds0
+    proto = next(a["protocol"] for a in actions0 if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions0 if "metaData" in a)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "content_hash" in schema.fieldNames()
+    assert meta["format"]["provider"] == "parquet"
+
+    # commit operations are tagged
+    ops = []
+    for v in versions:
+        acts = [json.loads(l) for l in (log_dir / f"{v:020d}.json").read_text().splitlines()]
+        ops.append(next(a["commitInfo"]["operation"] for a in acts if "commitInfo" in a))
+    assert ops == ["WRITE", "MERGE", "DELETE"]
+
+    # spec replay: live adds == the current snapshot's files, with real
+    # sizes, and reading exactly those files reproduces table.read()
+    state = _live_files_via_spec_replay(root)
+    assert state["version"] == 2
+    cur = t.current_version()
+    live = state["files"]
+    assert all(p.startswith(cur + "/") for p in live)
+    for rel, info in live.items():
+        full = root / rel
+        assert full.is_file() and full.stat().st_size == info["size"]
+    via_log = spark.read.parquet(*[str(root / p) for p in live])
+    got = {(r["pk"], r["title"]) for r in via_log.collect()}
+    assert got == {(r["pk"], r["title"]) for r in t.read().collect()}
+    assert got == {("a", "A2")}  # the DELETE's survivor set
+
+    # a plain table (no flag, no existing log) writes no log — the
+    # engine's own paths and hashes are untouched by the feature
+    t2 = ParquetMergeTable(spark, str(tmp_path / "plain"))
+    t2.overwrite(df(spark, [("c1", "x", "X", "h", "active")]))
+    assert not os.path.isdir(str(tmp_path / "plain" / "_delta_log"))
+
+
+def test_delta_log_checkpoint_and_reopen(spark, tmp_path):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from etl_stack_spark.operators.delta_log import CHECKPOINT_INTERVAL, DeltaLog
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    t.overwrite(df(spark, [("c1", "k0", "T0", "h0", "active")]))
+    # cross the checkpoint interval; reopen WITHOUT the flag midway — the
+    # log's presence must keep it appending
+    for i in range(1, CHECKPOINT_INTERVAL + 2):
+        handle = ParquetMergeTable(spark, str(root)) if i == 3 else t
+        handle.merge(
+            df(spark, [("c1", f"k{i}", f"T{i}", f"h{i}", "active")]),
+            keys=["client_id", "pk"],
+        )
+
+    log_dir = root / "_delta_log"
+    last = json.loads((log_dir / "_LAST_CHECKPOINT").read_text())
+    assert last["version"] == CHECKPOINT_INTERVAL
+    ckpt = pq.read_table(
+        str(log_dir / f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
+    )
+    assert {"protocol", "metaData", "add", "remove"} <= set(ckpt.column_names)
+    rows = ckpt.to_pylist()
+    assert sum(1 for r in rows if r["protocol"]) == 1
+    assert sum(1 for r in rows if r["metaData"]) == 1
+
+    # replay-from-checkpoint equals the table: k0..k11 all present
+    state = DeltaLog(str(root)).state()
+    assert state["version"] == CHECKPOINT_INTERVAL + 1
+    via_log = spark.read.parquet(*[str(root / p) for p in state["files"]])
+    assert via_log.count() == t.read().count() == CHECKPOINT_INTERVAL + 2
+
+    # vacuum drops only files the log already tombstoned: replay after
+    # vacuum still resolves (live files all exist)
+    t.vacuum(keep_last=1)
+    state = DeltaLog(str(root)).state()
+    for rel in state["files"]:
+        assert (root / rel).is_file()
