@@ -99,6 +99,25 @@ def load_baseline() -> dict[str, float]:
     return {}
 
 
+def load_sweep_baseline() -> dict[str, float]:
+    """Per-query sweep times from the COMMITTED BENCH_DETAIL.json (read
+    before this run overwrites it). The sweep is single-run, so a >30%
+    delta vs this baseline triggers an automatic second sample (VERDICT
+    r6 task 2) — without it, ±40% VM-noise swings are indistinguishable
+    from real regressions and every round re-litigates them."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            data = json.load(f)
+        return {
+            k: v
+            for k, v in (data.get("full_sweep_queries") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()  # full execution, no driver-side data collect
@@ -408,9 +427,15 @@ def main() -> None:
         )
 
     full_sweep_total = None
+    sweep_resamples: dict[str, list[float]] = {}
     if sweep:
         # secondary tier: every registered query NOT in the headline set,
         # single run each — catches regressions the headline sample misses.
+        # Any query drifting >30% from the committed baseline (either
+        # direction — an unexplained speedup is also a claim) gets a
+        # SECOND sample and records the min: one cold outlier can no
+        # longer masquerade as a trend (VERDICT r6 task 2).
+        sweep_baseline = load_sweep_baseline()
         sweep_timings: dict[str, float] = {}
         for name in sorted(registry):
             if name in timings:
@@ -421,6 +446,16 @@ def main() -> None:
                 print(f"# SWEEP-ERROR {name}: {e}", file=sys.stderr)
                 sweep_timings[name] = -1.0
                 continue
+            base = sweep_baseline.get(name)
+            if base and base > 0.1 and abs(dt - base) > 0.3 * base:
+                dt2, _ = time_query(registry[name], spark, sf_dir)
+                sweep_resamples[name] = [round(dt, 3), round(dt2, 3)]
+                dt = min(dt, dt2)
+                print(
+                    f"# sweep resample {name}: {sweep_resamples[name]} "
+                    f"(baseline {base}s) -> {round(dt, 3)}s",
+                    file=sys.stderr,
+                )
             sweep_timings[name] = round(dt, 3)
             print(f"# sweep {name}: {sweep_timings[name]}s ({n} rows)", file=sys.stderr)
         full_sweep_total = round(sum(t for t in sweep_timings.values() if t > 0), 3)
@@ -474,6 +509,8 @@ def main() -> None:
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
         detail["full_sweep_queries"] = sweep_timings
+        if sweep_resamples:
+            detail["sweep_resamples"] = sweep_resamples
     if streaming is not None:
         detail["streaming_lead_prep"] = streaming
     if streaming_corpus is not None:
