@@ -1,0 +1,201 @@
+"""Composed RAG retrieval pipeline: chunk → embed → index → query → fuse.
+
+The pieces existed separately (rag1 sliding-window chunking, p33
+embedding contract, ss-family ANN, rrf1 fusion, hn1 hard negatives);
+this plan composes them into the retrieval flow a RAG serving layer
+runs, the way ``plans/lead_prep.py`` composes the property flow.
+Reference counterpart: the RAG query request/response schema at
+/root/reference/src/shared/schemas.py:88-108 (query text → top-k
+chunks with fused relevance scores).
+
+Design — every stage is relational, no UDFs, integer-exact until the
+single cosine division:
+
+1. **Chunk**: 64-token windows at stride 48 (rag1's geometry) over
+   ``documents``; ``chunk_key = doc_id * 1000 + chunk_idx`` (token
+   counts are bounded, chunk_idx < 1000 by construction — asserted by
+   the chunker).
+2. **Embed**: feature hashing (Weinberger et al., the hashing trick):
+   each token hashes to one of ``dim`` signed buckets via the portable
+   60-bit hash; the chunk's embedding is the signed token-count vector,
+   kept SPARSE as (chunk_key, bucket, weight) rows with integer
+   weights. Bit-for-bit reproducible in any engine with sha256 —
+   unlike the provider mock (ai.py mock_embed), whose byte-expansion
+   loop SQL can't express; the provider path stays p33's surface.
+3. **Index/query**: the sparse layout IS an inverted index — the
+   vector leg is a broadcast join of query features against corpus
+   features on bucket (posting-list intersection), then one groupBy
+   for the integer dot product. Cosine = dot / sqrt(|q|²·|c|²) — two
+   exact integers into one sqrt and one divide, rounded to 6dp before
+   ranking (the similarity.py parity discipline).
+4. **Lexical leg**: distinct-token overlap count between query and
+   chunk (integer-exact), the cheap BM25 stand-in; rrf1 carries the
+   full BM25 form.
+5. **Fuse**: per-query Reciprocal Rank Fusion in integer micro-units
+   (quantum div (60 + rank)), top ``out_k`` chunks per query.
+
+100 TB shape: chunking and embedding are narrow per-row transforms
+(one shuffle for the feature groupBy, key = chunk × bucket — no skew:
+every chunk emits ≤ dim buckets). The query side is tiny and broadcast;
+the corpus feature table is the inverted index a real deployment would
+pre-materialize (it is exactly ``dim`` posting lists, each prunable by
+bucket). Per-query work is bounded by posting-list size, not corpus
+size, and the fuse groupBy touches only leg-survivor rows (≤ 2·leg_k
+per query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.text import portable_hash60, tokens
+
+RRF_K = 60
+RRF_QUANTUM = 1_000_000
+
+
+def chunk_corpus(docs: DataFrame, chunk_size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window token chunks: (doc_id, chunk_idx, chunk_key, chunk)
+    with ``chunk`` the token array. Empty documents yield no chunks."""
+    t = (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(stride))).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {stride} AS INT)").alias("chunk_idx"),
+        F.expr(f"doc_id * 1000 + (start - 1) DIV {stride}").alias("chunk_key"),
+        F.slice(F.col("toks"), F.col("start"), F.lit(chunk_size)).alias("chunk"),
+    )
+
+
+def hash_features(chunks: DataFrame, dim: int = 32) -> DataFrame:
+    """Sparse feature-hash embedding: (chunk_key, bucket, w) with integer
+    w = signed token count, zero-weight buckets dropped (true sparsity).
+    Sign = bit 5 of the token hash (h div dim for dim=32), the standard
+    collision-bias cancellation of the hashing trick."""
+    tok = chunks.select("chunk_key", F.explode("chunk").alias("tok"))
+    hashed = tok.select(
+        "chunk_key", portable_hash60(F.col("tok")).alias("h")
+    )
+    # integer div only — h is 60-bit, float `/` would lose low bits
+    feat = hashed.select(
+        "chunk_key",
+        F.expr(f"CAST(h % {dim} AS INT)").alias("bucket"),
+        F.expr(f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1 ELSE -1 END")
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        feat.groupBy("chunk_key", "bucket")
+        .agg(F.sum("sign").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+def _leg_rank(scored: DataFrame, order_col: str, leg_k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_col), "chunk_key")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= leg_k)
+        .select("query_id", "chunk_key", "rank")
+    )
+
+
+def rag_retrieval_pipeline(
+    docs: DataFrame,
+    n_queries: int = 5,
+    dim: int = 32,
+    chunk_size: int = 64,
+    stride: int = 48,
+    leg_k: int = 50,
+    out_k: int = 10,
+) -> DataFrame:
+    """The composed flow. Queries = chunk 0 of doc_id < n_queries (their
+    own chunk is excluded from retrieval, ss1's self-exclusion rule).
+    Returns (query_id, doc_id, chunk_idx, rrf_micros, fused_rank)."""
+    chunks = chunk_corpus(docs, chunk_size=chunk_size, stride=stride)
+    feat = hash_features(chunks, dim=dim)
+
+    q_keys = (
+        chunks.filter((F.col("doc_id") < n_queries) & (F.col("chunk_idx") == 0))
+        .select(F.col("doc_id").alias("query_id"), F.col("chunk_key").alias("q_key"))
+    )
+
+    # --- vector leg: inverted-index sparse dot, broadcast query side ----
+    qfeat = F.broadcast(
+        q_keys.join(feat, q_keys.q_key == feat.chunk_key).select(
+            "query_id", "q_key", "bucket", F.col("w").alias("qw")
+        )
+    )
+    norms = feat.groupBy("chunk_key").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dots = (
+        qfeat.join(feat, "bucket")
+        .filter(F.col("chunk_key") != F.col("q_key"))
+        .groupBy("query_id", "q_key", "chunk_key")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    q_norms = F.broadcast(
+        q_keys.join(norms, q_keys.q_key == norms.chunk_key).select(
+            "q_key", F.col("n2").alias("qn2")
+        )
+    )
+    cos = (
+        dots.join(q_norms, "q_key")
+        .join(norms, "chunk_key")
+        .select(
+            "query_id",
+            "chunk_key",
+            F.round(F.col("dot") / F.sqrt((F.col("qn2") * F.col("n2")).cast("double")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    vec_leg = _leg_rank(cos, "cosine", leg_k)
+
+    # --- lexical leg: distinct-token overlap, broadcast query tokens ----
+    ctoks = chunks.select(
+        "chunk_key", F.explode(F.array_distinct("chunk")).alias("tok")
+    )
+    qtoks = F.broadcast(
+        q_keys.join(ctoks, q_keys.q_key == ctoks.chunk_key).select(
+            "query_id", "q_key", "tok"
+        )
+    )
+    overlap = (
+        qtoks.join(ctoks, "tok")
+        .filter(F.col("chunk_key") != F.col("q_key"))
+        .groupBy("query_id", "chunk_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    lex_leg = _leg_rank(overlap, "overlap", leg_k)
+
+    # --- per-query RRF fuse (rrf1's integer micro-unit discipline) ------
+    contrib = vec_leg.unionByName(lex_leg).select(
+        "query_id",
+        "chunk_key",
+        F.expr(f"{RRF_QUANTUM} div ({RRF_K} + rank)").cast("long").alias("c"),
+    )
+    fused = contrib.groupBy("query_id", "chunk_key").agg(
+        F.sum("c").cast("long").alias("rrf_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micros"), "chunk_key")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= out_k)
+        .select(
+            "query_id",
+            F.expr("chunk_key DIV 1000").alias("doc_id"),
+            F.expr("CAST(chunk_key % 1000 AS INT)").alias("chunk_idx"),
+            "rrf_micros",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

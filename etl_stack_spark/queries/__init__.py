@@ -65,6 +65,7 @@ def _load_all() -> None:
         joins_aggs,
         privacy_q,
         profile_q,
+        rag_q,
         relational,
         sampling_q,
         scalar_funcs,
