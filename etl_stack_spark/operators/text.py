@@ -104,23 +104,47 @@ def quality_score(text: Column) -> Column:
 
 def html_to_text(html: Column) -> Column:
     """HTML → visible text as a pure Column-expression chain (the crawl →
-    text step after the WARC reader): drop <script>/<style> blocks WITH
-    their content, strip remaining tags, decode the five XML entities,
-    collapse whitespace. Deterministic regexes shared verbatim with the
-    DuckDB oracle (both engines' dialects — Java regex and RE2 — agree on
-    ``(?s)`` + non-greedy). This is the tag-stripping primitive; learned
-    boilerplate removal (trafilatura-class) sits above it as a quality
-    gate, not inside it."""
-    # two separate replaces, NOT one with a backreference: the DuckDB
-    # oracle's RE2 has no backrefs
+    text step after the WARC reader): drop <script>/<style> blocks,
+    comments, and CDATA sections WITH their content, strip remaining
+    tags, decode the five XML entities, collapse whitespace.
+
+    CONTRACT — best-effort extraction, not a parser. Handled torture
+    shapes (pinned in tests/test_sources_misc.py): comments containing
+    tags (``<!-- <div> -->``), CDATA sections, quoted attribute values
+    containing ``>``, bare ``<``/``>`` in prose (``3 < 4``) preserved
+    as text. Where cheap detection says the regexes WOULD mis-extract —
+    an unclosed ``<script``/``<style`` block or an unterminated
+    ``<!--`` comment surviving block removal — the document is
+    QUARANTINED (returns NULL) rather than leaking raw JS/CSS into the
+    corpus; the caller's quality gate drops or routes NULLs. Known
+    unhandled residue: unbalanced quotes inside a tag make the tag span
+    until the next quote+``>`` (documented, not detected — no cheap
+    test distinguishes it from valid multi-line tags). Learned
+    boilerplate removal (trafilatura-class) sits above this primitive
+    as a quality gate, not inside it."""
+    # strip well-formed blocks first (script/style before comments, so
+    # old-school `<script><!-- ... //--></script>` hiding dies with the
+    # block); separate replaces, NOT backreferences: RE2-safe patterns
     out = F.regexp_replace(html, r"(?si)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?si)<style[^>]*>.*?</style>", " ")
-    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<!\[CDATA\[.*?\]\]>", " ")
+    # quarantine: residual openers mean the block regexes above failed
+    # (unclosed script/style/comment) and tag-stripping would leak the
+    # payload as "text" — cheap to detect, wrong to guess at
+    poisoned = out.rlike(r"(?si)<script\b|<style\b|<!--")
+    # tag: first char must open a real tag (letter, /, !, ?) so prose
+    # `a < b` survives; quoted attribute values may contain `>`
+    out = F.regexp_replace(
+        out, r"""(?s)<[!/?a-zA-Z](?:[^>"']|"[^"]*"|'[^']*')*>""", " "
+    )
     for ent, ch in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):  # &amp; LAST so "&amp;lt;" decodes to the literal "&lt;", not "<"
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.when(poisoned, F.lit(None).cast("string")).otherwise(
+        F.trim(F.regexp_replace(out, r"\s+", " "))
+    )
 
 
 def normalize_for_fingerprint(text: Column) -> Column:

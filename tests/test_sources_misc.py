@@ -194,3 +194,38 @@ def test_html_to_text_edge_cases(spark):
     out = df.select("want", html_to_text(F.col("html")).alias("got")).collect()
     for r in out:
         assert r.got == r.want, (r.got, r.want)
+
+
+def test_html_to_text_torture(spark):
+    """Round-7 torture fixtures (VERDICT r6 task 7): the documented
+    failure shapes of regex HTML stripping. Handled shapes extract
+    correctly; unclosed script/style/comment QUARANTINES (NULL) instead
+    of leaking the payload as corpus text. The contract is best-effort
+    extraction — see html_to_text's docstring for the one documented
+    unhandled residue (unbalanced quotes inside a tag)."""
+    from etl_stack_spark.operators.text import html_to_text
+
+    cases = [
+        # comments containing tags must vanish wholesale
+        ("before <!-- <div>hidden</div> --> after", "before after"),
+        ("a <!--[if IE]><link href='ie.css'><![endif]--> b", "a b"),
+        # CDATA sections drop with their raw payload
+        ("a <![CDATA[ <raw> & junk ]]> b", "a b"),
+        # quoted attribute values containing '>'
+        ('<div title="a > b">text</div>', "text"),
+        ("<a href='x' title='say \"use > wisely\"'>link</a>", "link"),
+        ('<p class="x>y">attr gt stays quoted</p>', "attr gt stays quoted"),
+        # bare comparisons in prose are NOT tags
+        ("3 < 4 and 5 > 2", "3 < 4 and 5 > 2"),
+        # old-school comment-hidden script dies with the block
+        ("<script><!-- hide\nvar y=2;\n//--></script>visible", "visible"),
+        # quarantine: unclosed script / style / comment -> NULL, never
+        # raw JS/CSS leaking into the "text"
+        ("<script>var x = 1; document.write('<p>'); ", None),
+        ("<style>.a { color: red } ", None),
+        ("text <!-- unterminated comment", None),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    out = df.select("want", html_to_text(F.col("html")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
