@@ -232,6 +232,93 @@ def bench_streaming_corpus(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_warc_pipeline(
+    spark, sf_dir: str, n_files: int = 32, recs_per_file: int = 2000
+) -> dict:
+    """WARC→HTML→wash front-door tier (VERDICT r6 task 6): N multi-record
+    .warc.gz files (one gzip member per record, the CommonCrawl layout;
+    a warcinfo record leading each file) → parse_warc_batch → HTML→text
+    extraction → token-count quality gate. warc1/html1 pin correctness
+    at fixture scale; this records throughput at volume. Parallelism =
+    file count (one task per member stream), so n_files defaults to the
+    executor-thread count — the 100 TB shape, where CommonCrawl ships
+    ~64k segment files per crawl. Synthesis time is recorded separately
+    and excluded from the measured pipeline."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.text import html_to_text, tokens
+    from etl_stack_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_members,
+        parse_warc_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="warc_bench_")
+    try:
+        t0 = time.perf_counter()
+        for f_idx in range(n_files):
+            records = [
+                encode_warc_record(
+                    f"info-{f_idx}", "warcinfo", None, b"software: etl-stack-spark"
+                )
+            ]
+            for r in range(recs_per_file):
+                did = f_idx * recs_per_file + r
+                # did % 80 body words: docs with < 3 fall below the
+                # 10-token gate (boilerplate contributes ~7) — the gate
+                # must measurably drop rows or it isn't being benched
+                words = " ".join(f"w{(did * 31 + k) % 97}" for k in range(did % 80))
+                html = (
+                    f"<html><head><title>Doc {did}</title><script>var x={did};"
+                    f"</script><style>.n{{color:red}}</style></head><body>"
+                    f"<nav>home | about</nav><p>{words}</p>"
+                    f"<footer>&copy; example</footer></body></html>"
+                )
+                records.append(
+                    encode_warc_record(
+                        f"resp-{did}",
+                        "response",
+                        f"http://example.test/{did}",
+                        encode_http_response(html.encode()),
+                    )
+                )
+            with open(os.path.join(tmp, f"part-{f_idx:05d}.warc.gz"), "wb") as fh:
+                fh.write(gzip_members(records))
+        synth_secs = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        files = (
+            spark.read.format("binaryFile")
+            .load(tmp + "/*.warc.gz")
+            .select("path", "content")
+        )
+        recs = parse_warc_batch(files)
+        resp = recs.filter(F.col("warc_type") == "response")
+        text = resp.select(html_to_text(F.col("body").cast("string")).alias("text"))
+        gated = (
+            text.filter(F.col("text").isNotNull())
+            .withColumn("n_tokens", F.size(tokens(F.col("text"))))
+            .filter((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000))
+        )
+        survivors = gated.count()
+        secs = time.perf_counter() - t1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    total = n_files * recs_per_file
+    return {
+        "files": n_files,
+        "records": total,
+        "survivors": survivors,
+        "synth_secs": round(synth_secs, 3),
+        "secs": round(secs, 3),
+        "docs_per_sec": round(total / secs, 1),
+    }
+
+
 def bench_partitioned_merge(spark, sf_dir: str) -> dict:
     """Partitioned-MERGE tier (VERDICT r5 task 7): load orders into a
     16-partition PartitionedMergeTable, then merge an update touching ONE
@@ -464,6 +551,7 @@ def main() -> None:
     streaming_corpus = None
     interval = None
     pmerge = None
+    warc = None
     if stream:
         try:
             streaming = bench_streaming(spark, sf_dir)
@@ -489,6 +577,12 @@ def main() -> None:
         except Exception as e:
             pmerge = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# MERGE-ERROR {pmerge['error']}", file=sys.stderr)
+        try:
+            warc = bench_warc_pipeline(spark, sf_dir)
+            print(f"# warc pipeline: {warc}", file=sys.stderr)
+        except Exception as e:
+            warc = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# WARC-ERROR {warc['error']}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
@@ -519,6 +613,8 @@ def main() -> None:
         detail["streaming_interval_join"] = interval
     if pmerge is not None:
         detail["partitioned_merge"] = pmerge
+    if warc is not None:
+        detail["warc_pipeline"] = warc
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
