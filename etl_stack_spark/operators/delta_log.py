@@ -106,7 +106,9 @@ class DeltaLog:
                 if row.get("add") and row["add"].get("path"):
                     a = row["add"]
                     live[a["path"]] = {
-                        "size": a["size"], "modificationTime": a["modificationTime"]
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        "stats": a.get("stats"),
                     }
             start = ckpt["version"] + 1
         versions = [v for v in self.versions() if v >= start]
@@ -124,6 +126,7 @@ class DeltaLog:
                         live[a["path"]] = {
                             "size": a["size"],
                             "modificationTime": a["modificationTime"],
+                            "stats": a.get("stats"),
                         }
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
@@ -138,14 +141,15 @@ class DeltaLog:
     # -- commit ------------------------------------------------------------
     def commit(
         self,
-        snapshot_files: list[tuple[str, int, int]],
+        snapshot_files: list[tuple],
         schema_string: str,
         operation: str,
         partition_columns: list[str] | None = None,
     ) -> int:
         """Append one commit: tombstone the previous snapshot's files,
-        add ``snapshot_files`` (relative path, size, mtime_ms). Returns
-        the committed log version. Caller holds the table commit lock."""
+        add ``snapshot_files`` (relative path, size, mtime_ms[, stats
+        JSON string or None]). Returns the committed log version. Caller
+        holds the table commit lock."""
         os.makedirs(self.log_dir, exist_ok=True)
         prev = self.state()
         version = 0 if prev["version"] is None else prev["version"] + 1
@@ -178,7 +182,8 @@ class DeltaLog:
                     }
                 }
             )
-        new_paths = {p for p, _, _ in snapshot_files}
+        files4 = [(f + (None,))[:4] for f in snapshot_files]
+        new_paths = {p for p, _, _, _ in files4}
         for path in sorted(prev["files"]):
             if path not in new_paths:
                 actions.append(
@@ -190,18 +195,17 @@ class DeltaLog:
                         }
                     }
                 )
-        for path, size, mtime in sorted(snapshot_files):
-            actions.append(
-                {
-                    "add": {
-                        "path": path,
-                        "partitionValues": {},
-                        "size": size,
-                        "modificationTime": mtime,
-                        "dataChange": True,
-                    }
-                }
-            )
+        for path, size, mtime, stats in sorted(files4):
+            add = {
+                "path": path,
+                "partitionValues": {},
+                "size": size,
+                "modificationTime": mtime,
+                "dataChange": True,
+            }
+            if stats is not None:
+                add["stats"] = stats
+            actions.append({"add": add})
 
         target = os.path.join(self.log_dir, _version_fname(version))
         # O_EXCL = the put-if-absent the protocol requires: even if two
@@ -250,6 +254,7 @@ class DeltaLog:
                         "size": f["size"],
                         "modificationTime": f["modificationTime"],
                         "dataChange": False,
+                        "stats": f.get("stats"),
                     },
                     "remove": None,
                 }
@@ -279,6 +284,7 @@ class DeltaLog:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 )),
                 ("remove", pa.struct(
@@ -299,9 +305,73 @@ class DeltaLog:
         os.replace(tmp, os.path.join(self.log_dir, "_LAST_CHECKPOINT"))
 
 
-def snapshot_parquet_files(root: str, version_dir: str) -> list[tuple[str, int, int]]:
-    """(relative_path, size, mtime_ms) for every parquet file of a
-    snapshot directory — the add-action payload."""
+def file_stats(full_path: str) -> str | None:
+    """Delta-spec per-file statistics from the parquet FOOTER (no data
+    read): ``{"numRecords", "minValues", "maxValues", "nullCount"}`` as
+    the JSON string the protocol stores on the add action. Top-level
+    int/float/string/bool/date columns only (nested paths and binary
+    skipped — the spec permits partial stats); a column missing from
+    min/maxValues is simply never pruned on. Cost is O(files) driver-
+    side footer reads per commit — footers are KBs, and the payoff is
+    zone-map file skipping at read time (``ParquetMergeTable.read_where``)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full_path).metadata
+    except Exception:
+        return None
+
+    def _plain(v):
+        if isinstance(v, (int, float, bool, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        return None  # bytes / unsupported → no stat for this column
+
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for j in range(md.num_columns):
+        name = md.schema.column(j).path
+        if "." in name:  # nested — skip per contract
+            continue
+        col_min = col_max = None
+        col_nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = _plain(st.min), _plain(st.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            col_min = lo if col_min is None else min(col_min, lo)
+            col_max = hi if col_max is None else max(col_max, hi)
+            col_nulls += st.null_count or 0
+        if ok and col_min is not None:
+            mins[name] = col_min
+            maxs[name] = col_max
+            nulls[name] = col_nulls
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+    )
+
+
+def snapshot_parquet_files(
+    root: str, version_dir: str
+) -> list[tuple[str, int, int, str | None]]:
+    """(relative_path, size, mtime_ms, stats_json) for every parquet file
+    of a snapshot directory — the add-action payload."""
     out = []
     d = os.path.join(root, version_dir)
     for fname in sorted(os.listdir(d)):
@@ -309,5 +379,12 @@ def snapshot_parquet_files(root: str, version_dir: str) -> list[tuple[str, int, 
             continue
         full = os.path.join(d, fname)
         st = os.stat(full)
-        out.append((f"{version_dir}/{fname}", st.st_size, int(st.st_mtime * 1000)))
+        out.append(
+            (
+                f"{version_dir}/{fname}",
+                st.st_size,
+                int(st.st_mtime * 1000),
+                file_stats(full),
+            )
+        )
     return out

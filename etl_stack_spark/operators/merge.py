@@ -215,6 +215,93 @@ class ParquetMergeTable:
             raise FileNotFoundError(f"no current snapshot in {self.root}")
         return self.spark.read.parquet(os.path.join(self.root, cur))
 
+    # -- stats-based file skipping (zone maps via the Delta log) -------------
+    def prune_files(self, bounds: dict[str, tuple]) -> tuple[list[str], int]:
+        """Zone-map pruning: live files whose per-file min/max stats (the
+        Delta add-action ``stats`` field) can intersect ``bounds`` —
+        ``{col: (lo, hi)}``, inclusive, None = unbounded side. Files
+        with no stats for a bounded column are conservatively kept; a
+        NULL row can never satisfy a range predicate, so nullCount
+        never blocks a skip. Returns (surviving relative paths, total
+        live files). Requires ``delta_log=True`` — stats live on the
+        log's add actions, not the manifest."""
+        if self.delta_log is None:
+            raise ValueError(
+                f"stats pruning needs a Delta log: open {self.root} with delta_log=True"
+            )
+        state = self.delta_log.state()
+        keep = []
+        for rel in sorted(state["files"]):
+            info = state["files"][rel]
+            stats = info.get("stats")
+            s = json.loads(stats) if isinstance(stats, str) else (stats or {})
+            mins, maxs = s.get("minValues", {}), s.get("maxValues", {})
+            skip = False
+            for col, (lo, hi) in bounds.items():
+                mn, mx = mins.get(col), maxs.get(col)
+                if mn is None or mx is None:
+                    continue  # no stat → can't prove exclusion
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    skip = True
+                    break
+            if not skip:
+                keep.append(rel)
+        return keep, len(state["files"])
+
+    def optimize_zorder(
+        self, cols: list[str], bits: int = 12, files: int | None = None
+    ) -> str:
+        """Delta ``OPTIMIZE ... ZORDER BY`` analog: rewrite the current
+        snapshot clustered on the Morton key of ``cols`` (layout.py), so
+        the per-file stats the Delta log records become tight on EVERY
+        participating dimension and :meth:`read_where` prunes
+        multi-column ranges. Data-identical rewrite under the same
+        optimistic-concurrency rule as merge (a table that advanced
+        mid-rewrite aborts rather than clobbering newer data);
+        operation-tagged OPTIMIZE in the log. Returns the new version."""
+        from etl_stack_spark.operators.layout import zorder_key
+
+        base_version = self.current_version()
+        base, key = zorder_key(self.read(base_version), cols, bits)
+        keyed = base.withColumn("_zkey", key)
+        keyed = (
+            keyed.repartitionByRange(files, "_zkey")
+            if files
+            else keyed.repartitionByRange("_zkey")
+        )
+        out = keyed.sortWithinPartitions("_zkey").drop("_zkey")
+        return self._write_snapshot(
+            out, expected_version=base_version, operation="OPTIMIZE"
+        )
+
+    def read_where(self, bounds: dict[str, tuple]) -> DataFrame:
+        """Range read with file skipping: scan only the files
+        :meth:`prune_files` keeps, then apply the residual row filter
+        (pruning is file-granular). The 100 TB story: with data
+        clustered on the bounded column (``overwrite`` after
+        ``repartitionByRange`` + sortWithinPartitions, or z-order
+        compaction), a narrow range touches O(range) files instead of
+        O(table) — the scan cost follows the predicate, not the table."""
+        from functools import reduce
+
+        from pyspark.sql.types import StructType
+
+        keep, _total = self.prune_files(bounds)
+        if not keep:
+            schema = StructType.fromJson(
+                json.loads(self.delta_log.state()["schema_string"])
+            )
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in keep])
+        preds = []
+        for col, (lo, hi) in bounds.items():
+            if lo is not None:
+                preds.append(F.col(col) >= lo)
+            if hi is not None:
+                preds.append(F.col(col) <= hi)
+        return df.filter(reduce(lambda a, b: a & b, preds)) if preds else df
+
     def _write_snapshot(
         self, df: DataFrame, expected_version=_UNCHECKED, operation: str = "WRITE"
     ) -> str:

@@ -268,3 +268,111 @@ def test_delta_log_checkpoint_and_reopen(spark, tmp_path):
     state = DeltaLog(str(root)).state()
     for rel in state["files"]:
         assert (root / rel).is_file()
+
+
+def test_delta_stats_and_file_skipping(spark, tmp_path):
+    """Round 7: add actions carry Delta-spec per-file stats (numRecords/
+    minValues/maxValues/nullCount as a JSON string) and read_where prunes
+    files by zone map — with range-clustered files, a narrow range scans
+    a strict subset, and results equal the full-scan filter."""
+    import json
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    data = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    )
+    t.overwrite(data.repartitionByRange(8, "id").sortWithinPartitions("id"))
+
+    # stats shape on the log's add actions
+    state = DeltaLog(str(root)).state()
+    assert len(state["files"]) == 8
+    for info in state["files"].values():
+        s = json.loads(info["stats"])
+        assert set(s) == {"numRecords", "minValues", "maxValues", "nullCount"}
+        assert s["numRecords"] > 0
+        assert {"id", "bucket", "name"} <= set(s["minValues"])
+        assert s["minValues"]["id"] <= s["maxValues"]["id"]
+        assert s["nullCount"]["id"] == 0
+
+    # a narrow range prunes most of the 8 range-clustered files
+    keep, total = t.prune_files({"id": (2_000, 2_300)})
+    assert total == 8
+    assert 1 <= len(keep) <= 2, keep
+
+    got = t.read_where({"id": (2_000, 2_300)})
+    want = t.read().filter((F.col("id") >= 2_000) & (F.col("id") <= 2_300))
+    assert got.count() == want.count() == 301
+    assert got.agg(F.sum("id")).first()[0] == want.agg(F.sum("id")).first()[0]
+
+    # multi-column bounds conjoin; an unclustered column prunes nothing
+    # on its own but the residual filter still applies
+    got2 = t.read_where({"id": (2_000, 2_300), "bucket": (0, 4)})
+    assert got2.count() == 16  # ids 2000-2004, 2100-2104, 2200-2204, 2300
+
+    # out-of-range bounds prune EVERY file and return an empty, typed frame
+    keep3, _ = t.prune_files({"id": (50_000, 60_000)})
+    assert keep3 == []
+    empty = t.read_where({"id": (50_000, 60_000)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "bucket", "name"}
+
+    # stats survive checkpoint replay (state() reads checkpoint + tail):
+    # cross the checkpoint interval with no-op-ish overwrites, then check
+    # the replayed live files still carry parseable stats
+    for _ in range(10):
+        t.overwrite(data.limit(50))
+    state2 = DeltaLog(str(root)).state()
+    assert (root / "_delta_log" / "_LAST_CHECKPOINT").exists()
+    for info in state2["files"].values():
+        s2 = json.loads(info["stats"])
+        assert s2["numRecords"] == 50
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY analog: after z-order clustering, read_where
+    prunes files on BOTH participating columns (a 1-D sort can only serve
+    one), and the rewrite is data-identical + OPTIMIZE-tagged in the log."""
+    import json
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    n = 40_000
+    data = spark.range(0, n).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.overwrite(data)
+    before = t.read().agg(F.sum("payload"), F.count(F.lit(1))).first()
+
+    t.optimize_zorder(["x", "y"], files=16)
+    after = t.read().agg(F.sum("payload"), F.count(F.lit(1))).first()
+    assert tuple(before) == tuple(after)  # data-identical rewrite
+
+    # a narrow square in (x, y) prunes most of the 16 z-clustered files
+    bounds = {"x": (0, 24), "y": (0, 24)}
+    keep, total = t.prune_files(bounds)
+    assert total == 16
+    assert len(keep) <= 6, keep  # 1/64 of the plane; z-order keeps it local
+    got = t.read_where(bounds)
+    want = t.read().filter(
+        (F.col("x") >= 0) & (F.col("x") <= 24) & (F.col("y") >= 0) & (F.col("y") <= 24)
+    )
+    assert got.count() == want.count() > 0
+    assert (
+        got.agg(F.sum("payload")).first()[0] == want.agg(F.sum("payload")).first()[0]
+    )
+
+    # the log's latest commit is OPTIMIZE-tagged
+    log_dir = root / "_delta_log"
+    latest = max(int(p.name[:20]) for p in log_dir.glob("*.json"))
+    acts = [
+        json.loads(l)
+        for l in (log_dir / f"{latest:020d}.json").read_text().splitlines()
+    ]
+    assert next(a["commitInfo"]["operation"] for a in acts if "commitInfo" in a) == "OPTIMIZE"
