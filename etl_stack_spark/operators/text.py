@@ -402,3 +402,98 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_milli").desc(), "gram_a", "gram_b"
     ).limit(top_k)
+
+
+def nb_lang_train_apply(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Multinomial Naive Bayes language ID, trained AND applied in one
+    declarative pass: even ``doc_id`` rows train against ``label_col``,
+    odd rows are scored and get the argmax class. NB training is a
+    closed-form aggregation (token counts per class + Laplace
+    smoothing), so unlike iterative SGD (ql2) the whole train/apply
+    flow is expressible as joins/groupBys both engines replay exactly.
+
+    Portability: every log-prob quantizes to integer milli-nats
+    (``floor(ln(x)*1000+0.5)``, the lm1/ir1 discipline). Unseen tokens
+    enter through the per-class default: score = q_prior + n·q_def +
+    Σ_seen (q_logp − q_def) — an INNER token join plus a class-grid
+    cross join (class count × test docs, broadcast).
+
+    100 TB shape: two corpus-keyed aggregations (class-token counts,
+    per-doc deltas) and one explode; the MODEL (classes × vocab deltas,
+    class priors/defaults) is dimension-sized and broadcast. Returns
+    (doc_id, true_lang, pred_lang, score_millinats).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", label_col, tokens(F.col("text")).alias("toks"))
+    train_docs = base.filter(F.col("doc_id") % 2 == 0)
+    tr_tok = train_docs.select(label_col, F.explode("toks").alias("tok"))
+    cls_tok = tr_tok.groupBy(label_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cls_tot = tr_tok.groupBy(label_col).agg(F.count(F.lit(1)).alias("tot"))
+    voc = tr_tok.agg(F.countDistinct("tok").alias("v"))
+    total = train_docs.agg(F.count(F.lit(1)).cast("double").alias("total"))
+
+    def q(col):  # milli-nat quantization
+        return F.floor(F.log(col) * 1000 + 0.5).cast("long")
+
+    pri = (
+        train_docs.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(label_col, q(F.col("n_docs") / F.col("total")).alias("q_prior"))
+    )
+    defaults = cls_tot.crossJoin(F.broadcast(voc)).select(
+        label_col, q(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("q_def")
+    )
+    delta = (
+        cls_tok.join(cls_tot, label_col)
+        .crossJoin(F.broadcast(voc))
+        .join(F.broadcast(defaults), label_col)
+        .select(
+            label_col,
+            "tok",
+            (
+                q((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + F.col("v")))
+                - F.col("q_def")
+            ).alias("q_delta"),
+        )
+    )
+    te = base.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.col(label_col).alias("true_lang"),
+        "toks",
+        F.size("toks").alias("n"),
+    )
+    msum = (
+        te.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(delta), "tok")
+        .groupBy("doc_id", label_col)
+        .agg(F.sum("q_delta").alias("sdelta"))
+    )
+    model = defaults.join(pri, label_col)  # classes × 3: the trained classifier
+    grid = (
+        te.select("doc_id", "true_lang", "n")
+        .crossJoin(F.broadcast(model))
+        .join(msum, ["doc_id", label_col], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            label_col,
+            (
+                F.col("q_prior")
+                + F.col("n") * F.col("q_def")
+                + F.coalesce(F.col("sdelta"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), label_col)
+    return (
+        grid.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col(label_col).alias("pred_lang"),
+            F.col("score").cast("long").alias("score_millinats"),
+        )
+    )

@@ -439,3 +439,79 @@ def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import semantic_dedup
 
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# LANG2 — in-engine-trained multinomial Naive Bayes language ID (round 7):
+# train on even doc_ids against the true `lang` label, predict the odd
+# half — a REAL train/apply split, computed in ONE declarative pass (NB
+# training is a closed-form aggregation, unlike ql2's iterative SGD).
+# Laplace-smoothed token log-probs quantized to integer milli-nats
+# (floor(ln(x)*1000+0.5), the lm1/ir1 portability discipline), so both
+# engines agree bit-for-bit on every score. Unseen tokens enter through
+# the per-class default: score = prior + n·q_def + Σ_seen (q_logp − q_def),
+# which needs only an INNER token join plus a 5-row class grid.
+# tx1 is the rule-based marker heuristic; this is its learned upgrade.
+#
+# Accuracy note: the synthetic corpus carries NO lexical signal for its
+# `lang` column (every doc draws from the same English-ish token pool —
+# the marker words hit 'en' uniformly across labels), so NB scores near
+# chance here BY CONSTRUCTION; what the oracle pins is the exactness of
+# the trained model and every score, which is what transfers to real
+# corpora where the separation exists. The classifier mechanics (does a
+# planted signal get learned?) are pinned separately by the unit test
+# test_nb_lang_id_learns_planted_signal.
+# ---------------------------------------------------------------------------
+def _lang2_oracle() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+tr_tok AS (SELECT lang, unnest(toks) AS tok FROM base WHERE doc_id % 2 = 0),
+cls_tok AS (SELECT lang, tok, count(*) AS cnt FROM tr_tok GROUP BY lang, tok),
+cls_tot AS (SELECT lang, count(*) AS tot FROM tr_tok GROUP BY lang),
+voc AS (SELECT count(DISTINCT tok) AS v FROM tr_tok),
+pri AS (
+  SELECT lang, CAST(floor(ln(count(*) /
+           (SELECT count(*)::DOUBLE FROM base WHERE doc_id % 2 = 0)) * 1000 + 0.5)
+         AS BIGINT) AS q_prior
+  FROM base WHERE doc_id % 2 = 0 GROUP BY lang
+),
+defaults AS (
+  SELECT c.lang,
+         CAST(floor(ln(1.0 / (c.tot + v.v)) * 1000 + 0.5) AS BIGINT) AS q_def
+  FROM cls_tot c, voc v
+),
+delta AS (
+  SELECT ct.lang, ct.tok,
+         CAST(floor(ln((ct.cnt + 1.0) / (c.tot + v.v)) * 1000 + 0.5) AS BIGINT)
+           - d.q_def AS q_delta
+  FROM cls_tok ct JOIN cls_tot c USING (lang) JOIN defaults d USING (lang), voc v
+),
+te AS (
+  SELECT doc_id, lang AS true_lang, toks, len(toks) AS n
+  FROM base WHERE doc_id % 2 = 1
+),
+te_tok AS (SELECT doc_id, unnest(toks) AS tok FROM te),
+msum AS (
+  SELECT t.doc_id, dl.lang, CAST(SUM(dl.q_delta) AS BIGINT) AS sdelta
+  FROM te_tok t JOIN delta dl USING (tok) GROUP BY t.doc_id, dl.lang
+),
+grid AS (
+  SELECT te.doc_id, te.true_lang, d.lang,
+         p.q_prior + te.n * d.q_def + COALESCE(m.sdelta, 0) AS score
+  FROM te CROSS JOIN defaults d
+  JOIN pri p ON p.lang = d.lang
+  LEFT JOIN msum m ON m.doc_id = te.doc_id AND m.lang = d.lang
+)
+SELECT doc_id, true_lang, lang AS pred_lang,
+       CAST(score AS BIGINT) AS score_millinats
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+      FROM grid)
+WHERE r = 1
+"""
+
+
+@register("lang2_nb_train_apply", _lang2_oracle())
+def lang2_nb_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import nb_lang_train_apply
+
+    return nb_lang_train_apply(load_table(spark, sf_dir, "documents"))

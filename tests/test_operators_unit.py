@@ -500,3 +500,31 @@ def test_global_row_number_empty_frame(spark):
 
     df = spark.createDataFrame([], "id long, v long")
     assert global_row_number(df, [F.col("v"), F.col("id")]).count() == 0
+
+
+def test_nb_lang_id_learns_planted_signal(spark):
+    """lang2's mechanics: on a corpus where classes DO have disjoint
+    vocabulary (unlike the signal-free synthetic documents table), the
+    single-pass NB train/apply must recover the labels near-perfectly
+    on the held-out odd half."""
+    from etl_stack_spark.operators.text import nb_lang_train_apply
+
+    rows = []
+    vocab = {
+        "aa": ["alpha", "apple", "anchor", "arrow"],
+        "bb": ["bravo", "berry", "basket", "bridge"],
+        "cc": ["charlie", "cherry", "candle", "copper"],
+    }
+    for i in range(300):
+        lang = ["aa", "bb", "cc"][i % 3]
+        words = [vocab[lang][(i * 7 + k) % 4] for k in range(12)]
+        # one shared token everywhere: smoothing must shrug it off
+        words.append("common")
+        rows.append((i, lang, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = nb_lang_train_apply(docs).toPandas()
+    assert len(out) == 150  # the odd half
+    acc = (out["true_lang"] == out["pred_lang"]).mean()
+    assert acc == 1.0, f"planted disjoint vocab must be fully recovered, got {acc}"
+    # scores are integer milli-nats
+    assert str(out["score_millinats"].dtype) == "int64"

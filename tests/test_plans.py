@@ -155,6 +155,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "mb1_pair_affinity",         # 1-row basket-count side
         "kw1_tfidf_keywords",        # 1-row doc-count side
         "hll2_grouped_distinct",     # groups x 64-register broadcast spine
+        "lang2_nb_train_apply",      # 1-row vocab/total sides + 5-row model grid
     }
     # plan-building is driver-side and thread-safe; 8 planner threads cut
     # this registry-wide sweep from 65s to a fraction (it was the suite's
