@@ -562,3 +562,41 @@ def incremental_minhash_dedup(
         # sub-n-token docs: no signature, pass through
         new_docs.join(sig_ids, id_col, "left_anti")
     )
+
+
+def quality_survivor_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware near-dup survivorship (round 7): cluster with
+    :func:`minhash_cluster_dedup`, then keep the HIGHEST-QUALITY doc per
+    component (tie → min id) instead of the min-id one — the
+    FineWeb/Dolma production rule, where dropping the better-written
+    copy of a near-dup pair wastes exactly the data a wash exists to
+    keep. Returns (id, cluster_id, quality, survivor_id, keep).
+
+    Scale shape: everything dd6 does plus one corpus-keyed quality scan
+    and one window over CLUSTER-sized groups (near-dup clusters are
+    small by construction; a pathological mega-cluster is bounded by
+    the LSH band structure long before the window sees it)."""
+    from etl_stack_spark.operators.text import quality_score
+
+    clusters = minhash_cluster_dedup(df, text_col, id_col, n, threshold)
+    qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
+    j = clusters.join(qual, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), id_col)
+    survivors = (
+        j.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("cluster_id", F.col(id_col).alias("survivor_id"))
+    )
+    return j.join(survivors, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "quality",
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("keep"),
+    )

@@ -515,3 +515,54 @@ def lang2_nb_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.text import nb_lang_train_apply
 
     return nb_lang_train_apply(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DD8 — quality-aware near-dup survivorship (round 7): dd6's components,
+# but the survivor is the HIGHEST-QUALITY doc per cluster (tie → min id)
+# — the FineWeb/Dolma production rule. The oracle recomputes clusters
+# via the recursive CTE and quality via tx2's formula, independently.
+# ---------------------------------------------------------------------------
+_QUALITY_EXPR = f"""round(
+  4e-1 * (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1e0 ELSE 0e0 END)
+  + 4e-1 * least(1e0, {_marker_count(_ALL_MARKERS)} * 5e0 / greatest(len({_TOKS}), 1))
+  + 2e-1 * (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]'))
+                      / greatest(length(text), 1) <= 2e-1 THEN 1e0 ELSE 0e0 END), 6)"""
+
+
+def _dd8_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+mh AS ({final}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+reach AS (
+  SELECT doc_id AS p, doc_id AS q FROM documents
+  UNION
+  SELECT r.p, e.b FROM reach r JOIN edges e ON r.q = e.a
+),
+clus AS (SELECT p AS doc_id, MIN(q) AS cluster_id FROM reach GROUP BY p),
+qual AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents),
+j AS (SELECT c.doc_id, c.cluster_id, q.quality FROM clus c JOIN qual q USING (doc_id)),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS r
+    FROM j
+  ) WHERE r = 1
+)
+SELECT j.doc_id, j.cluster_id, j.quality, s.survivor_id,
+       j.doc_id = s.survivor_id AS keep
+FROM j JOIN surv s USING (cluster_id)
+"""
+
+
+@register("dd8_quality_survivor", _dd8_oracle())
+def dd8_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.dedup import quality_survivor_dedup
+
+    return quality_survivor_dedup(load_table(spark, sf_dir, "documents"))
