@@ -586,7 +586,9 @@ def quality_survivor_dedup(
 
     clusters = minhash_cluster_dedup(df, text_col, id_col, n, threshold)
     qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
-    j = clusters.join(qual, id_col)
+    # lazy checkpoint: j feeds the survivor window AND the output join —
+    # without it the whole cluster pipeline (LSH + CC loop) runs twice
+    j = clusters.join(qual, id_col).localCheckpoint(eager=False)
     w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), id_col)
     survivors = (
         j.withColumn("_r", F.row_number().over(w))

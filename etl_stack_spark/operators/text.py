@@ -425,9 +425,16 @@ def nb_lang_train_apply(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     """
     from pyspark.sql import Window
 
-    base = docs.select("doc_id", label_col, tokens(F.col("text")).alias("toks"))
+    # GC-owned lazy checkpoints: base feeds train + test (2 consumers),
+    # tr_tok feeds class-token counts, class totals, and the vocab agg
+    # (3) — without them the tokenize scan re-runs per consumer
+    base = docs.select(
+        "doc_id", label_col, tokens(F.col("text")).alias("toks")
+    ).localCheckpoint(eager=False)
     train_docs = base.filter(F.col("doc_id") % 2 == 0)
-    tr_tok = train_docs.select(label_col, F.explode("toks").alias("tok"))
+    tr_tok = train_docs.select(label_col, F.explode("toks").alias("tok")).localCheckpoint(
+        eager=False
+    )
     cls_tok = tr_tok.groupBy(label_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     cls_tot = tr_tok.groupBy(label_col).agg(F.count(F.lit(1)).alias("tot"))
     voc = tr_tok.agg(F.countDistinct("tok").alias("v"))

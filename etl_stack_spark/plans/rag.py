@@ -121,8 +121,14 @@ def rag_retrieval_pipeline(
     """The composed flow. Queries = chunk 0 of doc_id < n_queries (their
     own chunk is excluded from retrieval, ss1's self-exclusion rule).
     Returns (query_id, doc_id, chunk_idx, rrf_micros, fused_rank)."""
-    chunks = chunk_corpus(docs, chunk_size=chunk_size, stride=stride)
-    feat = hash_features(chunks, dim=dim)
+    # GC-owned lazy checkpoints at the two fan-outs: chunks feeds the
+    # query keys + features + both token legs (4 consumers), feat feeds
+    # query features, norms, and the dot join (3) — without them the
+    # tokenize/explode/groupBy subtrees re-run once PER consumer
+    chunks = chunk_corpus(docs, chunk_size=chunk_size, stride=stride).localCheckpoint(
+        eager=False
+    )
+    feat = hash_features(chunks, dim=dim).localCheckpoint(eager=False)
 
     q_keys = (
         chunks.filter((F.col("doc_id") < n_queries) & (F.col("chunk_idx") == 0))
