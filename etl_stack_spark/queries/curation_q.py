@@ -650,3 +650,46 @@ def zr1_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "zratio_milli")
         .withColumn("flag_boilerplate", (F.col("zratio_milli") < 200).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LM2 — perplexity-bucket corpus pruning (round 7): the CCNet recipe on
+# top of lm1's trigram NLL — per-doc average NLL per trigram (integer
+# milli-milli-nats via DIV, exact both engines), decile-bucketed with
+# ntile(10) over a fully-deterministic order, keep = best 7 deciles
+# (CCNet keeps head+middle ≈ 2/3 and drops the worst tail). Docs too
+# short to score (< 3 chars, no trigrams) are excluded on both sides.
+# ---------------------------------------------------------------------------
+_LM2_ORACLE = f"""
+WITH base AS ({_LM1_ORACLE}),
+ppx AS (
+  SELECT doc_id, nll_millinats * 1000 // n_trigrams AS ppx_milli
+  FROM base WHERE n_trigrams > 0
+)
+SELECT doc_id, CAST(ppx_milli AS BIGINT) AS ppx_milli,
+       CAST(ntile(10) OVER (ORDER BY ppx_milli, doc_id) AS INT) AS decile,
+       ntile(10) OVER (ORDER BY ppx_milli, doc_id) <= 7 AS keep
+FROM ppx
+"""
+
+
+@register("lm2_perplexity_prune", _LM2_ORACLE)
+def lm2_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.curation import trigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+    ppx = scored.filter(F.col("n_trigrams") > 0).select(
+        "doc_id",
+        F.expr("nll_millinats * 1000 div n_trigrams").alias("ppx_milli"),
+    )
+    # global ntile over a per-doc stats table: dimension-cardinality, the
+    # rfm1-documented regime (exact breakpoints past ~10^7 docs)
+    w = Window.orderBy("ppx_milli", "doc_id")
+    return ppx.select(
+        "doc_id",
+        "ppx_milli",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    ).withColumn("keep", F.col("decile") <= 7)

@@ -120,3 +120,90 @@ def html1_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(extracted).cast("int").alias("n_chars"),
         portable_hash60(extracted).alias("text_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CRAWL2 — the composed crawl front door (round 7): WARC bytes → parse →
+# status filter → HTML→text extraction → token-count quality gate, the
+# exact flow the warc_pipeline bench tier measures at volume, here
+# oracle-checked end-to-end. Pages synthesize in-engine (HTML-wrapped
+# document text as HTTP responses, 404s from doc_id arithmetic); the
+# oracle restates the surviving rows in closed form from `documents`
+# alone — status rule, expected visible text, token gate — so a hash
+# match pins the whole chain, not any one stage.
+# ---------------------------------------------------------------------------
+_CRAWL2_ORACLE = f"""
+WITH exp AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      'Doc ' || doc_id || ' & friends home | about ' || text || ' &copy; example',
+      '\\s+', ' ', 'g')) AS t
+  FROM documents
+  WHERE doc_id % 7 <> 0
+),
+gated AS (
+  SELECT doc_id, t,
+         CAST(len(list_filter(string_split_regex(t, '\\s+'), x -> x <> '')) AS INT)
+           AS n_tokens
+  FROM exp
+)
+SELECT doc_id, n_tokens, {_H60.format(expr="t")} AS text_hash
+FROM gated WHERE n_tokens >= 15
+"""
+
+
+@register("crawl2_front_door", _CRAWL2_ORACLE)
+def crawl2_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import html_to_text, portable_hash60, tokens
+    from etl_stack_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_members,
+        parse_warc_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                status = 404 if did % 7 == 0 else 200
+                html = (
+                    f"<html><head><title>Doc {did} &amp; friends</title>"
+                    f'<script type="text/javascript">var x = {did};</script>'
+                    f"<style>.nav {{color: red}}</style></head>"
+                    f"<body><nav>home | about</nav><p>{text}</p>"
+                    f"<footer>&copy; example</footer></body></html>"
+                )
+                records = [
+                    encode_warc_record(
+                        f"info-{did}", "warcinfo", None, b"software: etl-stack-spark"
+                    ),
+                    encode_warc_record(
+                        f"resp-{did}",
+                        "response",
+                        f"http://example.test/{did}",
+                        encode_http_response(html.encode(), status=status),
+                    ),
+                ]
+                paths.append(f"crawl/{did}.warc.gz")
+                blobs.append(gzip_members(records))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    files = docs.mapInPandas(synth, schema="path string, content binary")
+    recs = parse_warc_batch(files)
+    resp = recs.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    ext = resp.select(
+        F.regexp_extract(F.col("target_uri"), r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        html_to_text(F.col("body").cast("string")).alias("t"),
+    )
+    gated = (
+        ext.filter(F.col("t").isNotNull())
+        .withColumn("n_tokens", F.size(tokens(F.col("t"))).cast("int"))
+        .filter(F.col("n_tokens") >= 15)
+    )
+    return gated.select("doc_id", "n_tokens", portable_hash60(F.col("t")).alias("text_hash"))

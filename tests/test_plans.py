@@ -130,6 +130,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "pk2_sequence_pack_ffd",  # FFD packing: sequential per shard
         "zr1_compression_ratio",  # zlib deflate has no Column form
         "warc1_crawl_ingest",  # real gzip+WARC byte parsing, Arrow batches
+        "crawl2_front_door",   # composed WARC->HTML->gate flow, same stages
     }
     # all-pairs joins: only the declared broadcast-small-side shapes may
     # compile to BroadcastNestedLoopJoin; nothing may CartesianProduct
