@@ -145,6 +145,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "hll1_portable_distinct",    # sketch-state merge, 1-row side
         "ir1_bm25_topk",             # 1-row corpus stats (N, avgdl)
         "lm1_trigram_lm_score",      # 1-row LM stats (t_total, v_size)
+        "lm2_perplexity_prune",      # same trigram_lm_score 1-row stats side
         "qs1_exact_quantiles_histogram",  # 1-row total-count side
         "sp3_domain_mix",            # 1-row scale-factor side
         "mix2_temperature_sampling",  # same mix_domains 1-row scale side
