@@ -156,3 +156,182 @@ def test_pr1_pagerank_conserves_bounded_mass(spark):
     total = sum(scores)
     assert all(s > 0 for s in scores)
     assert 0.15 * PAGERANK_SCALE * 0.99 <= total <= PAGERANK_SCALE * 1.01
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: the new formula-bearing queries get the same
+# independent treatment — NB training/scoring, the RAG fuse, and the
+# perplexity deciles recomputed from raw parquet in pure Python.
+# ---------------------------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.strip().split() if t]
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def _q_millinats(x: float) -> int:
+    return math.floor(math.log(x) * 1000 + 0.5)
+
+
+def test_lang2_nb_matches_python(spark):
+    """Naive Bayes train/apply recomputed from scratch: token counts,
+    Laplace smoothing, milli-nat quantization, argmax with the lang
+    tie-break — none of it read from either engine's plan."""
+    from etl_stack_spark.queries.text_dedup import lang2_nb_train_apply
+
+    got = {
+        r.doc_id: (r.true_lang, r.pred_lang, r.score_millinats)
+        for r in lang2_nb_train_apply(spark, SF_SMOKE).collect()
+    }
+    rows = _rows("documents", ["doc_id", "lang", "text"])
+    cls_tok: Counter = Counter()
+    cls_tot: Counter = Counter()
+    n_docs: Counter = Counter()
+    vocab = set()
+    train_total = 0
+    for did, lang, text in rows:
+        if did % 2 == 0:
+            train_total += 1
+            n_docs[lang] += 1
+            for t in _toks(text):
+                cls_tok[(lang, t)] += 1
+                cls_tot[lang] += 1
+                vocab.add(t)
+    v = len(vocab)
+    langs = sorted(cls_tot)
+    q_prior = {c: _q_millinats(n_docs[c] / train_total) for c in langs}
+    q_def = {c: _q_millinats(1.0 / (cls_tot[c] + v)) for c in langs}
+    q_delta = {
+        (c, t): _q_millinats((cnt + 1.0) / (cls_tot[c] + v)) - q_def[c]
+        for (c, t), cnt in cls_tok.items()
+    }
+    expect = {}
+    for did, lang, text in rows:
+        if did % 2 == 0:
+            continue
+        toks = _toks(text)
+        scores = {}
+        for c in langs:
+            s = q_prior[c] + len(toks) * q_def[c]
+            s += sum(q_delta.get((c, t), 0) for t in toks)
+            scores[c] = s
+        # tie-break: highest score, then lexicographically smallest lang
+        best = sorted(langs, key=lambda c: (-scores[c], c))[0]
+        expect[did] = (lang, best, scores[best])
+    assert got == expect
+
+
+def test_rag2_fused_ranking_matches_python(spark):
+    """The full composed RAG pipeline — chunking, feature hashing,
+    sparse cosine, token overlap, per-query RRF — recomputed from raw
+    parquet with dicts and math.sqrt."""
+    from etl_stack_spark.queries.rag_q import _DIM, rag2_retrieval_pipeline
+
+    got = [
+        (r.query_id, r.doc_id, r.chunk_idx, r.rrf_micros, r.fused_rank)
+        for r in rag2_retrieval_pipeline(spark, SF_SMOKE).collect()
+    ]
+    rows = _rows("documents", ["doc_id", "text"])
+    chunks: dict[int, list[str]] = {}
+    for did, text in rows:
+        toks = _toks(text)
+        for idx, start in enumerate(range(0, len(toks), 48)):
+            chunks[did * 1000 + idx] = toks[start : start + 64]
+    feat: dict[int, Counter] = {}
+    for key, ctoks in chunks.items():
+        f: Counter = Counter()
+        for t in ctoks:
+            h = _h60(t)
+            f[h % _DIM] += 1 if (h // _DIM) % 2 == 0 else -1
+        feat[key] = Counter({b: w for b, w in f.items() if w != 0})
+    q_keys = {d * 1000: d for d in range(5) if d * 1000 in chunks}
+    out = []
+    for q_key, qid in sorted(q_keys.items()):
+        qf = feat[q_key]
+        qn2 = sum(w * w for w in qf.values())
+        vec_scores = []
+        for key, cf in feat.items():
+            if key == q_key:
+                continue
+            dot = sum(qw * cf.get(b, 0) for b, qw in qf.items())
+            if not any(b in cf for b in qf):
+                continue  # no shared bucket -> absent from the leg
+            n2 = sum(w * w for w in cf.values())
+            cos = round(dot / math.sqrt(qn2 * n2), 6)
+            vec_scores.append((cos, key))
+        vec_leg = {
+            key: r + 1
+            for r, (_, key) in enumerate(
+                sorted(vec_scores, key=lambda x: (-x[0], x[1]))[:50]
+            )
+        }
+        qtoks = set(chunks[q_key])
+        ov_scores = []
+        for key, ctoks in chunks.items():
+            if key == q_key:
+                continue
+            ov = len(qtoks & set(ctoks))
+            if ov > 0:
+                ov_scores.append((ov, key))
+        lex_leg = {
+            key: r + 1
+            for r, (_, key) in enumerate(
+                sorted(ov_scores, key=lambda x: (-x[0], x[1]))[:50]
+            )
+        }
+        fused: Counter = Counter()
+        for leg in (vec_leg, lex_leg):
+            for key, rank in leg.items():
+                fused[key] += 1_000_000 // (60 + rank)
+        ranked = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:10]
+        for fr, (key, micros) in enumerate(ranked, 1):
+            out.append((qid, key // 1000, key % 1000, micros, fr))
+    assert sorted(got) == sorted(out)
+
+
+def test_lm2_deciles_match_python(spark):
+    """Perplexity pruning recomputed: trigram NLL under the src0 LM,
+    integer average, ntile(10) with Spark/DuckDB's remainder-to-first
+    bucket rule, keep = decile <= 7."""
+    from etl_stack_spark.queries.curation_q import lm2_perplexity_prune
+
+    got = {
+        r.doc_id: (r.ppx_milli, r.decile, r.keep)
+        for r in lm2_perplexity_prune(spark, SF_SMOKE).collect()
+    }
+    rows = _rows("documents", ["doc_id", "source", "text"])
+    ref: Counter = Counter()
+    for _, src, text in rows:
+        if src == "src0":
+            for i in range(len(text) - 2):
+                ref[text[i : i + 3]] += 1
+    t_total = sum(ref.values())
+    v_size = len(ref)
+    ppx = []
+    for did, _, text in rows:
+        tris = [text[i : i + 3] for i in range(len(text) - 2)]
+        if not tris:
+            continue
+        nll = sum(
+            math.floor(-math.log((ref.get(t, 0) + 1) / (t_total + v_size)) * 1000 + 0.5)
+            for t in tris
+        )
+        ppx.append((nll * 1000 // len(tris), did))
+    ppx.sort()
+    n = len(ppx)
+    base, rem = divmod(n, 10)
+    expect = {}
+    pos = 0
+    for bucket in range(1, 11):
+        size = base + (1 if bucket <= rem else 0)
+        for _ in range(size):
+            p, did = ppx[pos]
+            expect[did] = (p, bucket, bucket <= 7)
+            pos += 1
+    assert got == expect
