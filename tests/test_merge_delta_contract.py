@@ -376,3 +376,72 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
         for l in (log_dir / f"{latest:020d}.json").read_text().splitlines()
     ]
     assert next(a["commitInfo"]["operation"] for a in acts if "commitInfo" in a) == "OPTIMIZE"
+
+
+def test_delta_log_random_op_sequences_stay_consistent(spark, tmp_path):
+    """Seeded-random torture: arbitrary interleavings of overwrite /
+    merge / delete_where / optimize_zorder / vacuum / reopen must keep
+    the INVARIANT a stock reader depends on — replaying the log
+    (checkpoint + trailing commits) always yields exactly the current
+    snapshot's live files, and reading those files reproduces
+    table.read(). Log versions stay contiguous from 0."""
+    import os
+    import random
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+
+    def mkdf(rng, n):
+        rows = [
+            ("c1", f"k{rng.randrange(40)}", f"T{rng.randrange(1000)}",
+             f"h{rng.randrange(1000)}", "active")
+            for _ in range(n)
+        ]
+        # merge requires unique keys per batch
+        seen, uniq = set(), []
+        for r in rows:
+            if r[1] not in seen:
+                seen.add(r[1])
+                uniq.append(r)
+        return df(spark, uniq)
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        root = tmp_path / f"t{seed}"
+        t = ParquetMergeTable(spark, str(root), delta_log=True)
+        t.overwrite(mkdf(rng, 12))
+        ops = 0
+        for _ in range(10):
+            # optimize_zorder is exercised by its own test (needs numeric
+            # cluster columns; this schema is all-string)
+            op = rng.choice(["merge", "overwrite", "delete", "vacuum", "reopen"])
+            if op == "merge":
+                t.merge(mkdf(rng, rng.randrange(1, 10)), keys=["client_id", "pk"])
+            elif op == "overwrite":
+                t.overwrite(mkdf(rng, rng.randrange(3, 15)))
+            elif op == "delete":
+                t.delete_where(F.col("pk") == f"k{rng.randrange(40)}")
+            elif op == "vacuum":
+                t.vacuum(keep_last=rng.randrange(1, 3))
+            elif op == "reopen":
+                t = ParquetMergeTable(spark, str(root))  # no flag: log sticks
+            ops += 1
+
+            log = DeltaLog(str(root))
+            state = log.state()
+            versions = log.versions()
+            assert versions == list(range(len(versions))), "contiguous from 0"
+            cur = t.current_version()
+            live = sorted(state["files"])
+            expect = sorted(
+                f"{cur}/{f}"
+                for f in os.listdir(root / cur)
+                if f.endswith(".parquet")
+            )
+            assert live == expect, f"seed {seed}: replay != snapshot after {op}"
+            via_log = spark.read.parquet(*[str(root / p) for p in live])
+            a = {tuple(r) for r in via_log.collect()}
+            b = {tuple(r) for r in t.read().collect()}
+            assert a == b, f"seed {seed}: log-read != table-read after {op}"
+            # every live file's recorded size is real
+            for rel, info in state["files"].items():
+                assert (root / rel).stat().st_size == info["size"]
