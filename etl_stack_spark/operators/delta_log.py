@@ -109,6 +109,7 @@ class DeltaLog:
                         "size": a["size"],
                         "modificationTime": a["modificationTime"],
                         "stats": a.get("stats"),
+                        "partitionValues": a.get("partitionValues") or {},
                     }
             start = ckpt["version"] + 1
         versions = [v for v in self.versions() if v >= start]
@@ -127,6 +128,7 @@ class DeltaLog:
                             "size": a["size"],
                             "modificationTime": a["modificationTime"],
                             "stats": a.get("stats"),
+                            "partitionValues": a.get("partitionValues") or {},
                         }
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
@@ -148,8 +150,11 @@ class DeltaLog:
     ) -> int:
         """Append one commit: tombstone the previous snapshot's files,
         add ``snapshot_files`` (relative path, size, mtime_ms[, stats
-        JSON string or None]). Returns the committed log version. Caller
-        holds the table commit lock."""
+        JSON string or None[, partitionValues dict or None]]). The file
+        list is the FULL live set — adds/removes derive from the diff
+        against the replayed state, so both whole-snapshot tables and
+        partition-scoped tables use the same call. Returns the committed
+        log version. Caller holds the table commit lock."""
         os.makedirs(self.log_dir, exist_ok=True)
         prev = self.state()
         version = 0 if prev["version"] is None else prev["version"] + 1
@@ -182,8 +187,8 @@ class DeltaLog:
                     }
                 }
             )
-        files4 = [(f + (None,))[:4] for f in snapshot_files]
-        new_paths = {p for p, _, _, _ in files4}
+        files5 = [(f + (None, None))[:5] for f in snapshot_files]
+        new_paths = {f[0] for f in files5}
         for path in sorted(prev["files"]):
             if path not in new_paths:
                 actions.append(
@@ -195,10 +200,15 @@ class DeltaLog:
                         }
                     }
                 )
-        for path, size, mtime, stats in sorted(files4):
+        prev_files = prev["files"]
+        for path, size, mtime, stats, pvals in sorted(
+            files5, key=lambda f: f[0]
+        ):
+            if path in prev_files:  # unchanged live file: no re-add
+                continue
             add = {
                 "path": path,
-                "partitionValues": {},
+                "partitionValues": dict(pvals or {}),
                 "size": size,
                 "modificationTime": mtime,
                 "dataChange": True,
@@ -250,7 +260,7 @@ class DeltaLog:
                     "metaData": None,
                     "add": {
                         "path": path,
-                        "partitionValues": [],
+                        "partitionValues": f.get("partitionValues") or {},
                         "size": f["size"],
                         "modificationTime": f["modificationTime"],
                         "dataChange": False,
@@ -365,6 +375,24 @@ def file_stats(full_path: str) -> str | None:
         },
         separators=(",", ":"),
     )
+
+
+def partitioned_snapshot_files(
+    root: str, parts: dict[str, str], partition_col: str
+) -> list[tuple]:
+    """(relative_path, size, mtime_ms, stats_json, partitionValues) for
+    every parquet file across a partitioned table's LIVE directories —
+    the full-set payload commit() diffs incrementally (untouched
+    partitions' files are already live, so only rewritten partitions
+    produce add/remove actions). O(partitions) listdirs driver-side;
+    the partition list is small by design (loader batches touch one
+    client / a few days)."""
+    out: list[tuple] = []
+    for value, version_dir in parts.items():
+        pvals = {partition_col: value}
+        for f in snapshot_parquet_files(root, version_dir):
+            out.append(f + (pvals,))
+    return out
 
 
 def snapshot_parquet_files(

@@ -513,11 +513,41 @@ class PartitionedMergeTable:
     reads need no reconstruction.
     """
 
-    def __init__(self, spark: SparkSession, root: str, partition_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_col: str,
+        delta_log: bool = False,
+    ):
+        from etl_stack_spark.operators.delta_log import DeltaLog
+
         self.spark = spark
         self.root = root
         self.partition_col = partition_col
         os.makedirs(root, exist_ok=True)
+        # same stickiness rule as ParquetMergeTable: an existing log keeps
+        # appending even when reopened without the flag
+        if delta_log or os.path.isdir(os.path.join(root, "_delta_log")):
+            self.delta_log: DeltaLog | None = DeltaLog(root)
+        else:
+            self.delta_log = None
+
+    def _log_commit(self, manifest: dict, operation: str) -> None:
+        """Emit one Delta commit for the table's CURRENT live state —
+        called inside the commit lock, after the manifest swap. Add
+        actions carry partitionValues ({partition_col: value}), so a
+        stock reader sees a properly partitioned Delta table; commit()
+        diffs against the replayed state, so only rewritten partitions
+        produce actions."""
+        from etl_stack_spark.operators.delta_log import partitioned_snapshot_files
+
+        self.delta_log.commit(
+            partitioned_snapshot_files(self.root, manifest["parts"], self.partition_col),
+            json.dumps(manifest.get("schema") or {}),
+            operation=operation,
+            partition_columns=[self.partition_col],
+        )
 
     _manifest_path = ParquetMergeTable._manifest_path
     _commit_lock = ParquetMergeTable._commit_lock
@@ -680,6 +710,8 @@ class PartitionedMergeTable:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._manifest_path)
+            if self.delta_log is not None:
+                self._log_commit(manifest, "MERGE")
         return {
             "inserted": counts.get("insert", 0),
             "updated": counts.get("update", 0),
@@ -755,6 +787,8 @@ class PartitionedMergeTable:
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             os.replace(tmp, self._manifest_path)
+            if self.delta_log is not None and compacted:
+                self._log_commit(manifest, "OPTIMIZE")
         return {"compacted": compacted, "skipped": skipped}
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

@@ -445,3 +445,74 @@ def test_delta_log_random_op_sequences_stay_consistent(spark, tmp_path):
             # every live file's recorded size is real
             for rel, info in state["files"].items():
                 assert (root / rel).stat().st_size == info["size"]
+
+
+def test_partitioned_delta_log_scopes_actions_to_touched_partitions(spark, tmp_path):
+    """The production (partition-scoped) table emits the same public log:
+    add actions carry partitionValues, a merge touching ONE partition
+    produces actions for only that partition, spec replay reproduces the
+    partition-pruned read, and compaction commits as OPTIMIZE."""
+    import json
+    import os
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+
+    root = tmp_path / "pt"
+    t = PartitionedMergeTable(spark, str(root), "client_id", delta_log=True)
+    t.merge(
+        df(spark, [
+            ("c1", "a", "A", "h1", "active"),
+            ("c2", "x", "X", "h9", "active"),
+        ]),
+        keys=["client_id", "pk"],
+    )
+    log = DeltaLog(str(root))
+    state0 = log.state()
+    assert state0["version"] == 0
+    pvals = {p: info["partitionValues"] for p, info in state0["files"].items()}
+    assert {tuple(sorted(v.items() if isinstance(v, dict) else v)) for v in pvals.values()} == {
+        (("client_id", "c1"),), (("client_id", "c2"),)
+    }
+
+    # touch only c1: the new commit must not mention c2's files
+    t.merge(df(spark, [("c1", "b", "B", "h2", "active")]), keys=["client_id", "pk"])
+    acts = [
+        json.loads(l)
+        for l in (root / "_delta_log" / f"{1:020d}.json").read_text().splitlines()
+    ]
+    adds = [a["add"] for a in acts if "add" in a]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert adds and all(a["partitionValues"] == {"client_id": "c1"} for a in adds)
+    c2_dirs = {p for p, v in pvals.items() if dict(v) == {"client_id": "c2"}}
+    assert all(r["path"] not in c2_dirs or False for r in removes)
+    assert all("c2" not in json.dumps(r) or r["path"] not in c2_dirs for r in removes)
+    removed_paths = {r["path"] for r in removes}
+    assert removed_paths <= {p for p, v in pvals.items() if dict(v) == {"client_id": "c1"}}
+
+    # replay == table read, including the evolved-schema projection path
+    state1 = log.state()
+    via_log = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / p) for p in state1["files"]]
+    )
+    got = {(r["client_id"], r["pk"], r["title"]) for r in via_log.collect()}
+    want = {(r["client_id"], r["pk"], r["title"]) for r in t.read().collect()}
+    assert got == want == {("c1", "a", "A"), ("c1", "b", "B"), ("c2", "x", "X")}
+
+    # fragment c1 (two single-row merges already), then compact -> OPTIMIZE
+    t.merge(df(spark, [("c1", "c", "C", "h3", "active")]), keys=["client_id", "pk"])
+    res = t.compact(min_files=0)
+    assert res["compacted"]
+    latest = max(
+        int(p.name[:20]) for p in (root / "_delta_log").glob("*.json")
+    )
+    acts = [
+        json.loads(l)
+        for l in (root / "_delta_log" / f"{latest:020d}.json").read_text().splitlines()
+    ]
+    assert next(a["commitInfo"]["operation"] for a in acts if "commitInfo" in a) == "OPTIMIZE"
+    # replay still equals read after compaction
+    state2 = DeltaLog(str(root)).state()
+    via_log2 = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / p) for p in state2["files"]]
+    )
+    assert via_log2.count() == t.read().count() == 4
