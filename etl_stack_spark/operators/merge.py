@@ -1012,11 +1012,14 @@ def fsck(table, remove_orphans: bool = False) -> dict:
         history = [
             (e["dir"] if isinstance(e, dict) else e) for e in manifest["history"]
         ]
-        prefix = "p_"
+        # p_ = merge-written partition versions, c_ = compaction rewrites:
+        # a compactor that died between data write and manifest swap parks
+        # a c_ dir no manifest knows — it must be orphan-collectable too
+        prefix: tuple[str, ...] = ("p_", "c_")
     else:
         live = {"current": manifest["current"]} if manifest["current"] else {}
         history = list(manifest["history"])
-        prefix = "v_"
+        prefix = ("v_",)
 
     def has_parquet(d: str) -> bool:
         p = os.path.join(root, d)

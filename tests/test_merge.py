@@ -757,3 +757,40 @@ def test_fsck_partitioned_and_stale_lock(spark, tmp_path):
     assert "COMMIT_LOCK" in rep2["removed"] and not os.path.exists(lock)
     assert fsck(t)["ok"]
     assert t.read().count() == 2
+
+
+def test_fsck_collects_crashed_compaction_dirs(spark, tmp_path):
+    """A compactor that dies between its data write and the manifest swap
+    parks a c_* dir no manifest knows about; fsck must flag and collect
+    it — while a LIVE compaction dir (a committed compact) stays."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable, fsck
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "p"), "region")
+    df = spark.createDataFrame(
+        [(1, "eu", 10), (2, "eu", 20)], "id long, region string, v long"
+    ).withColumn("content_hash", F.sha2(F.col("v").cast("string"), 256))
+    t.merge(df, keys=["id", "region"])
+    t.merge(df.withColumn("v", F.col("v") + 1).withColumn(
+        "content_hash", F.sha2((F.col("v") + 1).cast("string"), 256)
+    ), keys=["id", "region"])
+    res = t.compact(min_files=0)
+    assert res["compacted"]
+    live_c = [d for d in t.parts().values() if d.startswith("c_")]
+    assert live_c, "compact must have committed a c_ dir"
+
+    # plant a crashed compaction: a c_ dir with data, absent from manifest
+    crashed = os.path.join(t.root, "c_9_99999_1")
+    os.makedirs(crashed)
+    spark.range(3).write.mode("overwrite").parquet(crashed)
+
+    rep = fsck(t)
+    assert "c_9_99999_1" in rep["orphans"]
+    assert all(d not in rep["orphans"] for d in live_c)
+    fsck(t, remove_orphans=True)
+    assert not os.path.exists(crashed)
+    assert fsck(t)["ok"]
+    assert t.read().count() == 2
