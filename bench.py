@@ -319,6 +319,63 @@ def bench_warc_pipeline(
     }
 
 
+def bench_stats_skipping(spark, sf_dir: str, files: int = 64) -> dict:
+    """Zone-map file-skipping tier (round 7): load orders into a
+    Delta-logged merge table clustered on o_custkey (range partition +
+    sort), then run the same narrow range read twice — once through
+    ``read_where`` (stats-pruned file list) and once as a full-scan
+    filter over the whole snapshot. The scale-invariant signal is
+    ``files_scanned`` vs ``files_total`` (I/O follows the predicate);
+    wall times are recorded honestly (constants-bound at sf0.1, like the
+    partitioned-merge tier)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+
+    tmp = tempfile.mkdtemp(prefix="skip_bench_")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        t = ParquetMergeTable(spark, os.path.join(tmp, "t"), delta_log=True)
+        t0 = time.perf_counter()
+        t.overwrite(
+            orders.repartitionByRange(files, "o_custkey").sortWithinPartitions(
+                "o_custkey"
+            )
+        )
+        load_secs = time.perf_counter() - t0
+        hi = orders.agg(F.max("o_custkey")).first()[0]
+        bounds = {"o_custkey": (1, max(1, hi // files))}  # ~1 file's range
+
+        t1 = time.perf_counter()
+        pruned_rows = t.read_where(bounds).count()
+        pruned_secs = time.perf_counter() - t1
+        keep, total = t.prune_files(bounds)
+
+        t2 = time.perf_counter()
+        lo, hi_b = bounds["o_custkey"]
+        full_rows = (
+            t.read()
+            .filter((F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi_b))
+            .count()
+        )
+        full_secs = time.perf_counter() - t2
+        assert pruned_rows == full_rows, "pruned read must be lossless"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "files_total": total,
+        "files_scanned": len(keep),
+        "skip_ratio": round(1 - len(keep) / total, 3),
+        "rows": pruned_rows,
+        "load_secs": round(load_secs, 3),
+        "pruned_read_secs": round(pruned_secs, 3),
+        "full_scan_secs": round(full_secs, 3),
+    }
+
+
 def bench_partitioned_merge(spark, sf_dir: str) -> dict:
     """Partitioned-MERGE tier (VERDICT r5 task 7): load orders into a
     16-partition PartitionedMergeTable, then merge an update touching ONE
@@ -552,6 +609,7 @@ def main() -> None:
     interval = None
     pmerge = None
     warc = None
+    skipping = None
     if stream:
         try:
             streaming = bench_streaming(spark, sf_dir)
@@ -583,6 +641,12 @@ def main() -> None:
         except Exception as e:
             warc = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# WARC-ERROR {warc['error']}", file=sys.stderr)
+        try:
+            skipping = bench_stats_skipping(spark, sf_dir)
+            print(f"# stats skipping: {skipping}", file=sys.stderr)
+        except Exception as e:
+            skipping = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# SKIP-ERROR {skipping['error']}", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
@@ -615,6 +679,8 @@ def main() -> None:
         detail["partitioned_merge"] = pmerge
     if warc is not None:
         detail["warc_pipeline"] = warc
+    if skipping is not None:
+        detail["stats_skipping"] = skipping
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
