@@ -516,3 +516,55 @@ def test_partitioned_delta_log_scopes_actions_to_touched_partitions(spark, tmp_p
         *[str(root / p) for p in state2["files"]]
     )
     assert via_log2.count() == t.read().count() == 4
+
+
+def test_streaming_sink_emits_delta_commit_stream(spark, tmp_path):
+    """The streaming corpus wash writing into a delta_log=True table
+    produces a Delta commit per committed micro-batch merge: after each
+    stream drain the log replays to exactly the table's state, versions
+    stay contiguous, and a no-op replay (hash-gated idempotence) appends
+    a commit whose diff is empty rather than corrupting the live set."""
+    import json
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs with the pack "
+        "through the field and the forest and the hills beyond them all"
+    )
+    feed = tmp_path / "feed"
+    b1 = spark.createDataFrame(
+        [(1, good, "srcA", "2024-01-01 00:00:00")],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b1.write.mode("append").parquet(str(feed))
+
+    results = ParquetMergeTable(spark, str(tmp_path / "corpus"), delta_log=True)
+    ckpt = str(tmp_path / "ckpt")
+    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+
+    log = DeltaLog(results.root)
+
+    def replay_equals_read():
+        state = log.state()
+        via_log = spark.read.parquet(
+            *[str(tmp_path / "corpus" / p) for p in state["files"]]
+        )
+        assert via_log.count() == results.read().count()
+        assert log.versions() == list(range(len(log.versions())))
+
+    replay_equals_read()
+    v_after_1 = log.state()["version"]
+
+    # second batch -> another commit; replay still exact
+    b2 = spark.createDataFrame(
+        [(2, good + " now with more words to stay past the gates", "srcB",
+          "2024-01-02 00:00:00")],
+        "doc_id long, text string, source string, ts_s string",
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    b2.write.mode("append").parquet(str(feed))
+    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+    replay_equals_read()
+    assert log.state()["version"] > v_after_1
+    assert results.read().count() == 2
