@@ -81,16 +81,24 @@ class DeltaLog:
         with open(p) as f:
             return json.load(f)
 
-    def state(self) -> dict:
+    def state(self, as_of: int | None = None) -> dict:
         """Replay the log: {"version": int | None, "schema_string": str,
         "files": {relative_path: {"size": int, "modificationTime": int}},
         "metadata_id": str}. Reads the newest checkpoint (if any) then
-        applies the JSON commits after it — the stock reader algorithm."""
+        applies the JSON commits after it — the stock reader algorithm.
+
+        ``as_of`` = Delta's ``VERSION AS OF``: replay stops at that log
+        version (the checkpoint is used only when ≤ the target, exactly
+        as a stock reader picks the newest checkpoint not past it).
+        Time travel resolves only while the versioned data files still
+        exist — vacuum truncates it, standard Delta retention behavior."""
         live: dict[str, dict] = {}
         schema_string = None
         metadata_id = None
         start = 0
         ckpt = self._last_checkpoint()
+        if ckpt is not None and as_of is not None and ckpt["version"] > as_of:
+            ckpt = None  # checkpoint is past the target: replay JSONs from 0
         if ckpt is not None:
             import pyarrow.parquet as pq
 
@@ -112,7 +120,11 @@ class DeltaLog:
                         "partitionValues": a.get("partitionValues") or {},
                     }
             start = ckpt["version"] + 1
-        versions = [v for v in self.versions() if v >= start]
+        versions = [
+            v
+            for v in self.versions()
+            if v >= start and (as_of is None or v <= as_of)
+        ]
         for v in versions:
             with open(os.path.join(self.log_dir, _version_fname(v))) as f:
                 for line in f:
@@ -132,7 +144,9 @@ class DeltaLog:
                         }
                     elif "remove" in action:
                         live.pop(action["remove"]["path"], None)
-        all_versions = self.versions()
+        all_versions = [
+            v for v in self.versions() if as_of is None or v <= as_of
+        ]
         return {
             "version": all_versions[-1] if all_versions else None,
             "schema_string": schema_string,

@@ -568,3 +568,38 @@ def test_streaming_sink_emits_delta_commit_stream(spark, tmp_path):
     replay_equals_read()
     assert log.state()["version"] > v_after_1
     assert results.read().count() == 2
+
+
+def test_delta_log_version_as_of_time_travel(spark, tmp_path):
+    """VERSION AS OF through the log: replaying to an earlier version
+    reproduces exactly that snapshot's rows, both from the JSON tail and
+    across a checkpoint (a checkpoint PAST the target must be ignored,
+    per the stock reader rule)."""
+    from etl_stack_spark.operators.delta_log import CHECKPOINT_INTERVAL, DeltaLog
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    t.overwrite(df(spark, [("c1", "k0", "T0", "h0", "active")]))
+    for i in range(1, CHECKPOINT_INTERVAL + 2):
+        t.merge(
+            df(spark, [("c1", f"k{i}", f"T{i}", f"h{i}", "active")]),
+            keys=["client_id", "pk"],
+        )
+    log = DeltaLog(str(root))
+    assert log.state()["version"] == CHECKPOINT_INTERVAL + 1
+
+    # as_of = 3 is BEFORE the checkpoint at 10: JSON-only replay
+    s3 = log.state(as_of=3)
+    assert s3["version"] == 3
+    via = spark.read.parquet(*[str(root / p) for p in s3["files"]])
+    assert {r["pk"] for r in via.collect()} == {f"k{i}" for i in range(4)}
+
+    # as_of = CHECKPOINT_INTERVAL uses the checkpoint exactly at target
+    sc = log.state(as_of=CHECKPOINT_INTERVAL)
+    via_c = spark.read.parquet(*[str(root / p) for p in sc["files"]])
+    assert via_c.count() == CHECKPOINT_INTERVAL + 1
+
+    # as_of = 0 is the original single-row snapshot
+    s0 = log.state(as_of=0)
+    via0 = spark.read.parquet(*[str(root / p) for p in s0["files"]])
+    assert [r["pk"] for r in via0.collect()] == ["k0"]
