@@ -305,9 +305,11 @@ def _cc_loop(
             break
         # Catalyst-stats reset (the CC round squares sizeInBytes twice,
         # so bits ×4/round) AFTER the probe — a loop about to exit
-        # never pays the extra persist+count job, and no persisted
-        # state can leak past the loop (round-6 advisor)
-        if it % 4 == 3:
+        # never pays the extra persist+count job. Guarded to rounds
+        # with a guaranteed successor so a max_iter exhaustion cannot
+        # strand the persisted frame (round-7 advisor); the result
+        # stays pinned by the checkpoint RDD, not the cache entry.
+        if it % 4 == 3 and it < max_iter - 1:
             nxt.persist()
             nxt.count()
     return cur.select(F.col("_nid").alias(id_col), "component_id")
@@ -515,8 +517,10 @@ def flatten_hierarchy(
         if changed == 0:
             break
         # stats reset AFTER the probe (one squaring/round: bits ×2) —
-        # an exiting loop never pays it and nothing stays persisted
-        if it % 8 == 7:
+        # an exiting loop never pays it; the it < max_iter - 1 guard
+        # means a max_iter exhaustion cannot strand the persisted
+        # frame (round-7 advisor)
+        if it % 8 == 7 and it < max_iter - 1:
             state.persist()
             state.count()
     out = state.select(

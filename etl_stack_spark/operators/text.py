@@ -114,7 +114,8 @@ def html_to_text(html: Column) -> Column:
     containing ``>``, bare ``<``/``>`` in prose (``3 < 4``) preserved
     as text. Where cheap detection says the regexes WOULD mis-extract —
     an unclosed ``<script``/``<style`` block or an unterminated
-    ``<!--`` comment surviving block removal — the document is
+    ``<!--`` comment or ``<![CDATA[`` section surviving block
+    removal — the document is
     QUARANTINED (returns NULL) rather than leaking raw JS/CSS into the
     corpus; the caller's quality gate drops or routes NULLs. Known
     unhandled residue: unbalanced quotes inside a tag make the tag span
@@ -130,9 +131,9 @@ def html_to_text(html: Column) -> Column:
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"(?s)<!\[CDATA\[.*?\]\]>", " ")
     # quarantine: residual openers mean the block regexes above failed
-    # (unclosed script/style/comment) and tag-stripping would leak the
-    # payload as "text" — cheap to detect, wrong to guess at
-    poisoned = out.rlike(r"(?si)<script\b|<style\b|<!--")
+    # (unclosed script/style/comment/CDATA) and tag-stripping would
+    # leak the payload as "text" — cheap to detect, wrong to guess at
+    poisoned = out.rlike(r"(?si)<script\b|<style\b|<!--|<!\[CDATA\[")
     # tag: first char must open a real tag (letter, /, !, ?) so prose
     # `a < b` survives; quoted attribute values may contain `>`
     out = F.regexp_replace(

@@ -12,9 +12,9 @@ Design — every stage is relational, no UDFs, integer-exact until the
 single cosine division:
 
 1. **Chunk**: 64-token windows at stride 48 (rag1's geometry) over
-   ``documents``; ``chunk_key = doc_id * 1000 + chunk_idx`` (token
-   counts are bounded, chunk_idx < 1000 by construction — asserted by
-   the chunker).
+   ``documents``; ``chunk_key = doc_id * 1000 + chunk_idx`` (the
+   chunker raises via ``raise_error`` on chunk_idx ≥ 1000 — a ~48k+
+   token document must widen the encoding, never silently collide).
 2. **Embed**: feature hashing (Weinberger et al., the hashing trick):
    each token hashes to one of ``dim`` signed buckets via the portable
    60-bit hash; the chunk's embedding is the signed token-count vector,
@@ -68,10 +68,25 @@ def chunk_corpus(docs: DataFrame, chunk_size: int = 64, stride: int = 48) -> Dat
         "toks",
         F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(stride))).alias("start"),
     )
+    # chunk_key packs (doc_id, chunk_idx) into one BIGINT; the idx<1000
+    # bound is ENFORCED, not assumed — a ≥48k-token doc would otherwise
+    # silently collide its keys into the next doc_id's space
     return starts.select(
         "doc_id",
         F.expr(f"CAST((start - 1) DIV {stride} AS INT)").alias("chunk_idx"),
-        F.expr(f"doc_id * 1000 + (start - 1) DIV {stride}").alias("chunk_key"),
+        F.when(
+            F.expr(f"(start - 1) DIV {stride} < 1000"),
+            F.expr(f"doc_id * 1000 + (start - 1) DIV {stride}"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("chunk_corpus: chunk_idx overflow (>=1000) for doc_id "),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("chunk_key"),
         F.slice(F.col("toks"), F.col("start"), F.lit(chunk_size)).alias("chunk"),
     )
 

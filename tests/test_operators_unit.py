@@ -528,3 +528,26 @@ def test_nb_lang_id_learns_planted_signal(spark):
     assert acc == 1.0, f"planted disjoint vocab must be fully recovered, got {acc}"
     # scores are integer milli-nats
     assert str(out["score_millinats"].dtype) == "int64"
+
+
+def test_chunk_corpus_enforces_chunk_idx_bound(spark):
+    """rag chunk_key packs doc_id*1000+chunk_idx; the idx<1000 bound is
+    a raise, not an assumption (round-7 advisor): a ~48k-token document
+    must fail loudly instead of colliding into the next doc_id's key
+    space."""
+    import pytest
+
+    from etl_stack_spark.plans.rag import chunk_corpus
+
+    ok = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    rows = chunk_corpus(ok).collect()
+    assert [r.chunk_key for r in rows] == [1000 * 1 + 0]
+
+    # 1000 windows at stride 48 = first overflowing doc: 48*1000+1 tokens
+    big = spark.createDataFrame(
+        [(7, " ".join(["tok"] * (48 * 1000 + 1)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="chunk_idx overflow"):
+        chunk_corpus(big).collect()

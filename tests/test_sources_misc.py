@@ -224,6 +224,10 @@ def test_html_to_text_torture(spark):
         ("<script>var x = 1; document.write('<p>'); ", None),
         ("<style>.a { color: red } ", None),
         ("text <!-- unterminated comment", None),
+        # unterminated CDATA quarantines too (round-7 advisor): the
+        # tag-strip regex would otherwise eat only up to the first '>'
+        # and leak the rest of the payload as text
+        ("text <![CDATA[ raw > payload leaks", None),
     ]
     df = spark.createDataFrame(cases, "html string, want string")
     out = df.select("want", html_to_text(F.col("html")).alias("got")).collect()
