@@ -22,8 +22,11 @@ dataChange), ``remove`` (tombstone for every file of the previous
 snapshot — each commit is a full-snapshot replace, so the live file set
 is always exactly the newest ``v_*`` directory), ``commitInfo``
 (operation + engine tag). The checkpoint parquet holds the replayed
-state (protocol + metaData + live adds; tombstones past their
-retention are dropped, which the spec permits).
+state (protocol + metaData with the table's real partitionColumns +
+live adds + remove tombstones still inside ``TOMBSTONE_RETENTION_MS``;
+only tombstones PAST their retention are dropped, per the spec — a
+stock incremental reader or VACUUM replaying from the checkpoint must
+still see fresh removes).
 
 Reference counterpart: the transactional Postgres loader at
 /root/reference/src/ETL_PROPERTIES/loader_v2.py:188 — its COMMIT is the
@@ -47,6 +50,9 @@ import uuid
 
 CHECKPOINT_INTERVAL = 10
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# Delta's default deletedFileRetentionDuration (1 week): remove
+# tombstones younger than this survive into checkpoints
+TOMBSTONE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
 def _version_fname(version: int) -> str:
@@ -84,8 +90,12 @@ class DeltaLog:
     def state(self, as_of: int | None = None) -> dict:
         """Replay the log: {"version": int | None, "schema_string": str,
         "files": {relative_path: {"size": int, "modificationTime": int}},
-        "metadata_id": str}. Reads the newest checkpoint (if any) then
-        applies the JSON commits after it — the stock reader algorithm.
+        "metadata_id": str, "partition_columns": [str],
+        "tombstones": {relative_path: deletionTimestamp_ms}}. Reads the
+        newest checkpoint (if any) then applies the JSON commits after
+        it — the stock reader algorithm. Tombstones carry forward so a
+        checkpoint can retain fresh removes; a re-add of a tombstoned
+        path supersedes the tombstone (spec reconciliation rule).
 
         ``as_of`` = Delta's ``VERSION AS OF``: replay stops at that log
         version (the checkpoint is used only when ≤ the target, exactly
@@ -93,8 +103,10 @@ class DeltaLog:
         Time travel resolves only while the versioned data files still
         exist — vacuum truncates it, standard Delta retention behavior."""
         live: dict[str, dict] = {}
+        tombstones: dict[str, int] = {}
         schema_string = None
         metadata_id = None
+        partition_columns: list[str] = []
         start = 0
         ckpt = self._last_checkpoint()
         if ckpt is not None and as_of is not None and ckpt["version"] > as_of:
@@ -111,6 +123,9 @@ class DeltaLog:
                 if row.get("metaData") and row["metaData"].get("schemaString"):
                     schema_string = row["metaData"]["schemaString"]
                     metadata_id = row["metaData"]["id"]
+                    partition_columns = list(
+                        row["metaData"].get("partitionColumns") or []
+                    )
                 if row.get("add") and row["add"].get("path"):
                     a = row["add"]
                     live[a["path"]] = {
@@ -119,6 +134,9 @@ class DeltaLog:
                         "stats": a.get("stats"),
                         "partitionValues": a.get("partitionValues") or {},
                     }
+                if row.get("remove") and row["remove"].get("path"):
+                    r = row["remove"]
+                    tombstones[r["path"]] = r.get("deletionTimestamp") or 0
             start = ckpt["version"] + 1
         versions = [
             v
@@ -134,6 +152,9 @@ class DeltaLog:
                     if "metaData" in action:
                         schema_string = action["metaData"]["schemaString"]
                         metadata_id = action["metaData"]["id"]
+                        partition_columns = list(
+                            action["metaData"].get("partitionColumns") or []
+                        )
                     elif "add" in action:
                         a = action["add"]
                         live[a["path"]] = {
@@ -142,8 +163,11 @@ class DeltaLog:
                             "stats": a.get("stats"),
                             "partitionValues": a.get("partitionValues") or {},
                         }
+                        tombstones.pop(a["path"], None)
                     elif "remove" in action:
-                        live.pop(action["remove"]["path"], None)
+                        r = action["remove"]
+                        live.pop(r["path"], None)
+                        tombstones[r["path"]] = r.get("deletionTimestamp") or 0
         all_versions = [
             v for v in self.versions() if as_of is None or v <= as_of
         ]
@@ -152,6 +176,8 @@ class DeltaLog:
             "schema_string": schema_string,
             "files": live,
             "metadata_id": metadata_id,
+            "partition_columns": partition_columns,
+            "tombstones": tombstones,
         }
 
     # -- commit ------------------------------------------------------------
@@ -186,7 +212,19 @@ class DeltaLog:
         ]
         if version == 0:
             actions.append({"protocol": dict(PROTOCOL)})
-        if version == 0 or prev["schema_string"] != schema_string:
+        # None = caller didn't restate partitioning: inherit the replayed
+        # value so a whole-snapshot commit on a partitioned table can
+        # never silently strip partitionColumns from the metadata
+        pcols = (
+            list(partition_columns)
+            if partition_columns is not None
+            else list(prev["partition_columns"])
+        )
+        if (
+            version == 0
+            or prev["schema_string"] != schema_string
+            or prev["partition_columns"] != pcols
+        ):
             actions.append(
                 {
                     "metaData": {
@@ -195,7 +233,7 @@ class DeltaLog:
                         "id": prev["metadata_id"] or str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_string,
-                        "partitionColumns": list(partition_columns or []),
+                        "partitionColumns": pcols,
                         "configuration": {},
                         "createdTime": now,
                     }
@@ -245,7 +283,12 @@ class DeltaLog:
     def _write_checkpoint(self, version: int) -> None:
         """Materialize the replayed state as ``<v>.checkpoint.parquet``
         (single file, pyarrow — Spark's writer emits directories) and
-        point ``_LAST_CHECKPOINT`` at it."""
+        point ``_LAST_CHECKPOINT`` at it. The metaData row carries the
+        table's REAL partitionColumns (a stock reader replays metadata
+        from the newest checkpoint, so dropping them there would
+        permanently un-partition the table — round-7 advisor); remove
+        tombstones younger than ``TOMBSTONE_RETENTION_MS`` are written
+        as remove rows per the spec's retention rule."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -258,7 +301,7 @@ class DeltaLog:
                     "id": state["metadata_id"],
                     "format": {"provider": "parquet", "options": []},
                     "schemaString": state["schema_string"],
-                    "partitionColumns": [],
+                    "partitionColumns": list(state["partition_columns"]),
                     "configuration": [],
                     "createdTime": None,
                 },
@@ -266,6 +309,23 @@ class DeltaLog:
                 "remove": None,
             },
         ]
+        cutoff = int(time.time() * 1000) - TOMBSTONE_RETENTION_MS
+        for path in sorted(state["tombstones"]):
+            ts = state["tombstones"][path]
+            if ts < cutoff:
+                continue  # past retention: the spec permits dropping it
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": None,
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts,
+                        "dataChange": False,
+                    },
+                }
+            )
         for path in sorted(state["files"]):
             f = state["files"][path]
             rows.append(

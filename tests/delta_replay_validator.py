@@ -1,0 +1,126 @@
+"""Independent Delta-log replay validator (VERDICT r7 task 4).
+
+A deliberately SEPARATE stock-reader implementation: pure Python +
+pyarrow only, with NO imports from ``etl_stack_spark`` — so writer and
+replayer cannot co-drift without a test failure. It follows exactly the
+published reader algorithm (delta-io PROTOCOL.md):
+
+1. read ``_delta_log/_LAST_CHECKPOINT`` → newest checkpoint version
+   (ignored when past the ``as_of`` target, as a stock reader picks the
+   newest checkpoint not past it);
+2. load the checkpoint parquet's protocol/metaData/add/remove rows;
+3. apply trailing ``<v>.json`` commits in version order — metaData
+   replaces, add upserts (and clears any tombstone for the path),
+   remove tombstones;
+4. the result is the live file set + table metadata.
+
+This is the strongest offline interop evidence available: DuckDB's
+delta extension is not installable in this container (checked round 7),
+so a from-scratch replayer written against the public spec stands in
+for a stock reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def replay(table_root: str, as_of: int | None = None) -> dict:
+    """Reconstruct table state from ``<table_root>/_delta_log`` alone.
+
+    Returns ``{"version", "schema_string", "partition_columns",
+    "files": {relative_path: {"size", "partitionValues"}},
+    "tombstones": {relative_path: deletionTimestamp}}``. Raises on a
+    non-contiguous version chain (checkpoint version N must be followed
+    by N+1, N+2, ... with no gaps) — gaps mean a torn log no stock
+    reader could trust.
+    """
+    log_dir = os.path.join(table_root, "_delta_log")
+    commit_versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and len(f) == 25
+    )
+    if as_of is not None:
+        commit_versions = [v for v in commit_versions if v <= as_of]
+    if not commit_versions:
+        raise FileNotFoundError(f"no usable log versions in {log_dir}")
+
+    files: dict[str, dict] = {}
+    tombstones: dict[str, int] = {}
+    schema_string = None
+    partition_columns: list[str] = []
+    protocol = None
+    start = 0
+
+    last_ckpt_path = os.path.join(log_dir, "_LAST_CHECKPOINT")
+    ckpt_version = None
+    if os.path.exists(last_ckpt_path):
+        with open(last_ckpt_path) as f:
+            v = json.load(f)["version"]
+        if as_of is None or v <= as_of:
+            ckpt_version = v
+    if ckpt_version is not None:
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(
+            os.path.join(log_dir, f"{ckpt_version:020d}.checkpoint.parquet")
+        ).to_pylist()
+        for row in rows:
+            if row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                protocol = row["protocol"]
+            md = row.get("metaData")
+            if md and md.get("schemaString"):
+                schema_string = md["schemaString"]
+                partition_columns = list(md.get("partitionColumns") or [])
+            add = row.get("add")
+            if add and add.get("path"):
+                files[add["path"]] = {
+                    "size": add["size"],
+                    "partitionValues": dict(add.get("partitionValues") or {}),
+                }
+            rm = row.get("remove")
+            if rm and rm.get("path"):
+                tombstones[rm["path"]] = rm.get("deletionTimestamp") or 0
+        start = ckpt_version + 1
+
+    tail = [v for v in commit_versions if v >= start]
+    expect = list(range(start, start + len(tail)))
+    if tail != expect:
+        raise ValueError(f"non-contiguous log: have {tail}, expected {expect}")
+
+    for v in tail:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    schema_string = action["metaData"]["schemaString"]
+                    partition_columns = list(
+                        action["metaData"].get("partitionColumns") or []
+                    )
+                elif "add" in action:
+                    a = action["add"]
+                    files[a["path"]] = {
+                        "size": a["size"],
+                        "partitionValues": dict(a.get("partitionValues") or {}),
+                    }
+                    tombstones.pop(a["path"], None)
+                elif "remove" in action:
+                    r = action["remove"]
+                    files.pop(r["path"], None)
+                    tombstones[r["path"]] = r.get("deletionTimestamp") or 0
+
+    if protocol is None or (protocol.get("minReaderVersion") or 0) > 1:
+        raise ValueError(f"unreadable protocol: {protocol}")
+    return {
+        "version": commit_versions[-1],
+        "schema_string": schema_string,
+        "partition_columns": partition_columns,
+        "files": files,
+        "tombstones": tombstones,
+    }

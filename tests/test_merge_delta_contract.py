@@ -384,11 +384,17 @@ def test_delta_log_random_op_sequences_stay_consistent(spark, tmp_path):
     the INVARIANT a stock reader depends on — replaying the log
     (checkpoint + trailing commits) always yields exactly the current
     snapshot's live files, and reading those files reproduces
-    table.read(). Log versions stay contiguous from 0."""
+    table.read(). Log versions stay contiguous from 0.
+
+    Every step is ALSO replayed by the independent validator
+    (tests/delta_replay_validator.py — a from-scratch stock-reader
+    implementation with no imports from the writer, VERDICT r7 task 4),
+    so writer/replayer co-drift cannot pass."""
     import os
     import random
 
     from etl_stack_spark.operators.delta_log import DeltaLog
+    from tests.delta_replay_validator import replay as independent_replay
 
     def mkdf(rng, n):
         rows = [
@@ -445,6 +451,24 @@ def test_delta_log_random_op_sequences_stay_consistent(spark, tmp_path):
             # every live file's recorded size is real
             for rel, info in state["files"].items():
                 assert (root / rel).stat().st_size == info["size"]
+            # the independent (writer-blind) replayer reconstructs the
+            # same state: live set, version, contiguity
+            ind = independent_replay(str(root))
+            assert sorted(ind["files"]) == live, f"seed {seed}: validator drift"
+            assert ind["version"] == state["version"]
+            for rel, info in ind["files"].items():
+                assert (root / rel).stat().st_size == info["size"]
+
+        # time travel through the INDEPENDENT replayer: every version
+        # whose data files still exist must reconstruct the engine's own
+        # VERSION AS OF state exactly
+        log = DeltaLog(str(root))
+        for v in log.versions():
+            own = log.state(as_of=v)
+            ind = independent_replay(str(root), as_of=v)
+            assert sorted(ind["files"]) == sorted(own["files"]), (
+                f"seed {seed}: time-travel drift at version {v}"
+            )
 
 
 def test_partitioned_delta_log_scopes_actions_to_touched_partitions(spark, tmp_path):
@@ -603,3 +627,150 @@ def test_delta_log_version_as_of_time_travel(spark, tmp_path):
     s0 = log.state(as_of=0)
     via0 = spark.read.parquet(*[str(root / p) for p in s0["files"]])
     assert [r["pk"] for r in via0.collect()] == ["k0"]
+
+
+def test_partitioned_checkpoint_preserves_partition_columns(spark, tmp_path):
+    """A partitioned table crossing CHECKPOINT_INTERVAL must keep its
+    partitionColumns in the checkpoint's metaData row (ADVICE r7): stock
+    readers replay metadata from the newest checkpoint, so a hardcoded
+    [] there would permanently un-partition the table."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from etl_stack_spark.operators.delta_log import CHECKPOINT_INTERVAL, DeltaLog
+    from tests.delta_replay_validator import replay as independent_replay
+
+    root = tmp_path / "pt"
+    t = PartitionedMergeTable(spark, str(root), "client_id", delta_log=True)
+    for i in range(CHECKPOINT_INTERVAL + 2):
+        t.merge(
+            df(spark, [(f"c{i % 3}", f"k{i}", f"T{i}", f"h{i}", "active")]),
+            keys=["client_id", "pk"],
+        )
+
+    log_dir = root / "_delta_log"
+    last = json.loads((log_dir / "_LAST_CHECKPOINT").read_text())
+    assert last["version"] == CHECKPOINT_INTERVAL
+    ckpt_rows = pq.read_table(
+        str(log_dir / f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
+    ).to_pylist()
+    meta = next(r["metaData"] for r in ckpt_rows if r["metaData"])
+    assert meta["partitionColumns"] == ["client_id"]
+
+    # both replayers agree post-checkpoint: partitioning metadata intact,
+    # live files == table read, add rows keep their partitionValues
+    own = DeltaLog(str(root)).state()
+    ind = independent_replay(str(root))
+    assert own["partition_columns"] == ind["partition_columns"] == ["client_id"]
+    assert sorted(own["files"]) == sorted(ind["files"])
+    for info in ind["files"].values():
+        assert set(info["partitionValues"]) == {"client_id"}
+    via = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / p) for p in own["files"]]
+    )
+    assert via.count() == t.read().count() == CHECKPOINT_INTERVAL + 2
+
+
+def test_checkpoint_retains_fresh_tombstones(spark, tmp_path, monkeypatch):
+    """The checkpoint must carry remove tombstones still inside the
+    retention window (ADVICE r7): a stock incremental reader or VACUUM
+    replaying from the checkpoint must see fresh removes. Tombstones
+    PAST retention drop, which the spec permits."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from etl_stack_spark.operators import delta_log as dl
+
+    def build(root):
+        t = ParquetMergeTable(spark, str(root), delta_log=True)
+        t.overwrite(df(spark, [("c1", "k0", "T0", "h0", "active")]))
+        for i in range(1, dl.CHECKPOINT_INTERVAL + 1):
+            t.merge(
+                df(spark, [("c1", f"k{i}", f"T{i}", f"h{i}", "active")]),
+                keys=["client_id", "pk"],
+            )
+        return t
+
+    # default retention (7 days): every tombstone in this test run is
+    # fresh, so all replayed tombstones appear as remove rows
+    root = tmp_path / "fresh"
+    build(root)
+    ckpt = pq.read_table(
+        str(root / "_delta_log" / f"{dl.CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
+    ).to_pylist()
+    removes = [r["remove"] for r in ckpt if r["remove"]]
+    assert removes, "fresh tombstones must survive into the checkpoint"
+    state = dl.DeltaLog(str(root)).state()
+    assert {r["path"] for r in removes} == set(state["tombstones"])
+    live = {r["add"]["path"] for r in ckpt if r["add"]}
+    assert live.isdisjoint({r["path"] for r in removes})
+    for r in removes:
+        assert r["deletionTimestamp"] > 0 and r["dataChange"] is False
+
+    # zero retention: every tombstone is already expired -> all drop
+    monkeypatch.setattr(dl, "TOMBSTONE_RETENTION_MS", 0)
+    root2 = tmp_path / "expired"
+    build(root2)
+    ckpt2 = pq.read_table(
+        str(root2 / "_delta_log" / f"{dl.CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
+    ).to_pylist()
+    assert not [r for r in ckpt2 if r["remove"]]
+
+    # the _LAST_CHECKPOINT size field counts the real row set
+    last = json.loads((root / "_delta_log" / "_LAST_CHECKPOINT").read_text())
+    assert last["size"] == len(ckpt)
+
+
+def test_concurrent_writers_serialize_log_versions(spark, tmp_path):
+    """VERDICT r7 task 8: two writers racing merges into the same table
+    must serialize to distinct, gap-free log versions — the loser of
+    each manifest race retries (ConcurrentWriteError) and lands as a
+    LATER version; the log layer inherits the manifest's concurrency
+    guarantees because commit() runs inside the same lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from etl_stack_spark.operators.merge import ConcurrentWriteError
+    from tests.delta_replay_validator import replay as independent_replay
+
+    root = tmp_path / "race"
+    ParquetMergeTable(spark, str(root), delta_log=True).overwrite(
+        df(spark, [("c1", "seed", "S", "h", "active")])
+    )
+
+    def writer(tag, n):
+        t = ParquetMergeTable(spark, str(root))
+        committed = 0
+        for i in range(n):
+            for _attempt in range(25):
+                try:
+                    t.merge(
+                        df(spark, [("c1", f"{tag}{i}", f"T{i}", f"h{tag}{i}", "active")]),
+                        keys=["client_id", "pk"],
+                    )
+                    committed += 1
+                    break
+                except ConcurrentWriteError:
+                    continue
+            else:
+                raise AssertionError(f"writer {tag} starved at row {i}")
+        return committed
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(writer, "a", 4)
+        fb = ex.submit(writer, "b", 4)
+        assert fa.result() == 4 and fb.result() == 4
+
+    log = DeltaLog(str(root))
+    versions = log.versions()
+    # contiguous from 0, one version per committed operation (1 seed + 8
+    # merges), no duplicates or gaps even under the race
+    assert versions == list(range(9))
+    # both replayers resolve, and the final state holds every key
+    t = ParquetMergeTable(spark, str(root))
+    ind = independent_replay(str(root))
+    assert sorted(ind["files"]) == sorted(log.state()["files"])
+    got = {r["pk"] for r in t.read().collect()}
+    assert got == {"seed"} | {f"a{i}" for i in range(4)} | {f"b{i}" for i in range(4)}
