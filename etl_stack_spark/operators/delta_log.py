@@ -451,6 +451,27 @@ def file_stats(full_path: str) -> str | None:
     )
 
 
+def live_files_payload(
+    root: str, files_by_value: dict[str, list[str]], partition_col: str
+) -> list[tuple]:
+    """(relative_path, size, mtime_ms, stats_json, partitionValues) for an
+    explicit file-granular live set (``{partition_value: [rel_paths]}`` —
+    the PartitionedMergeTable manifest's ``files`` map). The stats-pruned
+    merge path carries untouched files across commits, so the live set
+    spans directories; commit() diffs against the replayed state and
+    emits actions only for the files a merge actually rewrote."""
+    out: list[tuple] = []
+    for value, rels in files_by_value.items():
+        pvals = {partition_col: value}
+        for rel in sorted(rels):
+            full = os.path.join(root, rel)
+            st = os.stat(full)
+            out.append(
+                (rel, st.st_size, int(st.st_mtime * 1000), file_stats(full), pvals)
+            )
+    return out
+
+
 def partitioned_snapshot_files(
     root: str, parts: dict[str, str], partition_col: str
 ) -> list[tuple]:

@@ -157,6 +157,52 @@ def _classify_merge(
 _UNCHECKED = object()  # sentinel: commit without a version precondition
 
 
+def _footer_stats(full_path: str) -> str | None:
+    from etl_stack_spark.operators.delta_log import file_stats
+
+    return file_stats(full_path)
+
+
+def _stat_comparable(a, b) -> bool:
+    """Only prune on a (file-stat, source-bound) pair whose ordering is
+    trustworthy across both representations: numbers with numbers,
+    strings with strings. bool is excluded (it is an int subclass but
+    not a range type); date/timestamp stats are ISO strings while Spark
+    bounds are datetime objects, so they fail the type check and the
+    file conservatively joins."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _prunable_rows(stats_json, bounds: dict[str, tuple]) -> int | None:
+    """``numRecords`` when per-file stats PROVE the file cannot contain
+    any source merge key — some key's [file-min, file-max] misses the
+    source's per-partition [min, max] (a match needs every key equal, so
+    one disjoint key range excludes the whole file; NULL target keys
+    never match under SQL equality and are safely carried). ``None`` =
+    the file must join: no usable stats, incomparable types, or ranges
+    intersect."""
+    if not stats_json or not bounds:
+        return None
+    s = json.loads(stats_json) if isinstance(stats_json, str) else stats_json
+    n = s.get("numRecords")
+    if n is None:
+        return None
+    mins, maxs = s.get("minValues", {}), s.get("maxValues", {})
+    for k, (lo, hi) in bounds.items():
+        fmn, fmx = mins.get(k), maxs.get(k)
+        if fmn is None or fmx is None or lo is None or hi is None:
+            continue
+        if not (_stat_comparable(fmn, lo) and _stat_comparable(fmx, hi)):
+            continue
+        if fmx < lo or fmn > hi:
+            return n
+    return None
+
+
 class ParquetMergeTable:
     """A directory of versioned Parquet snapshots with a manifest pointer.
 
@@ -538,12 +584,18 @@ class PartitionedMergeTable:
         called inside the commit lock, after the manifest swap. Add
         actions carry partitionValues ({partition_col: value}), so a
         stock reader sees a properly partitioned Delta table; commit()
-        diffs against the replayed state, so only rewritten partitions
-        produce actions."""
-        from etl_stack_spark.operators.delta_log import partitioned_snapshot_files
+        diffs against the replayed state, so only the FILES a merge
+        actually rewrote produce actions (untouched partitions — and,
+        with stats pruning, untouched files inside a touched
+        partition — are already live)."""
+        from etl_stack_spark.operators.delta_log import live_files_payload
 
         self.delta_log.commit(
-            partitioned_snapshot_files(self.root, manifest["parts"], self.partition_col),
+            live_files_payload(
+                self.root,
+                {v: self._live_files(manifest, v) for v in manifest["parts"]},
+                self.partition_col,
+            ),
             json.dumps(manifest.get("schema") or {}),
             operation=operation,
             partition_columns=[self.partition_col],
@@ -564,6 +616,25 @@ class PartitionedMergeTable:
     def parts(self) -> dict[str, str]:
         return dict(self._read_manifest()["parts"])
 
+    def _live_files(self, manifest: dict, value: object) -> list[str]:
+        """The partition's live file set (relative paths). The manifest's
+        ``files`` map is file-granular — the stats-pruned merge carries
+        untouched files across commits, so a partition's live set can
+        span directories. Legacy manifests (pre-round-8) have no
+        ``files`` entry: the live set is everything in the partition's
+        current directory, exactly the old semantics."""
+        rels = manifest.get("files", {}).get(str(value))
+        if rels is not None:
+            return list(rels)
+        d = manifest["parts"].get(str(value))
+        if d is None:
+            return []
+        return [
+            f"{d}/{f}"
+            for f in sorted(os.listdir(os.path.join(self.root, d)))
+            if f.endswith(".parquet")
+        ]
+
     def read(self, part_values: Sequence[object] | None = None) -> DataFrame:
         """Read the whole table, or only the named partitions — the
         partition-pruned path a per-client/per-day job takes.
@@ -580,14 +651,17 @@ class PartitionedMergeTable:
         if not parts:
             raise FileNotFoundError(f"no partitions in {self.root}")
         if part_values is not None:
-            dirs = [parts[str(v)] for v in part_values if str(v) in parts]
+            selected = [str(v) for v in part_values if str(v) in parts]
         else:
-            dirs = list(parts.values())
-        if not dirs:
+            selected = list(parts)
+        if not selected:
             raise FileNotFoundError(f"no matching partitions in {self.root}")
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, d) for d in dirs]
-        )
+        paths = [
+            os.path.join(self.root, rel)
+            for v in selected
+            for rel in self._live_files(manifest, v)
+        ]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         schema_json = manifest.get("schema")
         if schema_json:
             from pyspark.sql.types import StructType
@@ -609,11 +683,33 @@ class PartitionedMergeTable:
         hash_col: str = "content_hash",
         audit_ts_col: str | None = "updated_at",
         on_extra_columns: str = "error",
+        cluster_by: Sequence[str] | None = None,
+        cluster_files: int = 8,
     ) -> dict:
-        """Hash-gated MERGE rewriting only the partitions present in
-        ``source``. The partition column must be one of the merge keys
-        (rows cannot move between partitions through a merge — same rule
-        as Delta partition columns) and may not be null in the source.
+        """Hash-gated MERGE rewriting only the FILES the source can
+        touch. The partition column must be one of the merge keys (rows
+        cannot move between partitions through a merge — same rule as
+        Delta partition columns) and may not be null in the source.
+
+        Stats-pruned target (VERDICT r7 task 5 — the classic Delta MERGE
+        file-pruning optimization): within each affected partition, live
+        files whose per-file key min/max (Delta-log stats when the table
+        has a log, parquet footers otherwise) provably cannot intersect
+        the source's per-partition key bounds are CARRIED — never read,
+        never joined, never rewritten; their rows count as ``unchanged``
+        via the recorded numRecords. On a table clustered on a merge key
+        (``cluster_by``), a narrow delta rewrites O(delta) files instead
+        of O(partition). Pruning is conservative: a file with no usable
+        stats for any key joins as before.
+
+        ``cluster_by`` (optional): range-cluster each rewritten
+        partition's rows on these columns into ``cluster_files`` files
+        (repartitionByRange + sortWithinPartitions) — the write-side
+        clustering that makes future merges' stats pruning tight, Delta's
+        OPTIMIZE-ZORDER-at-write analog for one dimension.
+
+        Returns the usual counters plus ``files_pruned`` /
+        ``files_rewritten`` / ``rows_carried`` / ``rows_rewritten``.
         """
         pcol = self.partition_col
         if pcol not in keys:
@@ -634,10 +730,52 @@ class PartitionedMergeTable:
         base = self._read_manifest()
         read_versions = {str(v): base["parts"].get(str(v)) for v in affected}
 
-        existing_dirs = [d for d in read_versions.values() if d]
-        if existing_dirs:
-            target = self.spark.read.parquet(
-                *[os.path.join(self.root, d) for d in existing_dirs]
+        # per-partition source key bounds for stats pruning: one small agg
+        # over the delta (the cheap side), collected driver-side
+        nonpart_keys = [k for k in keys if k != pcol]
+        src_bounds: dict[str, dict[str, tuple]] = {}
+        if nonpart_keys and any(read_versions.values()):
+            aggs = []
+            for k in nonpart_keys:
+                aggs.append(F.min(k).alias(f"_mn_{k}"))
+                aggs.append(F.max(k).alias(f"_mx_{k}"))
+            for r in source.groupBy(pcol).agg(*aggs).collect():
+                src_bounds[str(r[pcol])] = {
+                    k: (r[f"_mn_{k}"], r[f"_mx_{k}"]) for k in nonpart_keys
+                }
+
+        target_files: list[str] = []
+        carry: dict[str, list[str]] = {}
+        carried_rows = 0
+        files_pruned = 0
+        log_stats = (
+            {
+                rel: info.get("stats")
+                for rel, info in self.delta_log.state()["files"].items()
+            }
+            if self.delta_log is not None
+            else {}
+        )
+        for v in affected:
+            sv = str(v)
+            live = self._live_files(base, sv) if read_versions.get(sv) else []
+            carry[sv] = []
+            bounds = src_bounds.get(sv, {})
+            for rel in live:
+                n_skip = _prunable_rows(
+                    log_stats.get(rel) or _footer_stats(os.path.join(self.root, rel)),
+                    bounds,
+                )
+                if n_skip is None:
+                    target_files.append(rel)
+                else:
+                    carry[sv].append(rel)
+                    carried_rows += n_skip
+                    files_pruned += 1
+
+        if target_files:
+            target = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, rel) for rel in target_files]
             )
         else:
             target = None
@@ -665,9 +803,12 @@ class PartitionedMergeTable:
             stamp = f"{int(time.time() * 1000)}_{os.getpid()}"
             for i, v in enumerate(affected):
                 d = f"p_{i}_{stamp}"
-                merged.filter(F.col(pcol) == F.lit(v)).drop("_action").write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(self.root, d))
+                part = merged.filter(F.col(pcol) == F.lit(v)).drop("_action")
+                if cluster_by:
+                    part = part.repartitionByRange(
+                        cluster_files, *[F.col(c) for c in cluster_by]
+                    ).sortWithinPartitions(*cluster_by)
+                part.write.mode("overwrite").parquet(os.path.join(self.root, d))
                 new_dirs[str(v)] = d
         finally:
             merged.unpersist()
@@ -685,6 +826,20 @@ class PartitionedMergeTable:
                         f"{manifest['parts'].get(v)!r} during the transaction; retry"
                     )
             manifest["parts"].update(new_dirs)
+            # file-granular live set: carried (pruned) files stay live in
+            # their old directories; only rewritten files point at the
+            # new directory. The conflict check above guarantees the
+            # carried paths are still live (the partition has not moved).
+            files_map = manifest.setdefault("files", {})
+            rewritten_files = 0
+            for v, d in new_dirs.items():
+                new_rels = [
+                    f"{d}/{f}"
+                    for f in sorted(os.listdir(os.path.join(self.root, d)))
+                    if f.endswith(".parquet")
+                ]
+                rewritten_files += len(new_rels)
+                files_map[v] = carry.get(v, []) + new_rels
             # history entries record their partition so vacuum can retain
             # per-partition; legacy manifests may hold bare dir strings
             manifest["history"].extend(
@@ -715,9 +870,16 @@ class PartitionedMergeTable:
         return {
             "inserted": counts.get("insert", 0),
             "updated": counts.get("update", 0),
-            "unchanged": counts.get("unchanged", 0) + counts.get("keep", 0),
+            # carried rows were proven untouchable by stats, so they are
+            # exactly the rows the un-pruned merge would have classified
+            # "keep" — counters stay identical with pruning on
+            "unchanged": counts.get("unchanged", 0) + counts.get("keep", 0) + carried_rows,
             "soft_deleted": 0,
             "partitions_rewritten": len(affected),
+            "files_pruned": files_pruned,
+            "files_rewritten": rewritten_files,
+            "rows_carried": carried_rows,
+            "rows_rewritten": sum(counts.values()),
         }
 
     def compact(
@@ -752,12 +914,12 @@ class PartitionedMergeTable:
             else dict(parts)
         )
         plan: dict[str, tuple[str, int]] = {}
+        live_rels: dict[str, list[str]] = {}
         for v, d in selected.items():
-            n_files = len(
-                [f for f in os.listdir(os.path.join(self.root, d)) if f.endswith(".parquet")]
-            )
-            if n_files > min_files:
-                plan[v] = (d, n_files)
+            rels = self._live_files(manifest, v)
+            if len(rels) > min_files:
+                plan[v] = (d, len(rels))
+                live_rels[v] = rels
         if not plan:
             return {"compacted": {}, "skipped": []}
 
@@ -765,9 +927,13 @@ class PartitionedMergeTable:
         new_dirs: dict[str, str] = {}
         for i, (v, (d, _)) in enumerate(plan.items()):
             nd = f"c_{i}_{stamp}"
-            self.spark.read.parquet(os.path.join(self.root, d)).coalesce(
-                target_files_per_partition
-            ).write.mode("overwrite").parquet(os.path.join(self.root, nd))
+            # read the partition's live FILES (they may span directories
+            # after stats-pruned merges), consolidate into one dir
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, rel) for rel in live_rels[v]]
+            ).coalesce(target_files_per_partition).write.mode("overwrite").parquet(
+                os.path.join(self.root, nd)
+            )
             new_dirs[v] = nd
 
         compacted: dict[str, int] = {}
@@ -781,6 +947,12 @@ class PartitionedMergeTable:
                     skipped.append(v)
                     continue
                 manifest["parts"][v] = nd
+                # compaction re-consolidates the file-granular live set
+                manifest.setdefault("files", {})[v] = [
+                    f"{nd}/{f}"
+                    for f in sorted(os.listdir(os.path.join(self.root, nd)))
+                    if f.endswith(".parquet")
+                ]
                 manifest["history"].append({"dir": nd, "part": v})
                 compacted[v] = n_files
             tmp = self._manifest_path + ".tmp"
@@ -805,6 +977,12 @@ class PartitionedMergeTable:
         with self._commit_lock():
             manifest = self._read_manifest()
             live = set(manifest["parts"].values())
+            # stats-pruned merges carry files in superseded directories:
+            # any dir still referenced by the file-granular live set is
+            # live, whatever its history age
+            for rels in manifest.get("files", {}).values():
+                for rel in rels:
+                    live.add(rel.split("/", 1)[0])
             history = manifest["history"]
             # entries are {"dir", "part"} dicts; legacy manifests hold bare
             # dir strings with no partition association — group those as one
@@ -1009,6 +1187,11 @@ def fsck(table, remove_orphans: bool = False) -> dict:
     manifest = table._read_manifest()
     if "parts" in manifest:
         live = dict(manifest["parts"])
+        # dirs referenced by the file-granular live set (stats-pruned
+        # merges carry files in superseded dirs) are live too
+        for v, rels in manifest.get("files", {}).items():
+            for rel in rels:
+                live[f"file:{rel}"] = rel.split("/", 1)[0]
         history = [
             (e["dir"] if isinstance(e, dict) else e) for e in manifest["history"]
         ]

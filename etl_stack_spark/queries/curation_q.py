@@ -693,3 +693,36 @@ def lm2_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppx_milli",
         F.ntile(10).over(w).cast("int").alias("decile"),
     ).withColumn("keep", F.col("decile") <= 7)
+
+
+# ---------------------------------------------------------------------------
+# LM2B — lm2's EXACT output through the scalable ranking path (VERDICT
+# r7 task 3, the rfm1/rfm2 pattern): the decile comes from
+# global_row_number (range repartition + local sorts + broadcast
+# offsets — no single-partition window) and the closed-form
+# ntile_from_rank bucket. Same oracle as lm2, so a hash match proves
+# the distributed rank exact — and a corpus pruner is exactly the
+# operator that sees 10^9 docs, where lm2's global ntile(10) window
+# hits the rfm1-documented single-partition wall.
+# ---------------------------------------------------------------------------
+@register("lm2b_perplexity_prune_scalable", _LM2_ORACLE)
+def lm2b_perplexity_prune_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.curation import trigram_lm_score
+    from etl_stack_spark.operators.rank import global_row_number, ntile_from_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+    ppx = scored.filter(F.col("n_trigrams") > 0).select(
+        "doc_id",
+        F.expr("nll_millinats * 1000 div n_trigrams").alias("ppx_milli"),
+    ).localCheckpoint(eager=False)  # the count and the rank pass share it
+    n = ppx.count()
+    ranked = global_row_number(
+        ppx, [F.col("ppx_milli"), F.col("doc_id")], rank_col="_gr"
+    )
+    return (
+        ranked.withColumn("decile", ntile_from_rank("_gr", n, 10))
+        .drop("_gr")
+        .withColumn("keep", F.col("decile") <= 7)
+        .select("doc_id", "ppx_milli", "decile", "keep")
+    )

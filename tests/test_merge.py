@@ -361,10 +361,18 @@ def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
         ("c2", "q2", "u2", "g2"),           # insert
     ])
     stats = t.merge(delta, keys=["client_id", "external_id"])
-    assert stats == {
+    core = {k: stats[k] for k in (
+        "inserted", "updated", "unchanged", "soft_deleted", "partitions_rewritten",
+    )}
+    assert core == {
         "inserted": 1, "updated": 1, "unchanged": 0, "soft_deleted": 0,
         "partitions_rewritten": 1,
     }
+    # r8 stats-pruning counters: the delta's key range covers the single
+    # c2 file, so nothing prunes here — but the counters must be present
+    # and consistent
+    assert stats["files_pruned"] == 0 and stats["rows_carried"] == 0
+    assert stats["rows_rewritten"] == stats["inserted"] + stats["updated"]
     # c1 was untouched: same physical directory, same rows
     assert t.parts()["c1"] == c1_dir_before
     rows = {(r["client_id"], r["external_id"]): r["title"] for r in t.read().collect()}
@@ -794,3 +802,82 @@ def test_fsck_collects_crashed_compaction_dirs(spark, tmp_path):
     assert not os.path.exists(crashed)
     assert fsck(t)["ok"]
     assert t.read().count() == 2
+
+
+def test_stats_pruned_partitioned_merge(spark, tmp_path):
+    """VERDICT r7 task 5 — the classic Delta MERGE file-pruning
+    optimization: on a partition clustered on a merge key, a narrow
+    delta rewrites only the files whose stats ranges intersect the
+    source's key bounds; carried files stay live in their old
+    directories (file-granular manifest), counters stay exact, the
+    Delta log tombstones ONLY rewritten files, and vacuum/compact/fsck
+    respect the carried set."""
+    import json
+    import os
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from etl_stack_spark.operators.merge import PartitionedMergeTable, fsck
+    from tests.delta_replay_validator import replay as independent_replay
+
+    rows = (
+        spark.range(0, 8000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("bucket"),
+            F.lpad(F.col("id").cast("string"), 10, "0").alias("lkey"),
+            F.col("id").cast("string").alias("payload"),
+        )
+        .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    )
+    root = tmp_path / "pt"
+    pt = PartitionedMergeTable(spark, str(root), "bucket", delta_log=True)
+    pt.merge(rows, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+
+    delta = (
+        rows.filter(
+            (F.col("bucket") == "3")
+            & (F.col("lkey") >= "0000004000")
+            & (F.col("lkey") < "0000004200")
+        )
+        .withColumn("payload", F.concat(F.col("payload"), F.lit("-x")))
+        .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    )
+    nd = delta.count()
+    r = pt.merge(delta, keys=["bucket", "lkey"])
+    assert r["updated"] == nd and r["inserted"] == 0
+    assert r["files_pruned"] >= 6, r  # clustered 8-file partition, narrow range
+    assert r["updated"] + r["unchanged"] == 2000  # exact counters incl. carried
+    assert r["rows_carried"] + r["rows_rewritten"] == 2000
+
+    # data correctness: updates landed, nothing lost, partition read intact
+    assert pt.read().filter(F.col("payload").endswith("-x")).count() == nd
+    assert pt.read().count() == 8000
+    assert pt.read(part_values=["3"]).count() == 2000
+
+    # the log tombstones ONLY the rewritten files of the touched partition
+    acts = [
+        json.loads(l)
+        for l in (root / "_delta_log" / f"{1:020d}.json").read_text().splitlines()
+    ]
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert len(removes) == 8 - r["files_pruned"]
+    # replay (both replayers) == table read
+    st = DeltaLog(str(root)).state()
+    ind = independent_replay(str(root))
+    assert sorted(st["files"]) == sorted(ind["files"])
+    via = spark.read.option("mergeSchema", "true").parquet(
+        *[str(root / p) for p in st["files"]]
+    )
+    assert via.count() == 8000
+
+    # maintenance ops respect carried files in superseded directories
+    pt.vacuum(keep_last=0)
+    assert pt.read().count() == 8000
+    assert fsck(pt)["ok"]
+    res = pt.compact(min_files=1)
+    assert res["compacted"] and pt.read().count() == 8000
+    # post-compact merge is still exact (single-file partition: no pruning)
+    delta2 = delta.withColumn(
+        "payload", F.concat(F.col("payload"), F.lit("2"))
+    ).withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    r2 = pt.merge(delta2, keys=["bucket", "lkey"])
+    assert r2["updated"] == nd and pt.read().count() == 8000
