@@ -99,6 +99,45 @@ def load_baseline() -> dict[str, float]:
     return {}
 
 
+def box_speed_probe(spark) -> float:
+    """Deterministic CPU-bound calibration probe (VERDICT r7 task 1):
+    sha256+crc32 over 16M in-memory rows across all cores — no IO, no
+    shuffle, no data dependence — timed as the min of 2 runs (the first
+    absorbs codegen JIT). The result is a property of the BOX, not of
+    the engine code: every BENCH record carries it, and the headline is
+    reported both raw and normalized to the committed baseline's probe,
+    so the documented ±40% box-speed band (committed 15.86s vs driver
+    19.19s vs judge 18.52s on identical code, r7) stops making perf
+    claims unadjudicable. Policy (README): compare NORMALIZED totals
+    across rounds; the committed baseline is the (value, probe) pair in
+    BENCH_DETAIL.json, never a fastest-observed scalar."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 16_000_000, 1, 32).select(
+            F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256))).alias("s")
+        ).collect()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def load_baseline_probe() -> float | None:
+    """The committed baseline's box-speed probe, from the same record
+    precedence as load_baseline()."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail = os.path.join(here, "BENCH_DETAIL.json")
+    try:
+        with open(detail) as f:
+            data = json.load(f)
+        data = data.get("parsed", data)
+        v = data.get("box_speed_probe_secs")
+        return float(v) if v else None
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
 def load_sweep_baseline() -> dict[str, float]:
     """Per-query sweep times from the COMMITTED BENCH_DETAIL.json (read
     before this run overwrites it). The sweep is single-run, so a >30%
@@ -474,6 +513,97 @@ def bench_partitioned_merge(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_delta_tail(spark, sf_dir: str) -> dict:
+    """Delta-log streaming-source tier (VERDICT r7 task 2): load orders
+    into a clustered 8-partition delta-logged table, commit 4 narrow
+    merges, then TAIL the table in changes mode into a retractable
+    per-bucket aggregate. Recorded signals: change rows/sec through the
+    full CDF->signed->aggregate path, and the per-version batch sizes —
+    which are O(rewritten files), not O(table), because the source
+    diffs each commit's removed vs added files (the scale claim: a
+    consumer's poll cost follows the delta at any table size, replacing
+    the reference's whole-table status scans, ST3)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable, PartitionedMergeTable
+    from etl_stack_spark.streaming.delta_source import (
+        DeltaStreamSource,
+        signed_changes_batch_fn,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_dtail_")
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(
+                (F.col("o_orderkey") % 8).cast("string").alias("bucket"),
+                F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("lkey"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            )
+            .withColumn("content_hash", F.sha2(F.col("cents").cast("string"), 256))
+        )
+        n = rows.count()
+        pt = PartitionedMergeTable(
+            spark, os.path.join(work, "pt"), "bucket", delta_log=True
+        )
+        pt.merge(rows, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+        hi = int(rows.agg(F.max("lkey")).first()[0])
+        for i in range(4):  # 4 narrow update commits on different slices
+            lo_cut = str(hi * i // 32).rjust(12, "0")
+            hi_cut = str(hi * (i + 1) // 32).rjust(12, "0")
+            delta = (
+                rows.filter(
+                    (F.col("bucket") == str(i % 8))
+                    & (F.col("lkey") >= lo_cut)
+                    & (F.col("lkey") < hi_cut)
+                )
+                .withColumn("cents", F.col("cents") + 1)
+                .withColumn(
+                    "content_hash", F.sha2(F.col("cents").cast("string"), 256)
+                )
+            )
+            pt.merge(delta, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+
+        state = ParquetMergeTable(spark, os.path.join(work, "agg"))
+        measures = {"n": ("count", F.lit(1)), "total_cents": ("sum", F.col("cents"))}
+        src = DeltaStreamSource(
+            spark,
+            os.path.join(work, "pt"),
+            os.path.join(work, "ckpt"),
+            mode="changes",
+            keys=["bucket", "lkey"],
+        )
+        batch_rows: list[int] = []
+        inner = signed_changes_batch_fn(state, ["bucket"], measures, "n")
+
+        def fn(df, v):
+            batch_rows.append(df.count())
+            inner(df, v)
+
+        t0 = time.perf_counter()
+        versions = src.process_available(fn)
+        drain_secs = round(time.perf_counter() - t0, 3)
+        change_rows = sum(batch_rows)
+        return {
+            "table_rows": n,
+            "versions_tailed": len(versions),
+            "change_rows": change_rows,
+            "batch_rows": batch_rows,
+            "drain_secs": drain_secs,
+            "change_rows_per_sec": round(change_rows / drain_secs, 1)
+            if drain_secs
+            else None,
+            # batches after the bootstrap are bounded by the rewritten
+            # files, not the table: the O(delta) poll claim, recorded
+            "max_incremental_batch": max(batch_rows[1:], default=0),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_interval_join(spark, sf_dir: str) -> dict:
     """Watermarked stream-stream interval-join tier (VERDICT r5 task 8):
     the sf events split into an impression feed (views) and a click feed
@@ -643,6 +773,7 @@ def main() -> None:
     streaming_corpus = None
     interval = None
     pmerge = None
+    dtail = None
     warc = None
     skipping = None
     if stream:
@@ -670,6 +801,12 @@ def main() -> None:
         except Exception as e:
             pmerge = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# MERGE-ERROR {pmerge['error']}", file=sys.stderr)
+        try:
+            dtail = bench_delta_tail(spark, sf_dir)
+            print(f"# delta tail: {dtail}", file=sys.stderr)
+        except Exception as e:
+            dtail = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# TAIL-ERROR {dtail['error']}", file=sys.stderr)
         try:
             warc = bench_warc_pipeline(spark, sf_dir)
             print(f"# warc pipeline: {warc}", file=sys.stderr)
@@ -712,6 +849,8 @@ def main() -> None:
         detail["streaming_interval_join"] = interval
     if pmerge is not None:
         detail["partitioned_merge"] = pmerge
+    if dtail is not None:
+        detail["delta_tail"] = dtail
     if warc is not None:
         detail["warc_pipeline"] = warc
     if skipping is not None:

@@ -239,6 +239,9 @@ class DeltaLog:
                     }
                 }
             )
+        # the spec's dataChange flag: an OPTIMIZE rearranges bytes without
+        # changing rows, so streaming consumers must be able to skip it
+        data_change = operation != "OPTIMIZE"
         files5 = [(f + (None, None))[:5] for f in snapshot_files]
         new_paths = {f[0] for f in files5}
         for path in sorted(prev["files"]):
@@ -248,7 +251,7 @@ class DeltaLog:
                         "remove": {
                             "path": path,
                             "deletionTimestamp": now,
-                            "dataChange": True,
+                            "dataChange": data_change,
                         }
                     }
                 )
@@ -263,7 +266,7 @@ class DeltaLog:
                 "partitionValues": dict(pvals or {}),
                 "size": size,
                 "modificationTime": mtime,
-                "dataChange": True,
+                "dataChange": data_change,
             }
             if stats is not None:
                 add["stats"] = stats

@@ -1119,8 +1119,22 @@ def diff_versions(
     change-type classification and an explode of at most 2 rows per
     updated key. No shuffle beyond the join.
     """
-    old = table.read(old_version)
-    new = table.read(new_version)
+    return diff_frames(
+        table.read(old_version), table.read(new_version), keys, hash_col
+    )
+
+
+def diff_frames(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str] = ("id",),
+    hash_col: str | None = "content_hash",
+) -> DataFrame:
+    """The frame-level core of :func:`diff_versions`: CDF rows between
+    two arbitrary images of a keyed table (manifest snapshots, Delta-log
+    ``VERSION AS OF`` states, or any other pair). Same output contract:
+    one ``_change_type`` row per change, update keys exploded to
+    pre+post image."""
     if hash_col and hash_col in old.columns and hash_col in new.columns:
         cmp_old, cmp_new = F.col(f"o.{hash_col}"), F.col(f"n.{hash_col}")
     else:
