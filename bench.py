@@ -101,8 +101,8 @@ def load_baseline() -> dict[str, float]:
 
 def box_speed_probe(spark) -> float:
     """Deterministic CPU-bound calibration probe (VERDICT r7 task 1):
-    sha256+crc32 over 16M in-memory rows across all cores — no IO, no
-    shuffle, no data dependence — timed as the min of 2 runs (the first
+    sha256+crc32 over 64M in-memory rows across all cores — no IO, no
+    shuffle, no data dependence — timed as the min of 3 runs (the first
     absorbs codegen JIT). The result is a property of the BOX, not of
     the engine code: every BENCH record carries it, and the headline is
     reported both raw and normalized to the committed baseline's probe,
@@ -114,9 +114,9 @@ def box_speed_probe(spark) -> float:
     from pyspark.sql import functions as F
 
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(0, 16_000_000, 1, 32).select(
+        spark.range(0, 64_000_000, 1, 32).select(
             F.sum(F.crc32(F.sha2(F.col("id").cast("string"), 256))).alias("s")
         ).collect()
         times.append(time.perf_counter() - t0)
@@ -477,7 +477,11 @@ def bench_partitioned_merge(spark, sf_dir: str) -> dict:
         )
         n_narrow = narrow.count()
         t0 = time.perf_counter()
-        nstats = pt.merge(narrow, keys=["bucket", "lkey"])
+        # standing write policy: rewritten files stay range-clustered
+        # (and the 1k-row rewrite lands as 8 files, not shuffle-width)
+        nstats = pt.merge(
+            narrow, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8
+        )
         narrow_secs = round(time.perf_counter() - t0, 3)
         snap = ParquetMergeTable(spark, os.path.join(work, "snap"))
         snap.merge(rows, keys=["lkey"])
@@ -710,6 +714,15 @@ def main() -> None:
         except Exception as e:  # warmup must never fail the bench
             print(f"# warmup skipped: {e}", file=sys.stderr)
 
+    # box-speed calibration (VERDICT r7 task 1): measured AFTER warmup
+    # (JVM up, codegen hot) so the probe times the box, not startup
+    probe_secs = None
+    try:
+        probe_secs = box_speed_probe(spark)
+        print(f"# box speed probe: {probe_secs}s", file=sys.stderr)
+    except Exception as e:  # calibration must never fail the bench
+        print(f"# box probe skipped: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in names:
@@ -835,6 +848,15 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "runs_per_query": runs,
     }
+    # raw AND speed-normalized headline: normalized = what this box's
+    # total would read on the committed baseline's box (the policy that
+    # makes rounds comparable across the ±40% box-speed band)
+    if probe_secs:
+        out["box_speed_probe_secs"] = probe_secs
+        baseline_probe = load_baseline_probe()
+        if baseline_probe:
+            out["baseline_probe_secs"] = baseline_probe
+            out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
     detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
