@@ -228,17 +228,23 @@ def mixture(request, spark):
     return request.param, corpus, qdf, planted, truth
 
 
-# floors: measured on the pinned seeds minus ~0.05 margin (see SCALE.md)
+# floors: measured on the pinned seeds minus ~0.05 margin. Measured
+# r8 (the SCALE.md table): medium lsh .850/.186, lsh_multi 1.0/.435,
+# lsh6_multi 1.0/.556, ivf_p2 1.0/1.0, ivf_p4 1.0/1.0; hard lsh
+# .863/.144, lsh_multi 1.0/.311, lsh6_multi 1.0/.432, ivf_p2 1.0/.892,
+# ivf_p4 1.0/.939.
 MIX_FLOORS = {
     # (level, probe_kind): (recall@planted floor, recall@10 floor)
-    ("medium", "lsh"): (0.50, 0.30),
-    ("medium", "lsh_multi"): (0.85, 0.55),
-    ("medium", "ivf_p2"): (0.90, 0.80),
-    ("medium", "ivf_p4"): (0.90, 0.85),
-    ("hard", "lsh"): (0.40, 0.25),
-    ("hard", "lsh_multi"): (0.80, 0.50),
-    ("hard", "ivf_p2"): (0.85, 0.70),
-    ("hard", "ivf_p4"): (0.85, 0.80),
+    ("medium", "lsh"): (0.80, 0.13),
+    ("medium", "lsh_multi"): (0.95, 0.38),
+    ("medium", "lsh6_multi"): (0.95, 0.50),
+    ("medium", "ivf_p2"): (0.95, 0.95),
+    ("medium", "ivf_p4"): (0.95, 0.95),
+    ("hard", "lsh"): (0.80, 0.09),
+    ("hard", "lsh_multi"): (0.95, 0.26),
+    ("hard", "lsh6_multi"): (0.95, 0.38),
+    ("hard", "ivf_p2"): (0.95, 0.84),
+    ("hard", "ivf_p4"): (0.95, 0.89),
 }
 
 
@@ -259,6 +265,7 @@ def test_ann_recall_mixture_hardness(spark, mixture):
     runs = {
         "lsh": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=False, n_planes=8),
         "lsh_multi": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=True, n_planes=8),
+        "lsh6_multi": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=True, n_planes=6),
         "ivf_p2": ivf_topk(corpus, qdf, cents, k=10, n_probe=2),
         "ivf_p4": ivf_topk(corpus, qdf, cents, k=10, n_probe=4),
     }
