@@ -241,7 +241,53 @@ def pk1_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LM1 — character-trigram LM scoring (the CCNet quality signal) against a
 # reference corpus (source 'src0'). Integer milli-nat quantization makes
 # the log-prob sums exact cross-engine (see trigram_lm_score docstring).
+#
+# The scored frame is shared per (session, sf_dir) by lm1/lm2/lm2b (the
+# corpus_q._CORPUS_CACHE precedent): the ~2.4s train+score subtree ran
+# three times per sweep before round 8. Lock-guarded double-checked get —
+# the parity suite calls through an 8-thread pool.
 # ---------------------------------------------------------------------------
+import threading as _threading  # noqa: E402
+
+_LM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LM_LOCK = _threading.Lock()
+
+
+def clear_lm_cache() -> None:
+    """Unpersist and drop the shared trigram-scored frames (test hook)."""
+    with _LM_LOCK:
+        for df in _LM_CACHE.values():
+            df.unpersist()
+        _LM_CACHE.clear()
+
+
+def lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, n_trigrams, nll_millinats) over ALL documents,
+    scored against the src0-trained trigram LM — the shared input of the
+    lm family. On a cluster this is the checkpointed signals table every
+    pruner reads; here it is MEMORY_AND_DISK per (session, sf_dir)."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.curation import trigram_lm_score
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _LM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _LM_LOCK:
+        hit = _LM_CACHE.get(key)
+        if hit is not None:
+            return hit
+        docs = load_table(spark, sf_dir, "documents")
+        scored = trigram_lm_score(
+            docs, docs.filter(F.col("source") == "src0")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _LM_CACHE[key] = scored
+        return scored
+
+
 _LM1_ORACLE = """
 WITH ref_tri AS (
   SELECT substr(text, CAST(i AS INT), 3) AS tri
@@ -268,10 +314,7 @@ FROM scored GROUP BY doc_id
 
 @register("lm1_trigram_lm_score", _LM1_ORACLE)
 def lm1_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.curation import trigram_lm_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    return trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+    return lm_scored(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -677,10 +720,7 @@ FROM ppx
 def lm2_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from etl_stack_spark.operators.curation import trigram_lm_score
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+    scored = lm_scored(spark, sf_dir)
     ppx = scored.filter(F.col("n_trigrams") > 0).select(
         "doc_id",
         F.expr("nll_millinats * 1000 div n_trigrams").alias("ppx_milli"),
@@ -707,11 +747,9 @@ def lm2_perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("lm2b_perplexity_prune_scalable", _LM2_ORACLE)
 def lm2b_perplexity_prune_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.curation import trigram_lm_score
     from etl_stack_spark.operators.rank import global_row_number, ntile_from_rank
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = trigram_lm_score(docs, docs.filter(F.col("source") == "src0"))
+    scored = lm_scored(spark, sf_dir)
     ppx = scored.filter(F.col("n_trigrams") > 0).select(
         "doc_id",
         F.expr("nll_millinats * 1000 div n_trigrams").alias("ppx_milli"),
