@@ -152,3 +152,75 @@ def test_adds_mode_reads_only_rewritten_files(spark, tmp_path):
     batches.clear()
     src2.process_available(lambda df, v: batches.append((v, df.count())))
     assert batches == [(2, 0)]
+
+
+def test_delta_tail_datasource_readstream(spark, tmp_path):
+    """The ``delta_tail`` Python DataSource: real readStream integration —
+    Spark's checkpoint owns the offsets (exactly-once across stream
+    restarts), batches contain only the files ADDED since the last
+    drain (sub-partition on a stats-pruned clustered table), and
+    OPTIMIZE commits are invisible."""
+    from etl_stack_spark.streaming.delta_datasource import register_delta_tail
+
+    rows = (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 4).cast("string").alias("bucket"),
+            F.lpad(F.col("id").cast("string"), 10, "0").alias("lkey"),
+            F.col("id").cast("long").alias("v"),
+        )
+        .withColumn("content_hash", F.sha2(F.col("v").cast("string"), 256))
+    )
+    root = str(tmp_path / "pt")
+    pt = PartitionedMergeTable(spark, root, "bucket", delta_log=True)
+    pt.merge(rows, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+
+    register_delta_tail(spark)
+    ckpt = str(tmp_path / "ckpt")
+    batches: list[tuple[int, int]] = []
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append((bid, df.count()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()  # bootstrap: the whole initial snapshot
+    assert batches == [(0, 4000)]
+
+    # narrow clustered delta -> the restarted stream (same checkpoint)
+    # reads ONLY the rewritten files
+    delta = (
+        rows.filter(
+            (F.col("bucket") == "3")
+            & (F.col("lkey") >= "0000002000")
+            & (F.col("lkey") < "0000002100")
+        )
+        .withColumn("v", F.col("v") * 10)
+        .withColumn("content_hash", F.sha2(F.col("v").cast("string"), 256))
+    )
+    r = pt.merge(delta, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+    assert r["files_pruned"] > 0
+    batches.clear()
+    drain()
+    assert batches == [(1, r["rows_rewritten"])]
+    assert r["rows_rewritten"] < 1000  # sub-partition batch
+
+    # compaction: dataChange=false adds -> an empty planned batch
+    assert pt.compact(min_files=1)["compacted"]
+    batches.clear()
+    drain()
+    assert batches == [(2, 0)]
+
+    # nothing new: no batch planned at all
+    batches.clear()
+    drain()
+    assert batches == []
