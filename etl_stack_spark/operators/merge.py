@@ -1170,6 +1170,73 @@ def diff_frames(
     return exploded.select("_change_type", *out_cols)
 
 
+def vacuum_tombstones(table, retention_ms: int | None = None, now_ms: int | None = None) -> list[str]:
+    """Delta-spec VACUUM for either merge-table flavor: physically delete
+    data files the LOG tombstoned longer ago than the retention window
+    (default ``delta_log.TOMBSTONE_RETENTION_MS``, Delta's 7 days).
+
+    This is the reclaim that the directory-level ``vacuum`` cannot do
+    once stats-pruned merges exist: a carried (still-live) file keeps
+    its whole directory alive indefinitely, so the dir-level vacuum can
+    never collect that directory's superseded files — only file-level,
+    log-driven deletion can. Live files are never touched.
+
+    Like stock VACUUM, reclaiming truncates time travel: manifest
+    history entries for any directory that lost a file are pruned in
+    the same locked commit (a partially-vacuumed directory must never
+    masquerade as a complete snapshot), and log ``VERSION AS OF`` reads
+    older than the horizon fail loudly on the missing files. Returns
+    the deleted relative paths.
+    """
+    from etl_stack_spark.operators.delta_log import TOMBSTONE_RETENTION_MS
+
+    if table.delta_log is None:
+        raise ValueError(f"vacuum_tombstones needs a Delta log: {table.root}")
+    retention = TOMBSTONE_RETENTION_MS if retention_ms is None else retention_ms
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    cutoff = now - retention
+    deleted: list[str] = []
+    with table._commit_lock():
+        state = table.delta_log.state()
+        live = set(state["files"])
+        for rel, ts in sorted(state["tombstones"].items()):
+            if ts >= cutoff or rel in live:
+                continue
+            full = os.path.join(table.root, rel)
+            if os.path.exists(full):
+                os.unlink(full)
+                deleted.append(rel)
+        if deleted:
+            touched_dirs = {rel.split("/", 1)[0] for rel in deleted}
+            # drop now-empty version directories entirely
+            for d in sorted(touched_dirs):
+                dd = os.path.join(table.root, d)
+                try:
+                    if os.path.isdir(dd) and not os.listdir(dd):
+                        os.rmdir(dd)
+                except OSError:  # pragma: no cover — concurrent cleanup
+                    pass
+            # a dir that lost files is no longer a complete snapshot:
+            # prune its manifest-history entries so time travel can only
+            # resolve intact versions (live pointers are never pruned —
+            # live files were excluded above)
+            manifest = table._read_manifest()
+            manifest["history"] = [
+                e
+                for e in manifest["history"]
+                if (e["dir"] if isinstance(e, dict) else e) not in touched_dirs
+                or (e["dir"] if isinstance(e, dict) else e) in set(
+                    manifest.get("parts", {}).values()
+                )
+                or (e if isinstance(e, str) else e["dir"]) == manifest.get("current")
+            ]
+            tmp = table._manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, table._manifest_path)
+    return deleted
+
+
 def fsck(table, remove_orphans: bool = False) -> dict:
     """FSCK for either merge-table flavor: audit the manifest against the
     directory tree (the maintenance op Delta ships as FSCK/VACUUM dry-run;

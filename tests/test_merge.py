@@ -881,3 +881,88 @@ def test_stats_pruned_partitioned_merge(spark, tmp_path):
     ).withColumn("content_hash", F.sha2(F.col("payload"), 256))
     r2 = pt.merge(delta2, keys=["bucket", "lkey"])
     assert r2["updated"] == nd and pt.read().count() == 8000
+
+
+def test_vacuum_tombstones_reclaims_under_carried_files(spark, tmp_path):
+    """Log-driven retention VACUUM (round 8): stats-pruned merges carry
+    live files inside superseded directories, so dir-level vacuum can
+    never reclaim those dirs' REWRITTEN files — only the log's
+    tombstones know which files are dead. Expired tombstones delete,
+    live (carried) files survive, reads and replay stay intact, and
+    manifest history for partially-vacuumed dirs is pruned so time
+    travel can only resolve complete snapshots."""
+    import os
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from etl_stack_spark.operators.merge import (
+        ParquetMergeTable,
+        PartitionedMergeTable,
+        fsck,
+        vacuum_tombstones,
+    )
+    from tests.delta_replay_validator import replay as independent_replay
+
+    rows = (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 2).cast("string").alias("bucket"),
+            F.lpad(F.col("id").cast("string"), 10, "0").alias("lkey"),
+            F.col("id").cast("string").alias("payload"),
+        )
+        .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    )
+    root = tmp_path / "pt"
+    pt = PartitionedMergeTable(spark, str(root), "bucket", delta_log=True)
+    pt.merge(rows, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+    first_dir = pt.parts()["1"]
+    delta = (
+        rows.filter(
+            (F.col("bucket") == "1")
+            & (F.col("lkey") >= "0000002000")
+            & (F.col("lkey") < "0000002200")
+        )
+        .withColumn("payload", F.concat(F.col("payload"), F.lit("-x")))
+        .withColumn("content_hash", F.sha2(F.col("payload"), 256))
+    )
+    r = pt.merge(delta, keys=["bucket", "lkey"], cluster_by=["lkey"], cluster_files=8)
+    assert r["files_pruned"] > 0  # first_dir now holds carried + dead files
+
+    # unexpired retention: nothing reclaimed
+    assert vacuum_tombstones(pt) == []
+
+    state_before = DeltaLog(str(root)).state()
+    dead = set(state_before["tombstones"])
+    assert any(p.startswith(first_dir + "/") for p in dead)
+    carried = {p for p in state_before["files"] if p.startswith(first_dir + "/")}
+    assert carried, "stats pruning must have carried files in the old dir"
+
+    deleted = vacuum_tombstones(pt, retention_ms=0)
+    assert sorted(deleted) == sorted(dead)
+    for rel in carried:  # live files untouched, in the same directory
+        assert (root / rel).is_file()
+    for rel in deleted:
+        assert not (root / rel).exists()
+
+    # reads, replay (both replayers) and fsck all intact after reclaim
+    assert pt.read().count() == 4000
+    assert pt.read().filter(F.col("payload").endswith("-x")).count() == delta.count()
+    st = DeltaLog(str(root)).state()
+    assert sorted(st["files"]) == sorted(independent_replay(str(root))["files"])
+    for rel in st["files"]:
+        assert (root / rel).is_file()
+    assert fsck(pt)["ok"]
+
+    # whole-snapshot flavor: superseded snapshots reclaim file-wise and
+    # their (now incomplete) history entries are pruned in the same commit
+    t = ParquetMergeTable(spark, str(tmp_path / "t"), delta_log=True)
+    t.overwrite(spark.createDataFrame([("a", "h1")], "pk string, content_hash string"))
+    old_version = t.current_version()
+    t.merge(
+        spark.createDataFrame([("b", "h2")], "pk string, content_hash string"),
+        keys=["pk"],
+    )
+    deleted = vacuum_tombstones(t, retention_ms=0)
+    assert deleted and all(p.startswith(old_version + "/") for p in deleted)
+    hist = t._read_manifest()["history"]
+    assert old_version not in hist and t.current_version() in hist
+    assert {r.pk for r in t.read().collect()} == {"a", "b"}
