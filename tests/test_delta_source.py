@@ -224,3 +224,55 @@ def test_delta_tail_datasource_readstream(spark, tmp_path):
     batches.clear()
     drain()
     assert batches == []
+
+
+def test_delta_tail_schema_evolution_contract(spark, tmp_path):
+    """Schema-evolution contract: a stream started AFTER an
+    ``on_extra_columns='evolve'`` merge pins the EVOLVED schema from the
+    log's latest metaData, and pre-evolution files (which physically
+    lack the new column) read it as NULL — the Delta rule that the
+    table schema, not the file schema, is the read contract."""
+    from etl_stack_spark.streaming.delta_datasource import register_delta_tail
+
+    root = str(tmp_path / "t")
+    t = ParquetMergeTable(spark, root, delta_log=True)
+    t.merge(
+        _df(spark, [("x", "a", 1, "h1"), ("y", "b", 2, "h2")]), keys=["pk"]
+    )
+    # evolve: new column `extra`, touching only pk=c (a new row) — the
+    # v0 files for a/b are NOT rewritten and lack the column on disk
+    t.merge(
+        spark.createDataFrame(
+            [("z", "c", 3, "h3", "E")], SCHEMA + ", extra string"
+        ),
+        keys=["pk"],
+        on_extra_columns="evolve",
+    )
+
+    register_delta_tail(spark)
+    stream_schema = (
+        spark.readStream.format("delta_tail").option("path", root).load().schema
+    )
+    assert "extra" in stream_schema.fieldNames()  # pinned from latest metaData
+
+    collected: list = []
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()  # bootstrap replays v0 (pre-evolution files) + v1
+    got = {r.pk: r.extra for r in collected}
+    assert got == {"a": None, "b": None, "c": "E"}
+    # engine-side read() agrees: the stream and the table see one schema
+    assert {r.pk: r.extra for r in t.read().collect()} == got
