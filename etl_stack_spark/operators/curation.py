@@ -825,3 +825,80 @@ def dsir_weights(
     return out.withColumn("mean_millinats", mean).withColumn(
         "keep_dsir", mean >= F.lit(keep_millinats)
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    scope_cols: tuple[str, ...] = (),
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet/Dolma-style line-level boilerplate removal: a line that
+    occurs in >= ``min_docs`` DISTINCT documents (within ``scope_cols``,
+    e.g. per domain — empty scope = corpus-global) is navigation/cookie/
+    footer furniture, and every occurrence is dropped from every
+    document; the surviving lines are reassembled in order. This is the
+    line-granular complement to ``cross_doc_dup_ngrams`` (which only
+    SCORES cross-doc repetition) and to chunk dedup (which keeps one
+    survivor — boilerplate must keep zero).
+
+    Input is an already-segmented ``array<string>`` ``lines_col`` so the
+    segmentation policy (real newlines, sentence splits, or the test
+    corpus's fixed-width token windows) stays with the caller.
+
+    Scale shape: lines shuffle as 60-bit portable hashes, never strings.
+    Two aggregations + one anti join, all keyed on (scope, line-hash):
+    doc-frequency via count-distinct (map-side partial), the boilerplate
+    set filtered to ``>= min_docs`` BEFORE the join, and the occurrence
+    stream anti-joins it with shuffle-hash (the set is usually tiny —
+    boilerplate is rare distinct lines — but its size is corpus-dependent
+    and a static broadcast of a mis-estimated frequency table is the
+    measured esd1 hazard; when a domain's boilerplate dictionary is
+    known-small, broadcast() it at the call site). The hottest hash IS
+    the boilerplate line — AQE splits it. Reassembly is one per-doc
+    aggregation; ``array_sort`` on (pos, line) structs makes the
+    collect_list order deterministic. Docs whose every line was
+    boilerplate survive with ``clean_text = ''`` (the caller's length
+    filter decides their fate, not this operator).
+    """
+    from etl_stack_spark.operators.text import portable_hash60
+
+    scope = [F.col(c) for c in scope_cols]
+    base = df.select(id_col, *scope_cols, F.col(lines_col).alias("_lines"))
+    occ = base.select(
+        id_col, *scope_cols, F.posexplode("_lines").alias("_pos", "_line")
+    ).withColumn("_lh", portable_hash60(F.col("_line")))
+    freq = occ.groupBy(*scope_cols, "_lh").agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    boiler = freq.filter(F.col("_n_docs") >= F.lit(min_docs)).select(
+        *scope_cols, "_lh"
+    )
+    kept = occ.join(boiler.hint("shuffle_hash"), [*scope_cols, "_lh"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    out = (
+        base.select(id_col, F.size("_lines").cast("long").alias("n_lines"))
+        .join(rebuilt.hint("shuffle_hash"), id_col, "left")  # per-doc: corpus-sized
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+    removed = F.col("n_lines") - F.col("n_kept")
+    frac = removed / F.greatest(F.col("n_lines"), F.lit(1))
+    return out.withColumn("n_removed", removed).withColumn(
+        "boiler_frac", F.round(frac, 6)
+    )

@@ -501,3 +501,55 @@ def test_compression_ratio_orders_boilerplate_below_prose(spark):
     import zlib
     raw = ("buy now " * 500).encode()
     assert got[1] == len(zlib.compress(raw, 6)) * 1000 // len(raw)  # exact contract
+
+
+def test_remove_boilerplate_lines_scoped(spark):
+    """Scoped boilerplate: a line frequent in domain A must NOT be
+    removed from domain B; within-doc repeats of a boilerplate line all
+    drop; a fully-boilerplate doc survives with clean_text ''."""
+    from etl_stack_spark.operators.curation import remove_boilerplate_lines
+
+    nav = "home about contact"
+    rows = [
+        (1, "a", [nav, "alpha body", nav]),   # repeat inside one doc
+        (2, "a", [nav, "beta body"]),
+        (3, "a", [nav]),                       # fully boilerplate in scope a
+        (4, "b", [nav, "gamma body"]),         # nav is RARE in scope b
+        (5, "b", ["delta body"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            df, scope_cols=("source",), min_docs=3, sep="\n"
+        ).collect()
+    }
+    # scope a: nav occurs in 3 distinct docs -> removed everywhere
+    assert out[1]["clean_text"] == "alpha body"
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["n_removed"]) == (3, 1, 2)
+    assert out[2]["clean_text"] == "beta body"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["boiler_frac"] == 1.0
+    # scope b: nav occurs in only 1 doc there -> kept, order preserved
+    assert out[4]["clean_text"] == nav + "\ngamma body"
+    assert out[5]["clean_text"] == "delta body" and out[5]["n_removed"] == 0
+
+
+def test_fixed_width_lines_adapter(spark):
+    """The bp1 segmentation adapter: windows cover every token exactly
+    once in order; empty/null text yields an empty array (the
+    sequence(1,0)-counts-down guard)."""
+    from etl_stack_spark.queries.curation_q import fixed_width_lines
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4"), (2, "x"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["ln"]
+        for r in df.select(
+            "doc_id", fixed_width_lines(F.col("text"), width=2).alias("ln")
+        ).collect()
+    }
+    assert got[1] == ["t0 t1", "t2 t3", "t4"]
+    assert got[2] == ["x"] and got[3] == [] and got[4] == []
