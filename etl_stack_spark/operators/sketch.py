@@ -440,3 +440,105 @@ def kmv_estimate_oracle_sql(sketch_cte: str, k: int = KMV_K) -> str:
         f"/ CAST(MAX(h) AS DOUBLE)) AS BIGINT) END AS est_distinct "
         f"FROM {sketch_cte}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: a deterministic uniform sample (the k rows
+# with the smallest portable_hash60 per group) from which any quantile
+# reads off as the ceil(q*m)-th smallest sampled value. Same philosophy
+# as the HLL above — the built-in approx_percentile (GK) has
+# engine-private internals that can never be oracle-checked, while the
+# bottom-k selection is pure deterministic arithmetic both engines
+# reproduce bit-for-bit; accuracy is calibrated by tests (rank error
+# ~ sqrt(q(1-q)/k), ≈3% at the median for k=256), the oracle pins the
+# arithmetic. Mergeable: shard sketches union then re-take bottom-k —
+# the bottom-k of a union IS the union's bottom-k, so shards compose
+# associatively (the KMV property, carried to (hash, value) pairs).
+# At 100 TB: the per-group sketch is ≤k rows after one partial
+# WindowGroupLimit pass (Catalyst inserts the per-partition limit
+# before the shuffle for a LITERAL k — the rank.py t1 plan shape), so
+# the shuffle carries ≤ k·partitions rows, never the data.
+# ---------------------------------------------------------------------------
+
+QSK_K = 256
+
+
+def quantile_sketch(
+    df: DataFrame,
+    key: Column,
+    value: Column,
+    group_cols: tuple[str, ...] = (),
+    k: int = QSK_K,
+) -> DataFrame:
+    """≤k (h, v) rows per group: the k smallest hashes and their values.
+    NULL keys/values are excluded (NULL sorts first in Spark but last in
+    DuckDB — a NULL would evict the true k-th on one engine only, the
+    kmv_sketch rule)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        *group_cols, portable_hash60(key).alias("h"), value.alias("v")
+    ).filter(F.col("h").isNotNull() & F.col("v").isNotNull())
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = (), k: int = QSK_K
+) -> DataFrame:
+    """Shard composition: union, re-take bottom-k per group. Equal to
+    sketching the concatenated input (pinned by unit test)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(k))
+        .drop("_rn")
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantiles from the sketch: the ceil(q*m)-th smallest sampled value
+    (1-based, percentile_disc semantics over the sample). The per-group
+    array is ≤k elements — driver-safe by construction."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("v")).alias("_vals")
+    )
+    m = F.size("_vals")
+    cols: list[Column] = [F.col(c) for c in group_cols] + [
+        m.cast("long").alias("n_sample")
+    ]
+    for q in qs:
+        idx = F.ceil(F.lit(q) * m).cast("int")
+        cols.append(
+            F.round(F.element_at("_vals", idx), 6).alias(f"p{int(round(q * 100)):02d}")
+        )
+    return agg.select(*cols)
+
+
+def quantile_sketch_oracle_cte(
+    group_sql: str, key_sql: str, value_sql: str, from_sql: str, k: int = QSK_K
+) -> str:
+    """DuckDB CTE body producing the identical ≤k-row (group, v) sample."""
+    h = f"(('0x' || substr(sha256({key_sql}), 1, 15))::BIGINT)"
+    return (
+        f"SELECT {group_sql} AS grp, v FROM ("
+        f"SELECT {group_sql}, {h} AS h, {value_sql} AS v, "
+        f"row_number() OVER (PARTITION BY {group_sql} ORDER BY {h} ASC, {value_sql} ASC) AS rn "
+        f"{from_sql} WHERE {h} IS NOT NULL AND {value_sql} IS NOT NULL"
+        f") WHERE rn <= {k}"
+    )

@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.sketch import hll_estimate, hll_oracle_sql, hll_sketch
+from etl_stack_spark.operators.sketch import (
+    hll_estimate,
+    hll_oracle_sql,
+    hll_sketch,
+    quantile_estimate,
+    quantile_sketch,
+    quantile_sketch_oracle_cte,
+)
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
@@ -260,4 +267,46 @@ def kmv1_distinct_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersect"),
             "true_intersect",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# QSK1 — bottom-k quantile sketch per event_type: p50/p90/p99 of value
+# from the deterministic k=256 hash-sample, with exact n_rows alongside
+# so the sample ratio is visible. The sketch arithmetic is oracle-exact;
+# accuracy vs true quantiles is pinned in tests/test_sketch.py (rank
+# error ~ sqrt(q(1-q)/k)).
+# ---------------------------------------------------------------------------
+
+_QSK1_ORACLE = f"""
+WITH s AS ({quantile_sketch_oracle_cte(
+    "event_type", "CAST(event_id AS VARCHAR)", "value", "FROM events")}),
+samp AS (
+  SELECT grp AS event_type, list_sort(list(v)) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n_sample
+  FROM s GROUP BY 1
+),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events GROUP BY 1)
+SELECT tot.event_type, n_rows, n_sample,
+  round(vals[CAST(ceil(0.5 * n_sample) AS BIGINT)], 6) AS p50,
+  round(vals[CAST(ceil(0.9 * n_sample) AS BIGINT)], 6) AS p90,
+  round(vals[CAST(ceil(0.99 * n_sample) AS BIGINT)], 6) AS p99
+FROM tot JOIN samp USING (event_type)
+"""
+
+
+@register("qsk1_quantile_sketch", _QSK1_ORACLE)
+def qsk1_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch(
+        ev,
+        key=F.col("event_id").cast("string"),
+        value=F.col("value"),
+        group_cols=("event_type",),
+    )
+    est = quantile_estimate(sk, qs=(0.5, 0.9, 0.99), group_cols=("event_type",))
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    # both sides are group-cardinality (a handful of rows) — broadcast
+    return tot.join(F.broadcast(est), "event_type").select(
+        "event_type", "n_rows", "n_sample", "p50", "p90", "p99"
     )
