@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.temporal import asof_join, range_join
+from etl_stack_spark.operators.temporal import asof_join, interval_concurrency, range_join
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
@@ -147,3 +147,54 @@ UNION ALL SELECT user_id, 'view', view FROM wide
 def upv1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = pv1_pivot(spark, sf_dir)
     return wide.unpivot("user_id", _EVENT_TYPES, "event_type", "n")
+
+
+# ---------------------------------------------------------------------------
+# OL1 — sweep-line interval concurrency: treat each event as a session
+# of `value` minutes (floored to whole seconds, an IEEE-identical
+# double multiply in both engines) and find each type's peak overlap
+# and when it first happens. The O(n log n) answer to the capacity
+# question a self-range-join makes quadratic.
+# ---------------------------------------------------------------------------
+
+_OL1_ORACLE = """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+  FROM events
+),
+pts AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv
+),
+c AS (
+  SELECT event_type, t,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t ASC, d ASC
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+),
+m AS (
+  SELECT event_type, t, c, MAX(c) OVER (PARTITION BY event_type) AS mc FROM c
+)
+SELECT event_type,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+  CAST(MAX(c) AS BIGINT) AS max_concurrent,
+  MIN(CASE WHEN c = mc THEN t END) AS peak_at
+FROM m GROUP BY event_type
+"""
+
+
+@register("ol1_interval_concurrency", _OL1_ORACLE)
+def ol1_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_add(
+            "SECOND", F.floor(F.col("value") * 60).cast("int"), F.col("ts")
+        ).alias("end_ts"),
+    )
+    return interval_concurrency(
+        iv, start_col="start_ts", end_col="end_ts", group_cols=("event_type",)
+    )

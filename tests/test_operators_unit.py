@@ -551,3 +551,37 @@ def test_chunk_corpus_enforces_chunk_idx_bound(spark):
     )
     with pytest.raises(Exception, match="chunk_idx overflow"):
         chunk_corpus(big).collect()
+
+
+def test_interval_concurrency_half_open_semantics(spark):
+    """Sweep-line pin: back-to-back intervals ([1,3) then [3,5)) never
+    overlap; a zero-length interval [t,t) contributes nothing; peak_at
+    is the FIRST instant the max is reached."""
+    import datetime as _dt
+
+    from etl_stack_spark.operators.temporal import interval_concurrency
+
+    T = lambda s: _dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # group a: [1,4) [2,6) [3,5) -> peak 3 at t=3; [6,8) back to 1
+        ("a", T(1), T(4)),
+        ("a", T(2), T(6)),
+        ("a", T(3), T(5)),
+        ("a", T(6), T(8)),
+        # group b: [1,3) then [3,5): half-open -> never concurrent
+        ("b", T(1), T(3)),
+        ("b", T(3), T(5)),
+        # group c: zero-length [2,2) alongside [1,4): peak stays 1,
+        # reached at t=1 (the degenerate interval never counts)
+        ("c", T(1), T(4)),
+        ("c", T(2), T(2)),
+    ]
+    df = spark.createDataFrame(rows, "g string, start_ts timestamp, end_ts timestamp")
+    out = {
+        r["g"]: r
+        for r in interval_concurrency(df, group_cols=("g",)).collect()
+    }
+    assert out["a"]["max_concurrent"] == 3 and out["a"]["peak_at"] == T(3)
+    assert out["a"]["n_intervals"] == 4
+    assert out["b"]["max_concurrent"] == 1 and out["b"]["peak_at"] == T(1)
+    assert out["c"]["max_concurrent"] == 1 and out["c"]["peak_at"] == T(1)
