@@ -84,3 +84,100 @@ def read_distinct_estimates(state: ParquetMergeTable, group_col: str) -> DataFra
     arithmetic to the batch hll2 query, so a drained stream's estimates
     EQUAL the one-shot batch estimates over the same data."""
     return hll_estimate_grouped(state.read(), group_col)
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k quantile sketch: the same state-table shape for the
+# quantile member of the sketch family. State = the ≤k (group, h, v)
+# rows; per-batch merge = union → drop replayed (group, h, v) rows →
+# re-take bottom-k. The dedup is what buys exactly-once from
+# at-least-once delivery: the sketch KEY must be a ROW IDENTITY (e.g.
+# event_id), so equal (h, v) pairs can only be the same row delivered
+# twice — genuine duplicate VALUES in the data carry distinct
+# identities, hash apart, and stay correctly multiset-sampled. Late
+# data needs no watermark (the bottom-k set only ever tightens), and
+# offline shard sketches union straight into the state.
+# ---------------------------------------------------------------------------
+
+
+def quantile_stream_batch_fn(
+    state: ParquetMergeTable,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int | None = None,
+):
+    """foreachBatch callback: sketch the micro-batch, merge into the
+    ≤k-per-group state table."""
+    from pyspark.sql import Window
+
+    from etl_stack_spark.operators.sketch import QSK_K, quantile_sketch
+
+    kk = QSK_K if k is None else k
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = quantile_sketch(
+            batch_df,
+            F.col(key_col).cast("string"),
+            F.col(value_col),
+            (group_col,),
+            kk,
+        )
+        st = type(state)(batch_df.sparkSession, state.root)
+        if st.exists():
+            w = Window.partitionBy(group_col).orderBy(
+                F.col("h").asc(), F.col("v").asc()
+            )
+            merged = (
+                st.read()
+                .unionByName(sk)
+                .dropDuplicates([group_col, "h", "v"])  # replay rows, not data
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.lit(kk))
+                .drop("_rn")
+            )
+            # the merged frame reads the state table it overwrites
+            merged = merged.localCheckpoint(eager=True)
+            st.overwrite(merged)
+        else:
+            st.overwrite(sk)
+
+    return batch_fn
+
+
+def run_quantile_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    state: ParquetMergeTable,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int | None = None,
+):
+    """Drain a file-source feed into the quantile-sketch state table."""
+    from etl_stack_spark.streaming.queue import run_stream
+
+    return run_stream(
+        spark,
+        feed_dir,
+        schema,
+        quantile_stream_batch_fn(state, group_col, key_col, value_col, k),
+        checkpoint_dir,
+    )
+
+
+def read_quantile_estimates(
+    state: ParquetMergeTable,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(group, n_sample, p..) from the current state — identical
+    arithmetic to the batch qsk1 query, so a drained stream's quantiles
+    EQUAL the one-shot batch sketch over the same data."""
+    from etl_stack_spark.operators.sketch import quantile_estimate
+
+    return quantile_estimate(state.read(), qs, (group_col,))

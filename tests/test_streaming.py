@@ -790,3 +790,54 @@ def test_streaming_retractable_agg_matches_recompute_and_gates_replay(spark, tmp
     agg_maintenance_batch_fn(state, ["grp"], measures, "n")(replay, 0)
     again = {r.grp: (r.n, r.total) for r in read_aggregate(state).collect()}
     assert again == got
+
+
+def test_streaming_quantile_sketch_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Quantile-sketch state across micro-batches: after draining a
+    3-batch feed, per-group quantiles EQUAL the one-shot batch sketch
+    over the same rows; re-merging a batch (at-least-once replay)
+    changes nothing (the (group, h, v) dedup removes replayed rows —
+    the sketch key is a row identity, so equal pairs can only be
+    replays)."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.operators.sketch import quantile_estimate, quantile_sketch
+    from etl_stack_spark.streaming.sketches import (
+        quantile_stream_batch_fn,
+        read_quantile_estimates,
+        run_quantile_stream,
+    )
+
+    feed = tmp_path / "qskfeed"
+    # duplicate VALUES on distinct identities are intentional: they must
+    # stay multiset-sampled, only identity replays dedup
+    rows = [(f"g{i % 2}", str(i), float((i * 13) % 50) / 2.0) for i in range(900)]
+    full = spark.createDataFrame(rows, "grp string, rid string, v double")
+    for part in range(3):
+        full.filter(F.crc32(F.col("rid")) % 3 == part).write.mode("append").parquet(
+            str(feed)
+        )
+
+    state = ParquetMergeTable(spark, str(tmp_path / "qskstate"))
+    assert run_quantile_stream(
+        spark, str(feed), "grp string, rid string, v double", state,
+        str(tmp_path / "ckpt_qsk"), "grp", "rid", "v", k=64,
+    ).awaitTermination(600), "stream did not drain in time"
+
+    streamed = sorted(map(tuple, read_quantile_estimates(state, "grp").collect()))
+    oneshot = sorted(
+        map(
+            tuple,
+            quantile_estimate(
+                quantile_sketch(full, F.col("rid"), F.col("v"), ("grp",), 64),
+                (0.5, 0.9, 0.99),
+                ("grp",),
+            ).collect(),
+        )
+    )
+    assert streamed == oneshot and len(streamed) == 2
+
+    # replay batch 0 through the same callback — state must not move
+    b0 = full.filter(F.crc32(F.col("rid")) % 3 == 0)
+    quantile_stream_batch_fn(state, "grp", "rid", "v", k=64)(b0, 999)
+    replayed = sorted(map(tuple, read_quantile_estimates(state, "grp").collect()))
+    assert replayed == streamed
