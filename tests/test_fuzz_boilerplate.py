@@ -1,0 +1,118 @@
+"""Property fuzz for the two round-8 additions: line-level boilerplate
+removal (full semantic parity against an in-test pure-Python reference)
+and the bottom-k quantile sketch (bottom-k parity + shard-merge
+associativity under random splits). One Spark job per example batch
+(the repo's fuzz convention); small alphabets force the collisions the
+properties are about."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+
+LINE = st.sampled_from(["nav bar", "footer", "alpha", "beta", "gamma", "x y z"])
+
+
+@st.composite
+def corpora(draw):
+    n_docs = draw(st.integers(min_value=1, max_value=12))
+    docs = []
+    for i in range(n_docs):
+        scope = draw(st.sampled_from(["a", "b"]))
+        lines = draw(st.lists(LINE, min_size=0, max_size=6))
+        docs.append((i, scope, lines))
+    return docs
+
+
+def _py_boilerplate(docs, min_docs, scoped):
+    """Independent reference: doc-frequency per (scope, line), drop
+    lines at >= min_docs, reassemble in order."""
+    from collections import defaultdict
+
+    freq = defaultdict(set)
+    for i, scope, lines in docs:
+        for ln in lines:
+            freq[(scope if scoped else None, ln)].add(i)
+    out = {}
+    for i, scope, lines in docs:
+        kept = [
+            ln
+            for ln in lines
+            if len(freq[(scope if scoped else None, ln)]) < min_docs
+        ]
+        out[i] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora(), st.integers(min_value=1, max_value=4), st.booleans())
+def test_remove_boilerplate_matches_python_reference(spark, docs, min_docs, scoped):
+    from etl_stack_spark.operators.curation import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        docs, "doc_id int, source string, lines array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_kept"])
+        for r in remove_boilerplate_lines(
+            df,
+            scope_cols=("source",) if scoped else (),
+            min_docs=min_docs,
+        ).collect()
+    }
+    assert got == _py_boilerplate(docs, min_docs, scoped)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1"]),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.randoms(use_true_random=False),
+)
+def test_quantile_sketch_bottomk_parity_and_merge(spark, vals, k, rng):
+    """The sketch rows equal the pure-Python bottom-k by (hash, value),
+    and sketching random shards then merging equals the single pass."""
+    import pyspark.sql.functions as F
+
+    from etl_stack_spark.operators.sketch import quantile_sketch, quantile_sketch_merge
+
+    rows = [(g, str(i), float(v)) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    single = sorted(
+        map(tuple, quantile_sketch(df, F.col("k"), F.col("v"), ("g",), k).collect())
+    )
+
+    expected = []
+    by_g = {}
+    for g, key, v in rows:
+        by_g.setdefault(g, []).append((_h60(key), v))
+    for g, hv in by_g.items():
+        for h, v in sorted(hv)[:k]:
+            expected.append((g, h, v))
+    assert single == sorted(expected)
+
+    shard_of = [rng.randrange(3) for _ in rows]
+    shards = [
+        spark.createDataFrame(
+            [r for r, s in zip(rows, shard_of) if s == j] or [("g0", "pad", 0.0)][:0],
+            "g string, k string, v double",
+        )
+        for j in range(3)
+    ]
+    sks = [quantile_sketch(s, F.col("k"), F.col("v"), ("g",), k) for s in shards]
+    merged = quantile_sketch_merge(
+        quantile_sketch_merge(sks[0], sks[1], ("g",), k), sks[2], ("g",), k
+    )
+    assert sorted(map(tuple, merged.collect())) == single
