@@ -774,3 +774,55 @@ def test_concurrent_writers_serialize_log_versions(spark, tmp_path):
     assert sorted(ind["files"]) == sorted(log.state()["files"])
     got = {r["pk"] for r in t.read().collect()}
     assert got == {"seed"} | {f"a{i}" for i in range(4)} | {f"b{i}" for i in range(4)}
+
+
+def test_vacuum_respects_time_travel_horizon(spark, tmp_path):
+    """VACUUM × VERSION AS OF (the stock-Delta contract): reclaiming
+    only tombstones past the retention cutoff must leave every version
+    INSIDE the horizon exactly readable, while versions beyond it fail
+    loudly on the missing files — never silently return partial rows."""
+    import time as _time
+
+    import pytest
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from etl_stack_spark.operators.merge import ParquetMergeTable, vacuum_tombstones
+
+    root = tmp_path / "t"
+    t = ParquetMergeTable(spark, str(root), delta_log=True)
+    t.overwrite(df(spark, [("c1", "k0", "T0", "h0", "active")]))          # v0
+    _time.sleep(0.05)
+    t.merge(df(spark, [("c1", "k1", "T1", "h1", "active")]), keys=["client_id", "pk"])  # v1
+    _time.sleep(0.05)
+    t.merge(df(spark, [("c1", "k2", "T2", "h2", "active")]), keys=["client_id", "pk"])  # v2
+
+    log = DeltaLog(str(root))
+    s0, s1 = log.state(as_of=0), log.state(as_of=1)
+    dead_v1 = set(s0["files"]) - set(s1["files"])   # tombstoned BY v1
+    dead_v2 = set(s1["files"]) - set(log.state()["files"])  # tombstoned BY v2
+    assert dead_v1 and dead_v2
+    ts = log.state()["tombstones"]
+    t1_max, t2_min = max(ts[p] for p in dead_v1), min(ts[p] for p in dead_v2)
+    assert t1_max < t2_min, "commit timestamps must separate the groups"
+
+    # cutoff between the two tombstone generations: only v1's casualties go
+    now = int(_time.time() * 1000)
+    cutoff = (t1_max + t2_min) // 2
+    deleted = vacuum_tombstones(t, retention_ms=now - cutoff, now_ms=now)
+    assert sorted(deleted) == sorted(dead_v1)
+
+    # inside the horizon: v1 reads exactly (all its files survived)
+    via1 = spark.read.parquet(*[str(root / p) for p in log.state(as_of=1)["files"]])
+    assert {r["pk"] for r in via1.collect()} == {"k0", "k1"}
+
+    # beyond the horizon: v0's file set references reclaimed paths and
+    # the read FAILS — partial silent results are the bug this prevents
+    gone = [p for p in log.state(as_of=0)["files"] if not (root / p).exists()]
+    assert gone, "v0 must reference at least one vacuumed file"
+    with pytest.raises(Exception, match="(?i)path does not exist|PATH_NOT_FOUND"):
+        spark.read.parquet(*[str(root / p) for p in log.state(as_of=0)["files"]]).collect()
+
+    # full reclaim: v1 joins the casualties, the CURRENT version never does
+    vacuum_tombstones(t, retention_ms=0)
+    assert {r["pk"] for r in t.read().collect()} == {"k0", "k1", "k2"}
+    assert all((root / p).is_file() for p in log.state()["files"])
