@@ -123,6 +123,54 @@ def box_speed_probe(spark) -> float:
     return round(min(times), 3)
 
 
+def shuffle_probe(spark) -> float:
+    """Exchange-bound calibration probe, the complement of
+    box_speed_probe: 16M rows hash-repartitioned 64 ways then summed —
+    dominated by serialization + memory bandwidth, the resources a
+    noisy VM neighbor contends for WITHOUT showing up in either CPU
+    steal or a compute-bound hash probe (observed: probe 20% FASTER
+    than baseline, steal 0.2%, yet every query ~30% slower — only a
+    bandwidth-shaped probe can tell that run apart from a plan
+    regression). Min of 3 runs, first absorbs codegen."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 16_000_000, 1, 32).repartition(
+            64, (F.col("id") % 9973).cast("int")
+        ).agg(F.sum("id").alias("s")).collect()
+        times.append(time.perf_counter() - t0)
+    return round(min(times), 3)
+
+
+def read_cpu_counters() -> list[int] | None:
+    """Aggregate jiffies from /proc/stat (user..steal). Returns None off
+    Linux; callers treat steal as unmeasurable then."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return [int(x) for x in parts[1:9]]
+    except Exception:
+        return None
+
+
+def steal_pct(start: list[int] | None, end: list[int] | None) -> float | None:
+    """CPU steal over the window, as % of all jiffies. Measured because
+    the box-speed probe CANNOT see it: this container is a VM on an
+    overcommitted host (measured 0-15%+ steal under full 32-core load,
+    varying minute-to-minute), so a start-of-run probe can catch a calm
+    window and the queries then run into a noisy one — which is exactly
+    the r7 ±40% band. Steal over the WHOLE run is the contention the run
+    actually experienced; a record of (value, probe, steal_pct) is
+    adjudicable where (value, probe) alone is not."""
+    if not start or not end:
+        return None
+    d = [b - a for a, b in zip(start, end)]
+    tot = sum(d)
+    return round(100.0 * d[7] / tot, 2) if tot > 0 else None
+
+
 def load_baseline_probe() -> float | None:
     """The committed baseline's box-speed probe, from the same record
     precedence as load_baseline()."""
@@ -722,6 +770,13 @@ def main() -> None:
         print(f"# box speed probe: {probe_secs}s", file=sys.stderr)
     except Exception as e:  # calibration must never fail the bench
         print(f"# box probe skipped: {e}", file=sys.stderr)
+    shuffle_probe_secs = None
+    try:
+        shuffle_probe_secs = shuffle_probe(spark)
+        print(f"# shuffle probe: {shuffle_probe_secs}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# shuffle probe skipped: {e}", file=sys.stderr)
+    cpu_at_start = read_cpu_counters()
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -857,6 +912,14 @@ def main() -> None:
         if baseline_probe:
             out["baseline_probe_secs"] = baseline_probe
             out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
+    if shuffle_probe_secs:
+        out["shuffle_probe_secs"] = shuffle_probe_secs
+    # whole-run CPU steal: the contention the run actually experienced
+    # (the probe can't see it — see steal_pct's docstring)
+    run_steal = steal_pct(cpu_at_start, read_cpu_counters())
+    if run_steal is not None:
+        out["steal_pct"] = run_steal
+        print(f"# cpu steal over run: {run_steal}%", file=sys.stderr)
     detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
