@@ -144,6 +144,42 @@ def shuffle_probe(spark) -> float:
     return round(min(times), 3)
 
 
+def cached_gib() -> float | None:
+    """Page-cache size from /proc/meminfo, recorded start and end. The
+    host was observed dropping the guest page cache to ~1 GiB; the
+    sf0.1 test data itself is tiny (17 MB), so this matters for shuffle
+    spill / temp IO rather than scans — it is an environment-health
+    signal, one more line of the record that lets a degraded-host
+    sample be told apart from a plan change."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return round(int(line.split()[1]) / 1024 / 1024, 2)
+    except Exception:
+        return None
+    return None
+
+
+def read_probe_mb_s(sf_dir: str) -> float | None:
+    """Sequential-read throughput through the current cache state: read
+    the largest table file once, report MB/s (measured here: ~1 GB/s
+    warm, ~200 MB/s evicted). Same role as cached_gib: an environment
+    signal for the disk that shuffle spills share, not a data-scan
+    cost (the test tables are tiny)."""
+    try:
+        path = os.path.join(sf_dir, "lineitem.parquet")
+        size = os.path.getsize(path)
+        t0 = time.perf_counter()
+        with open(path, "rb") as f:
+            while f.read(8 << 20):
+                pass
+        dt = time.perf_counter() - t0
+        return round(size / 1048576 / dt, 1) if dt > 0 else None
+    except Exception:
+        return None
+
+
 def read_cpu_counters() -> list[int] | None:
     """Aggregate jiffies from /proc/stat (user..steal). Returns None off
     Linux; callers treat steal as unmeasurable then."""
@@ -777,6 +813,7 @@ def main() -> None:
     except Exception as e:
         print(f"# shuffle probe skipped: {e}", file=sys.stderr)
     cpu_at_start = read_cpu_counters()
+    cache_start = cached_gib()
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
@@ -920,6 +957,15 @@ def main() -> None:
     if run_steal is not None:
         out["steal_pct"] = run_steal
         print(f"# cpu steal over run: {run_steal}%", file=sys.stderr)
+    if cache_start is not None:
+        out["cached_gib_start"] = cache_start
+        cache_end = cached_gib()
+        if cache_end is not None:
+            out["cached_gib_end"] = cache_end
+    rp = read_probe_mb_s(sf_dir)
+    if rp is not None:
+        out["read_probe_mb_s"] = rp
+        print(f"# read probe: {rp} MB/s", file=sys.stderr)
     detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
