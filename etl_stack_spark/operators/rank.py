@@ -181,3 +181,53 @@ def top_1_per_group(
 ) -> DataFrame:
     """T6/T4 'first of sorted list' — e.g. closest school, main image."""
     return tiered_top_k(df, partition_by, order_by, k=1, keep_rank=False)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    sum_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global prefix sum without a single-partition window — the
+    ``SUM(v) OVER (ORDER BY ...)`` twin of :func:`global_row_number`,
+    same decomposition: range-repartition on the order, per-partition
+    local running sum, broadcast per-partition TOTALS as offsets. The
+    driver holds one partial sum per partition; no task sees more than
+    its range slice. This is the operator behind budgeted selection
+    ("take the best docs until the token budget") — a global cumsum
+    that a plain window would single-partition at 10^9 rows.
+
+    ``order_by`` MUST be a total order (unique trailing tie-break), and
+    the range exchange is pinned with a lazy localCheckpoint so the
+    sampled boundaries are shared by the offsets pass and the rank pass
+    (repartitionByRange samples — two plans would disagree).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    if not sums:
+        return df.withColumn(sum_col, F.lit(None).cast("long")).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off = F.element_at(
+        F.create_map(*[x for p, o in offsets.items() for x in (F.lit(p), F.lit(o))]),
+        F.col("_pid"),
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(sum_col, (local + off).cast("long")).drop("_pid")

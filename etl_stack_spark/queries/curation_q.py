@@ -822,3 +822,53 @@ def bp1_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(
         docs, id_col="doc_id", lines_col="lines", scope_cols=(), min_docs=3
     )
+
+
+# ---------------------------------------------------------------------------
+# SEL1 — token-budget corpus selection ("take the best docs until the
+# budget"): rank by a quality key, cumulative token sum in rank order,
+# keep while run_tok <= 50% of corpus tokens. The cumsum is EXACT and
+# scalable — global_running_sum (the rfm2 decomposition extended from
+# ranks to prefix sums: range repartition + local running sums +
+# broadcast per-partition totals), never a single-partition window.
+# Quality key = chars-per-token density (deterministic, shared with the
+# oracle); doc_id breaks ties into a total order.
+# ---------------------------------------------------------------------------
+
+_SEL1_ORACLE = f"""
+WITH t AS (SELECT doc_id, n_chars, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents),
+q AS (SELECT doc_id, n_tok, round(n_chars / greatest(n_tok, 1), 6) AS q FROM t),
+o AS (SELECT doc_id, n_tok, q,
+        CAST(SUM(n_tok) OVER (ORDER BY q DESC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_tok
+      FROM q),
+b AS (SELECT CAST(floor(SUM(n_tok) * 0.5) AS BIGINT) AS budget FROM t)
+SELECT doc_id, n_tok, q, run_tok, run_tok <= budget AS selected FROM o, b
+"""
+
+
+@register("sel1_token_budget_selection", _SEL1_ORACLE)
+def sel1_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.rank import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    q = t.withColumn(
+        "q", F.round(F.col("n_chars") / F.greatest(F.col("n_tok"), F.lit(1)), 6)
+    )
+    ranked = global_running_sum(
+        q.select("doc_id", "n_tok", "q"),
+        order_by=[F.col("q").desc(), F.col("doc_id").asc()],
+        value_col="n_tok",
+        sum_col="run_tok",
+    )
+    budget = t.agg(F.floor(F.sum("n_tok") * 0.5).cast("long").alias("budget"))
+    return ranked.crossJoin(F.broadcast(budget)).select(
+        "doc_id",
+        "n_tok",
+        "q",
+        "run_tok",
+        (F.col("run_tok") <= F.col("budget")).alias("selected"),
+    )

@@ -585,3 +585,42 @@ def test_interval_concurrency_half_open_semantics(spark):
     assert out["a"]["n_intervals"] == 4
     assert out["b"]["max_concurrent"] == 1 and out["b"]["peak_at"] == T(1)
     assert out["c"]["max_concurrent"] == 1 and out["c"]["peak_at"] == T(1)
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    """The scalable prefix sum must equal SUM() OVER (ORDER BY ...) on a
+    single-partition window, including duplicate order-key values
+    (doc_id tie-break makes the order total) and an empty input."""
+    from etl_stack_spark.operators.rank import global_running_sum
+
+    rows = [(i, (i * 7) % 5, ((i * 13) % 11) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, q int, tok int")
+    got = {
+        r["id"]: r["run"]
+        for r in global_running_sum(
+            df,
+            order_by=[F.col("q").desc(), F.col("id").asc()],
+            value_col="tok",
+            sum_col="run",
+            num_partitions=8,
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("q").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["run"]
+        for r in df.withColumn("run", F.sum("tok").over(w)).collect()
+    }
+    assert got == want
+
+    empty = df.limit(0)
+    assert (
+        global_running_sum(
+            empty, [F.col("id")], "tok", num_partitions=4
+        ).count()
+        == 0
+    )
