@@ -566,3 +566,56 @@ def dd8_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import quality_survivor_dedup
 
     return quality_survivor_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SPLIT1 — leakage-safe train/valid/test split (the Lee et al. / Pile
+# rule): assign WHOLE near-dup clusters, never documents, so no
+# near-duplicate pair straddles a split boundary — the contamination
+# that inflates eval scores when splits are drawn per-document. Fold =
+# portable hash of the cluster id (deterministic, engine-shared),
+# 8/1/1. Rides dd6's banded cluster machinery and its recursive-CTE
+# oracle; at 100 TB this is one extra map-side expression on the
+# cluster output.
+# ---------------------------------------------------------------------------
+def _split1_oracle() -> str:
+    ctes, final = _minhash_ctes()
+    fold = _H60.format(expr="CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE {ctes},
+mh AS ({final}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mh
+),
+reach AS (
+  SELECT doc_id AS p, doc_id AS q FROM documents
+  UNION
+  SELECT r.p, e.b FROM reach r JOIN edges e ON r.q = e.a
+),
+cl AS (SELECT p AS doc_id, MIN(q) AS cluster_id FROM reach GROUP BY p),
+f AS (SELECT doc_id, cluster_id, CAST({fold} % 10 AS INT) AS fold FROM cl)
+SELECT doc_id, cluster_id, fold,
+  CASE WHEN fold <= 7 THEN 'train' WHEN fold = 8 THEN 'valid' ELSE 'test' END AS split
+FROM f
+"""
+
+
+@register("split1_leakage_safe", _split1_oracle())
+def split1_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.dedup import minhash_cluster_dedup
+    from etl_stack_spark.operators.text import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = minhash_cluster_dedup(docs)
+    fold = (portable_hash60(F.col("cluster_id").cast("string")) % 10).cast("int")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        fold.alias("fold"),
+        F.when(fold <= 7, "train")
+        .when(fold == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

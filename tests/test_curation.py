@@ -553,3 +553,23 @@ def test_fixed_width_lines_adapter(spark):
     }
     assert got[1] == ["t0 t1", "t2 t3", "t4"]
     assert got[2] == ["x"] and got[3] == [] and got[4] == []
+
+
+def test_split1_no_near_dup_pair_straddles_splits(spark):
+    """The leakage contract itself: every MinHash near-dup pair must land
+    with BOTH endpoints in the same split (whole clusters move
+    together), and the per-document fold is deterministic."""
+    from etl_stack_spark.operators.dedup import minhash_near_duplicates
+    from etl_stack_spark.queries.text_dedup import split1_leakage_safe
+
+    sf = "/root/testdata/sf0.001"
+    from etl_stack_spark.session import load_table
+
+    pairs = minhash_near_duplicates(load_table(spark, sf, "documents"), threshold=0.5)
+    splits = {r["doc_id"]: r["split"] for r in split1_leakage_safe(spark, sf).collect()}
+    got_pairs = pairs.select("doc_a", "doc_b").collect()
+    assert got_pairs, "fixture must contain near-dup pairs"
+    for r in got_pairs:
+        assert splits[r["doc_a"]] == splits[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    again = {r["doc_id"]: r["split"] for r in split1_leakage_safe(spark, sf).collect()}
+    assert again == splits
