@@ -37,6 +37,7 @@ changed (M4, vector_store.py:134-137).
 from __future__ import annotations
 
 import contextlib
+import itertools
 import json
 import os
 import time
@@ -44,6 +45,18 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# process-wide monotone sequence for snapshot/partition/compaction dir
+# names: (millis, pid) alone COLLIDES when two same-process writer
+# threads race inside one millisecond — FileOutputCommitter then merges
+# both jobs into one directory and the loser's job-commit deletes the
+# winner's _temporary tree mid-write (observed in the two-writer race
+# test under a slow box). next() on itertools.count is GIL-atomic.
+_STAMP_SEQ = itertools.count()
+
+
+def _unique_stamp() -> str:
+    return f"{int(time.time() * 1000)}_{os.getpid()}_{next(_STAMP_SEQ)}"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -361,7 +374,7 @@ class ParquetMergeTable:
         shared POSIX filesystem (os.O_EXCL is the mutex; data writes stay
         OUTSIDE the critical section so writers only serialize on the
         pointer swap, not on the heavy parquet write)."""
-        version = f"v_{int(time.time() * 1000)}_{os.getpid()}_{len(self._read_manifest()['history'])}"
+        version = f"v_{_unique_stamp()}"
         path = os.path.join(self.root, version)
         df.write.mode("overwrite").parquet(path)
         with self._commit_lock():
@@ -800,7 +813,7 @@ class PartitionedMergeTable:
             }
             # one new directory per affected partition, written lock-free
             new_dirs: dict[str, str] = {}
-            stamp = f"{int(time.time() * 1000)}_{os.getpid()}"
+            stamp = _unique_stamp()
             for i, v in enumerate(affected):
                 d = f"p_{i}_{stamp}"
                 part = merged.filter(F.col(pcol) == F.lit(v)).drop("_action")
@@ -923,7 +936,7 @@ class PartitionedMergeTable:
         if not plan:
             return {"compacted": {}, "skipped": []}
 
-        stamp = f"{int(time.time() * 1000)}_{os.getpid()}"
+        stamp = _unique_stamp()
         new_dirs: dict[str, str] = {}
         for i, (v, (d, _)) in enumerate(plan.items()):
             nd = f"c_{i}_{stamp}"
