@@ -89,12 +89,23 @@ class AddedFilePartition(InputPartition):
 
 
 class DeltaTailStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self, root: str, schema: StructType, starting_version: str | None = None
+    ):
         self.root = root
         self.target_schema = schema
+        self.starting_version = starting_version
 
     # offset = {"version": next version to read}; ranges are [start, end)
     def initialOffset(self) -> dict:
+        # Delta's startingVersion: begin the tail at N instead of
+        # bootstrapping from 0; "latest" = only commits made after the
+        # stream starts. Spark's checkpoint overrides this on restart
+        # (an offset already in the checkpoint wins — stock semantics).
+        if self.starting_version == "latest":
+            return self.latestOffset()
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version)}
         return {"version": 0}
 
     def latestOffset(self) -> dict:
@@ -135,7 +146,9 @@ class DeltaTailStreamReader(DataSourceStreamReader):
 
 
 class DeltaTailDataSource(DataSource):
-    """format("delta_tail"): options — ``path`` (table root, required)."""
+    """format("delta_tail"): options — ``path`` (table root, required),
+    ``starting_version`` (int or "latest", optional — Delta's
+    startingVersion: skip the bootstrap and tail from there)."""
 
     @classmethod
     def name(cls) -> str:
@@ -148,7 +161,9 @@ class DeltaTailDataSource(DataSource):
         return StructType.fromJson(json.loads(_schema_string(root)))
 
     def streamReader(self, schema: StructType) -> DeltaTailStreamReader:
-        return DeltaTailStreamReader(self.options["path"], schema)
+        return DeltaTailStreamReader(
+            self.options["path"], schema, self.options.get("starting_version")
+        )
 
 
 def register_delta_tail(spark) -> None:

@@ -276,3 +276,58 @@ def test_delta_tail_schema_evolution_contract(spark, tmp_path):
     assert got == {"a": None, "b": None, "c": "E"}
     # engine-side read() agrees: the stream and the table see one schema
     assert {r.pk: r.extra for r in t.read().collect()} == got
+
+
+def test_delta_tail_starting_version(spark, tmp_path):
+    """starting_version (Delta's startingVersion): a stream started at
+    version N skips the bootstrap and tails only versions >= N;
+    "latest" sees nothing until a commit made after the stream starts.
+    Spark's checkpoint still owns the offsets after the first batch."""
+    from etl_stack_spark.streaming.delta_datasource import register_delta_tail
+
+    def mk(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.lit("a").alias("bucket"),
+                F.lpad(F.col("id").cast("string"), 10, "0").alias("lkey"),
+                F.col("id").cast("long").alias("v"),
+            )
+            .withColumn("content_hash", F.sha2(F.col("v").cast("string"), 256))
+        )
+
+    root = str(tmp_path / "pt")
+    pt = PartitionedMergeTable(spark, root, "bucket", delta_log=True)
+    pt.merge(mk(0, 1000), keys=["bucket", "lkey"])     # version 0
+    pt.merge(mk(1000, 1200), keys=["bucket", "lkey"])  # version 1
+
+    register_delta_tail(spark)
+    rows_seen: list[int] = []
+
+    def drain(ckpt, starting):
+        reader = spark.readStream.format("delta_tail").option("path", root)
+        if starting is not None:
+            reader = reader.option("starting_version", starting)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(lambda df, bid: rows_seen.append(df.count()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # start at version 1: only the second merge's rewritten files
+    drain("ck1", "1")
+    v1_rows = sum(rows_seen)
+    assert 0 < v1_rows < 1200 and v1_rows >= 200  # the delta, not the bootstrap
+
+    # "latest": nothing yet...
+    rows_seen.clear()
+    drain("ck2", "latest")
+    assert sum(rows_seen) == 0
+    # ...until a NEW commit lands; the checkpointed offset resumes there
+    pt.merge(mk(1200, 1300), keys=["bucket", "lkey"])  # version 2
+    rows_seen.clear()
+    drain("ck2", "latest")
+    assert sum(rows_seen) >= 100  # the new files, never the history
