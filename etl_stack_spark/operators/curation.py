@@ -888,7 +888,11 @@ def remove_boilerplate_lines(
         F.count(F.lit(1)).alias("n_kept"),
     )
     out = (
-        base.select(id_col, F.size("_lines").cast("long").alias("n_lines"))
+        # coalesce: a NULL lines array is an empty doc, not size -1/NULL
+        base.select(
+            id_col,
+            F.coalesce(F.size("_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        )
         .join(rebuilt.hint("shuffle_hash"), id_col, "left")  # per-doc: corpus-sized
         .select(
             id_col,

@@ -212,7 +212,7 @@ def global_running_sum(
         .localCheckpoint(eager=False)
     )
     sums = {
-        r["_pid"]: r["s"]
+        r["_pid"]: (r["s"] or 0)  # an all-NULL partition contributes 0
         for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }
     if not sums:
@@ -230,4 +230,10 @@ def global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ranged.withColumn(sum_col, (local + off).cast("long")).drop("_pid")
+    # keep fractional value types fractional; only integral sums narrow
+    # back to long (Spark's SUM widens int->long, decimal->wider decimal)
+    from pyspark.sql.types import FractionalType
+
+    is_frac = isinstance(df.schema[value_col].dataType, FractionalType)
+    total = local + off if is_frac else (local + off).cast("long")
+    return ranged.withColumn(sum_col, total).drop("_pid")

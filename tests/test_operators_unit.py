@@ -624,3 +624,19 @@ def test_global_running_sum_matches_single_partition_window(spark):
         ).count()
         == 0
     )
+
+
+def test_global_running_sum_preserves_fractional_type(spark):
+    """Double value columns must stay double (no silent truncation to
+    long), and an all-NULL range partition contributes 0 to offsets."""
+    from etl_stack_spark.operators.rank import global_running_sum
+
+    rows = [(i, 0.25 if i % 3 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    out = global_running_sum(
+        df, order_by=[F.col("id")], value_col="w", sum_col="run", num_partitions=6
+    )
+    assert dict(out.dtypes)["run"] == "double"
+    last = out.orderBy(F.col("id").desc()).limit(1).collect()[0]["run"]
+    n_nonnull = sum(1 for _, w in rows if w is not None)
+    assert abs(last - 0.25 * n_nonnull) < 1e-9
