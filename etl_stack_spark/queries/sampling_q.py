@@ -286,3 +286,115 @@ def mix2_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("kept_tokens"),
         F.round(F.max("rate"), 6).alias("rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SEL2 — domain-budgeted quality selection (the FineWeb/Dolma recipe
+# mix2 samples and sel1 globalizes): per-domain token budgets follow
+# temperature-scaled shares (α=0.5), then each domain keeps its BEST
+# docs (quality-density rank) until its budget fills — deterministic
+# greedy selection, not rate sampling. Cross-engine float hygiene: the
+# share sum is over DECIMAL(38,6)-rounded sqrt terms (decimal addition
+# is order-exact; a raw double sum's order could flip a budget floor),
+# and the final ratio divides the two identical decimals as doubles.
+# Per-domain cumulative sums are domain-partitioned windows
+# (dimension-cardinality); one monster domain routes through
+# global_running_sum on its slice (the sel1 path).
+# ---------------------------------------------------------------------------
+
+_SEL2_ORACLE = f"""
+WITH tok AS (
+  SELECT source, doc_id, n_chars, CAST(len({_SP3_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+),
+q AS (SELECT source, doc_id, n_tok,
+             round(n_chars / greatest(n_tok, 1), 6) AS q FROM tok),
+dt AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS d_tokens FROM tok GROUP BY source),
+sh AS (SELECT source, d_tokens,
+              CAST(round(sqrt(CAST(d_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS share
+       FROM dt),
+tot AS (SELECT CAST(SUM(d_tokens) AS BIGINT) AS all_tokens,
+               SUM(share) AS sum_share FROM sh),
+b AS (
+  SELECT source, d_tokens,
+    CAST(floor(0.5 * all_tokens *
+               (CAST(share AS DOUBLE) / CAST(sum_share AS DOUBLE))) AS BIGINT) AS budget
+  FROM sh, tot
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_tok
+  FROM q
+),
+k AS (
+  SELECT c.source, c.n_tok FROM c JOIN b USING (source) WHERE run_tok <= budget
+),
+agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS kept_tokens FROM k GROUP BY source)
+SELECT b.source, d_tokens, budget,
+  coalesce(n_kept, 0) AS n_kept,
+  coalesce(kept_tokens, 0) AS kept_tokens,
+  round(coalesce(kept_tokens, 0) / greatest(budget, 1), 6) AS utilization
+FROM b LEFT JOIN agg USING (source)
+"""
+
+
+@register("sel2_domain_budget_selection", _SEL2_ORACLE)
+def sel2_domain_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    q = tok.withColumn(
+        "q", F.round(F.col("n_chars") / F.greatest(F.col("n_tok"), F.lit(1)), 6)
+    )
+    dt = tok.groupBy("source").agg(F.sum("n_tok").cast("long").alias("d_tokens"))
+    sh = dt.withColumn(
+        "share", F.round(F.sqrt(F.col("d_tokens").cast("double")), 6).cast("decimal(38,6)")
+    )
+    tot = sh.agg(
+        F.sum("d_tokens").cast("long").alias("all_tokens"),
+        F.sum("share").alias("sum_share"),
+    )
+    b = sh.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "d_tokens",
+        F.floor(
+            F.lit(0.5)
+            * F.col("all_tokens")
+            * (F.col("share").cast("double") / F.col("sum_share").cast("double"))
+        )
+        .cast("long")
+        .alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = q.withColumn("run_tok", F.sum("n_tok").over(w).cast("long"))
+    kept = c.join(F.broadcast(b), "source").filter(F.col("run_tok") <= F.col("budget"))
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("kept_tokens"),
+    )
+    return (
+        b.join(agg, "source", "left")
+        .fillna(0, ["n_kept", "kept_tokens"])
+        .select(
+            "source",
+            "d_tokens",
+            "budget",
+            "n_kept",
+            "kept_tokens",
+            F.round(
+                F.col("kept_tokens") / F.greatest(F.col("budget"), F.lit(1)), 6
+            ).alias("utilization"),
+        )
+    )
