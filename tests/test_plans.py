@@ -159,6 +159,7 @@ def test_no_row_at_a_time_python_anywhere(spark):
         "hll2_grouped_distinct",     # groups x 64-register broadcast spine
         "lang2_nb_train_apply",      # 1-row vocab/total sides + 5-row model grid
         "sel1_token_budget_selection",  # 1-row token-budget side
+        "sel2_domain_budget_selection",  # 1-row share-total side
     }
     # plan-building is driver-side and thread-safe; 8 planner threads cut
     # this registry-wide sweep from 65s to a fraction (it was the suite's
