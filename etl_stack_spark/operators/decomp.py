@@ -1,0 +1,188 @@
+"""Distributed PCA over embedding columns — the dimensionality-reduction
+stage that sits in front of ANN/clustering at corpus scale (reduce 64-d
+to 8-16-d before IVF, or whiten before SemDeDup).
+
+The scalable decomposition is the textbook one: the covariance needs
+only second-moment SUMS, which accumulate map-side — no row ever meets
+another row. Spark reduces n×d vectors to d(d+1)/2 + d + 1 numbers;
+the driver does the O(d³) eigensolve on a d×d matrix (d=64 here: trivial,
+and the same shape that runs Lloyd's/BPE driver loops elsewhere in this
+engine); projection broadcasts the (q×d) component matrix back as plain
+Column arithmetic.
+
+Cross-engine float hygiene (the lm-family milli-nat trick, applied to
+moments): each per-row product quantizes to integer MICRO-UNITS before
+summation — floor(x_i·x_j·1e6 + 0.5) summed as BIGINT — so the sums are
+ORDER-EXACT and the DuckDB oracle reproduces them bit-for-bit, which no
+floating sum can promise across engines. The eigensolve then runs on
+micro-units/1e6 (one deterministic driver-side division per entry).
+
+Two equivalent accumulation paths, unit-pinned equal:
+
+* ``gram_micro`` — pure-relational: per row, explode the d(d+1)/2 upper
+  triangle (quantized products) and groupBy-sum with map-side partial
+  aggregation. Whole-stage codegen, zero Python; the explode costs
+  O(n·d²) generated rows, which IS the covariance FLOP count — but with
+  a row-materialization constant.
+* ``gram_micro_pandas`` — Arrow/numpy: per batch, quantize the outer
+  products and accumulate one int64 d×d partial per batch (einsum), so
+  the shuffle carries d² rows per PARTITION instead of per row. The
+  declared fast path at 10^9 rows (same justification class as the
+  mm-family codecs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _quantized_product(vec: Column, i: Column, j: Column) -> Column:
+    """floor(x_i * x_j * 1e6 + 0.5) — the order-exact micro-unit term.
+    1-based element_at, matching the oracle's 1-based list index."""
+    return F.floor(
+        F.element_at(vec, i).cast("double")
+        * F.element_at(vec, j).cast("double")
+        * F.lit(float(MICRO))
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def gram_micro(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """(k, i, j, s_micro, n_rows): upper-triangle second-moment sums in
+    integer micro-units, plus first moments as the diagonal against a
+    constant-1 dimension index 0 (i=0 rows hold sum(x_j); k encodes
+    (i, j) as i*(dim+1)+j over the 1-based dims, 0 row = count)."""
+    v = F.col(vec_col)
+    one = F.lit(1).cast("int")
+    # pairs (i, j), 1 <= i <= j <= dim, as one flat array per row
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(one, F.lit(dim)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim)),
+                lambda j: F.struct(
+                    (i * (dim + 1) + j).cast("long").alias("k"),
+                    _quantized_product(v, i, j).alias("p"),
+                ),
+            ),
+        )
+    )
+    # first moments ride the same explode: k = j (i "= 0"), p = x_j
+    firsts = F.transform(
+        F.sequence(one, F.lit(dim)),
+        lambda j: F.struct(
+            j.cast("long").alias("k"),
+            F.floor(
+                F.element_at(v, j).cast("double") * F.lit(float(MICRO)) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("p"),
+        ),
+    )
+    # k = 0 carries the row count
+    count = F.array(
+        F.struct(F.lit(0).cast("long").alias("k"), F.lit(1).cast("long").alias("p"))
+    )
+    exploded = df.select(
+        F.explode(F.concat(count, firsts, pairs)).alias("t")
+    ).select(F.col("t.k").alias("k"), F.col("t.p").alias("p"))
+    out = exploded.groupBy("k").agg(F.sum("p").alias("s_micro"))
+    i = F.when(F.col("k") > dim, (F.col("k") / (dim + 1)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    j = F.when(F.col("k") > dim, F.col("k") % (dim + 1)).otherwise(F.col("k"))
+    return out.select("k", i.alias("i"), j.alias("j"), "s_micro")
+
+
+def gram_micro_pandas(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Same (k, i, j, s_micro) frame through Arrow/numpy partial
+    accumulation: one int64 (d×d + d + 1) partial per batch, shuffled as
+    d² rows per partition — the 10^9-row path."""
+    import pandas as pd
+
+    def acc(batches):
+        import numpy as np
+
+        total = np.zeros((dim, dim), dtype=np.int64)
+        first = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if not len(X):
+                continue
+            n += len(X)
+            first += np.floor(X * MICRO + 0.5).astype(np.int64).sum(axis=0)
+            # chunk the outer products: r×d×d int64 at once would be large
+            for lo in range(0, len(X), 512):
+                chunk = X[lo : lo + 512]
+                outer = np.einsum("ri,rj->rij", chunk, chunk)
+                total += np.floor(outer * MICRO + 0.5).astype(np.int64).sum(axis=0)
+        ks, ps = [0], [n]
+        for j in range(dim):
+            ks.append(j + 1)
+            ps.append(first[j])
+        for i in range(dim):
+            for j in range(i, dim):
+                ks.append((i + 1) * (dim + 1) + (j + 1))
+                ps.append(total[i, j])
+        yield pd.DataFrame({"k": ks, "p": ps})
+
+    exploded = df.select(vec_col).mapInPandas(acc, "k long, p long")
+    out = exploded.groupBy("k").agg(F.sum("p").alias("s_micro"))
+    i = F.when(F.col("k") > dim, (F.col("k") / (dim + 1)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    j = F.when(F.col("k") > dim, F.col("k") % (dim + 1)).otherwise(F.col("k"))
+    return out.select("k", i.alias("i"), j.alias("j"), "s_micro")
+
+
+def pca_fit(gram: DataFrame, dim: int, n_components: int) -> dict:
+    """Driver-side eigensolve from the micro-unit moment frame: builds
+    the sample covariance (n-1 denominator), returns mean, components
+    (rows = descending eigenvalue order), explained variance. The
+    collected state is d(d+1)/2 + d + 1 longs — bytes, at any corpus
+    size."""
+    import numpy as np
+
+    rows = {r["k"]: r["s_micro"] for r in gram.collect()}
+    n = rows[0]
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    mean = np.array([rows[j + 1] for j in range(dim)], dtype=np.float64) / MICRO / n
+    S = np.zeros((dim, dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(i, dim):
+            s = rows[(i + 1) * (dim + 1) + (j + 1)] / MICRO
+            S[i, j] = S[j, i] = s
+    cov = (S - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    return {
+        "n": int(n),
+        "mean": mean,
+        "components": evecs[:, order].T.copy(),  # (q, d)
+        "explained_variance": evals[order].copy(),
+    }
+
+
+def pca_project(df: DataFrame, vec_col: str, model: dict, out_col: str = "pca") -> DataFrame:
+    """Broadcast projection: out[c] = Σ_j (x_j - mean_j)·W[c, j] as plain
+    Column arithmetic (q×d multiply-adds per row, whole-stage codegen —
+    no Python on the projection path)."""
+    comps = model["components"]
+    mean = model["mean"]
+    v = F.col(vec_col)
+    outs = []
+    for c in range(comps.shape[0]):
+        term = F.lit(0.0)
+        for j in range(comps.shape[1]):
+            w = float(comps[c, j])
+            if w != 0.0:
+                term = term + (
+                    F.element_at(v, j + 1).cast("double") - F.lit(float(mean[j]))
+                ) * F.lit(w)
+        outs.append(term)
+    return df.withColumn(out_col, F.array(*outs))

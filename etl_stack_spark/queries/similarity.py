@@ -380,3 +380,39 @@ def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "label", "embedding"
     )
     return hard_negatives(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# PCA1 — distributed PCA moment accumulation (operators/decomp.py): the
+# d(d+1)/2 + d + 1 micro-unit moment sums the driver eigensolve needs,
+# ORDER-EXACT by integer quantization (the lm-family trick applied to
+# second moments) so the oracle reproduces every sum bit-for-bit. The
+# eigensolve + projection are pinned by units against numpy; this query
+# pins the distributed part — the only part that touches the corpus.
+# ---------------------------------------------------------------------------
+
+_PCA1_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT CAST(i * 65 + j AS BIGINT) AS k, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         CAST(floor(e[i] * e[j] * 1000000 + 0.5) AS BIGINT) AS p
+  FROM v, unnest(range(1, 65)) u(i), unnest(range(1, 65)) w(j)
+  WHERE j >= i
+),
+firsts AS (
+  SELECT CAST(j AS BIGINT) AS k, CAST(0 AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         CAST(floor(e[j] * 1000000 + 0.5) AS BIGINT) AS p
+  FROM v, unnest(range(1, 65)) w(j)
+),
+cnt AS (SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS i,
+               CAST(0 AS BIGINT) AS j, CAST(1 AS BIGINT) AS p FROM v),
+allr AS (SELECT * FROM pairs UNION ALL SELECT * FROM firsts UNION ALL SELECT * FROM cnt)
+SELECT k, i, j, CAST(SUM(p) AS BIGINT) AS s_micro FROM allr GROUP BY k, i, j
+"""
+
+
+@register("pca1_gram_micro", _PCA1_ORACLE)
+def pca1_gram_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.decomp import gram_micro
+
+    return gram_micro(load_table(spark, sf_dir, "embeddings"), "embedding", 64)

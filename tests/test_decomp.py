@@ -1,0 +1,71 @@
+"""Distributed PCA units: the two accumulation paths agree row-for-row,
+the driver eigensolve matches numpy's direct covariance PCA, and the
+broadcast projection reproduces (X - mean) @ W.T."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+
+def _emb_df(spark, n=200, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    # anisotropic data so eigenvalues separate: stretch two directions
+    base = rng.randn(n, dim)
+    base[:, 0] *= 4.0
+    base[:, 1] *= 2.0
+    X = np.round(base, 4)  # float32-exact values
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    return X, spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_gram_micro_paths_agree(spark):
+    from etl_stack_spark.operators.decomp import gram_micro, gram_micro_pandas
+
+    _, df = _emb_df(spark)
+    a = sorted(map(tuple, gram_micro(df, "embedding", 8).collect()))
+    b = sorted(map(tuple, gram_micro_pandas(df, "embedding", 8).collect()))
+    assert a == b and len(a) == 8 * 9 // 2 + 8 + 1
+
+
+def test_pca_fit_matches_numpy(spark):
+    from etl_stack_spark.operators.decomp import gram_micro, pca_fit
+
+    X, df = _emb_df(spark)
+    Xf = X.astype(np.float32).astype(np.float64)  # what Spark's floats hold
+    model = pca_fit(gram_micro(df, "embedding", 8), dim=8, n_components=3)
+    assert model["n"] == len(X)
+    assert np.allclose(model["mean"], Xf.mean(axis=0), atol=2e-6)
+
+    cov = np.cov(Xf, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    # micro-unit quantization perturbs each moment by <= 0.5e-6 per row
+    assert np.allclose(model["explained_variance"], evals, rtol=1e-3)
+    # components are genuine eigenvectors of the true covariance
+    for c, lam in zip(model["components"], model["explained_variance"]):
+        assert np.linalg.norm(cov @ c - lam * c) < 1e-2 * max(lam, 1.0)
+    # descending order, dominant direction is the stretched axis 0
+    ev = model["explained_variance"]
+    assert ev[0] >= ev[1] >= ev[2]
+    assert abs(model["components"][0][0]) > 0.9
+
+
+def test_pca_project_matches_matmul(spark):
+    from etl_stack_spark.operators.decomp import gram_micro, pca_fit, pca_project
+
+    X, df = _emb_df(spark, n=120)
+    Xf = X.astype(np.float32).astype(np.float64)
+    model = pca_fit(gram_micro(df, "embedding", 8), dim=8, n_components=2)
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_project(df, "embedding", model).collect()
+    }
+    want = (Xf - model["mean"]) @ model["components"].T
+    for i in range(len(X)):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+    # projection variance realizes the claimed explained variance
+    proj = np.stack([got[i] for i in range(len(X))])
+    # micro-unit moment quantization bounds the eigenvalue error ~1e-6
+    assert np.allclose(
+        proj.var(axis=0, ddof=1), model["explained_variance"], rtol=1e-6
+    )
