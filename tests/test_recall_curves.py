@@ -279,3 +279,46 @@ def test_ann_recall_mixture_hardness(spark, mixture):
         assert at10 >= f10, f"{level}/{kind} recall@10 {at10:.3f} < floor {f10}"
     assert measured["ivf_p4"][1] >= measured["lsh"][1]
     assert measured["lsh_multi"][1] >= measured["lsh"][1]
+
+
+def test_pca_reduced_search_recall(spark, mixture):
+    """PCA-reduced brute-force search on the mixture corpora: at 4-8x
+    dimensionality reduction the PLANTED (semantic) neighbor is
+    recovered perfectly at both hardness levels — better than
+    single-shot LSH's ~0.85 — because the top components carry the
+    cluster signal and drop the noise dims. recall@10 against the
+    FULL-space exact list stays low by construction: full-space cosine
+    in this fixture is noise-dominated, so the reduced space
+    legitimately disagrees with it (measured r8: pca8 ~0.12, pca16
+    ~0.18 at both levels). Floors are measured-minus-margin."""
+    from etl_stack_spark.operators.decomp import gram_micro, pca_fit, pca_project
+    from etl_stack_spark.operators.similarity import brute_force_topk
+
+    level, corpus, qdf, planted, truth = mixture
+    model = pca_fit(gram_micro(corpus, "embedding", 64), dim=64, n_components=16)
+    # explained variance must be descending and strictly positive
+    ev = model["explained_variance"]
+    assert all(a >= b for a, b in zip(ev, ev[1:])) and ev[-1] > 0
+    for q, at10_floor in ((8, 0.09), (16, 0.13)):
+        m = {
+            **model,
+            "components": model["components"][:q],
+            "explained_variance": model["explained_variance"][:q],
+        }
+        pc = pca_project(corpus, "embedding", m).select(
+            "vec_id", F.col("pca").alias("embedding")
+        )
+        pq = pca_project(qdf, "embedding", m).select(
+            "query_id", F.col("pca").alias("embedding")
+        )
+        found = {}
+        for r in brute_force_topk(pc, pq, k=10).collect():
+            found.setdefault(r["query_id"], set()).add(r["vec_id"])
+        at_planted = sum(
+            1 for k, v in planted.items() if v in found.get(k, set())
+        ) / len(planted)
+        at10 = sum(len(found.get(k, set()) & v) / 10 for k, v in truth.items()) / len(
+            truth
+        )
+        assert at_planted >= 0.95, (level, q, at_planted)
+        assert at10 >= at10_floor, (level, q, at10)
