@@ -464,3 +464,176 @@ def knn_graph_within(
             F.col("rank").cast("int"),
         )
     )
+
+
+# --- Product quantization (PQ): the IVF+PQ memory side ----------------------
+#
+# At 100 TB the ANN bottleneck is MEMORY BANDWIDTH, not compute: a 64-d
+# float32 corpus is 256 B/vector; PQ with m=8 subspaces × k=16 codes is
+# 8 × 4 bits — 4 B/vector, a 64× cut — and search never touches the
+# original vectors (ADC: per query, one k-entry distance LUT per
+# subspace, score = sum of m lookups). Codebooks train on a BOUNDED
+# deterministic hash-sample (the standard practice — PQ codebooks need
+# ~10⁵ vectors, not the corpus), each subspace through the same Lloyd's
+# driver loop as ivf_train. Search is fully relational: codes explode
+# to (id, sub, code), join the broadcast per-query LUT frame, one
+# map-side-combined sum, WindowGroupLimit top-k. Cost O(n·m·q_wave)
+# with q bounded per wave — the classic ADC scan, shaped for Spark.
+# No oracle (k-means training is not SQL-expressible — the bpe1/ql2
+# class); pinned by numpy-reference encode parity, reconstruction-
+# error monotonicity, determinism, and measured recall floors.
+
+
+def l2_normalize(v):
+    """Unit-normalize an array column (zero vectors pass through).
+    Normalizing first makes PQ's L2 ranking equivalent to cosine."""
+    v = _as_double(v)
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return F.transform(v, lambda x: x / safe)
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+) -> list[list[list[float]]]:
+    """m codebooks of k centroids (dim/m dims each), trained on the
+    ``sample`` vectors with the smallest xxhash64(id) — deterministic
+    and bounded regardless of corpus size.
+
+    All m subspaces train FUSED in one Lloyd's loop: each iteration is
+    a single pass that assigns every subspace's cell at once (one
+    codegen'd array expression) and reduces (sub, cell, pos) means with
+    one explode + groupBy — 2 actions per iteration TOTAL, not per
+    subspace. That is both the local-latency fix (driver round-trips,
+    not data, dominate at sandbox SF) and the 100 TB shape: one data
+    pass per iteration instead of m."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    samp = (
+        c.withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .select(id_col, "v")
+        .localCheckpoint(eager=True)
+    )
+    seeds = samp.orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"sample has fewer than {k} vectors")
+    books = [
+        [list(r["v"][s * w : (s + 1) * w]) for r in seeds] for s in range(m)
+    ]
+    for _ in range(n_iter):
+        cells = F.array(
+            *[
+                nearest_cell(F.slice("v", s * w + 1, w), books[s])
+                for s in range(m)
+            ]
+        )
+        rows = (
+            samp.select(F.posexplode(cells).alias("sub", "cell"), "v")
+            .select(
+                "sub",
+                "cell",
+                F.posexplode(
+                    F.slice("v", F.col("sub") * w + 1, w)
+                ).alias("pos", "x"),
+            )
+            .groupBy("sub", "cell", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .collect()
+        )
+        new = {(r["sub"], r["cell"]): [p["mval"] for p in r["pm"]] for r in rows}
+        books = [
+            [new.get((s, ci), books[s][ci]) for ci in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the nearest codebook entry
+    — one codegen'd expression, no shuffle, no Python."""
+    m = len(codebooks)
+    w = dim // m
+    v = _as_double(F.col(vec_col))
+    codes = F.array(
+        *[
+            nearest_cell(F.slice(v, s * w + 1, w), codebooks[s]).cast("int")
+            for s in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric distance computation: per query build the (sub, code)
+    → partial-d² LUT (m·k rows per query, broadcast), sum m lookups per
+    encoded vector, WindowGroupLimit top-k ascending. Returns
+    (query_id, vec_id, adc_d2, rnk)."""
+    from etl_stack_spark.operators.rank import tiered_top_k
+
+    m = len(codebooks)
+    w = dim // m
+    qv = _as_double(F.col(vec_col))
+    lut_entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.lit(ci).alias("code"),
+                _sq_dist(F.slice(qv, s * w + 1, w), c).alias("d2"),
+            )
+            for s in range(m)
+            for ci, c in enumerate(codebooks[s])
+        ]
+    )
+    lut = queries.select(
+        F.col(query_id_col), F.explode(lut_entries).alias("e")
+    ).select(
+        query_id_col,
+        F.col("e.sub").alias("sub"),
+        F.col("e.code").alias("code"),
+        F.col("e.d2").alias("d2"),
+    )
+    occ = codes.select(
+        F.col(id_col), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        occ.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    )
+    return tiered_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("adc_d2").asc(), F.col(id_col).asc()],
+        k=k,
+    )

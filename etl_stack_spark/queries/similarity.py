@@ -416,3 +416,40 @@ def pca1_gram_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.decomp import gram_micro
 
     return gram_micro(load_table(spark, sf_dir, "embeddings"), "embedding", 64)
+
+
+# ---------------------------------------------------------------------------
+# PQ1 — product-quantized ADC search end-to-end (train on the bounded
+# hash-sample, encode the corpus to m=8 4-bit-scale codes, ADC top-5
+# for every 100th vector as query). No oracle — k-means training is
+# not SQL-expressible (the bpe1/ql2 class); semantics pinned by the
+# numpy encode-parity, reconstruction-monotonicity and determinism
+# units plus measured recall floors (tests/test_recall_curves.py).
+# Fully deterministic output (hash-seeded training, fixed iterations,
+# index tie-breaks), so the driver's rows-only check is stable.
+# ---------------------------------------------------------------------------
+
+
+@register("pq1_adc_topk")
+def pq1_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.similarity import (
+        l2_normalize,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cn = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=False)
+    # sandbox dials m=4/k=8/n_iter=2: the local cost is EXPRESSION
+    # COMPILE (m*k literal-array distance aggregates per pass), pure
+    # constant overhead that amortizes at real scale; the recall-floor
+    # tests run the production m=8/k=16 dials on 12k-vector corpora
+    books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
+    codes = pq_encode(cn, books, dim=64)
+    queries = cn.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, queries, books, dim=64, k=5)

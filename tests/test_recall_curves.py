@@ -322,3 +322,36 @@ def test_pca_reduced_search_recall(spark, mixture):
         )
         assert at_planted >= 0.95, (level, q, at_planted)
         assert at10 >= at10_floor, (level, q, at10)
+
+
+def test_pq_adc_recall(spark, mixture):
+    """IVF+PQ's memory side measured: m=8 subspaces × k=16 codes = 4 B
+    per vector (64× under float32) yet the planted neighbor is always
+    recovered, and recall@10-vs-full-space beats single-shot LSH at
+    both hardness levels (measured r8: m8k16 .263/.250; m8k64 improves
+    to .371/.333 — the k dial, monotonicity pinned cheaply in
+    test_similarity_ops' reconstruction unit). Floors are
+    measured-minus-margin."""
+    from etl_stack_spark.operators.similarity import (
+        l2_normalize,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    level, corpus, qdf, planted, truth = mixture
+    cn = corpus.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=True)
+    qn = qdf.select(
+        "query_id", l2_normalize(F.col("embedding")).alias("embedding")
+    )
+    books = pq_train(cn, dim=64, m=8, k=16, n_iter=3, sample=2000)
+    codes = pq_encode(cn, books, dim=64)
+    found = {}
+    for r in pq_adc_topk(codes, qn, books, dim=64, k=10).collect():
+        found.setdefault(r["query_id"], set()).add(r["vec_id"])
+    atp = sum(1 for q, b in planted.items() if b in found.get(q, set())) / len(planted)
+    at10 = sum(len(found.get(q, set()) & v) / 10 for q, v in truth.items()) / len(truth)
+    assert atp >= 0.95, (level, atp)
+    assert at10 >= 0.18, (level, at10)

@@ -103,3 +103,60 @@ def test_blocked_cell_pairs_guards_degenerate_cell(spark):
     assert n_blocks == 16  # 4x4 tiling of the 200-row cell
     per_block = big.groupBy("_bi", "_bj").count().agg(F.max("count")).collect()[0][0]
     assert per_block < 200  # no block carries the whole cell's side
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    """Encode parity: each subspace code equals the numpy argmin over
+    the same codebook (squared L2, index tie-break)."""
+    import numpy as np
+
+    from etl_stack_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(3)
+    X = np.round(rng.randn(300, 16), 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+    books = pq_train(df, dim=16, m=4, k=8, n_iter=3, sample=300)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books, dim=16).collect()}
+    for i in range(len(X)):
+        for s in range(4):
+            sub = X[i, s * 4 : (s + 1) * 4]
+            d = ((np.array(books[s]) - sub) ** 2).sum(axis=1)
+            assert got[i][s] == int(np.argmin(d)), (i, s)
+
+
+def test_pq_reconstruction_error_monotone_in_k(spark):
+    """More codes per subspace must not reconstruct worse (measured as
+    mean squared distance to the assigned centroid), and training is
+    deterministic."""
+    import numpy as np
+
+    from etl_stack_spark.operators.similarity import pq_encode, pq_train
+
+    rng = np.random.RandomState(11)
+    X = np.round(rng.randn(400, 16), 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id int, embedding array<double>",
+    )
+
+    def mse(k):
+        books = pq_train(df, dim=16, m=4, k=k, n_iter=4, sample=400)
+        codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, books, dim=16).collect()}
+        err = 0.0
+        for i in range(len(X)):
+            for s in range(4):
+                c = np.array(books[s][codes[i][s]])
+                err += ((X[i, s * 4 : (s + 1) * 4] - c) ** 2).sum()
+        return err / len(X), books
+
+    e2, _ = mse(2)
+    e8, b8a = mse(8)
+    assert e8 < e2
+    _, b8b = mse(8)
+    assert b8a == b8b  # deterministic seeds + iterations
