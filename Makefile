@@ -19,27 +19,25 @@ test-fast:
 	python -m pytest -q tests/test_streaming.py tests/test_fuzz_url.py \
 	  tests/test_fuzz_esd.py tests/test_fuzz_pii.py tests/test_fuzz_polygon.py \
 	  tests/test_fuzz_quantized.py tests/test_fuzz_sessions_kmv.py \
-	  tests/test_fuzz_cleaners.py tests/test_bpe.py tests/test_graph_extra.py \
+	  tests/test_fuzz_cleaners.py tests/test_graph_extra.py \
 	  > /tmp/tf_g1.log 2>&1 & p1=$$!; \
 	python -m pytest -q tests/test_merge.py tests/test_merge_delta_contract.py \
-	  tests/test_curation.py tests/test_plans.py \
+	  tests/test_curation.py \
 	  tests/test_fuzz_boilerplate.py > /tmp/tf_g2.log 2>&1 & p2=$$!; \
 	python -m pytest -q tests/test_oracle_parity.py tests/test_recall_curves.py \
-	  tests/test_delta_source.py tests/test_end_to_end.py tests/test_jpeg.py \
-	  tests/test_pdf_imaging.py tests/test_wav.py tests/test_ivf.py \
+	  tests/test_delta_source.py tests/test_end_to_end.py \
+	  tests/test_plans.py \
 	  > /tmp/tf_g4.log 2>&1 & p4=$$!; \
 	python -m pytest -q --ignore=tests/test_streaming.py --ignore=tests/test_fuzz_url.py \
 	  --ignore=tests/test_fuzz_esd.py --ignore=tests/test_fuzz_pii.py \
 	  --ignore=tests/test_fuzz_polygon.py --ignore=tests/test_fuzz_quantized.py \
 	  --ignore=tests/test_fuzz_sessions_kmv.py --ignore=tests/test_fuzz_cleaners.py \
-	  --ignore=tests/test_bpe.py --ignore=tests/test_merge.py \
+	  --ignore=tests/test_merge.py \
 	  --ignore=tests/test_merge_delta_contract.py --ignore=tests/test_curation.py \
-	  --ignore=tests/test_plans.py --ignore=tests/test_jpeg.py \
-	  --ignore=tests/test_pdf_imaging.py --ignore=tests/test_wav.py \
+	  --ignore=tests/test_plans.py \
 	  --ignore=tests/test_graph_extra.py --ignore=tests/test_fuzz_boilerplate.py \
 	  --ignore=tests/test_oracle_parity.py --ignore=tests/test_recall_curves.py \
 	  --ignore=tests/test_delta_source.py --ignore=tests/test_end_to_end.py \
-	  --ignore=tests/test_ivf.py \
 	  tests/ > /tmp/tf_g3.log 2>&1 & p3=$$!; \
 	rc=0; wait $$p1 || rc=1; wait $$p2 || rc=1; wait $$p4 || rc=1; wait $$p3 || rc=1; \
 	tail -1 /tmp/tf_g1.log; tail -1 /tmp/tf_g2.log; tail -1 /tmp/tf_g4.log; tail -1 /tmp/tf_g3.log; \
