@@ -137,3 +137,53 @@ def interval_concurrency(
         F.max("_c").cast("long").alias("max_concurrent"),
         F.min(F.when(F.col("_c") == F.col("_mc"), F.col("_t"))).alias("peak_at"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    hour_col: str = "hr",
+    y_col: str = "y_milli",
+    half_window: int = 12,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition, moving-average form, for
+    hourly series with a daily (24h) period: trend = centered rolling
+    mean over ±half_window rows (frame CLIPPED at the series edges —
+    simpler than textbook STL's NULL margin, and exactly mirrored by
+    the oracle), seasonal = per-(group, hour-of-day) mean of the
+    detrended series, residual = y − trend − seasonal.
+
+    Integer-exact by construction (the lm-family milli-unit
+    discipline): ``y_col`` must already be integer milli-units, and
+    every mean here is floor(SUM/COUNT) computed through one double
+    division of two exact integers — identical IEEE in any engine, so
+    the whole decomposition is oracle-checkable with NO float-sum-order
+    hazard. Windows partition by the group (dimension-cardinality: the
+    rfm1-class caveat, with the usual global_row_number route for a
+    single giant series)."""
+    groups = [F.col(c) for c in group_cols]
+    wf = (
+        Window.partitionBy(*groups)
+        .orderBy(F.col(hour_col))
+        .rowsBetween(-half_window, half_window)
+    )
+    y = F.col(y_col)
+    trend = F.floor(
+        F.sum(y).over(wf).cast("double") / F.count(F.lit(1)).over(wf)
+    ).cast("long")
+    out = df.withColumn("trend_milli", trend).withColumn(
+        "_detr", y - F.col("trend_milli")
+    )
+    ws = Window.partitionBy(*groups, F.hour(F.col(hour_col)))
+    seasonal = F.floor(
+        F.sum("_detr").over(ws).cast("double") / F.count(F.lit(1)).over(ws)
+    ).cast("long")
+    out = out.withColumn("seasonal_milli", seasonal)
+    return out.select(
+        *group_cols,
+        hour_col,
+        y_col,
+        "trend_milli",
+        "seasonal_milli",
+        (y - F.col("trend_milli") - F.col("seasonal_milli")).alias("resid_milli"),
+    )

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.temporal import asof_join, interval_concurrency, range_join
+from etl_stack_spark.operators.temporal import (
+    asof_join,
+    interval_concurrency,
+    range_join,
+    seasonal_decompose,
+)
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
@@ -198,3 +203,69 @@ def ol1_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_concurrency(
         iv, start_col="start_ts", end_col="end_ts", group_cols=("event_type",)
     )
+
+
+# ---------------------------------------------------------------------------
+# STL1 — additive seasonal-trend decomposition of the hourly event-value
+# series (moving-average form, daily period): y → trend (centered ±12h
+# rolling mean, clipped edges) + seasonal (hour-of-day means of the
+# detrended series) + residual. Everything in integer milli-units with
+# floor(SUM/COUNT) means — one double division of exact integers per
+# mean, so the full decomposition is oracle-exact (no float-sum-order
+# hazard anywhere).
+# ---------------------------------------------------------------------------
+
+_STL1_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_centi,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+y AS (
+  SELECT event_type, hr,
+         CAST(floor(CAST(sum_centi * 10 AS DOUBLE) / cnt) AS BIGINT) AS y_milli
+  FROM h
+),
+t AS (
+  SELECT event_type, hr, y_milli,
+    CAST(floor(
+      CAST(SUM(y_milli) OVER w AS DOUBLE) / COUNT(*) OVER w
+    ) AS BIGINT) AS trend_milli
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+s AS (
+  SELECT event_type, hr, y_milli, trend_milli,
+    CAST(floor(
+      CAST(SUM(y_milli - trend_milli) OVER ws AS DOUBLE) / COUNT(*) OVER ws
+    ) AS BIGINT) AS seasonal_milli
+  FROM t
+  WINDOW ws AS (PARTITION BY event_type, extract(hour FROM hr))
+)
+SELECT event_type, hr, y_milli, trend_milli, seasonal_milli,
+       y_milli - trend_milli - seasonal_milli AS resid_milli
+FROM s
+"""
+
+
+@register("stl1_seasonal_decompose", _STL1_ORACLE)
+def stl1_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_centi"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    y = h.select(
+        "event_type",
+        "hr",
+        F.floor((F.col("sum_centi") * 10).cast("double") / F.col("cnt"))
+        .cast("long")
+        .alias("y_milli"),
+    )
+    return seasonal_decompose(y, group_cols=("event_type",), hour_col="hr")

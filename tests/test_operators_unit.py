@@ -640,3 +640,33 @@ def test_global_running_sum_preserves_fractional_type(spark):
     last = out.orderBy(F.col("id").desc()).limit(1).collect()[0]["run"]
     n_nonnull = sum(1 for _, w in rows if w is not None)
     assert abs(last - 0.25 * n_nonnull) < 1e-9
+
+
+def test_seasonal_decompose_separates_planted_components(spark):
+    """Planted daily pattern + linear trend: the hour-of-day component
+    must recover the pattern's shape (relative offsets) and the
+    residual must be an order of magnitude smaller than the signal."""
+    import datetime as _dt
+
+    from etl_stack_spark.operators.temporal import seasonal_decompose
+
+    pattern = [((h * 7) % 24) * 1000 for h in range(24)]  # milli-units
+    rows = []
+    t0 = _dt.datetime(2024, 1, 1)
+    for i in range(24 * 10):  # 10 full days
+        rows.append(("a", t0 + _dt.timedelta(hours=i), pattern[i % 24] + 50 * i))
+    df = spark.createDataFrame(rows, "g string, hr timestamp, y_milli long")
+    out = seasonal_decompose(df, group_cols=("g",), hour_col="hr").collect()
+    by_hod = {}
+    resid_max = 0
+    for r in out:
+        by_hod.setdefault(r["hr"].hour, []).append(r["seasonal_milli"])
+        resid_max = max(resid_max, abs(r["resid_milli"]))
+    # seasonal is constant per hour-of-day by construction
+    assert all(len(set(v)) == 1 for v in by_hod.values())
+    # relative seasonal offsets track the planted pattern (up to a
+    # common additive constant absorbed by the trend)
+    base = by_hod[0][0] - pattern[0]
+    for hod in range(24):
+        assert abs(by_hod[hod][0] - pattern[hod] - base) < 1500, hod
+    assert resid_max < max(pattern) / 10
