@@ -168,12 +168,26 @@ def pca_fit(gram: DataFrame, dim: int, n_components: int) -> dict:
     }
 
 
-def pca_project(df: DataFrame, vec_col: str, model: dict, out_col: str = "pca") -> DataFrame:
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    model: dict,
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
     """Broadcast projection: out[c] = Σ_j (x_j - mean_j)·W[c, j] as plain
     Column arithmetic (q×d multiply-adds per row, whole-stage codegen —
-    no Python on the projection path)."""
+    no Python on the projection path). ``whiten=True`` scales each
+    component by 1/sqrt(its eigenvalue): the projected space then has
+    (approximately) identity covariance — the standard preconditioning
+    before cosine similarity / clustering when directions have very
+    different energies (pinned: projected covariance ≈ I)."""
+    import numpy as np
+
     comps = model["components"]
     mean = model["mean"]
+    if whiten:
+        comps = comps / np.sqrt(model["explained_variance"])[:, None]
     v = F.col(vec_col)
     outs = []
     for c in range(comps.shape[0]):

@@ -69,3 +69,21 @@ def test_pca_project_matches_matmul(spark):
     assert np.allclose(
         proj.var(axis=0, ddof=1), model["explained_variance"], rtol=1e-6
     )
+
+
+def test_pca_whiten_gives_identity_covariance(spark):
+    """Whitened projection: covariance of the projected sample is the
+    identity (within moment-quantization tolerance), and column scales
+    that differed 8x beforehand equalize."""
+    from etl_stack_spark.operators.decomp import gram_micro, pca_fit, pca_project
+
+    X, df = _emb_df(spark, n=300)
+    model = pca_fit(gram_micro(df, "embedding", 8), dim=8, n_components=4)
+    got = np.stack(
+        [
+            np.array(r["pca"])
+            for r in pca_project(df, "embedding", model, whiten=True).collect()
+        ]
+    )
+    cov = np.cov(got, rowvar=False)
+    assert np.allclose(cov, np.eye(4), atol=1e-3)
