@@ -1067,3 +1067,63 @@ def tm1_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n * 1000000) DIV r AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JR2 — VARIANT shredding (the Spark 4-native semi-structured path jr1's
+# string functions predate): a nested JSON document (built identically
+# in both engines — the pii1 injection pattern; integer payloads so no
+# float-repr divergence can enter the string) parses ONCE to a VARIANT
+# and every field reads through typed variant_get paths — nested
+# object, array index, and a conditionally-absent key that must
+# surface as NULL, not an error. The oracle shreds the same string
+# with DuckDB's JSON operators.
+# ---------------------------------------------------------------------------
+
+_JR2_DOC_SQL = """'{"id": ' || event_id
+  || ', "m": {"t": "' || event_type || '", "vc": ' || CAST(floor(value * 100 + 0.5) AS BIGINT) || '}'
+  || ', "tags": [' || (user_id % 5) || ', ' || (user_id % 7) || ']'
+  || CASE WHEN event_id % 3 = 0 THEN ', "opt": ' || (event_id % 11) ELSE '' END
+  || '}'"""
+
+_JR2_ORACLE = f"""
+WITH d AS (SELECT event_id, {_JR2_DOC_SQL} AS doc FROM events)
+SELECT event_id,
+  json_extract_string(doc, '$.m.t') AS mtype,
+  TRY_CAST(json_extract(doc, '$.m.vc') AS BIGINT) AS v_centi,
+  TRY_CAST(json_extract(doc, '$.tags[1]') AS BIGINT) AS tag2,
+  TRY_CAST(json_extract(doc, '$.opt') AS BIGINT) AS opt
+FROM d
+"""
+
+
+@register("jr2_variant_shred", _JR2_ORACLE)
+def jr2_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "m": {"t": "'),
+        F.col("event_type"),
+        F.lit('", "vc": '),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.lit("}"),
+        F.lit(', "tags": ['),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit("]"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit(', "opt": '), (F.col("event_id") % 11).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc)
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.m.t", "string").alias("mtype"),
+        F.try_variant_get(v, "$.m.vc", "long").alias("v_centi"),
+        F.try_variant_get(v, "$.tags[1]", "long").alias("tag2"),
+        F.try_variant_get(v, "$.opt", "long").alias("opt"),
+    )
