@@ -83,3 +83,33 @@ def load_to_lead_properties(
         keys=["client_id", "external_id"],
         soft_delete_scope=F.col("t.client_id") == client_id,
     )
+
+
+def with_quality_observation(cleaned: DataFrame, name: str = "ingest_quality"):
+    """Attach free data-quality counters to the cleaned stream via
+    ``df.observe`` (Spark's Observation API): row count, null-price
+    count, null-coordinate count, distinct-ish hash floor. The metrics
+    ride the SAME action that materializes the data — zero extra
+    passes, which at 100 TB is the difference between monitoring and
+    re-scanning. The reference logs these with separate COUNT queries
+    per batch (`src/ETL_PROPERTIES/loader_v2.py` counters); here the
+    scan is paid once.
+
+    Returns (df, observation) — read ``observation.get`` AFTER an
+    action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = cleaned.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias("null_price"),
+        F.sum(
+            F.when(
+                F.col("location_lat").isNull() | F.col("location_lng").isNull(), 1
+            ).otherwise(0)
+        ).alias("null_coords"),
+        F.approx_count_distinct("content_hash").alias("approx_hashes"),
+    )
+    return observed, obs

@@ -670,3 +670,35 @@ def test_seasonal_decompose_separates_planted_components(spark):
     for hod in range(24):
         assert abs(by_hod[hod][0] - pattern[hod] - base) < 1500, hod
     assert resid_max < max(pattern) / 10
+
+
+def test_ingest_observation_rides_the_same_action(spark):
+    """df.observe: quality counters must equal a direct recompute while
+    costing ZERO extra scans (the metrics arrive with the action's
+    result, not from a second query)."""
+    from etl_stack_spark.plans.ingest import clean_and_hash, with_quality_observation
+
+    staged = spark.createDataFrame(
+        [
+            ("c1", "e1", "Nice flat", "100,000", "EUR", "55", "2", "1.5",
+             "40.1", "-3.7", {"pool": "1"}, "active"),
+            ("c1", "e2", "No price", None, None, "60", "3", "1",
+             None, None, {"gym": "1"}, "publish"),
+            ("c1", "e3", "Dropped", "1", "EUR", "10", "1", "1",
+             "1", "1", {"x": "1"}, "draft"),
+        ],
+        "client_id string, external_id string, title string, price_raw string, "
+        "currency_raw string, sqm_raw string, bedrooms_raw string, "
+        "bathrooms_raw string, lat string, lng string, "
+        "features map<string,string>, status string",
+    )
+    cleaned = clean_and_hash(staged)
+    observed, obs = with_quality_observation(cleaned)
+    rows = observed.collect()  # ONE action: data + metrics together
+    m = obs.get
+    assert m["n_rows"] == len(rows) == 2  # draft filtered
+    assert m["null_price"] == sum(1 for r in rows if r["price"] is None)
+    assert m["null_coords"] == sum(
+        1 for r in rows if r["location_lat"] is None or r["location_lng"] is None
+    )
+    assert m["approx_hashes"] >= 1
