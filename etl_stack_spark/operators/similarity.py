@@ -535,22 +535,43 @@ def pq_train(
     books = [
         [list(r["v"][s * w : (s + 1) * w]) for r in seeds] for s in range(m)
     ]
+    spark = corpus.sparkSession
+    # subvectors once: (id, sub, sv) — n_s·m bounded rows
+    subs = samp.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice("v", s * w + 1, w) for s in range(m)])
+        ).alias("sub", "sv"),
+    ).localCheckpoint(eager=True)
     for _ in range(n_iter):
-        cells = F.array(
-            *[
-                nearest_cell(F.slice("v", s * w + 1, w), books[s])
-                for s in range(m)
-            ]
+        # assignment as a JOIN against the (m·k)-row centroid frame, not
+        # m·k compiled literal-distance expressions: the sample is
+        # bounded, so the n_s·m·k candidate stream is bounded too, and
+        # the plan compiles in milliseconds regardless of m and k (the
+        # expression form's JIT cost grows with m·k·w and dominates
+        # wall time at sandbox SF). min_by over the (d2, cell) struct
+        # keeps _cell_scores' exact index tie-break.
+        cents = spark.createDataFrame(
+            [(s, ci, books[s][ci]) for s in range(m) for ci in range(k)],
+            "sub int, cell int, cv array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn("_d2", d2)
+            .groupBy(id_col, "sub")  # per sample ROW: duplicates keep weight
+            .agg(
+                F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("_best"),
+                F.first("sv").alias("sv"),
+            )
+            .select("sub", F.col("_best.cell").alias("cell"), "sv")
         )
         rows = (
-            samp.select(F.posexplode(cells).alias("sub", "cell"), "v")
-            .select(
-                "sub",
-                "cell",
-                F.posexplode(
-                    F.slice("v", F.col("sub") * w + 1, w)
-                ).alias("pos", "x"),
-            )
+            assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "cell", "pos")
             .agg(F.avg("x").alias("mval"))
             .groupBy("sub", "cell")
@@ -604,24 +625,32 @@ def pq_adc_topk(
     m = len(codebooks)
     w = dim // m
     qv = _as_double(F.col(vec_col))
-    lut_entries = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sub"),
-                F.lit(ci).alias("code"),
-                _sq_dist(F.slice(qv, s * w + 1, w), c).alias("d2"),
-            )
-            for s in range(m)
-            for ci, c in enumerate(codebooks[s])
-        ]
+    # LUT as a JOIN against the (m·k)-row centroid frame (see pq_train:
+    # the expression form compiles m·k distance aggregates and its JIT
+    # cost dominates at sandbox SF; queries × centroids is q·m·k TINY
+    # rows). zip_with+aggregate keeps _sq_dist's exact fold order.
+    cents = queries.sparkSession.createDataFrame(
+        [(s, ci, codebooks[s][ci]) for s in range(m) for ci in range(len(codebooks[s]))],
+        "sub int, code int, cv array<double>",
     )
-    lut = queries.select(
-        F.col(query_id_col), F.explode(lut_entries).alias("e")
-    ).select(
-        query_id_col,
-        F.col("e.sub").alias("sub"),
-        F.col("e.code").alias("code"),
-        F.col("e.d2").alias("d2"),
+    qsub = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.array(*[F.slice(qv, s * w + 1, w) for s in range(m)])
+        ).alias("sub", "qs"),
+    )
+    lut = (
+        qsub.join(F.broadcast(cents), "sub")
+        .select(
+            query_id_col,
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
     )
     occ = codes.select(
         F.col(id_col), F.posexplode("codes").alias("sub", "code")

@@ -443,10 +443,12 @@ def pq1_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
     ).localCheckpoint(eager=False)
-    # sandbox dials m=4/k=8/n_iter=2: the local cost is EXPRESSION
-    # COMPILE (m*k literal-array distance aggregates per pass), pure
-    # constant overhead that amortizes at real scale; the recall-floor
-    # tests run the production m=8/k=16 dials on 12k-vector corpora
+    # sandbox dials m=4/k=8: training and the ADC LUT are join-based
+    # (bounded by sample/query set), but the map-side ENCODE expression
+    # still compiles m*k literal distance aggregates — the remaining
+    # constant that dominates at sandbox SF and amortizes on real
+    # partitions. Production dials (m=8, k=16+) run in the recall-floor
+    # tests on 12k-vector corpora.
     books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
     codes = pq_encode(cn, books, dim=64)
     queries = cn.filter(F.col("vec_id") % 100 == 0).select(
