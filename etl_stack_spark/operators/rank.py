@@ -211,12 +211,17 @@ def global_running_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
+    # the running sum's type in BOTH branches is SUM's widened type
+    # (int->long, float->double, decimal->wider decimal) — an empty
+    # fractional input must not yield a long column a non-empty one
+    # wouldn't (schema stability across input sizes)
+    sum_type = df.select(F.sum(F.col(value_col))).schema[0].dataType
     sums = {
         r["_pid"]: (r["s"] or 0)  # an all-NULL partition contributes 0
         for r in ranged.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }
     if not sums:
-        return df.withColumn(sum_col, F.lit(None).cast("long")).limit(0)
+        return df.withColumn(sum_col, F.lit(None).cast(sum_type)).limit(0)
     offsets, acc = {}, 0
     for pid in sorted(sums):
         offsets[pid] = acc
@@ -230,10 +235,8 @@ def global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # keep fractional value types fractional; only integral sums narrow
-    # back to long (Spark's SUM widens int->long, decimal->wider decimal)
-    from pyspark.sql.types import FractionalType
-
-    is_frac = isinstance(df.schema[value_col].dataType, FractionalType)
-    total = local + off if is_frac else (local + off).cast("long")
+    # cast to the SAME widened sum type as the empty branch: fractional
+    # stays fractional (double->double is a no-op), integral narrows the
+    # local+offset arithmetic back to long, decimal unifies on SUM's type
+    total = (local + off).cast(sum_type)
     return ranged.withColumn(sum_col, total).drop("_pid")

@@ -570,15 +570,31 @@ def pq_train(
             )
             .select("sub", F.col("_best.cell").alias("cell"), "sv")
         )
+        # centroid means in integer MICRO-UNITS (floor(x*1e6+.5) summed as
+        # long, divided on the driver): long-sum is associative/commutative
+        # so cross-partition partial-merge order cannot produce ULP drift
+        # that flips near-tie assignments — the same integer-milli-unit
+        # discipline the rest of the repo uses, making pq1's "deterministic
+        # output" stability claim exact rather than tolerance-based
         rows = (
             assigned.select("sub", "cell", F.posexplode("sv").alias("pos", "x"))
             .groupBy("sub", "cell", "pos")
-            .agg(F.avg("x").alias("mval"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("sub", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.struct("s", "n").alias("sn")))
+                ).alias("pm")
+            )
             .collect()
         )
-        new = {(r["sub"], r["cell"]): [p["mval"] for p in r["pm"]] for r in rows}
+        new = {
+            (r["sub"], r["cell"]): [p["sn"]["s"] / p["sn"]["n"] / 1e6 for p in r["pm"]]
+            for r in rows
+        }
         books = [
             [new.get((s, ci), books[s][ci]) for ci in range(k)] for s in range(m)
         ]

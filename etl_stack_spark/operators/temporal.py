@@ -120,6 +120,13 @@ def interval_concurrency(
     operators/rank.py::global_row_number and aggregate per range
     partition with broadcast offsets (the proven rfm2 twin)."""
     groups = list(group_cols)
+    # NULL endpoints are dropped BEFORE the sweep: a NULL _t would enter
+    # the running-sum window where Spark orders NULLs first but DuckDB
+    # orders them last — the documented cross-engine divergence this repo
+    # filters everywhere else (the kmv/quantile-sketch rule). An interval
+    # with an unknown endpoint has no defined overlap contribution; the
+    # paired oracle carries the same explicit IS NOT NULL filter.
+    df = df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     pts = df.select(
         *groups, F.col(start_col).alias("_t"), F.lit(1).alias("_d")
     ).unionByName(df.select(*groups, F.col(end_col).alias("_t"), F.lit(-1).alias("_d")))

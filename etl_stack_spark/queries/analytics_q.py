@@ -1119,7 +1119,11 @@ def jr2_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("}"),
     )
-    v = F.parse_json(doc)
+    # try_parse_json, not parse_json: if a string field ever carries a
+    # quote/backslash/control char the concatenated doc is malformed —
+    # the whole row must shred to NULLs, not throw at runtime (the
+    # try_variant_get calls only guard the PATH reads, not the parse)
+    v = F.try_parse_json(doc)
     return events.select(
         "event_id",
         F.try_variant_get(v, "$.m.t", "string").alias("mtype"),

@@ -167,6 +167,7 @@ WITH iv AS (
   SELECT event_type, ts AS s,
          ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 pts AS (
   SELECT event_type, s AS t, 1 AS d FROM iv
@@ -193,11 +194,12 @@ FROM m GROUP BY event_type
 @register("ol1_interval_concurrency", _OL1_ORACLE)
 def ol1_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.select(
+    # duration as LONG, matching the oracle's to_seconds(BIGINT) width
+    iv = ev.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
         "event_type",
         F.col("ts").alias("start_ts"),
         F.timestamp_add(
-            "SECOND", F.floor(F.col("value") * 60).cast("int"), F.col("ts")
+            "SECOND", F.floor(F.col("value") * 60).cast("long"), F.col("ts")
         ).alias("end_ts"),
     )
     return interval_concurrency(

@@ -142,7 +142,11 @@ def quantile_stream_batch_fn(
             merged = merged.localCheckpoint(eager=True)
             st.overwrite(merged)
         else:
-            st.overwrite(sk)
+            # bootstrap shares the merge path's exactly-once rule: a
+            # replayed/duplicated delivery inside the very FIRST
+            # materialized batch must not double-count in the state
+            # sample (dedup only removes rows, so <=k is preserved)
+            st.overwrite(sk.dropDuplicates([group_col, "h", "v"]))
 
     return batch_fn
 
