@@ -8,8 +8,17 @@ runs every OTHER registered query once and reports ``full_sweep_total`` so
 a regression in an unsampled query can't hide until the driver samples it
 (VERDICT r2 task 8).
 
+The headline is SELF-ADJUDICATING (VERDICT r8 task 1): any query >2x its
+committed baseline triggers (a) an immediate cpu+shuffle probe pair
+recorded next to the flag and (b) an end-of-run resample after the sweep
+and streaming tiers — the flag is suppressed iff the resample median
+lands <=1.5x baseline, with all evidence under `headline_resamples` in
+the sidecar. BENCH_r08 shipped 3 false flags from a start-of-run
+shuffle-contention window; this closes that class.
+
 Usage: python bench.py [--queries=q1,q2] [--strict] [--no-sweep]
   --strict   exit 1 when any headline query exceeds 2x its last-round time
+             AND survives the end-of-run resample
 """
 
 from __future__ import annotations
@@ -217,6 +226,25 @@ def load_baseline_probe() -> float | None:
             data = json.load(f)
         data = data.get("parsed", data)
         v = data.get("box_speed_probe_secs")
+        return float(v) if v else None
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
+def load_baseline_shuffle_probe() -> float | None:
+    """The committed baseline's shuffle probe, same precedence as
+    load_baseline_probe(): the denominator of the run's shuffle-
+    contention ratio (r8 forensics proved the CPU probe alone cannot
+    adjudicate a bandwidth-contended window — BENCH_r08's CPU ratio was
+    1.19x while the lead-prep family ran 2-2.6x slow and the shuffle
+    probe read 1.94x; the ratio is now part of the official record,
+    not just the sidecar)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            data = json.load(f)
+        data = data.get("parsed", data)
+        v = data.get("shuffle_probe_secs")
         return float(v) if v else None
     except (OSError, json.JSONDecodeError, TypeError, ValueError):
         return None
@@ -815,20 +843,48 @@ def main() -> None:
     cpu_at_start = read_cpu_counters()
     cache_start = cached_gib()
 
+    baseline = load_baseline()
+    # self-test hook: SPARK_GRAFT_BENCH_FAULT="name:factor,name:factor"
+    # multiplies the MEASURED headline time (never the resample) — the
+    # deterministic way to exercise the flag->probe->resample->suppress
+    # machinery end-to-end (a contended window can't be summoned on
+    # demand; this container's CPU/bandwidth headroom shrugged off 96
+    # deliberate hog processes). Production runs never set it.
+    fault: dict[str, float] = {}
+    for part in os.environ.get("SPARK_GRAFT_BENCH_FAULT", "").split(","):
+        if ":" in part:
+            qn, factor = part.rsplit(":", 1)
+            fault[qn.strip()] = float(factor)
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    flag_probes: dict[str, dict] = {}
     for name in names:
         samples = []
         n = 0
         for _ in range(runs):
             dt, n = time_query(registry[name], spark, sf_dir)
+            dt *= fault.get(name, 1.0)
             samples.append(round(dt, 3))
         timings[name] = round(statistics.median(samples), 3)
         spreads[name] = samples
         print(f"# {name}: median {timings[name]}s of {samples} ({n} rows)", file=sys.stderr)
+        # immediate environment probe AT FLAG TIME (VERDICT r8 task 1):
+        # a >2x flag triggers a cpu+shuffle probe pair right now, while
+        # whatever slowed the samples is plausibly still happening —
+        # recorded next to the flag so the adjudicator sees the
+        # environment the slow samples ran in, not the start-of-run one
+        base = baseline.get(name)
+        if base and base > 0 and timings[name] > 2.0 * base:
+            try:
+                flag_probes[name] = {
+                    "cpu": box_speed_probe(spark),
+                    "shuffle": shuffle_probe(spark),
+                }
+                print(f"# flag-probe {name}: {flag_probes[name]}", file=sys.stderr)
+            except Exception as e:
+                print(f"# flag-probe {name} skipped: {e}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    baseline = load_baseline()
     regressions = {
         name: {"now": t, "baseline": baseline[name]}
         for name, t in timings.items()
@@ -925,6 +981,55 @@ def main() -> None:
             skipping = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# SKIP-ERROR {skipping['error']}", file=sys.stderr)
 
+    # end-of-run self-adjudication (VERDICT r8 task 1): every >2x headline
+    # flag gets a RESAMPLE now — after the sweep and streaming tiers, when
+    # a start-of-run contention window has typically passed — plus a final
+    # probe pair. The flag is suppressed iff the resample median lands
+    # <=1.5x baseline (environmental, with the evidence recorded under
+    # `headline_resamples`), and the committed per-query time takes the
+    # better median (the sweep's min rule: a contended sample must not
+    # become next round's baseline). A flag whose resample STAYS >1.5x is
+    # a real regression and survives.
+    headline_resamples: dict[str, dict] = {}
+    if regressions:
+        end_probes = None
+        try:
+            end_probes = {"cpu": box_speed_probe(spark), "shuffle": shuffle_probe(spark)}
+            print(f"# end-of-run probes: {end_probes}", file=sys.stderr)
+        except Exception as e:
+            print(f"# end-of-run probes skipped: {e}", file=sys.stderr)
+        for name in list(regressions):
+            try:
+                rs = []
+                for _ in range(runs):
+                    dt, _n = time_query(registry[name], spark, sf_dir)
+                    rs.append(round(dt, 3))
+            except Exception as e:  # a resample failure leaves the flag standing
+                print(f"# resample {name} failed: {e}", file=sys.stderr)
+                continue
+            med2 = round(statistics.median(rs), 3)
+            base = regressions[name]["baseline"]
+            suppressed = med2 <= 1.5 * base
+            headline_resamples[name] = {
+                "original_median": regressions[name]["now"],
+                "baseline": base,
+                "flag_probes": flag_probes.get(name),
+                "end_probes": end_probes,
+                "resample": rs,
+                "resample_median": med2,
+                "suppressed": suppressed,
+            }
+            print(
+                f"# headline resample {name}: {rs} -> median {med2}s "
+                f"(baseline {base}s, {'SUPPRESSED' if suppressed else 'CONFIRMED'})",
+                file=sys.stderr,
+            )
+            if med2 < timings[name]:
+                timings[name] = med2
+            if suppressed:
+                del regressions[name]
+        total = round(sum(timings.values()), 3)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # The driver tails stdout with a bounded buffer: round 4's single line
     # (headline + samples + ~80-query sweep) overflowed it and the official
@@ -951,11 +1056,24 @@ def main() -> None:
             out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
     if shuffle_probe_secs:
         out["shuffle_probe_secs"] = shuffle_probe_secs
+        # the shuffle-contention ratio is part of the OFFICIAL record,
+        # not just the sidecar (VERDICT r8 task 1 / "what's wrong" #2):
+        # >1.5x marks the run `contended` — r8's worked example is a run
+        # whose CPU ratio (1.19x) could not explain a 2-2.6x family band
+        # that its own 1.94x shuffle ratio did
+        baseline_shuffle = load_baseline_shuffle_probe()
+        if baseline_shuffle:
+            out["baseline_shuffle_probe_secs"] = baseline_shuffle
+            out["shuffle_ratio"] = round(shuffle_probe_secs / baseline_shuffle, 2)
+            if out["shuffle_ratio"] > 1.5:
+                out["contended"] = True
     # whole-run CPU steal: the contention the run actually experienced
     # (the probe can't see it — see steal_pct's docstring)
     run_steal = steal_pct(cpu_at_start, read_cpu_counters())
     if run_steal is not None:
         out["steal_pct"] = run_steal
+        if run_steal > 5:  # README's documented contended-sample bar
+            out["contended"] = True
         print(f"# cpu steal over run: {run_steal}%", file=sys.stderr)
     if cache_start is not None:
         out["cached_gib_start"] = cache_start
@@ -966,6 +1084,12 @@ def main() -> None:
     if rp is not None:
         out["read_probe_mb_s"] = rp
         print(f"# read probe: {rp} MB/s", file=sys.stderr)
+    if headline_resamples:
+        # suppressed count surfaces in the official line so the driver
+        # record shows adjudication HAPPENED, not just its outcome
+        out["suppressed_regression_count"] = sum(
+            1 for r in headline_resamples.values() if r["suppressed"]
+        )
     detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
@@ -986,13 +1110,26 @@ def main() -> None:
         detail["warc_pipeline"] = warc
     if skipping is not None:
         detail["stats_skipping"] = skipping
+    if headline_resamples:
+        detail["headline_resamples"] = headline_resamples
     if regressions:
         detail["regressions"] = regressions
         out["regression_count"] = len(regressions)
     here = os.path.dirname(os.path.abspath(__file__))
     # a --queries subset is a debug run: it must NOT clobber the sidecar,
-    # which doubles as the committed baseline load_baseline() reads
-    sidecar = "BENCH_SUBSET.json" if subset else "BENCH_DETAIL.json"
+    # which doubles as the committed baseline load_baseline() reads.
+    # Neither may a CONTENDED run (shuffle_ratio >1.5x, steal >5%, or any
+    # suppressed flag): the r8 driver run overwrote the calm 18.4s/0.96s
+    # baseline with its contended 26.4s/1.86s record and the inflated
+    # baselines would have weakened every next-round regression bar —
+    # contended evidence goes to BENCH_DETAIL_CONTENDED.json instead,
+    # leaving the committed (value, probe) baseline pair intact
+    if subset:
+        sidecar = "BENCH_SUBSET.json"
+    elif out.get("contended") or out.get("suppressed_regression_count"):
+        sidecar = "BENCH_DETAIL_CONTENDED.json"
+    else:
+        sidecar = "BENCH_DETAIL.json"
     try:
         with open(os.path.join(here, sidecar), "w") as f:
             json.dump(detail, f, indent=1)

@@ -1,0 +1,70 @@
+"""The self-adjudicating headline bench (VERDICT r8 task 1), driven
+end-to-end through the real CLI: a deterministic fault injection
+(SPARK_GRAFT_BENCH_FAULT inflates the MEASURED headline time, never the
+resample) produces a >2x regression flag, which must then (a) record an
+immediate cpu+shuffle probe pair, (b) resample at end-of-run, and
+(c) suppress the flag because the un-faulted resample lands well inside
+1.5x baseline — with the whole evidence trail in the sidecar.
+
+BENCH_r08 shipped 3 false regression flags from a start-of-run
+shuffle-contention window; this pins the machinery that closes that
+class. Fault injection is used because real contention cannot be
+summoned on demand (96 deliberate memory-bandwidth hog processes moved
+this box's timings <1.6x — the VM-neighbor contention the flags came
+from operates below guest control)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_headline_flag_suppressed_with_evidence():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_FAULT"] = "j1_broadcast_lookup:10"
+    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
+    # sf0.001 keeps the run fast; the fault factor dominates either way
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            "--queries=j1_broadcast_lookup",
+            "--no-sweep",
+            "--no-stream",
+            "--strict",  # must still exit 0: the flag is suppressed
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line.get("suppressed_regression_count") == 1
+    assert "regression_count" not in line
+
+    with open(os.path.join(REPO, "BENCH_SUBSET.json")) as f:
+        detail = json.load(f)
+    rs = detail["headline_resamples"]["j1_broadcast_lookup"]
+    assert rs["suppressed"] is True
+    assert rs["original_median"] > 2.0 * rs["baseline"]
+    assert rs["resample_median"] <= 1.5 * rs["baseline"]
+    # evidence recorded next to the flag: probe pairs at flag time and
+    # at end of run (cpu AND shuffle — the r8 forensics showed only a
+    # bandwidth-shaped probe distinguishes neighbor contention)
+    assert rs["flag_probes"] and set(rs["flag_probes"]) == {"cpu", "shuffle"}
+    assert rs["end_probes"] and set(rs["end_probes"]) == {"cpu", "shuffle"}
+    # the committed per-query time took the calm median (min rule): a
+    # contended sample must not become next round's baseline
+    assert line["queries"]["j1_broadcast_lookup"] == min(
+        rs["resample_median"], rs["original_median"]
+    )
+    # suppressed-flag runs must not clobber the committed baseline
+    # sidecar (they carry contended evidence by construction)
+    assert "headline_resamples" in detail  # BENCH_SUBSET got the detail
