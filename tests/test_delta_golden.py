@@ -1,0 +1,206 @@
+"""Delta log FORMAT freeze (VERDICT r8 task 3): a scripted op sequence
+drives DeltaLog directly (synthetic file tuples — no Spark, no parquet
+writes, so every byte the WRITER mints is under test and nothing else)
+and the produced ``_delta_log/`` JSON actions must equal the committed
+golden files byte-for-byte after normalizing ONLY the declared volatile
+fields (wall-clock timestamps and the minted table uuid).
+
+Why this exists: the independent replayer (delta_replay_validator.py)
+proves internal consistency, but writer and validator evolve together —
+protocol DRIFT across rounds would pass both. The golden files pin the
+exact serialization: action order (commitInfo first, protocol at v0,
+metaData only on schema/partition change, removes before adds, both
+path-sorted), field sets and spelling, compact separators, dataChange
+semantics for OPTIMIZE, stats passthrough, checkpoint row layout and
+_LAST_CHECKPOINT.
+
+Bump procedure (for an INTENDED format change only):
+  1. change the writer,
+  2. run ``python tests/test_delta_golden.py --regen``,
+  3. eyeball ``git diff tests/golden/delta_log/`` — every changed line
+     must be the change you meant to make,
+  4. commit the new goldens together with the writer change and a note
+     in the commit message saying the format moved and why.
+
+Volatile fields (normalized to fixed placeholders, everything else is
+frozen): commitInfo.timestamp, metaData.createdTime,
+remove.deletionTimestamp, metaData.id (uuid4 minted once at v0 — the
+test separately asserts it stays IDENTICAL across metaData re-emits).
+File sizes/mtimes/stats are NOT volatile here: they are synthetic
+inputs, so they pin the passthrough behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "delta_log")
+
+SCHEMA_A = (
+    '{"type":"struct","fields":[{"name":"k","type":"long","nullable":true,'
+    '"metadata":{}},{"name":"v","type":"string","nullable":true,"metadata":{}}]}'
+)
+SCHEMA_B = (
+    '{"type":"struct","fields":[{"name":"k","type":"long","nullable":true,'
+    '"metadata":{}},{"name":"v","type":"string","nullable":true,"metadata":{}},'
+    '{"name":"w","type":"double","nullable":true,"metadata":{}}]}'
+)
+STATS_1 = '{"numRecords":3,"minValues":{"k":1},"maxValues":{"k":9},"nullCount":{"k":0}}'
+STATS_2 = '{"numRecords":2,"minValues":{"k":10},"maxValues":{"k":20},"nullCount":{"k":0}}'
+
+
+def scripted_commits(log) -> None:
+    """The frozen op sequence — every writer behavior gets one commit."""
+    # v0 CREATE: multi-file snapshot, stats + partitionValues on one
+    # file, neither on the other (optional-field serialization)
+    log.commit(
+        [
+            ("v_a/part-00000.parquet", 100, 1000, STATS_1, {"bucket": "0"}),
+            ("v_a/part-00001.parquet", 200, 1000, None, {"bucket": "1"}),
+        ],
+        SCHEMA_A,
+        "CREATE TABLE",
+        partition_columns=["bucket"],
+    )
+    # v1 MERGE: one file replaced -> one remove + one add, carried file
+    # silent; no metaData (schema and partitioning unchanged)
+    log.commit(
+        [
+            ("v_a/part-00000.parquet", 100, 1000, STATS_1, {"bucket": "0"}),
+            ("v_b/part-00000.parquet", 150, 2000, STATS_2, {"bucket": "1"}),
+        ],
+        SCHEMA_A,
+        "MERGE",
+    )
+    # v2 schema evolution: metaData re-emitted with the SAME table id
+    log.commit(
+        [
+            ("v_a/part-00000.parquet", 100, 1000, STATS_1, {"bucket": "0"}),
+            ("v_b/part-00000.parquet", 150, 2000, STATS_2, {"bucket": "1"}),
+        ],
+        SCHEMA_B,
+        "MERGE",
+    )
+    # v3 OPTIMIZE: full rewrite with dataChange=false on adds AND removes
+    log.commit(
+        [("v_c/part-00000.parquet", 260, 3000, None, None)],
+        SCHEMA_B,
+        "OPTIMIZE",
+    )
+    # v4 DELETE: snapshot shrinks to empty-adds (remove-only commit)
+    log.commit([], SCHEMA_B, "DELETE")
+    # v5-v10 WRITE churn; v10 crosses CHECKPOINT_INTERVAL and must emit
+    # 00000000000000000010.checkpoint.parquet + _LAST_CHECKPOINT
+    for i in range(5, 11):
+        log.commit(
+            [(f"v_{i}/part-00000.parquet", 100 + i, 1000 * i, None, None)],
+            SCHEMA_B,
+            "WRITE",
+        )
+
+
+_VOLATILE_TS = {"timestamp", "createdTime", "deletionTimestamp"}
+
+
+def _normalize(obj, table_ids: list):
+    if isinstance(obj, dict):
+        out = {}
+        for k, v in obj.items():
+            if k in _VOLATILE_TS and isinstance(v, int):
+                out[k] = 0
+            elif k == "id" and isinstance(v, str) and len(v) == 36:
+                if v not in table_ids:
+                    table_ids.append(v)
+                out[k] = f"TABLE-ID-{table_ids.index(v)}"
+            else:
+                out[k] = _normalize(v, table_ids)
+        return out
+    if isinstance(obj, list):
+        return [_normalize(x, table_ids) for x in obj]
+    if isinstance(obj, tuple):  # pyarrow map -> list of (k, v)
+        return [_normalize(x, table_ids) for x in obj]
+    return obj
+
+
+def produce_normalized(tmp_root: str) -> dict[str, str]:
+    """Run the scripted sequence into tmp_root, return {golden_filename:
+    normalized_content} for every artifact the writer produced."""
+    import pyarrow.parquet as pq
+
+    from etl_stack_spark.operators.delta_log import DeltaLog
+
+    log = DeltaLog(tmp_root)
+    scripted_commits(log)
+    table_ids: list = []
+    out: dict[str, str] = {}
+    log_dir = os.path.join(tmp_root, "_delta_log")
+    for fname in sorted(os.listdir(log_dir)):
+        full = os.path.join(log_dir, fname)
+        if fname.endswith(".json") and len(fname) == 25:
+            lines = []
+            with open(full) as f:
+                for line in f:
+                    if line.strip():
+                        action = _normalize(json.loads(line), table_ids)
+                        lines.append(json.dumps(action, separators=(",", ":")))
+            out[fname] = "\n".join(lines) + "\n"
+        elif fname.endswith(".checkpoint.parquet"):
+            rows = pq.read_table(full).to_pylist()
+            norm = _normalize(rows, table_ids)
+            out[fname.replace(".parquet", ".rows.json")] = (
+                json.dumps(norm, indent=1, sort_keys=True) + "\n"
+            )
+        elif fname == "_LAST_CHECKPOINT":
+            with open(full) as f:
+                out["_LAST_CHECKPOINT.json"] = (
+                    json.dumps(json.load(f), sort_keys=True) + "\n"
+                )
+    # the uuid stability claim: exactly ONE table id across all commits
+    # and checkpoint re-emits
+    assert len(table_ids) == 1, f"metaData.id changed mid-table: {table_ids}"
+    return out
+
+
+def test_delta_log_format_frozen(tmp_path):
+    produced = produce_normalized(str(tmp_path / "t"))
+    golden_files = sorted(os.listdir(GOLDEN_DIR))
+    assert sorted(produced) == golden_files, (
+        f"artifact set changed: produced {sorted(produced)} vs golden "
+        f"{golden_files} — if intended, run `python tests/test_delta_golden.py --regen`"
+    )
+    for fname in golden_files:
+        with open(os.path.join(GOLDEN_DIR, fname)) as f:
+            want = f.read()
+        assert produced[fname] == want, (
+            f"{fname}: writer output drifted from the frozen format — if "
+            f"this change is intended, follow the bump procedure in this "
+            f"module's docstring"
+        )
+
+
+def _regen() -> None:
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="delta_golden_")
+    try:
+        produced = produce_normalized(os.path.join(tmp, "t"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for stale in os.listdir(GOLDEN_DIR):
+        os.unlink(os.path.join(GOLDEN_DIR, stale))
+    for fname, content in produced.items():
+        with open(os.path.join(GOLDEN_DIR, fname), "w") as f:
+            f.write(content)
+    print(f"regenerated {len(produced)} golden files in {GOLDEN_DIR}")
+
+
+if __name__ == "__main__":
+    if "--regen" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        _regen()
+    else:
+        print("usage: python tests/test_delta_golden.py --regen")
