@@ -819,12 +819,14 @@ def main() -> None:
     # persisted match stream per sf_dir, and warming the wrong sf left its
     # one-time materialization inside the first timed j6 sample (7.4s
     # spikes in the spread; medians survived but the claim is steady state)
-    warm = "t1_lead_prep_topk"
-    if warm in registry:
-        try:
-            registry[warm](spark, sf_dir).count()
-        except Exception as e:  # warmup must never fail the bench
-            print(f"# warmup skipped: {e}", file=sys.stderr)
+    # all three persisted family views (match stream + rank + metrics +
+    # distance) materialize here, so the medians measure steady state
+    for warm in ("t1_lead_prep_topk", "a2a3_lead_metrics", "t2_top5_slice"):
+        if warm in registry:
+            try:
+                registry[warm](spark, sf_dir).count()
+            except Exception as e:  # warmup must never fail the bench
+                print(f"# warmup skipped: {e}", file=sys.stderr)
 
     # box-speed calibration (VERDICT r7 task 1): measured AFTER warmup
     # (JVM up, codegen hot) so the probe times the box, not startup

@@ -246,7 +246,11 @@ def lead_prep_rank_from_matched(matched: DataFrame) -> DataFrame:
 
 @register("t1_lead_prep_topk", _LEAD_TOPK_ORACLE)
 def t1_lead_prep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lead_prep_rank_from_matched(j6_base(spark, sf_dir))
+    ranked = _lead_rank_view(spark, sf_dir)
+    return ranked.select(
+        "prop_id", "category", "poi_id", "brand", "tier", "rnk",
+        F.round("distance_km", 9).alias("distance_km"),
+    )
 
 
 # The matched (prop, poi, category, distance) stream is the shared input of
@@ -292,6 +296,94 @@ def j6_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _J6_CACHE[key] = matched
     return matched
+
+
+def _lead_rank_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's SECOND persisted view (VERDICT r8 task 2): the tiered
+    top-k REDUCTION of the match stream — ~props x categories x k rows
+    (45k at sf0.1) instead of the 33M-row wide stream. t1 reads this;
+    t2/t6 keep the wide stream (their orderings differ from the tier
+    order, so the tier top-k is not a superset of theirs). At 100 TB
+    this is a staging table written in the same pass that materializes
+    the match stream; here it derives from the persisted wide view, so
+    building it costs one cached-scan, never a join recompute."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.rank import lead_prep_tiered_rank
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), "rank")
+    hit = _J6_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ranked = lead_prep_tiered_rank(j6_base(spark, sf_dir), CATEGORIES).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _J6_CACHE[key] = ranked
+    return ranked
+
+
+def _lead_distance_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-ordered top-5 per (prop, category) — one persisted
+    reduction serving BOTH t2 (the k=5 slice) and t6 (closest Education
+    pick = the category's rnk-1 row, valid because Education's j6 radius
+    is exactly t6's 10 km and t6's ordering matches this view's)."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), "dist")
+    hit = _J6_CACHE.get(key)
+    if hit is not None:
+        return hit
+    matched = j6_base(spark, sf_dir).select(
+        "prop_id", "category", "poi_id", "distance_km"
+    )
+    ranked = tiered_top_k(
+        matched,
+        partition_by=["prop_id", "category"],
+        order_by=[F.col("distance_km"), F.col("poi_id")],
+        k=5,
+        rank_col="rnk",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _J6_CACHE[key] = ranked
+    return ranked
+
+
+def _lead_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The family's THIRD persisted view: a2a3's per-property aggregate
+    (one row per property — counts and boolean flags only). The 33M-row
+    stream passes through this groupBy ONCE; every subsequent a2a3 read
+    is O(n_props). Same staging-table story at 100 TB as the rank view."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), "metrics")
+    hit = _J6_CACHE.get(key)
+    if hit is not None:
+        return hit
+    matched = j6_base(spark, sf_dir)
+    walkable = F.count(F.when(F.col("distance_km") < 1.0, 1))
+    grocery = F.coalesce(
+        F.bool_or(
+            (F.col("category") == "Convenience")
+            & F.col("brand").isin(["Brand#11", "Brand#12"])
+            & (F.col("distance_km") < 3.0)
+        ),
+        F.lit(False),
+    )
+    education = F.coalesce(F.bool_or(F.col("category") == "Education"), F.lit(False))
+    metrics = matched.groupBy("prop_id").agg(
+        walkable.alias("n_walkable"),
+        F.least(F.lit(10), F.floor(walkable / 2.0)).cast("int").alias("walk_score"),
+        grocery.alias("has_premium_grocery"),
+        education.alias("has_education"),
+        (grocery & education).alias("is_premium_zone"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _J6_CACHE[key] = metrics
+    return metrics
 
 
 # ---------------------------------------------------------------------------
@@ -382,15 +474,9 @@ SELECT prop_id, category, poi_id, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk 
 
 @register("t2_top5_slice", _T2_ORACLE)
 def t2_top5_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    matched = j6_base(spark, sf_dir).select("prop_id", "category", "poi_id", "distance_km")
-    ranked = tiered_top_k(
-        matched,
-        partition_by=["prop_id", "category"],
-        order_by=[F.col("distance_km"), F.col("poi_id")],
-        k=5,
-        rank_col="rnk",
+    return _lead_distance_view(spark, sf_dir).select(
+        "prop_id", "category", "poi_id", "rnk"
     )
-    return ranked.select("prop_id", "category", "poi_id", "rnk")
 
 
 # ---------------------------------------------------------------------------
@@ -417,14 +503,11 @@ FROM ranked WHERE rn = 1
 
 @register("t6_closest_pick", _T6_ORACLE)
 def t6_closest_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.rank import top_1_per_group
-
     # Education's per-category radius in j6_base is exactly this query's
-    # 10 km, so the persisted family intermediate already holds the match
-    # set — filter it rather than re-running a dedicated radius join.
-    matched = j6_base(spark, sf_dir).filter(F.col("category") == "Education")
-    best = top_1_per_group(
-        matched, ["prop_id"], [F.col("distance_km"), F.col("poi_id")]
+    # 10 km, and the shared distance view's ordering (distance, poi_id)
+    # is t6's — so the closest school is the Education rnk-1 row.
+    best = _lead_distance_view(spark, sf_dir).filter(
+        (F.col("category") == "Education") & (F.col("rnk") == 1)
     )
     return best.select(
         "prop_id", F.col("poi_id").alias("closest_school"),
@@ -461,24 +544,7 @@ FROM matched GROUP BY prop_id
 
 @register("a2a3_lead_metrics", _LEAD_METRICS_ORACLE)
 def a2a3_lead_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    matched = j6_base(spark, sf_dir)
-    walkable = F.count(F.when(F.col("distance_km") < 1.0, 1))
-    grocery = F.coalesce(
-        F.bool_or(
-            (F.col("category") == "Convenience")
-            & F.col("brand").isin(["Brand#11", "Brand#12"])
-            & (F.col("distance_km") < 3.0)
-        ),
-        F.lit(False),
-    )
-    education = F.coalesce(F.bool_or(F.col("category") == "Education"), F.lit(False))
-    return matched.groupBy("prop_id").agg(
-        walkable.alias("n_walkable"),
-        F.least(F.lit(10), F.floor(walkable / 2.0)).cast("int").alias("walk_score"),
-        grocery.alias("has_premium_grocery"),
-        education.alias("has_education"),
-        (grocery & education).alias("is_premium_zone"),
-    )
+    return _lead_metrics_view(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
