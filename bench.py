@@ -720,6 +720,100 @@ def bench_delta_tail(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_ann_maintenance(spark, sf_dir: str) -> dict:
+    """Incremental ANN index maintenance tier (VERDICT r8 task 4): load
+    the sf embeddings into a delta-logged vector table, train IVF-PQ
+    once (frozen codebooks — excluded from the drain timing, like the
+    warc tier's synthesis), bootstrap-drain the index, then commit 3
+    narrow vector updates + 1 delete and drain each. The scale signals:
+    ``max_incremental_batch`` is O(touched rows), never O(corpus), and
+    the drained index stays row-identical to a batch rebuild (asserted
+    here, pinned harder in tests/test_ann_maintenance.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.operators.similarity import ivfpq_train, l2_normalize
+    from etl_stack_spark.streaming.ann_maintenance import (
+        ann_index_batch_fn,
+        encode_index_rows,
+    )
+    from etl_stack_spark.streaming.delta_source import DeltaStreamSource
+
+    work = tempfile.mkdtemp(prefix="bench_ann_")
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+        )
+        rows = emb.withColumn(
+            "content_hash",
+            F.sha2(F.concat_ws(",", F.col("embedding").cast("array<string>")), 256),
+        )
+        n = rows.count()
+        t0 = time.perf_counter()
+        # n_iter=1: the tier measures MAINTENANCE cost, not training
+        # quality (recall dials live in tests/test_recall_curves.py)
+        cents, books = ivfpq_train(rows, dim=64, n_cells=8, m=4, k=8, n_iter=1, sample=2048)
+        train_secs = round(time.perf_counter() - t0, 3)
+
+        vectors = ParquetMergeTable(spark, os.path.join(work, "vectors"), delta_log=True)
+        index = ParquetMergeTable(spark, os.path.join(work, "index"))
+        vectors.merge(rows, keys=["vec_id"])
+        for i in range(2):  # ~2% of vectors re-embedded per commit
+            delta = (
+                rows.filter(F.col("vec_id") % 50 == i)
+                .withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (x + F.when(j == i, 0.5).otherwise(0.0)).cast("float"),
+                    ),
+                )
+                .withColumn(
+                    "content_hash",
+                    F.sha2(F.concat_ws(",", F.col("embedding").cast("array<string>")), 256),
+                )
+            )
+            vectors.merge(delta, keys=["vec_id"])
+        vectors.delete_where(F.col("vec_id") % 97 == 0)
+
+        src = DeltaStreamSource(
+            spark, os.path.join(work, "vectors"), os.path.join(work, "ckpt"),
+            mode="changes", keys=["vec_id"],
+        )
+        batch_rows: list[int] = []
+        inner = ann_index_batch_fn(index, cents, books, 64)
+
+        def fn(df, v):
+            batch_rows.append(df.count())
+            inner(df, v)
+
+        t0 = time.perf_counter()
+        versions = src.process_available(fn)
+        drain_secs = round(time.perf_counter() - t0, 3)
+        # lossless claim: drained == batch rebuild under the same books
+        drained = index.read().select("vec_id", "cell", "codes")
+        rebuilt = encode_index_rows(vectors.read(), cents, books, 64).select(
+            "vec_id", "cell", "codes"
+        )
+        assert drained.exceptAll(rebuilt).isEmpty() and rebuilt.exceptAll(drained).isEmpty(), (
+            "incrementally drained index diverged from batch rebuild"
+        )
+        return {
+            "vectors": n,
+            "versions_tailed": len(versions),
+            "train_secs": train_secs,
+            "batch_rows": batch_rows,
+            "drain_secs": drain_secs,
+            "index_rows": index.read().count(),
+            "max_incremental_batch": max(batch_rows[1:], default=0),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_interval_join(spark, sf_dir: str) -> dict:
     """Watermarked stream-stream interval-join tier (VERDICT r5 task 8):
     the sf events split into an impression feed (views) and a click feed
@@ -939,6 +1033,7 @@ def main() -> None:
     dtail = None
     warc = None
     skipping = None
+    annm = None
     if stream:
         try:
             streaming = bench_streaming(spark, sf_dir)
@@ -982,6 +1077,12 @@ def main() -> None:
         except Exception as e:
             skipping = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(f"# SKIP-ERROR {skipping['error']}", file=sys.stderr)
+        try:
+            annm = bench_ann_maintenance(spark, sf_dir)
+            print(f"# ann maintenance: {annm}", file=sys.stderr)
+        except Exception as e:
+            annm = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(f"# ANN-ERROR {annm['error']}", file=sys.stderr)
 
     # end-of-run self-adjudication (VERDICT r8 task 1): every >2x headline
     # flag gets a RESAMPLE now — after the sweep and streaming tiers, when
@@ -1112,6 +1213,8 @@ def main() -> None:
         detail["warc_pipeline"] = warc
     if skipping is not None:
         detail["stats_skipping"] = skipping
+    if annm is not None:
+        detail["ann_maintenance"] = annm
     if headline_resamples:
         detail["headline_resamples"] = headline_resamples
     if regressions:

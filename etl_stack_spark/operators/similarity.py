@@ -682,3 +682,209 @@ def pq_adc_topk(
         order_by=[F.col("adc_d2").asc(), F.col(id_col).asc()],
         k=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (VERDICT r8 task 5): IVF routing + PQ-compressed
+# RESIDUALS per cell — the standard billion-scale index shape (IVFADC,
+# Jégou et al. 2011). The index is the (vec_id, cell, codes) frame that
+# streaming/ann_maintenance.py maintains incrementally from a table's
+# change feed.
+# ---------------------------------------------------------------------------
+
+
+def _centroid_at(cell_col, centroids: list[list[float]]):
+    """The centroid array selected by a cell INDEX column — one
+    element_at over an array-of-arrays literal (n_cells x dim doubles,
+    codegen'd once; KBs even at n_cells=4096)."""
+    table = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    return F.element_at(table, cell_col + F.lit(1))
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    pq_iter: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, codebooks): coarse IVF centroids on the corpus, then
+    PQ codebooks trained on the RESIDUALS v - centroid[cell(v)] — the
+    residual energy is what the codes must cover once routing has
+    absorbed the cluster structure. Both trainers keep their bounded
+    deterministic hash-sample discipline, so cost is corpus-size-
+    independent; the residual projection is one codegen'd expression."""
+    centroids = ivf_train(
+        corpus, n_centroids=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    v = _as_double(F.col(vec_col))
+    resid = corpus.select(
+        F.col(id_col),
+        F.zip_with(
+            v, _centroid_at(nearest_cell(v, centroids), centroids), lambda x, y: x - y
+        ).alias(vec_col),
+    )
+    books = pq_train(
+        resid,
+        dim=dim,
+        m=m,
+        k=k,
+        n_iter=pq_iter if pq_iter is not None else n_iter,
+        vec_col=vec_col,
+        id_col=id_col,
+        sample=sample,
+    )
+    return centroids, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes): route to the nearest coarse cell, PQ-encode
+    the residual — one codegen'd map-side expression, no shuffle, no
+    Python. This is the INDEX ROW shape ann_maintenance keeps current
+    from the change feed."""
+    m = len(codebooks)
+    w = dim // m
+    v = _as_double(F.col(vec_col))
+    cell = nearest_cell(v, centroids)
+    rv = F.zip_with(v, _centroid_at(cell, centroids), lambda x, y: x - y)
+    codes = F.array(
+        *[
+            nearest_cell(F.slice(rv, s * w + 1, w), codebooks[s]).cast("int")
+            for s in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col), cell.cast("int").alias("cell"), codes.alias("codes")
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVFADC search over an (id, cell, codes) index: each query probes
+    its ``n_probe`` nearest cells; within a probed cell the query's
+    RESIDUAL builds the (sub, code) -> partial-d² LUT (q·n_probe·m·k
+    tiny rows, broadcast), and every candidate's distance is m map-side
+    lookups summed — the asymmetric distance of the IVFADC paper.
+    Returns (query_id, vec_id, adc_d2, rnk).
+
+    ``refine``: an (id, vector) frame — when given, the ADC pass emits a
+    ``k·refine_factor`` shortlist and the final top-k is an EXACT cosine
+    re-rank over the shortlist's true vectors (FAISS's IVFPQR step;
+    quantization error orders near-ties wrong, and re-ranking a 4k-row
+    shortlist restores exact-IVF recall for one keyed join against the
+    vector table — O(q·k·refine_factor) lookups, never a scan). Refined
+    output is (query_id, vec_id, cosine, rank).
+
+    Scale shape: candidates flow through ONE equi-join on cell (never
+    all-pairs), the LUT join is broadcast, the top-k is the concrete-k
+    WindowGroupLimit. At 10^9 vectors the only big exchange is the
+    candidate join, bounded by n_probe/n_cells of the corpus."""
+    from etl_stack_spark.operators.rank import tiered_top_k
+
+    m = len(codebooks)
+    w = dim // m
+    qv = _as_double(F.col(vec_col))
+    probes = F.slice(F.array_sort(_cell_scores(F.col("qv"), centroids)), 1, n_probe)
+    q = queries.select(F.col(query_id_col), qv.alias("qv")).withColumn(
+        "cell", F.explode(F.transform(probes, lambda s: s["i"]))
+    )
+    # per (query, probed cell): residual against THAT cell's centroid
+    qr = q.select(
+        query_id_col,
+        "cell",
+        F.zip_with(
+            F.col("qv"), _centroid_at(F.col("cell"), centroids), lambda x, y: x - y
+        ).alias("qr"),
+    )
+    cents = queries.sparkSession.createDataFrame(
+        [
+            (s, ci, codebooks[s][ci])
+            for s in range(m)
+            for ci in range(len(codebooks[s]))
+        ],
+        "sub int, code int, cv array<double>",
+    )
+    qsub = qr.select(
+        query_id_col,
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("qr", s * w + 1, w) for s in range(m)])
+        ).alias("sub", "qs"),
+    )
+    lut = qsub.join(F.broadcast(cents), "sub").select(
+        query_id_col,
+        "cell",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    cand = index.join(
+        qr.select(query_id_col, "cell"), "cell"
+    ).select(query_id_col, "cell", F.col(id_col), F.posexplode("codes").alias("sub", "code"))
+    scored = (
+        cand.join(F.broadcast(lut), [query_id_col, "cell", "sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    )
+    shortlist = tiered_top_k(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("adc_d2").asc(), F.col(id_col).asc()],
+        k=k if refine is None else k * refine_factor,
+    )
+    if refine is None:
+        return shortlist
+    # exact cosine re-rank of the shortlist against the TRUE vectors
+    # (hoisted norms — see brute_force_topk — for bit-identical cosine)
+    r = refine.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    qn = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    rescored = (
+        shortlist.select(query_id_col, id_col)
+        .join(r, id_col)
+        .join(F.broadcast(qn), query_id_col)
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    return tiered_top_k(
+        rescored.select(query_id_col, id_col, "cosine"),
+        partition_by=[query_id_col],
+        order_by=[F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+    )

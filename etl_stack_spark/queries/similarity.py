@@ -455,3 +455,47 @@ def pq1_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(codes, queries, books, dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ1 — the composed billion-scale index shape (VERDICT r8 task 5):
+# coarse IVF routing + PQ-compressed RESIDUALS per cell + ADC shortlist
+# + exact cosine refine (IVFADC + IVFPQR, Jégou et al. 2011). No oracle
+# — k-means training is not SQL-expressible (the pq1/bpe1 class);
+# semantics pinned by the drained-vs-batch-built index equality e2e
+# (tests/test_ann_maintenance.py) and measured recall floors at two
+# hardness levels (tests/test_recall_curves.py::test_ivfpq_recall_*).
+# Fully deterministic (hash-seeded training, integer-micro-unit
+# centroid means, fixed iterations, index tie-breaks), so the driver's
+# rows-only check is stable.
+# ---------------------------------------------------------------------------
+
+
+@register("ivfpq1_topk")
+def ivfpq1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+        l2_normalize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cn = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=False)
+    # sandbox dials (pq1's m=4/k=8 rule — the encode expression compiles
+    # m*k literal distance aggregates and its JIT dominates at sandbox
+    # SF); production dials m=8/k=16 run in the recall-floor tests on
+    # 12k-vector mixtures
+    cents, books = ivfpq_train(
+        cn, dim=64, n_cells=8, m=4, k=8, n_iter=2, sample=2048
+    )
+    index = ivfpq_encode(cn, cents, books, dim=64)
+    queries = cn.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        index, queries, cents, books, dim=64, k=5, n_probe=2,
+        refine=cn, refine_factor=4,
+    )

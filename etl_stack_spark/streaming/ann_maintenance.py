@@ -1,0 +1,114 @@
+"""Incremental ANN index maintenance from a table's change feed
+(VERDICT r8 task 4): keep an ``(vec_id, cell, codes)`` IVF-PQ index
+table current against a delta-logged vector table by draining its CDF —
+re-encode only changed rows, retract deletes, never rebuild.
+
+Why this exists at 100 TB: the batch builders (``ivfpq_encode`` over
+the whole corpus) cost one full pass — fine once, fatal per ingest. A
+corpus ingesting continuously needs the index maintained at O(delta)
+per commit. The change feed (``streaming/delta_source.py``, mode
+"changes") delivers exactly the touched keys per log version, so:
+
+* insert / update_postimage rows → re-encode (one codegen'd map-side
+  expression — route to nearest coarse cell, PQ-encode the residual)
+  and hash-gated MERGE into the index (an unchanged vector re-delivered
+  by an at-least-once replay produces identical codes and an identical
+  content hash — the merge is a provable no-op, which is the
+  exactly-once story);
+* delete / a vector's update_preimage whose key vanished → remove the
+  index row.
+
+Codebooks are FROZEN at maintenance time (the production discipline:
+IVF centroids and PQ codebooks are versioned artifacts retrained
+offline; an index maintained under frozen codebooks is bit-equal to a
+batch rebuild under the same codebooks, which is what the e2e test
+pins). Retraining is a new index generation, not a maintenance step.
+
+Scale shape per batch: encode is map-side only; the merge shuffles
+O(index ∪ batch) keys at worst and the stats-pruned merge path bounds
+the rewrite to touched files; the delete set is O(batch deletes). At
+cluster scale the index lives in a PartitionedMergeTable keyed by
+``cell`` so deletes and merges prune to touched cells.
+
+Reference counterpart: the reference's vector store re-embeds and
+re-upserts every poll cycle (/root/reference/src/shared/vector_store.py)
+— whole-corpus work per cycle; this is the O(delta) replacement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+from etl_stack_spark.operators.similarity import ivfpq_encode
+
+
+def encode_index_rows(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes, content_hash) — the index row for each vector.
+    The hash covers exactly (cell, codes), so a replayed or no-op
+    update merges as `unchanged`. Used both for the batch build (full
+    corpus) and per-CDF-batch re-encode; one implementation, so the
+    drained index CANNOT drift from a batch rebuild."""
+    enc = ivfpq_encode(
+        vectors, centroids, codebooks, dim, vec_col=vec_col, id_col=id_col
+    )
+    return enc.withColumn(
+        "content_hash",
+        F.sha2(
+            F.concat_ws(
+                ",", F.col("cell"), F.concat_ws(",", F.col("codes").cast("array<string>"))
+            ),
+            256,
+        ),
+    )
+
+
+def ann_index_batch_fn(
+    index: ParquetMergeTable,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """A ``batch_fn`` for ``DeltaStreamSource(mode="changes")``: apply
+    one log version's CDF rows to the index table.
+
+    Idempotent under replay (at-least-once source → exactly-once
+    effect): upserts are hash-gated (identical codes → `unchanged`),
+    deletes of already-absent keys match nothing. Cost per batch is
+    O(changed rows) encode + one merge + (if any deletes) one delete
+    commit — never an index rebuild."""
+
+    def batch_fn(batch_df: DataFrame, version: int) -> None:
+        ups = batch_df.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, vec_col)
+        rows = encode_index_rows(
+            ups, centroids, codebooks, dim, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)  # the merge reads the table it rewrites
+        if rows.limit(1).count():
+            index.merge(rows, keys=[id_col], audit_ts_col=None)
+        # deletes: O(batch) driver-side key list (bounded by the commit's
+        # own size; the PartitionedMergeTable form keeps it distributed
+        # per-cell at cluster scale)
+        dels = [
+            r[0]
+            for r in batch_df.filter(F.col("_change_type") == "delete")
+            .select(id_col)
+            .collect()
+        ]
+        if dels and index.exists():
+            index.delete_where(F.col(id_col).isin(dels))
+
+    return batch_fn

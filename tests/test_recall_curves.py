@@ -355,3 +355,56 @@ def test_pq_adc_recall(spark, mixture):
     at10 = sum(len(found.get(q, set()) & v) / 10 for q, v in truth.items()) / len(truth)
     assert atp >= 0.95, (level, atp)
     assert at10 >= 0.18, (level, at10)
+
+
+# ---------------------------------------------------------------------------
+# ivfpq: IVF routing + PQ residual codes (+ exact refine) vs exact truth.
+# Measured r9 on the pinned seeds: unrefined (m=8, k=16: 4 bytes/vec =
+# 64x memory cut) medium .274@10 / hard .222@10 with @planted 1.0 —
+# quantization orders near-ties wrong but never loses the planted
+# neighbor; ADC-shortlist (refine_factor=25) + exact cosine re-rank
+# recovers medium .941@10, hard .829(p2)/.854(p4)@10 — near exact-IVF
+# levels (1.0/.892-.939) for one keyed join against the vector table.
+# Floors = measured minus ~0.05.
+# ---------------------------------------------------------------------------
+
+IVFPQ_FLOORS = {
+    # (level, kind): (recall@planted floor, recall@10 floor)
+    ("medium", "adc"): (0.95, 0.20),
+    ("medium", "refine"): (0.95, 0.88),
+    ("hard", "adc"): (0.95, 0.16),
+    ("hard", "refine"): (0.95, 0.75),
+}
+
+
+def test_ivfpq_recall_mixture_hardness(spark, mixture):
+    """The composed billion-scale shape (VERDICT r8 task 5): coarse
+    route -> per-cell ADC over residual codes -> optional exact refine.
+    Pins that (a) the planted neighbor always survives compression,
+    (b) the refine step recovers most of the quantization loss, and
+    (c) refined recall strictly dominates raw ADC recall."""
+    from etl_stack_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    level, corpus, qdf, planted, truth = mixture
+    cents, books = ivfpq_train(
+        corpus, dim=MIX_DIM, n_cells=MIX_CLUSTERS, m=8, k=16, n_iter=5, sample=4096
+    )
+    index = ivfpq_encode(corpus, cents, books, MIX_DIM).localCheckpoint(eager=True)
+    adc = ivfpq_topk(index, qdf, cents, books, MIX_DIM, k=10, n_probe=2)
+    refined = ivfpq_topk(
+        index, qdf, cents, books, MIX_DIM, k=10, n_probe=2,
+        refine=corpus, refine_factor=25,
+    )
+    measured = {}
+    for kind, df in (("adc", adc), ("refine", refined)):
+        at1, at10 = _ann_recalls(df, truth, planted)
+        measured[kind] = (at1, at10)
+        print(f"mix[{level}] ivfpq_{kind}: recall@planted={at1:.3f} recall@10={at10:.3f}")
+        f1, f10 = IVFPQ_FLOORS[(level, kind)]
+        assert at1 >= f1, f"{level}/ivfpq_{kind} @planted {at1:.3f} < floor {f1}"
+        assert at10 >= f10, f"{level}/ivfpq_{kind} @10 {at10:.3f} < floor {f10}"
+    assert measured["refine"][1] >= measured["adc"][1] + 0.3
