@@ -200,13 +200,24 @@ def run_stream(
     batch_fn: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     available_now: bool = True,
+    observe: tuple[str, list] | None = None,
 ):
     """ST1 production shape: file-source stream → foreachBatch(batch_fn).
 
     With ``available_now`` the stream processes the backlog and stops —
     the driver-friendly trigger; on a cluster use a continuous trigger and
-    the same ``batch_fn`` handles each micro-batch incrementally."""
+    the same ``batch_fn`` handles each micro-batch incrementally.
+
+    ``observe``: optional ``(name, [agg exprs])`` attached to the
+    STREAMING frame with ``df.observe`` — the metrics ride the micro-
+    batch's own execution (zero extra passes) and surface per batch in
+    ``StreamingQueryProgress.observedMetrics[name]``, i.e. through any
+    registered ``StreamingQueryListener`` (VERDICT r8 task 7). Keep the
+    expressions deterministic: foreachBatch may execute the plan more
+    than once per epoch and the engine reports the last run's values."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
+    if observe is not None:
+        stream = stream.observe(observe[0], *observe[1])
     writer = (
         stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
@@ -215,3 +226,35 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+class ObservedMetricsListener:
+    """Minimal StreamingQueryListener that collects every progress
+    event's ``observedMetrics`` rows as ``(query_name_or_id, metric_name,
+    row_dict)`` — the ops-visibility tap for the streaming washes. Spark
+    delivers listener events asynchronously; call
+    ``spark.streams.resetTerminated()``/``awaitTermination`` as usual
+    and read ``rows`` after the query stops."""
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _L(StreamingQueryListener):
+            def __init__(self):
+                self.rows: list[tuple[str, str, dict]] = []
+
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                for name, row in (p.observedMetrics or {}).items():
+                    self.rows.append((p.name or p.id, name, row.asDict()))
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        return _L()

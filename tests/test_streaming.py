@@ -841,3 +841,100 @@ def test_streaming_quantile_sketch_matches_batch_and_replay_is_noop(spark, tmp_p
     quantile_stream_batch_fn(state, "grp", "rid", "v", k=64)(b0, 999)
     replayed = sorted(map(tuple, read_quantile_estimates(state, "grp").collect()))
     assert replayed == streamed
+
+
+def test_corpus_stream_observe_counters_match_batch_wash(spark, tmp_path):
+    """VERDICT r8 task 7: the streaming wash's zero-extra-pass counters
+    (Observation API inside the batch fn + observe() on the streaming
+    frame read through a StreamingQueryListener) must MATCH the numbers
+    a batch computation of the same gates produces on the same input —
+    across multiple micro-batches with gate failures, in-batch dups and
+    cross-batch dups."""
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.operators.text import fingerprint, lang_id, quality_score
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+    from etl_stack_spark.streaming.queue import ObservedMetricsListener
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs with the pack "
+        "through the field and the forest and the hills beyond them all"
+    )
+    other = (
+        "a completely different long document about rivers and mountains "
+        "where the water flows down to the sea and the birds fly over it"
+    )
+    schema = "doc_id long, text string, source string, ts_s string"
+    feed = tmp_path / "feed"
+    b1 = [
+        (1, good, "a", "2024-01-01 00:00:00"),
+        (2, "tiny", "a", "2024-01-01 00:00:01"),        # quality-gated
+        (3, good, "b", "2024-01-01 00:00:02"),          # in-batch dup of 1
+        (4, other, "a", "2024-01-01 00:00:03"),
+    ]
+    b2 = [
+        (10, good, "c", "2024-01-02 00:00:00"),         # cross-batch dup of 1
+        (11, "x y", "c", "2024-01-02 00:00:01"),        # quality-gated
+        (12, other + " extra tail words here", "c", "2024-01-02 00:00:02"),
+    ]
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).withColumn(
+            "ingested_at", F.col("ts_s").cast("timestamp")
+        ).drop("ts_s").write.mode("append").parquet(str(feed))
+
+    listener = ObservedMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        results = ParquetMergeTable(spark, str(tmp_path / "corpus"))
+        ckpt = str(tmp_path / "ckpt")
+        metrics: dict = {}
+        write(b1)
+        run_corpus_clean_stream(
+            spark, str(feed), results, ckpt, metrics=metrics
+        ).awaitTermination(120)
+        write(b2)
+        run_corpus_clean_stream(
+            spark, str(feed), results, ckpt, metrics=metrics
+        ).awaitTermination(120)
+
+        # ground truth from a BATCH pass of the same gates on the union
+        all_rows = spark.createDataFrame(b1 + b2, schema).select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("fp"),
+            quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("lang"),
+        )
+        rows = all_rows.collect()
+        gated_q = [r for r in rows if r["q"] < 0.4]
+        passed = [
+            r for r in rows
+            if r["q"] >= 0.4 and r["lang"] in ("en", "es", "de", "fr")
+        ]
+        gated_l = len(rows) - len(gated_q) - len(passed)
+        distinct_fps = len({r["fp"] for r in passed})
+        total_dups = len(passed) - distinct_fps
+
+        assert metrics["docs_in"] == len(rows) == 7
+        assert metrics["gated_quality"] == len(gated_q) == 2
+        assert metrics["gated_lang"] == gated_l
+        # in-batch + cross-batch dup skips together account for every
+        # duplicate fingerprint occurrence the batch pass sees
+        assert metrics["batch_dups"] + metrics["cross_batch_dups"] == total_dups == 2
+        assert metrics["inserted"] == distinct_fps == results.read().count() == 3
+
+        # the listener saw per-micro-batch feed counts summing to docs_in
+        # (delivery is async — poll briefly)
+        import time as _t
+
+        for _ in range(40):
+            seen = sum(
+                row["docs_in"]
+                for _q, name, row in listener.rows
+                if name == "corpus_wash_in"
+            )
+            if seen >= len(rows):
+                break
+            _t.sleep(0.25)
+        assert seen == len(rows), listener.rows
+    finally:
+        spark.streams.removeListener(listener)
