@@ -10,38 +10,14 @@ test:
 # THE GATE (promoted round 7, VERDICT r6 task 3): the same suite in
 # cost-balanced process groups (own JVM each, no pytest-xdist in this
 # container) — same tests, zero removals, ~max(group) wall time.
-# Rebalanced to 4 groups late round 8 (suite grew ~4 min of new tests:
-# quantile sketch, boilerplate fuzz, vacuum-horizon contract, sel1/ol1
-# units); 3 groups had thinned the bar-600s headroom. Groups rebalance
-# by --durations output when files move.
+# Group membership lives in tools/gate_groups.json (the last group is
+# the catch-all: a new test file can never silently escape the gate).
+# Bar: 600s/group; when a `--durations` run shows max(group) > 550s,
+# regenerate with:
+#   python tools/run_gate.py --durations && python tools/rebalance_gate.py
+# (VERDICT r8 task 8 — rebalanced r9: projected max 464s/4 groups.)
 test-fast:
-	@set -e; \
-	python -m pytest -q tests/test_streaming.py tests/test_fuzz_url.py \
-	  tests/test_fuzz_esd.py tests/test_fuzz_pii.py tests/test_fuzz_polygon.py \
-	  tests/test_fuzz_quantized.py tests/test_fuzz_sessions_kmv.py \
-	  tests/test_fuzz_cleaners.py tests/test_graph_extra.py \
-	  > /tmp/tf_g1.log 2>&1 & p1=$$!; \
-	python -m pytest -q tests/test_merge.py tests/test_merge_delta_contract.py \
-	  tests/test_curation.py \
-	  tests/test_fuzz_boilerplate.py > /tmp/tf_g2.log 2>&1 & p2=$$!; \
-	python -m pytest -q tests/test_oracle_parity.py tests/test_recall_curves.py \
-	  tests/test_delta_source.py tests/test_end_to_end.py \
-	  tests/test_plans.py \
-	  > /tmp/tf_g4.log 2>&1 & p4=$$!; \
-	python -m pytest -q --ignore=tests/test_streaming.py --ignore=tests/test_fuzz_url.py \
-	  --ignore=tests/test_fuzz_esd.py --ignore=tests/test_fuzz_pii.py \
-	  --ignore=tests/test_fuzz_polygon.py --ignore=tests/test_fuzz_quantized.py \
-	  --ignore=tests/test_fuzz_sessions_kmv.py --ignore=tests/test_fuzz_cleaners.py \
-	  --ignore=tests/test_merge.py \
-	  --ignore=tests/test_merge_delta_contract.py --ignore=tests/test_curation.py \
-	  --ignore=tests/test_plans.py \
-	  --ignore=tests/test_graph_extra.py --ignore=tests/test_fuzz_boilerplate.py \
-	  --ignore=tests/test_oracle_parity.py --ignore=tests/test_recall_curves.py \
-	  --ignore=tests/test_delta_source.py --ignore=tests/test_end_to_end.py \
-	  tests/ > /tmp/tf_g3.log 2>&1 & p3=$$!; \
-	rc=0; wait $$p1 || rc=1; wait $$p2 || rc=1; wait $$p4 || rc=1; wait $$p3 || rc=1; \
-	tail -1 /tmp/tf_g1.log; tail -1 /tmp/tf_g2.log; tail -1 /tmp/tf_g4.log; tail -1 /tmp/tf_g3.log; \
-	exit $$rc
+	python tools/run_gate.py
 
 # headline bench at $$SPARK_GRAFT_SF_DIR (default sf0.1); compact JSON
 # line on stdout, samples + full sweep in BENCH_DETAIL.json
