@@ -234,36 +234,78 @@ def ivf_train(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sample: int = 8192,
 ) -> list[list[float]]:
-    """Lloyd's k-means in the Spark MLlib shape: centroids live on the
-    driver (n_centroids × dim doubles — KBs), each iteration broadcasts
-    them into ONE assignment expression and reduces element-wise means
-    with a single posexplode + groupBy — two shuffles per iteration
-    regardless of corpus size, which is what makes this the 100 TB
-    training loop. Deterministic: seeds are the ``n_centroids`` vectors
-    with the smallest xxhash64(id); empty cells keep their previous
-    centroid."""
+    """Lloyd's k-means with pq_train's discipline (the r8 rework that
+    cut pq1 3x, applied here in r9 for the same reason): train on the
+    ``sample`` vectors with the smallest xxhash64(id) — deterministic
+    and bounded regardless of corpus size (standard practice: coarse
+    quantizers train on a sample; FAISS defaults to ~min(n, 256·k)) —
+    and run each iteration's assignment as a JOIN against the
+    n_centroids-row centroid frame instead of a compiled
+    literal-distance expression (the expression form re-JITs
+    n_cells·dim literals EVERY iteration, the cost that dominated at
+    sandbox SF; the join's candidate stream is sample·k rows, bounded).
+    Element-wise means accumulate in integer MICRO-UNITS summed as
+    long (order-independent — the repo's determinism discipline; a
+    float avg's partial-merge order can flip near-tie assignments).
+    Deterministic: hash-seeded, min_by (d², cell) struct tie-break,
+    empty cells keep their previous centroid."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    seeds = (
+    samp = (
         c.withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
         .orderBy("_h", id_col)
-        .limit(n_centroids)
-        .collect()
+        .limit(sample)
+        .localCheckpoint(eager=True)
     )
+    # seeds = the n_centroids SMALLEST-hash vectors (a pseudo-random
+    # spread across the data — id-ordered seeding would take k
+    # neighbors from whatever cluster owns the low ids)
+    seeds = samp.orderBy("_h", id_col).limit(n_centroids).collect()
     if len(seeds) < n_centroids:
         raise ValueError(f"corpus has fewer than {n_centroids} vectors")
     centroids = [list(r["v"]) for r in seeds]
+    samp = samp.select(id_col, "v")
+    spark = corpus.sparkSession
     for _ in range(n_iter):
-        assigned = c.withColumn("cell", nearest_cell(F.col("v"), centroids))
+        cents = spark.createDataFrame(
+            [(ci, centroids[ci]) for ci in range(n_centroids)],
+            "cell int, cv array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            samp.crossJoin(F.broadcast(cents))
+            .withColumn("_d2", d2)
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("_best"),
+                F.first("v").alias("v"),
+            )
+            .select(F.col("_best.cell").alias("cell"), "v")
+        )
         rows = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.struct("s", "n").alias("sn")))
+                ).alias("pm")
+            )
             .collect()
         )
-        new = {r["cell"]: [p["m"] for p in r["pm"]] for r in rows}
+        new = {
+            r["cell"]: [p["sn"]["s"] / p["sn"]["n"] / 1e6 for p in r["pm"]]
+            for r in rows
+        }
         centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
     return centroids
 
@@ -722,7 +764,8 @@ def ivfpq_train(
     deterministic hash-sample discipline, so cost is corpus-size-
     independent; the residual projection is one codegen'd expression."""
     centroids = ivf_train(
-        corpus, n_centroids=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+        corpus, n_centroids=n_cells, n_iter=n_iter, vec_col=vec_col,
+        id_col=id_col, sample=max(sample, 2 * n_cells),
     )
     v = _as_double(F.col(vec_col))
     resid = corpus.select(
@@ -761,15 +804,28 @@ def ivfpq_encode(
     v = _as_double(F.col(vec_col))
     cell = nearest_cell(v, centroids)
     rv = F.zip_with(v, _centroid_at(cell, centroids), lambda x, y: x - y)
+    # TWO projections with a collapse barrier between them: if Catalyst
+    # collapses them, the residual subtree (route over n_cells·dim
+    # literals + the centroid table lookup) inlines into EVERY one of
+    # the m·k code-distance expressions — measured 7.6s of pure codegen
+    # JIT at m=4,k=8,cells=8 vs ~1s split. The barrier is a
+    # non-deterministic marker column (CollapseProject only merges
+    # all-deterministic projections); still one map-side pass, no
+    # shuffle, no materialization — codegen evaluates _rv once per row
+    # into a local and the code expressions read it.
+    step1 = corpus.select(
+        F.col(id_col),
+        cell.cast("int").alias("cell"),
+        rv.alias("_rv"),
+        F.monotonically_increasing_id().alias("_collapse_barrier"),
+    )
     codes = F.array(
         *[
-            nearest_cell(F.slice(rv, s * w + 1, w), codebooks[s]).cast("int")
+            nearest_cell(F.slice(F.col("_rv"), s * w + 1, w), codebooks[s]).cast("int")
             for s in range(m)
         ]
     )
-    return corpus.select(
-        F.col(id_col), cell.cast("int").alias("cell"), codes.alias("codes")
-    )
+    return step1.select(F.col(id_col), F.col("cell"), codes.alias("codes"))
 
 
 def ivfpq_topk(
