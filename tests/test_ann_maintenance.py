@@ -140,3 +140,67 @@ def test_replayed_versions_are_noops(spark, tmp_path, trained):
     # leave the index bit-identical
     _drain(spark, tmp, os.path.join(tmp, "vectors"), index, trained, "replay")
     assert _index_state(index) == state
+
+
+def test_merge_on_read_index_matches_batch_build(spark, tmp_path, trained):
+    """The LSM form (MergeOnReadANNIndex): reconciled read == batch
+    rebuild across inserts/updates/deletes; per-batch appends never
+    touch the base; compaction folds and truncates without changing
+    the reconciled view; replays are no-ops via the version watermark."""
+    from etl_stack_spark.operators.similarity import ivfpq_encode
+    from etl_stack_spark.streaming.ann_maintenance import MergeOnReadANNIndex
+
+    cents, books = trained
+    tmp = str(tmp_path)
+    vectors = ParquetMergeTable(spark, os.path.join(tmp, "vectors"), delta_log=True)
+    vectors.merge(_vec_rows(spark, 0, 40), keys=["vec_id"])         # v0
+    vectors.merge(
+        _vec_rows(spark, 0, 8, bump=0.9).unionByName(_vec_rows(spark, 8, 12)),
+        keys=["vec_id"],
+    )                                                               # v1
+    vectors.merge(_vec_rows(spark, 40, 50, bump=0.3), keys=["vec_id"])  # v2
+    vectors.delete_where(F.col("vec_id") < 6)                       # v3
+
+    index = MergeOnReadANNIndex(spark, os.path.join(tmp, "mor"))
+    src = DeltaStreamSource(
+        spark, os.path.join(tmp, "vectors"), os.path.join(tmp, "ck"),
+        mode="changes", keys=["vec_id"],
+    )
+    src.process_available(index.batch_fn(cents, books, DIM))
+
+    def state(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in df.select("vec_id", "cell", "codes").collect()
+        )
+
+    want = state(ivfpq_encode(vectors.read(), cents, books, DIM))
+    assert state(index.read()) == want
+    # the base was never written by the incremental path: every batch
+    # was an O(delta) append
+    assert not index.base.exists()
+    n_delta_before = index.delta_rows()
+    assert n_delta_before >= len(want)  # upserts + delete markers + history
+
+    # replay from a fresh consumer checkpoint: watermark makes it a no-op
+    src2 = DeltaStreamSource(
+        spark, os.path.join(tmp, "vectors"), os.path.join(tmp, "ck2"),
+        mode="changes", keys=["vec_id"],
+    )
+    src2.process_available(index.batch_fn(cents, books, DIM))
+    assert index.delta_rows() == n_delta_before
+    assert state(index.read()) == want
+
+    # compaction folds into the base, empties the delta, view unchanged
+    n = index.compact()
+    assert n == len(want)
+    assert index.delta_rows() == 0
+    assert state(index.read()) == want
+
+    # post-compaction incremental batch still lands in the delta only
+    vectors.merge(_vec_rows(spark, 6, 10, bump=0.2), keys=["vec_id"])  # v4
+    base_version = index.base.current_version()
+    src.process_available(index.batch_fn(cents, books, DIM))
+    assert index.base.current_version() == base_version  # base untouched
+    want2 = state(ivfpq_encode(vectors.read(), cents, books, DIM))
+    assert state(index.read()) == want2
