@@ -36,8 +36,10 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
     from etl_stack_spark.queries.geo import lead_prep_rank
 
     def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # NO isEmpty() guard (the corpus wash's r9 rule): it is a full
+        # extra execution of the source plan per epoch — it re-runs the
+        # scan and double-counts the feed-level observe() metrics a
+        # listener reads. Emptiness falls out of the id collect below.
         # a property may appear twice in one backlog batch (two updates,
         # or a full-feed replay): the EVENT-TIME latest wins, not file
         # order — an arbitrary dropDuplicates would make replays
@@ -45,26 +47,35 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
         # micro-batch, where "arrival order" no longer exists)
         latest = top_1_per_group(
             batch_df, ["prop_id"], [F.col("updated_at").desc()]
-        ).drop("updated_at")
-        ranked = lead_prep_rank(latest, pois)
-        ranked = ranked.withColumn(
-            "content_hash",
-            F.sha2(F.concat_ws("|", "poi_id", "brand", "tier", "distance_km"), 256),
-        ).withColumn("status", F.lit("active"))
-        if results.exists():
-            # Scope deletes to this batch's properties: a re-ranked property
-            # that now produces FEWER rows (POI gone, radius change) must
-            # tombstone its stale higher-rnk rows — the reference replaces
-            # per-property result sets wholesale (ADVICE r4). The id list is
-            # driver-side but bounded by the micro-batch delta, not the corpus.
+        ).drop("updated_at").persist()
+        try:
+            # the id list is driver-side but bounded by the micro-batch
+            # delta, not the corpus; collecting it off the persisted
+            # frame is ALSO the single source-plan execution the
+            # downstream merge then reuses from cache
             batch_ids = [r[0] for r in latest.select("prop_id").distinct().collect()]
-            results.merge(
-                ranked,
-                keys=RESULT_KEYS,
-                soft_delete_scope=F.col("t.prop_id").isin(batch_ids),
-            )
-        else:
-            results.overwrite(ranked)  # bootstrap on the first micro-batch
+            if not batch_ids:  # empty epoch: no effects to apply
+                return
+            ranked = lead_prep_rank(latest, pois)
+            ranked = ranked.withColumn(
+                "content_hash",
+                F.sha2(F.concat_ws("|", "poi_id", "brand", "tier", "distance_km"), 256),
+            ).withColumn("status", F.lit("active"))
+            if results.exists():
+                # Scope deletes to this batch's properties: a re-ranked
+                # property that now produces FEWER rows (POI gone, radius
+                # change) must tombstone its stale higher-rnk rows — the
+                # reference replaces per-property result sets wholesale
+                # (ADVICE r4).
+                results.merge(
+                    ranked,
+                    keys=RESULT_KEYS,
+                    soft_delete_scope=F.col("t.prop_id").isin(batch_ids),
+                )
+            else:
+                results.overwrite(ranked)  # bootstrap on the first micro-batch
+        finally:
+            latest.unpersist()
 
     return batch_fn
 
@@ -78,7 +89,10 @@ def run_lead_prep_stream(
 ):
     """Drain the property change feed through lead-prep into ``results``.
     Uses availableNow (process backlog, stop) — on a cluster the same
-    call with a processingTime trigger runs continuously."""
+    call with a processingTime trigger runs continuously. The streaming
+    frame carries an ``observe("lead_prep_in", ...)`` feed count so a
+    StreamingQueryListener sees per-micro-batch arrivals (the corpus
+    wash's r9 ops-visibility pattern, applied to both washes)."""
     from etl_stack_spark.streaming.queue import run_stream
 
     return run_stream(
@@ -87,4 +101,5 @@ def run_lead_prep_stream(
         PROPERTY_FEED_SCHEMA,
         lead_prep_batch_fn(pois, results),
         checkpoint_dir,
+        observe=("lead_prep_in", [F.count(F.lit(1)).alias("props_in")]),
     )
