@@ -146,11 +146,16 @@ class MergeOnReadANNIndex:
     compaction kicks in.
     """
 
-    def __init__(self, spark, root: str):
+    def __init__(self, spark, root: str, compact_at: float | None = 0.2):
+        """``compact_at``: auto-compact when the delta table grows past
+        this fraction of the base (None disables — caller compacts on
+        its own schedule). The threshold bounds BOTH the delta table's
+        append cost and the reconcile joins' small side."""
         import os as _os
 
         self.spark = spark
         self.root = root
+        self.compact_at = compact_at
         self.base = ParquetMergeTable(spark, _os.path.join(root, "base"))
         self.delta = ParquetMergeTable(spark, _os.path.join(root, "delta"))
         self._applied_path = _os.path.join(root, "APPLIED.json")
@@ -209,6 +214,15 @@ class MergeOnReadANNIndex:
         if rows.limit(1).count():
             self.delta.append(rows)
         self._mark_applied(version)
+        # auto-compaction keeps the delta bounded: past compact_at x
+        # |base| the reconcile joins' small side stops being small and
+        # the per-batch append cost creeps toward O(delta_max) — fold
+        # now, amortized over every batch since the last fold
+        if self.compact_at is not None and self.base.exists():
+            n_delta = self.delta_rows()
+            n_base = self.base.read().count()
+            if n_delta > self.compact_at * max(n_base, 1):
+                self.compact(id_col)
 
     def batch_fn(self, centroids, codebooks, dim, id_col="vec_id", vec_col="embedding"):
         """Adapter with the DeltaStreamSource batch_fn signature."""

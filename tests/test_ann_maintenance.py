@@ -204,3 +204,49 @@ def test_merge_on_read_index_matches_batch_build(spark, tmp_path, trained):
     assert index.base.current_version() == base_version  # base untouched
     want2 = state(ivfpq_encode(vectors.read(), cents, books, DIM))
     assert state(index.read()) == want2
+
+
+def test_merge_on_read_auto_compaction(spark, tmp_path, trained):
+    """compact_at bounds the delta: once appended rows exceed the
+    fraction of the base, apply_batch folds automatically — the view
+    is unchanged, the delta truncates, and later replays of
+    pre-compaction versions stay no-ops via the watermark."""
+    from etl_stack_spark.operators.similarity import ivfpq_encode
+    from etl_stack_spark.streaming.ann_maintenance import MergeOnReadANNIndex
+
+    cents, books = trained
+    tmp = str(tmp_path)
+    vectors = ParquetMergeTable(spark, os.path.join(tmp, "vectors"), delta_log=True)
+    vectors.merge(_vec_rows(spark, 0, 40), keys=["vec_id"])         # v0
+
+    index = MergeOnReadANNIndex(spark, os.path.join(tmp, "mor"), compact_at=0.3)
+    src = DeltaStreamSource(
+        spark, os.path.join(tmp, "vectors"), os.path.join(tmp, "ck"),
+        mode="changes", keys=["vec_id"],
+    )
+    src.process_available(index.batch_fn(cents, books, DIM))
+    index.compact()  # establish the base (bootstrap fold)
+    assert index.base.exists() and index.delta_rows() == 0
+
+    # 20 updated vectors -> 20 delta rows = 0.5 x base: crosses 0.3
+    vectors.merge(_vec_rows(spark, 0, 20, bump=1.1), keys=["vec_id"])  # v1
+    src.process_available(index.batch_fn(cents, books, DIM))
+    assert index.delta_rows() == 0  # auto-compacted inside apply_batch
+
+    def state(df):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in df.select("vec_id", "cell", "codes").collect()
+        )
+
+    assert state(index.read()) == state(
+        ivfpq_encode(vectors.read(), cents, books, DIM)
+    )
+    # a sub-threshold batch stays in the delta (no premature folds)
+    vectors.merge(_vec_rows(spark, 0, 3, bump=2.2), keys=["vec_id"])  # v2
+    base_v = index.base.current_version()
+    src.process_available(index.batch_fn(cents, books, DIM))
+    assert index.delta_rows() == 3 and index.base.current_version() == base_v
+    assert state(index.read()) == state(
+        ivfpq_encode(vectors.read(), cents, books, DIM)
+    )
