@@ -914,8 +914,18 @@ def main() -> None:
     # one-time materialization inside the first timed j6 sample (7.4s
     # spikes in the spread; medians survived but the claim is steady state)
     # all three persisted family views (match stream + rank + metrics +
-    # distance) materialize here, so the medians measure steady state
-    for warm in ("t1_lead_prep_topk", "a2a3_lead_metrics", "t2_top5_slice"):
+    # distance) materialize here, so the medians measure steady state.
+    # The trained-ANN family (VERDICT r9 task 2) joins the warmup for the
+    # same reason: codebook training + corpus encode happen once per
+    # session (the production index-build), so the timed pq1/ivfpq1
+    # entries measure SEARCH, not the build they'd never repeat.
+    for warm in (
+        "t1_lead_prep_topk",
+        "a2a3_lead_metrics",
+        "t2_top5_slice",
+        "pq1_adc_topk",
+        "ivfpq1_topk",
+    ):
         if warm in registry:
             try:
                 registry[warm](spark, sf_dir).count()
@@ -951,6 +961,23 @@ def main() -> None:
         if ":" in part:
             qn, factor = part.rsplit(":", 1)
             fault[qn.strip()] = float(factor)
+    # companion self-test hook: SPARK_GRAFT_BENCH_BASELINE_OVERRIDE=
+    # "name:secs,..." replaces the committed baseline for those queries.
+    # Why (VERDICT r9 task 1): the adjudication e2e used to assert the
+    # un-faulted sf0.001 resample lands under 1.5x the REAL sf0.1
+    # baseline — false for fixed-overhead queries on a busy box (llm1's
+    # 2.541s baseline vs a 7.29s contended resample). A synthetic
+    # baseline sized orders above any plausible resample makes the
+    # suppression assertion contention-immune while still exercising
+    # the full flag→probe→resample→suppress machinery. Like the fault
+    # map, an overridden run is echoed into the record and barred from
+    # the committed sidecar.
+    baseline_override: dict[str, float] = {}
+    for part in os.environ.get("SPARK_GRAFT_BENCH_BASELINE_OVERRIDE", "").split(","):
+        if ":" in part:
+            qn, secs = part.rsplit(":", 1)
+            baseline_override[qn.strip()] = float(secs)
+    baseline.update(baseline_override)
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     flag_probes: dict[str, dict] = {}
@@ -1128,7 +1155,13 @@ def main() -> None:
                 file=sys.stderr,
             )
             if med2 < timings[name]:
+                # adopt the better median, and keep the regression record
+                # self-consistent: a CONFIRMED flag's "now" must equal the
+                # committed per-query time (ADVICE r9: the evidence and the
+                # timing previously disagreed on the same record)
                 timings[name] = med2
+                if not suppressed:
+                    regressions[name]["now"] = med2
             if suppressed:
                 del regressions[name]
         total = round(sum(timings.values()), 3)
@@ -1193,6 +1226,15 @@ def main() -> None:
         out["suppressed_regression_count"] = sum(
             1 for r in headline_resamples.values() if r["suppressed"]
         )
+    if fault:
+        # a fault-injected run is a self-test, never evidence: echo the
+        # map into the official line AND the sidecar, and route the run
+        # away from the committed baseline below (ADVICE r9: a <=2x fault
+        # previously slipped past the flag machinery straight into
+        # BENCH_DETAIL.json and would have become next round's baseline)
+        out["fault_injected"] = dict(fault)
+    if baseline_override:
+        out["baseline_override"] = dict(baseline_override)
     detail = {**out, "samples": spreads}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
@@ -1229,7 +1271,9 @@ def main() -> None:
     # baselines would have weakened every next-round regression bar —
     # contended evidence goes to BENCH_DETAIL_CONTENDED.json instead,
     # leaving the committed (value, probe) baseline pair intact
-    if subset:
+    # A fault-injected or baseline-overridden run is likewise barred from
+    # the committed baseline regardless of whether it tripped any flag.
+    if subset or fault or baseline_override:
         sidecar = "BENCH_SUBSET.json"
     elif out.get("contended") or out.get("suppressed_regression_count"):
         sidecar = "BENCH_DETAIL_CONTENDED.json"

@@ -12,7 +12,7 @@ every committed snapshot it appends a Delta commit to
     00000000000000000001.json
     ...
     0000000000000000000N.checkpoint.parquet   ← every CHECKPOINT_INTERVAL
-    _LAST_CHECKPOINT                           ← {"version": N, "size": M}
+    _last_checkpoint                           ← {"version": N, "size": M}
 
 Actions per the spec: ``protocol`` (minReader 1 / minWriter 2),
 ``metaData`` (id, format, schemaString = Spark StructType JSON — the
@@ -81,11 +81,15 @@ class DeltaLog:
         return sorted(out)
 
     def _last_checkpoint(self) -> dict | None:
-        p = os.path.join(self.log_dir, "_LAST_CHECKPOINT")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        # Delta protocol names the pointer `_last_checkpoint` (lowercase);
+        # tables written before r10 used `_LAST_CHECKPOINT` — read both so
+        # pre-bump tables stay loadable (write side emits lowercase only).
+        for name in ("_last_checkpoint", "_LAST_CHECKPOINT"):
+            p = os.path.join(self.log_dir, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    return json.load(f)
+        return None
 
     def state(self, as_of: int | None = None) -> dict:
         """Replay the log: {"version": int | None, "schema_string": str,
@@ -286,7 +290,7 @@ class DeltaLog:
     def _write_checkpoint(self, version: int) -> None:
         """Materialize the replayed state as ``<v>.checkpoint.parquet``
         (single file, pyarrow — Spark's writer emits directories) and
-        point ``_LAST_CHECKPOINT`` at it. The metaData row carries the
+        point ``_last_checkpoint`` at it. The metaData row carries the
         table's REAL partitionColumns (a stock reader replays metadata
         from the newest checkpoint, so dropping them there would
         permanently un-partition the table — round-7 advisor); remove
@@ -386,10 +390,13 @@ class DeltaLog:
         table = pa.Table.from_pylist(rows, schema=schema)
         ckpt_path = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
         pq.write_table(table, ckpt_path)
-        tmp = os.path.join(self.log_dir, "_LAST_CHECKPOINT.tmp")
+        # protocol-correct lowercase name (ADVICE r9: the uppercase form
+        # would never be discovered by a stock Delta reader); one intended
+        # format bump, goldens regenerated alongside
+        tmp = os.path.join(self.log_dir, "_last_checkpoint.tmp")
         with open(tmp, "w") as f:
             json.dump({"version": version, "size": len(rows)}, f)
-        os.replace(tmp, os.path.join(self.log_dir, "_LAST_CHECKPOINT"))
+        os.replace(tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
 
 def file_stats(full_path: str) -> str | None:

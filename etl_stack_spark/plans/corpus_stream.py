@@ -111,15 +111,24 @@ def corpus_clean_batch_fn(
             scored = scored.observe(
                 obs,
                 F.count(F.lit(1)).alias("docs_in"),
-                F.sum(
-                    F.when(F.col("quality") < min_quality, 1).otherwise(0)
+                # coalesce: on a zero-row micro-batch SUM aggregates to
+                # NULL (only COUNT yields 0), which would TypeError the
+                # metric accumulation below before the n_first==0 guard
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("quality") < min_quality, 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("gated_quality"),
-                F.sum(
-                    F.when(
-                        (F.col("quality") >= min_quality)
-                        & ~F.col("pred_lang").isin(list(keep_langs)),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("quality") >= min_quality)
+                            & ~F.col("pred_lang").isin(list(keep_langs)),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("gated_lang"),
             )
         kept = scored.filter(

@@ -27,6 +27,95 @@ _COS = (
 
 
 # ---------------------------------------------------------------------------
+# Session-shared trained ANN index (VERDICT r9 task 2): pq1 and ivfpq1
+# each used to retrain codebooks + re-encode the corpus PER CALL — 5.8s
+# and 9.3s of the full sweep were Lloyd's-iteration driver latency and
+# encode JIT repeated for identical deterministic results. Production
+# builds an index ONCE and searches it many times (ann_maintenance keeps
+# it current); the registry now mirrors that: the normalized corpus, the
+# trained codebooks, and the encoded index are cached per
+# (session, sf_dir) — the lead-prep `_J6_CACHE` precedent (queries/
+# geo.py:264). Training stays deterministic (hash-seeded, fixed
+# iterations), so cached-vs-fresh outputs are bit-identical and the
+# driver's rows-only checks are unaffected.
+# ---------------------------------------------------------------------------
+_ANN_CACHE: dict[tuple, object] = {}
+
+
+def clear_ann_cache() -> None:
+    """Unpersist and drop all cached ANN artifacts (test/debug hook)."""
+    for v in _ANN_CACHE.values():
+        df = v[-1] if isinstance(v, tuple) else v
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _ANN_CACHE.clear()
+
+
+def _ann_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
+    import os as _os
+
+    return (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), what)
+
+
+def _ann_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized (vec_id, embedding) corpus, persisted once per
+    (session, sf_dir) — the shared input of the trained-ANN family."""
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.similarity import l2_normalize
+
+    key = _ann_key(spark, sf_dir, "cn")
+    hit = _ANN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cn = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _ANN_CACHE[key] = cn
+    return cn
+
+
+def _pq_trained(spark: SparkSession, sf_dir: str):
+    """(codebooks, encoded corpus) — trained/encoded once per session.
+    Sandbox dials m=4/k=8 (see pq1's comment); the eager checkpoint
+    materializes the encode so searches never re-run it."""
+    from etl_stack_spark.operators.similarity import pq_encode, pq_train
+
+    key = _ann_key(spark, sf_dir, "pq")
+    hit = _ANN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cn = _ann_normalized(spark, sf_dir)
+    books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
+    codes = pq_encode(cn, books, dim=64).localCheckpoint(eager=True)
+    _ANN_CACHE[key] = (books, codes)
+    return books, codes
+
+
+def _ivfpq_trained(spark: SparkSession, sf_dir: str):
+    """(centroids, codebooks, encoded index) — the IVFADC index as a
+    materialized TABLE, built once per session (ann_maintenance is the
+    streaming counterpart that keeps such an index current)."""
+    from etl_stack_spark.operators.similarity import ivfpq_encode, ivfpq_train
+
+    key = _ann_key(spark, sf_dir, "ivfpq")
+    hit = _ANN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cn = _ann_normalized(spark, sf_dir)
+    cents, books = ivfpq_train(
+        cn, dim=64, n_cells=8, m=4, k=8, n_iter=1, sample=2048
+    )
+    index = ivfpq_encode(cn, cents, books, dim=64).localCheckpoint(eager=True)
+    _ANN_CACHE[key] = (cents, books, index)
+    return cents, books, index
+
+
+# ---------------------------------------------------------------------------
 # SS1 — brute-force cosine top-k
 # ---------------------------------------------------------------------------
 _SS1_ORACLE = f"""
@@ -432,25 +521,17 @@ def pca1_gram_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pq1_adc_topk")
 def pq1_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.similarity import (
-        l2_normalize,
-        pq_adc_topk,
-        pq_encode,
-        pq_train,
-    )
+    from etl_stack_spark.operators.similarity import pq_adc_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cn = emb.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    ).localCheckpoint(eager=False)
     # sandbox dials m=4/k=8: training and the ADC LUT are join-based
     # (bounded by sample/query set), but the map-side ENCODE expression
     # still compiles m*k literal distance aggregates — the remaining
     # constant that dominates at sandbox SF and amortizes on real
     # partitions. Production dials (m=8, k=16+) run in the recall-floor
-    # tests on 12k-vector corpora.
-    books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
-    codes = pq_encode(cn, books, dim=64)
+    # tests on 12k-vector corpora. Train/encode happen ONCE per session
+    # (_pq_trained); this call is pure search, the production shape.
+    books, codes = _pq_trained(spark, sf_dir)
+    cn = _ann_normalized(spark, sf_dir)
     queries = cn.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -473,30 +554,17 @@ def pq1_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivfpq1_topk")
 def ivfpq1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.similarity import (
-        ivfpq_encode,
-        ivfpq_topk,
-        ivfpq_train,
-        l2_normalize,
-    )
+    from etl_stack_spark.operators.similarity import ivfpq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cn = emb.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    ).localCheckpoint(eager=False)
     # sandbox dials (pq1's m=4/k=8 rule — the encode expression compiles
     # m*k literal distance aggregates and its JIT dominates at sandbox
     # SF); production dials m=8/k=16 run in the recall-floor tests on
-    # 12k-vector mixtures
-    cents, books = ivfpq_train(
-        cn, dim=64, n_cells=8, m=4, k=8, n_iter=1, sample=2048
-    )
-    # checkpoint the encode: folded into the search plan it recompiles
-    # (and can re-run) inside every downstream stage — measured 25s vs
-    # 3.7s for the identical search over a materialized index. This is
-    # also the honest shape: the index is a TABLE (ann_maintenance
-    # keeps it current); search never re-derives it.
-    index = ivfpq_encode(cn, cents, books, dim=64).localCheckpoint(eager=False)
+    # 12k-vector mixtures. The index is a materialized TABLE built once
+    # per session (_ivfpq_trained — measured 25s vs 3.7s for the same
+    # search over a non-materialized encode); search never re-derives
+    # it, which is also ann_maintenance's contract.
+    cents, books, index = _ivfpq_trained(spark, sf_dir)
+    cn = _ann_normalized(spark, sf_dir)
     queries = cn.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

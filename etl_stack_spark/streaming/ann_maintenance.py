@@ -146,19 +146,36 @@ class MergeOnReadANNIndex:
     compaction kicks in.
     """
 
-    def __init__(self, spark, root: str, compact_at: float | None = 0.2):
+    def __init__(
+        self,
+        spark,
+        root: str,
+        compact_at: float | None = 0.2,
+        compact_min_rows: int = 100_000,
+    ):
         """``compact_at``: auto-compact when the delta table grows past
         this fraction of the base (None disables — caller compacts on
         its own schedule). The threshold bounds BOTH the delta table's
-        append cost and the reconcile joins' small side."""
+        append cost and the reconcile joins' small side.
+
+        ``compact_min_rows``: absolute delta-row bound that triggers a
+        fold even when NO base exists yet (an index driven only through
+        ``batch_fn`` from scratch must still bootstrap its first base —
+        ADVICE r9: gating on base.exists() alone let the delta grow
+        unboundedly)."""
         import os as _os
 
         self.spark = spark
         self.root = root
         self.compact_at = compact_at
+        self.compact_min_rows = compact_min_rows
         self.base = ParquetMergeTable(spark, _os.path.join(root, "base"))
         self.delta = ParquetMergeTable(spark, _os.path.join(root, "delta"))
         self._applied_path = _os.path.join(root, "APPLIED.json")
+        # cached base row count: a per-batch base.read().count() is an
+        # O(base-files) pass that defeats the O(delta)-per-batch shape
+        # (ADVICE r9). Lazily measured once, then maintained by compact().
+        self._base_rows: int | None = None
 
     # -- applied-version watermark (survives compaction truncating _v) --
     def _applied_max(self) -> int:
@@ -218,10 +235,17 @@ class MergeOnReadANNIndex:
         # |base| the reconcile joins' small side stops being small and
         # the per-batch append cost creeps toward O(delta_max) — fold
         # now, amortized over every batch since the last fold
-        if self.compact_at is not None and self.base.exists():
+        if self.compact_at is not None:
             n_delta = self.delta_rows()
-            n_base = self.base.read().count()
-            if n_delta > self.compact_at * max(n_base, 1):
+            if self.base.exists():
+                if self._base_rows is None:  # once, then compact() maintains it
+                    self._base_rows = self.base.read().count()
+                if n_delta > self.compact_at * max(self._base_rows, 1):
+                    self.compact(id_col)
+            elif n_delta >= self.compact_min_rows:
+                # bootstrap: no base yet — fold once the delta passes the
+                # absolute bound so a from-scratch streamed index never
+                # pays ever-growing reconcile joins
                 self.compact(id_col)
 
     def batch_fn(self, centroids, codebooks, dim, id_col="vec_id", vec_col="embedding"):
@@ -275,4 +299,6 @@ class MergeOnReadANNIndex:
         self.base.overwrite(merged)
         if self.delta.exists():
             self.delta.overwrite(self.delta.read().limit(0).localCheckpoint(eager=True))
-        return merged.count()
+        n = merged.count()
+        self._base_rows = n  # keep the cached count current — no per-batch rescan
+        return n

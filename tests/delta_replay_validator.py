@@ -5,7 +5,7 @@ pyarrow only, with NO imports from ``etl_stack_spark`` — so writer and
 replayer cannot co-drift without a test failure. It follows exactly the
 published reader algorithm (delta-io PROTOCOL.md):
 
-1. read ``_delta_log/_LAST_CHECKPOINT`` → newest checkpoint version
+1. read ``_delta_log/_last_checkpoint`` (or the pre-r10 ``_LAST_CHECKPOINT``) → newest checkpoint version
    (ignored when past the ``as_of`` target, as a stock reader picks the
    newest checkpoint not past it);
 2. load the checkpoint parquet's protocol/metaData/add/remove rows;
@@ -54,13 +54,17 @@ def replay(table_root: str, as_of: int | None = None) -> dict:
     protocol = None
     start = 0
 
-    last_ckpt_path = os.path.join(log_dir, "_LAST_CHECKPOINT")
+    # protocol name is lowercase `_last_checkpoint`; pre-r10 tables used
+    # the uppercase form — the validator accepts both, like the reader
     ckpt_version = None
-    if os.path.exists(last_ckpt_path):
-        with open(last_ckpt_path) as f:
-            v = json.load(f)["version"]
-        if as_of is None or v <= as_of:
-            ckpt_version = v
+    for ptr in ("_last_checkpoint", "_LAST_CHECKPOINT"):
+        last_ckpt_path = os.path.join(log_dir, ptr)
+        if os.path.exists(last_ckpt_path):
+            with open(last_ckpt_path) as f:
+                v = json.load(f)["version"]
+            if as_of is None or v <= as_of:
+                ckpt_version = v
+            break
     if ckpt_version is not None:
         import pyarrow.parquet as pq
 

@@ -11,7 +11,20 @@ shuffle-contention window; this pins the machinery that closes that
 class. Fault injection is used because real contention cannot be
 summoned on demand (96 deliberate memory-bandwidth hog processes moved
 this box's timings <1.6x — the VM-neighbor contention the flags came
-from operates below guest control)."""
+from operates below guest control).
+
+Contention-immunity (VERDICT r9 task 1): the r9 form asserted the
+un-faulted sf0.001 resample lands under 1.5x the REAL committed sf0.1
+baseline — false for fixed-overhead queries on a busy box (llm1's
+2.541s baseline vs a 7.29s resample under the gate's own 4-JVM
+parallelism; the machinery CORRECTLY refused to suppress, the test's
+premise was wrong). Now the test injects a SYNTHETIC baseline via
+SPARK_GRAFT_BENCH_BASELINE_OVERRIDE, sized so the suppression bar
+(1.5x x 600s = 900s) is orders above any plausible contended resample
+of a sub-second query at sf0.001 — the adjudication path under test is
+identical, only the premise is now unconditionally true. bench.py bars
+overridden runs from the committed sidecar, same as faulted ones.
+"""
 
 from __future__ import annotations
 
@@ -22,25 +35,30 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# synthetic committed baseline (secs) for the faulted query: the
+# suppression bar becomes 1.5x this = 900s — no resample of a cheap
+# query at sf0.001 approaches it on any box this suite runs on
+SYNTH_BASELINE = 600.0
+# any measured dt (>=1ms floor of a Spark action) x this exceeds
+# 2 x SYNTH_BASELINE = 1200s, so the flag always trips
+FAULT_FACTOR = 10_000_000
+
 
 def test_headline_flag_suppressed_with_evidence():
-    # fault the headline query with the LARGEST committed baseline: the
-    # suppression bar is 1.5x baseline, and under the 4-way gate's JVM
-    # contention a small-baseline query's un-faulted resample at
-    # sf0.001 can exceed a sub-second bar on wall-clock noise alone
-    # (observed with j1's 0.275s baseline). The max-baseline query's
-    # bar is seconds wide at any round's committed record.
+    # pick the CHEAPEST-baseline headline query: the synthetic baseline
+    # makes the choice irrelevant for the assertions, so take the one
+    # that keeps the un-faulted resample (and the whole test) fastest
     sys.path.insert(0, REPO)
     import bench as bench_mod
 
     baseline = bench_mod.load_baseline()
-    name = max(
+    name = min(
         (q for q in bench_mod.HEADLINE if baseline.get(q, 0) > 0),
         key=lambda q: baseline[q],
     )
     env = dict(os.environ)
-    # x1000: any sf0.001 measurement lands far beyond 2x any baseline
-    env["SPARK_GRAFT_BENCH_FAULT"] = f"{name}:1000"
+    env["SPARK_GRAFT_BENCH_FAULT"] = f"{name}:{FAULT_FACTOR}"
+    env["SPARK_GRAFT_BENCH_BASELINE_OVERRIDE"] = f"{name}:{SYNTH_BASELINE}"
     env["SPARK_GRAFT_BENCH_RUNS"] = "1"
     # sf0.001 keeps the run fast; the fault factor dominates either way
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
@@ -63,11 +81,15 @@ def test_headline_flag_suppressed_with_evidence():
     line = json.loads(out.stdout.strip().splitlines()[-1])
     assert line.get("suppressed_regression_count") == 1
     assert "regression_count" not in line
+    # the self-test hooks must be visible in the official record
+    assert line.get("fault_injected") == {name: float(FAULT_FACTOR)}
+    assert line.get("baseline_override") == {name: SYNTH_BASELINE}
 
     with open(os.path.join(REPO, "BENCH_SUBSET.json")) as f:
         detail = json.load(f)
     rs = detail["headline_resamples"][name]
     assert rs["suppressed"] is True
+    assert rs["baseline"] == SYNTH_BASELINE
     assert rs["original_median"] > 2.0 * rs["baseline"]
     assert rs["resample_median"] <= 1.5 * rs["baseline"]
     # evidence recorded next to the flag: probe pairs at flag time and
@@ -80,6 +102,6 @@ def test_headline_flag_suppressed_with_evidence():
     assert line["queries"][name] == min(
         rs["resample_median"], rs["original_median"]
     )
-    # suppressed-flag runs must not clobber the committed baseline
-    # sidecar (they carry contended evidence by construction)
+    # suppressed/faulted/overridden runs must not clobber the committed
+    # baseline sidecar (they carry synthetic evidence by construction)
     assert "headline_resamples" in detail  # BENCH_SUBSET got the detail

@@ -12,7 +12,7 @@ exact serialization: action order (commitInfo first, protocol at v0,
 metaData only on schema/partition change, removes before adds, both
 path-sorted), field sets and spelling, compact separators, dataChange
 semantics for OPTIMIZE, stats passthrough, checkpoint row layout and
-_LAST_CHECKPOINT.
+_last_checkpoint.
 
 Bump procedure (for an INTENDED format change only):
   1. change the writer,
@@ -92,7 +92,7 @@ def scripted_commits(log) -> None:
     # v4 DELETE: snapshot shrinks to empty-adds (remove-only commit)
     log.commit([], SCHEMA_B, "DELETE")
     # v5-v10 WRITE churn; v10 crosses CHECKPOINT_INTERVAL and must emit
-    # 00000000000000000010.checkpoint.parquet + _LAST_CHECKPOINT
+    # 00000000000000000010.checkpoint.parquet + _last_checkpoint
     for i in range(5, 11):
         log.commit(
             [(f"v_{i}/part-00000.parquet", 100 + i, 1000 * i, None, None)],
@@ -152,9 +152,10 @@ def produce_normalized(tmp_root: str) -> dict[str, str]:
             out[fname.replace(".parquet", ".rows.json")] = (
                 json.dumps(norm, indent=1, sort_keys=True) + "\n"
             )
-        elif fname == "_LAST_CHECKPOINT":
+        elif fname == "_last_checkpoint":
+            # protocol-correct lowercase pointer (r10 format bump)
             with open(full) as f:
-                out["_LAST_CHECKPOINT.json"] = (
+                out["_last_checkpoint.json"] = (
                     json.dumps(json.load(f), sort_keys=True) + "\n"
                 )
     # the uuid stability claim: exactly ONE table id across all commits

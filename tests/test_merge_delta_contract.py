@@ -246,7 +246,7 @@ def test_delta_log_checkpoint_and_reopen(spark, tmp_path):
         )
 
     log_dir = root / "_delta_log"
-    last = json.loads((log_dir / "_LAST_CHECKPOINT").read_text())
+    last = json.loads((log_dir / "_last_checkpoint").read_text())
     assert last["version"] == CHECKPOINT_INTERVAL
     ckpt = pq.read_table(
         str(log_dir / f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
@@ -327,7 +327,7 @@ def test_delta_stats_and_file_skipping(spark, tmp_path):
     for _ in range(10):
         t.overwrite(data.limit(50))
     state2 = DeltaLog(str(root)).state()
-    assert (root / "_delta_log" / "_LAST_CHECKPOINT").exists()
+    assert (root / "_delta_log" / "_last_checkpoint").exists()
     for info in state2["files"].values():
         s2 = json.loads(info["stats"])
         assert s2["numRecords"] == 50
@@ -650,7 +650,7 @@ def test_partitioned_checkpoint_preserves_partition_columns(spark, tmp_path):
         )
 
     log_dir = root / "_delta_log"
-    last = json.loads((log_dir / "_LAST_CHECKPOINT").read_text())
+    last = json.loads((log_dir / "_last_checkpoint").read_text())
     assert last["version"] == CHECKPOINT_INTERVAL
     ckpt_rows = pq.read_table(
         str(log_dir / f"{CHECKPOINT_INTERVAL:020d}.checkpoint.parquet")
@@ -718,8 +718,8 @@ def test_checkpoint_retains_fresh_tombstones(spark, tmp_path, monkeypatch):
     ).to_pylist()
     assert not [r for r in ckpt2 if r["remove"]]
 
-    # the _LAST_CHECKPOINT size field counts the real row set
-    last = json.loads((root / "_delta_log" / "_LAST_CHECKPOINT").read_text())
+    # the _last_checkpoint size field counts the real row set
+    last = json.loads((root / "_delta_log" / "_last_checkpoint").read_text())
     assert last["size"] == len(ckpt)
 
 
