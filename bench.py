@@ -250,6 +250,48 @@ def load_baseline_shuffle_probe() -> float | None:
         return None
 
 
+# Blended speed normalization (VERDICT r9 task 4). The CPU probe alone
+# over-corrects: two calm runs of identical r9 code normalized to 13.806s
+# and 18.573s (±35%) because headline queries are shuffle/IO-bound in a
+# way the arithmetic probe isn't. The rule is now a log-linear blend of
+# both probe ratios,
+#
+#     normalized = raw * (cpu_base/cpu)^A * (sh_base/sh)^B
+#
+# with (A, B) calibrated on the two committed same-code run pairs that
+# carry full (value, cpu, shuffle) triples:
+#   r9 code: calm 16.396s @ (1.032, 0.965)  vs driver 14.362s @ (0.798, 0.826)
+#   r8 code: calm 18.388s @ (0.904, 0.959)  vs driver 26.440s @ (1.074, 1.860)
+# Requiring each pair to normalize to the SAME number gives A=0.217,
+# B=0.492 — the shuffle probe carries ~70% of the weight, consistent
+# with the r8 forensics (a 1.19x CPU ratio could not explain the 2-2.6x
+# family band that its own 1.94x shuffle ratio did). Replay check:
+# tests/test_bench_normalization.py holds all four records to <=10%
+# within-pair agreement under this rule.
+NORM_CPU_EXP = 0.217
+NORM_SHUFFLE_EXP = 0.492
+
+
+def blended_normalized(
+    raw: float,
+    cpu: float | None,
+    shuffle: float | None,
+    cpu_base: float | None,
+    shuffle_base: float | None,
+) -> float | None:
+    """The official normalized headline value; None when the blend's
+    inputs are incomplete (a cpu-only record falls back to the legacy
+    linear rule at the call site, labeled as such)."""
+    if not (raw and cpu and shuffle and cpu_base and shuffle_base):
+        return None
+    return round(
+        raw
+        * (cpu_base / cpu) ** NORM_CPU_EXP
+        * (shuffle_base / shuffle) ** NORM_SHUFFLE_EXP,
+        3,
+    )
+
+
 def load_sweep_baseline() -> dict[str, float]:
     """Per-query sweep times from the COMMITTED BENCH_DETAIL.json (read
     before this run overwrites it). The sweep is single-run, so a >30%
@@ -721,14 +763,19 @@ def bench_delta_tail(spark, sf_dir: str) -> dict:
 
 
 def bench_ann_maintenance(spark, sf_dir: str) -> dict:
-    """Incremental ANN index maintenance tier (VERDICT r8 task 4): load
-    the sf embeddings into a delta-logged vector table, train IVF-PQ
-    once (frozen codebooks — excluded from the drain timing, like the
-    warc tier's synthesis), bootstrap-drain the index, then commit 3
-    narrow vector updates + 1 delete and drain each. The scale signals:
-    ``max_incremental_batch`` is O(touched rows), never O(corpus), and
-    the drained index stays row-identical to a batch rebuild (asserted
-    here, pinned harder in tests/test_ann_maintenance.py)."""
+    """Incremental ANN index maintenance tier (VERDICT r8 task 4; LSM
+    form recorded as the default since r9 task 3): load the sf
+    embeddings into a delta-logged vector table, train IVF-PQ once
+    (frozen codebooks — excluded from the drain timing, like the warc
+    tier's synthesis), bootstrap-drain a MergeOnReadANNIndex, then
+    commit 3 narrow vector updates + 1 delete and drain each. The scale
+    signals: ``max_incremental_batch`` is O(touched rows), never
+    O(corpus); per-batch LSM appends never rewrite the base (measured
+    8.0-8.5s flat at the 1M-vector class vs 26.3s for the snapshot-merge
+    form); ``compact_secs`` is the one O(index) fold that amortizes over
+    every batch since the last; and the reconciled read stays
+    row-identical to a batch rebuild (asserted here, pinned harder —
+    including under a concurrent fold — in tests/test_ann_maintenance.py)."""
     import shutil
     import tempfile
 
@@ -737,7 +784,7 @@ def bench_ann_maintenance(spark, sf_dir: str) -> dict:
     from etl_stack_spark.operators.merge import ParquetMergeTable
     from etl_stack_spark.operators.similarity import ivfpq_train, l2_normalize
     from etl_stack_spark.streaming.ann_maintenance import (
-        ann_index_batch_fn,
+        MergeOnReadANNIndex,
         encode_index_rows,
     )
     from etl_stack_spark.streaming.delta_source import DeltaStreamSource
@@ -759,7 +806,13 @@ def bench_ann_maintenance(spark, sf_dir: str) -> dict:
         train_secs = round(time.perf_counter() - t0, 3)
 
         vectors = ParquetMergeTable(spark, os.path.join(work, "vectors"), delta_log=True)
-        index = ParquetMergeTable(spark, os.path.join(work, "index"))
+        # bootstrap fold at the corpus itself: the first drained version
+        # IS the whole corpus, so the index folds it into the base
+        # immediately (compact_min_rows=1) and the update batches that
+        # follow measure the steady state — small appends, no base writes
+        index = MergeOnReadANNIndex(
+            spark, os.path.join(work, "index"), compact_at=0.2, compact_min_rows=1
+        )
         vectors.merge(rows, keys=["vec_id"])
         for i in range(2):  # ~2% of vectors re-embedded per commit
             delta = (
@@ -784,30 +837,43 @@ def bench_ann_maintenance(spark, sf_dir: str) -> dict:
             mode="changes", keys=["vec_id"],
         )
         batch_rows: list[int] = []
-        inner = ann_index_batch_fn(index, cents, books, 64)
+        batch_secs: list[float] = []
+        inner = index.batch_fn(cents, books, 64)
 
         def fn(df, v):
+            tb = time.perf_counter()
             batch_rows.append(df.count())
             inner(df, v)
+            batch_secs.append(round(time.perf_counter() - tb, 3))
 
         t0 = time.perf_counter()
         versions = src.process_available(fn)
         drain_secs = round(time.perf_counter() - t0, 3)
-        # lossless claim: drained == batch rebuild under the same books
+        folds_during_drain = index.n_compactions
+        # the amortized O(index) cost: one explicit fold of whatever the
+        # update batches left in the delta
+        t0 = time.perf_counter()
+        index_rows = index.compact()
+        compact_secs = round(time.perf_counter() - t0, 3)
+        # lossless claim: reconciled LSM read == batch rebuild
         drained = index.read().select("vec_id", "cell", "codes")
         rebuilt = encode_index_rows(vectors.read(), cents, books, 64).select(
             "vec_id", "cell", "codes"
         )
         assert drained.exceptAll(rebuilt).isEmpty() and rebuilt.exceptAll(drained).isEmpty(), (
-            "incrementally drained index diverged from batch rebuild"
+            "LSM-reconciled index diverged from batch rebuild"
         )
         return {
+            "form": "merge_on_read_lsm",
             "vectors": n,
             "versions_tailed": len(versions),
             "train_secs": train_secs,
             "batch_rows": batch_rows,
+            "batch_secs": batch_secs,
             "drain_secs": drain_secs,
-            "index_rows": index.read().count(),
+            "folds_during_drain": folds_during_drain,
+            "compact_secs": compact_secs,
+            "index_rows": index_rows,
             "max_incremental_batch": max(batch_rows[1:], default=0),
         }
     finally:
@@ -1183,13 +1249,17 @@ def main() -> None:
     }
     # raw AND speed-normalized headline: normalized = what this box's
     # total would read on the committed baseline's box (the policy that
-    # makes rounds comparable across the ±40% box-speed band)
+    # makes rounds comparable across the ±40% box-speed band). Since r10
+    # the rule is the calibrated cpu+shuffle blend (blended_normalized) —
+    # the cpu-only linear rule over-corrected by ±35% between calm runs
+    # of identical code; it survives only as the labeled fallback for
+    # records missing a shuffle probe.
+    baseline_probe = load_baseline_probe()
+    baseline_shuffle = load_baseline_shuffle_probe()
     if probe_secs:
         out["box_speed_probe_secs"] = probe_secs
-        baseline_probe = load_baseline_probe()
         if baseline_probe:
             out["baseline_probe_secs"] = baseline_probe
-            out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
     if shuffle_probe_secs:
         out["shuffle_probe_secs"] = shuffle_probe_secs
         # the shuffle-contention ratio is part of the OFFICIAL record,
@@ -1197,12 +1267,31 @@ def main() -> None:
         # >1.5x marks the run `contended` — r8's worked example is a run
         # whose CPU ratio (1.19x) could not explain a 2-2.6x family band
         # that its own 1.94x shuffle ratio did
-        baseline_shuffle = load_baseline_shuffle_probe()
         if baseline_shuffle:
             out["baseline_shuffle_probe_secs"] = baseline_shuffle
             out["shuffle_ratio"] = round(shuffle_probe_secs / baseline_shuffle, 2)
             if out["shuffle_ratio"] > 1.5:
                 out["contended"] = True
+    blended = blended_normalized(
+        total, probe_secs, shuffle_probe_secs, baseline_probe, baseline_shuffle
+    )
+    if blended is not None:
+        out["normalized_value"] = blended
+        out["normalized_rule"] = "cpu^%.3f*shuffle^%.3f" % (
+            NORM_CPU_EXP,
+            NORM_SHUFFLE_EXP,
+        )
+        # transparency band: the raw value scaled by each probe ratio
+        # alone — the spread the blend is splitting
+        r_cpu = baseline_probe / probe_secs
+        r_sh = baseline_shuffle / shuffle_probe_secs
+        out["normalized_band"] = [
+            round(total * min(r_cpu, r_sh), 3),
+            round(total * max(r_cpu, r_sh), 3),
+        ]
+    elif probe_secs and baseline_probe:
+        out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
+        out["normalized_rule"] = "cpu-only-legacy"
     # whole-run CPU steal: the contention the run actually experienced
     # (the probe can't see it — see steal_pct's docstring)
     run_steal = steal_pct(cpu_at_start, read_cpu_counters())

@@ -176,6 +176,7 @@ class MergeOnReadANNIndex:
         # O(base-files) pass that defeats the O(delta)-per-batch shape
         # (ADVICE r9). Lazily measured once, then maintained by compact().
         self._base_rows: int | None = None
+        self.n_compactions = 0  # observability: folds performed this session
 
     # -- applied-version watermark (survives compaction truncating _v) --
     def _applied_max(self) -> int:
@@ -271,7 +272,20 @@ class MergeOnReadANNIndex:
         )
 
     def read(self, id_col: str = "vec_id") -> DataFrame:
-        """The reconciled (id, cell, codes) view — ivfpq_topk's input."""
+        """The reconciled (id, cell, codes) view — ivfpq_topk's input.
+
+        Safe under a CONCURRENT compaction: this method resolves the
+        DELTA snapshot before the BASE snapshot, while :meth:`compact`
+        commits the base before truncating the delta — so a racing
+        reader sees either (old base, old delta) or (new base, old/new
+        delta), never (old base, new delta). And (new base, old delta)
+        reconciles to the same rows as (new base, empty delta): the
+        folded base already carries every delta row, so last-wins
+        re-application is a no-op (upsert keys re-select the same codes,
+        delete keys stay absent). Each snapshot itself is an atomic
+        manifest-pointer read; pre-compaction data files survive until
+        vacuum, so a captured plan never loses its inputs. Pinned by
+        tests/test_ann_maintenance.py::test_lsm_read_during_compaction."""
         cols = [id_col, "cell", "codes"]
         if not self.delta.exists():
             return self.base.read().select(*cols) if self.base.exists() else None
@@ -301,4 +315,5 @@ class MergeOnReadANNIndex:
             self.delta.overwrite(self.delta.read().limit(0).localCheckpoint(eager=True))
         n = merged.count()
         self._base_rows = n  # keep the cached count current — no per-batch rescan
+        self.n_compactions += 1
         return n

@@ -1,0 +1,66 @@
+"""Replay check for the blended speed-normalization rule (VERDICT r9
+task 4): the four committed records carrying full (value, cpu, shuffle)
+triples form two SAME-CODE pairs — a calm builder run and the driver's
+run of identical code. Under the old cpu-only rule the r9 pair
+normalized to 13.806s vs 18.573s (±35%); the blend must land each pair
+within 10% of the same number, or normalized_value is again not a
+comparable quantity.
+
+The triples are copied verbatim from git history (BENCH_DETAIL.json at
+973bb60/8283530 for the r8 code, e359c3e/b5e366c for the r9 code). They
+are CALIBRATION data — the exponents were solved on exactly these
+pairs — so this test is a regression pin on the rule staying solved,
+plus the band/fallback contract."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import blended_normalized  # noqa: E402
+
+# (raw_total, cpu_probe, shuffle_probe) — same code within each pair
+R9_CALM = (16.396, 1.032, 0.965)
+R9_DRIVER = (14.362, 0.798, 0.826)
+R8_CALM = (18.388, 0.904, 0.959)
+R8_DRIVER = (26.440, 1.074, 1.860)
+
+# any fixed reference box works: within-pair agreement is invariant to
+# (cpu_base, shuffle_base) because they multiply both sides equally
+BASE = (1.0, 1.0)
+
+
+def _norm(rec):
+    raw, cpu, sh = rec
+    return blended_normalized(raw, cpu, sh, *BASE)
+
+
+def test_same_code_pairs_agree_within_10pct():
+    for calm, driver, label in ((R9_CALM, R9_DRIVER, "r9"), (R8_CALM, R8_DRIVER, "r8")):
+        a, b = _norm(calm), _norm(driver)
+        spread = abs(a - b) / min(a, b)
+        assert spread <= 0.10, (
+            f"{label}: calm normalized {a} vs driver {b} — {spread:.1%} apart; "
+            f"the blend exponents no longer fit the committed calibration pairs"
+        )
+
+
+def test_old_cpu_only_rule_fails_the_same_bar():
+    """Documents WHY the blend exists: the legacy rule's spread on the
+    r9 pair is the ±35% the verdict flagged."""
+    a = R9_CALM[0] * BASE[0] / R9_CALM[1]
+    b = R9_DRIVER[0] * BASE[0] / R9_DRIVER[1]
+    assert abs(a - b) / min(a, b) > 0.10
+
+
+def test_incomplete_inputs_return_none():
+    assert blended_normalized(10.0, None, 1.0, 1.0, 1.0) is None
+    assert blended_normalized(10.0, 1.0, None, 1.0, 1.0) is None
+    assert blended_normalized(10.0, 1.0, 1.0, None, 1.0) is None
+    assert blended_normalized(10.0, 1.0, 1.0, 1.0, None) is None
+
+
+def test_identity_on_baseline_box():
+    assert blended_normalized(10.0, 0.9, 1.1, 0.9, 1.1) == 10.0

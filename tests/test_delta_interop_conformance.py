@@ -1,0 +1,203 @@
+"""Second-party Delta reader conformance (VERDICT r9 task 6): the day
+this container gains ANY stock Delta reader — the `deltalake` (delta-rs)
+package or DuckDB's delta extension — these tests prove interop against
+a second implementation with zero new work. Today neither is
+installable offline (pip index empty beyond the baked-in set; DuckDB
+1.0.0's `INSTALL delta` needs network — both re-checked r10), so every
+test skips cleanly via importorskip / a capability probe.
+
+What they assert when live:
+  * a stock reader loads the committed GOLDEN table's log layout
+    (tests/golden/delta_log pins the bytes; this pins a second
+    implementation's interpretation),
+  * a freshly written PARTITIONED table round-trips row-for-row,
+  * `VERSION AS OF` time travel agrees with our own replay.
+
+The strongest evidence available until then stays: the byte-frozen
+goldens + the from-scratch replay validator (delta_replay_validator.py,
+no etl_stack_spark imports) + protocol-correct `_last_checkpoint`
+naming (r10 format bump).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duckdb_delta_available() -> bool:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL delta; LOAD delta")
+        return True
+    except Exception:
+        return False
+    finally:
+        con.close()
+
+
+def _nation(spark):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(SF, "nation.parquet")).select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("v"),
+        (F.col("n_regionkey") % 3).cast("string").alias("bucket"),
+    )
+
+
+def _write_snapshot_table(spark, root: str):
+    """A fresh delta-logged table exercising MERGE (remove + add),
+    delete, and enough commits to cross a checkpoint."""
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+
+    def hashed(df):
+        return df.withColumn("content_hash", F.sha2(F.concat_ws("|", "k", "v", "bucket"), 256))
+
+    nation = _nation(spark)
+    t = ParquetMergeTable(spark, root, delta_log=True)
+    t.merge(hashed(nation), keys=["k"])
+    for i in range(11):  # cross CHECKPOINT_INTERVAL=10
+        upd = nation.filter(F.col("k") % 5 == i % 5).withColumn(
+            "v", F.concat(F.col("v"), F.lit(f"_r{i}"))
+        )
+        t.merge(hashed(upd), keys=["k"])
+    t.delete_where(F.col("k") % 7 == 0)
+    return t
+
+
+def _write_partitioned_table(spark, root: str):
+    """A hive-partitioned delta-logged table: add actions must carry
+    partitionValues a stock reader prunes on."""
+    from pyspark.sql import functions as F
+
+    from etl_stack_spark.operators.merge import PartitionedMergeTable
+
+    def hashed(df):
+        return df.withColumn("content_hash", F.sha2(F.concat_ws("|", "k", "v", "bucket"), 256))
+
+    nation = _nation(spark)
+    t = PartitionedMergeTable(spark, root, partition_col="bucket", delta_log=True)
+    t.merge(hashed(nation), keys=["k", "bucket"])
+    t.merge(
+        hashed(nation.filter(F.col("k") % 4 == 1).withColumn(
+            "v", F.concat(F.col("v"), F.lit("_u"))
+        )),
+        keys=["k", "bucket"],
+    )
+    return t
+
+
+def _rows_set(rows):
+    return sorted((r["k"], r["v"], r["bucket"]) for r in rows)
+
+
+def _deltalake_rows(dt):
+    return sorted(
+        (int(k), str(v), str(b))
+        for k, v, b in zip(
+            *(dt.to_pyarrow_table().column(c).to_pylist() for c in ("k", "v", "bucket"))
+        )
+    )
+
+
+def test_deltalake_reads_fresh_table_and_time_travels(spark, tmp_path):
+    deltalake = pytest.importorskip(
+        "deltalake", reason="no offline delta-rs reader in this container (r10 check)"
+    )
+    root = str(tmp_path / "t")
+    t = _write_snapshot_table(spark, root)
+    want = _rows_set(t.read().collect())
+    dt = deltalake.DeltaTable(root)
+    assert _deltalake_rows(dt) == want
+
+    # time travel: a stock reader at version 1 must match our replay
+    ours_v1 = _rows_set(t.read(version=1).collect())
+    dt.load_as_version(1)
+    assert _deltalake_rows(dt) == ours_v1
+
+
+def test_deltalake_reads_partitioned_table(spark, tmp_path):
+    deltalake = pytest.importorskip(
+        "deltalake", reason="no offline delta-rs reader in this container (r10 check)"
+    )
+    root = str(tmp_path / "p")
+    t = _write_partitioned_table(spark, root)
+    want = _rows_set(t.read().collect())
+    dt = deltalake.DeltaTable(root)
+    assert _deltalake_rows(dt) == want
+    assert dt.metadata().partition_columns == ["bucket"]
+
+
+def test_deltalake_reads_golden_log_layout(tmp_path):
+    """The golden fixtures freeze the writer bytes; a live reader pins a
+    second implementation's ACCEPTANCE of those bytes. The golden dir
+    stores normalized JSON (not a loadable table), so this regenerates
+    the same scripted sequence into a real directory and opens it."""
+    deltalake = pytest.importorskip(
+        "deltalake", reason="no offline delta-rs reader in this container (r10 check)"
+    )
+    from etl_stack_spark.operators.delta_log import DeltaLog
+    from tests.test_delta_golden import scripted_commits
+
+    root = str(tmp_path / "g")
+    os.makedirs(root)
+    scripted_commits(DeltaLog(root))
+    dt = deltalake.DeltaTable(root)
+    # the scripted sequence ends with 6 one-file WRITE commits after a
+    # DELETE-to-empty; version 10 crossed the checkpoint, so reaching
+    # this state proves the reader consumed checkpoint + _last_checkpoint
+    assert dt.version() == 10
+    assert len(dt.files()) == 6
+
+
+def test_duckdb_delta_scan_reads_fresh_table(spark, tmp_path):
+    if not _duckdb_delta_available():
+        pytest.skip("duckdb delta extension not installable offline (r10 check)")
+    import duckdb
+
+    root = str(tmp_path / "t")
+    t = _write_partitioned_table(spark, root)
+    want = _rows_set(t.read().collect())
+    con = duckdb.connect()
+    con.execute("LOAD delta")
+    got = sorted(
+        (int(k), str(v), str(b))
+        for k, v, b in con.execute(
+            f"SELECT k, v, bucket FROM delta_scan('{root}')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_fixture_tables_replay_cleanly(spark, tmp_path):
+    """Always-on: the tables the conformance tests would hand a stock
+    reader must at least satisfy the independent replay validator —
+    otherwise the skipped tests bit-rot into handing a reader garbage
+    the day they activate."""
+    from tests.delta_replay_validator import replay
+
+    t = _write_snapshot_table(spark, str(tmp_path / "t"))
+    st = replay(str(tmp_path / "t"))
+    assert st["version"] == 12  # 1 create + 11 merges + 1 delete - 1
+    assert len(st["files"]) >= 1
+    # live data files on disk match the replayed live set
+    for rel in st["files"]:
+        assert os.path.exists(os.path.join(str(tmp_path / "t"), rel))
+    assert t.read().count() == sum(1 for _ in t.read().collect())
+
+    p = _write_partitioned_table(spark, str(tmp_path / "p"))
+    sp = replay(str(tmp_path / "p"))
+    assert sp["partition_columns"] == ["bucket"]
+    assert all(
+        f["partitionValues"].get("bucket") in {"0", "1", "2"}
+        for f in sp["files"].values()
+    )
+    assert p.read().count() > 0
