@@ -1,0 +1,196 @@
+"""Generic merge-on-read (LSM) keyed table: immutable BASE snapshot +
+append-only DELTA of (upsert | delete) rows, reconciled last-wins at
+read time, folded by compaction (VERDICT r9 task 8).
+
+Why this exists: ``ParquetMergeTable.merge`` rewrites the whole
+snapshot per call — fine for batch jobs that merge once, fatal for a
+STREAMING wash whose results table grows without bound while micro-
+batches keep arriving: the r10 2M-row audit measured per-batch cost
+growing linearly with accumulated state (the snapshot rewrite), exactly
+the state-rescan hazard a 100 TB deployment cannot carry. Partition/
+stats pruning does not help here because wash keys are uniform hashes
+(fingerprints) or scattered ids — every batch's key bounds span the
+full range, so no file can ever be proven untouchable. The structure
+that bounds per-batch work for uniform-key upserts is the LSM: append
+the delta (O(|delta table|) write, bounded by compact_at x |base|),
+reconcile at read, fold occasionally (the one O(state) pass, amortized
+over every batch since the last fold).
+
+This is the ``streaming/ann_maintenance.MergeOnReadANNIndex`` shape
+(proved r9, concurrent-fold race pinned r10) generalized to any row
+schema: key column + last-wins version stamp + delete markers.
+
+Concurrent-read safety (same proof as the ANN index, pinned by
+tests/test_lsm_table.py): :meth:`read` resolves the DELTA snapshot
+before the BASE snapshot, while :meth:`compact` commits the base before
+truncating the delta — so a racing reader sees (old, old), (new, old)
+or (new, new), never (old base, new delta). And (new base, old delta)
+reconciles to the same rows: the folded base already carries every
+delta row, so last-wins re-application is a no-op.
+
+Reference counterpart: the reference's ingest loop upserts per poll
+cycle into Postgres (loader_v2.py) — a B-tree absorbs scattered keys in
+O(delta); this is the lakehouse equivalent of that property.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.merge import ParquetMergeTable
+
+_OP = "_op"
+_V = "_v"
+
+
+class MergeOnReadTable:
+    """LSM-shaped keyed table with last-wins upserts and delete markers.
+
+    ``key``: the logical key column (single column — compose upstream if
+    the natural key is multi-column). ``compact_at``: fold when the
+    delta exceeds this fraction of the base; ``compact_min_rows``: fold
+    bound when no base exists yet (bootstrap). Pass ``compact_at=None``
+    to compact only on the caller's schedule.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        key: str,
+        compact_at: float | None = 0.2,
+        compact_min_rows: int = 100_000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key = key
+        self.compact_at = compact_at
+        self.compact_min_rows = compact_min_rows
+        self.base = ParquetMergeTable(spark, os.path.join(root, "base"))
+        self.delta = ParquetMergeTable(spark, os.path.join(root, "delta"))
+        self._seq_path = os.path.join(root, "SEQ.json")
+        self._base_rows: int | None = None  # cached; maintained by compact()
+        self.n_compactions = 0
+
+    # -- monotone version stamp (survives restarts via a sidecar) ----------
+    def _next_seq(self) -> int:
+        seq = 0
+        if os.path.exists(self._seq_path):
+            with open(self._seq_path) as f:
+                seq = json.load(f)["seq"] + 1
+        tmp = self._seq_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq}, f)
+        os.replace(tmp, self._seq_path)
+        return seq
+
+    def exists(self) -> bool:
+        return self.base.exists() or self.delta.exists()
+
+    def _delta_latest(self) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self.key).orderBy(F.col(_V).desc())
+        return (
+            self.delta.read()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def read(self) -> DataFrame | None:
+        """The reconciled live view (payload columns only). Resolves
+        delta THEN base — see the module docstring's race argument."""
+        if not self.delta.exists():
+            if not self.base.exists():
+                return None
+            return self.base.read()
+        latest = self._delta_latest().localCheckpoint(eager=False)
+        live = latest.filter(F.col(_OP) == "upsert").drop(_OP, _V)
+        if not self.base.exists():
+            return live
+        kept = self.base.read().join(
+            latest.select(self.key), self.key, "left_anti"
+        )
+        return kept.unionByName(live)
+
+    # -- writes -------------------------------------------------------------
+    def upsert(self, rows: DataFrame, delete_keys: DataFrame | None = None) -> int:
+        """One batch: last-wins upserts (+ optional delete markers from a
+        one-column frame of keys), ONE append to the delta table. The
+        caller guarantees at most one row per key within ``rows`` (the
+        washes' first-seen / event-time-latest picks do). Returns the
+        number of delta rows appended."""
+        seq = self._next_seq()
+        stamped = rows.withColumn(_OP, F.lit("upsert")).withColumn(
+            _V, F.lit(seq)
+        )
+        if delete_keys is not None:
+            payload = [c for c in rows.columns if c != self.key]
+            dels = delete_keys.select(self.key)
+            for c in payload:
+                dels = dels.withColumn(c, F.lit(None).cast(rows.schema[c].dataType))
+            dels = dels.withColumn(_OP, F.lit("delete")).withColumn(_V, F.lit(seq))
+            stamped = stamped.unionByName(dels)
+        stamped = stamped.localCheckpoint(eager=True)  # append reads what it rewrites
+        n = stamped.count()
+        if n:
+            self.delta.append(stamped)
+        self._maybe_compact()
+        return n
+
+    def insert_new(self, rows: DataFrame) -> int:
+        """Insert-only first-wins fast path (the corpus wash's contract:
+        a matched key is ALWAYS unchanged, so replays and cross-batch
+        duplicates reduce to one anti-join): append only the rows whose
+        key is absent from the live view. Returns inserted count."""
+        live = self.read()
+        new = rows if live is None else rows.join(
+            live.select(self.key), self.key, "left_anti"
+        )
+        seq = self._next_seq()
+        stamped = (
+            new.withColumn(_OP, F.lit("upsert"))
+            .withColumn(_V, F.lit(seq))
+            .localCheckpoint(eager=True)
+        )
+        n = stamped.count()
+        if n:
+            self.delta.append(stamped)
+        self._maybe_compact()
+        return n
+
+    def _maybe_compact(self) -> None:
+        if self.compact_at is None:
+            return
+        n_delta = self.delta_rows()
+        if self.base.exists():
+            if self._base_rows is None:
+                self._base_rows = self.base.read().count()
+            if n_delta > self.compact_at * max(self._base_rows, 1):
+                self.compact()
+        elif n_delta >= self.compact_min_rows:
+            self.compact()
+
+    def delta_rows(self) -> int:
+        return self.delta.read().count() if self.delta.exists() else 0
+
+    def compact(self) -> int:
+        """Fold the delta into the base (the amortized O(state) pass)
+        and truncate the delta. Base committed BEFORE the delta truncate
+        — the ordering the concurrent-read proof needs."""
+        merged = self.read()
+        if merged is None:
+            return 0
+        merged = merged.localCheckpoint(eager=True)
+        self.base.overwrite(merged)
+        if self.delta.exists():
+            self.delta.overwrite(self.delta.read().limit(0).localCheckpoint(eager=True))
+        n = merged.count()
+        self._base_rows = n
+        self.n_compactions += 1
+        return n

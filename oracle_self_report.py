@@ -5,15 +5,26 @@ the unsampled queries carry a machine-readable audit trail — VERDICT r4
 task 6).
 
 Usage: python oracle_self_report.py [--sf DIR] [--out FILE] [--only q1,q2]
-(defaults: sf0.01, ORACLE_SELF_REPORT.json next to this script).
-``--only`` runs the named subset and MERGES the results into an existing
-out file (same sf_dir), so late-added queries can top up a long full
-audit instead of rerunning it.
+[--regen-goldens] (defaults: sf0.01, ORACLE_SELF_REPORT.json next to
+this script). ``--only`` runs the named subset and MERGES the results
+into an existing out file (same sf_dir), so late-added queries can top
+up a long full audit instead of rerunning it.
 
 The comparison is the repo's local replica of the driver gate
 (tests/oracle.py): name-sorted columns, canonicalized values, full-frame
 equality; ``value_hash`` is sha256 over the canonical row tuples, equal
 hashes ⇔ exact value match.
+
+Rows-only queries (no DuckDB oracle — k-means/BPE-training semantics SQL
+can't express) are pinned by COMMITTED GOLDEN HASHES instead (VERDICT r9
+task 7): tests/golden/rows_only_hashes.json maps sf → query →
+value_hash, computed over the same canonical row tuples. They are all
+deterministic by construction (hash-seeded training, integer
+quantization, fixed tie-breaks), so silent output drift now fails this
+report the same way an oracle mismatch does. Regenerate-under-review
+(the Delta-goldens procedure): run with ``--regen-goldens``, eyeball the
+diff, commit it WITH the change that moved the output and a note saying
+why.
 """
 
 from __future__ import annotations
@@ -38,12 +49,16 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sf_dir = "/root/testdata/sf0.01"
     out_path = os.path.join(here, "ORACLE_SELF_REPORT.json")
+    goldens_path = os.path.join(here, "tests", "golden", "rows_only_hashes.json")
     only: list[str] | None = None
+    regen_goldens = False
     args = sys.argv[1:]
     i = 0
     while i < len(args):
         a = args[i]
-        if a.startswith("--sf"):
+        if a == "--regen-goldens":
+            regen_goldens = True
+        elif a.startswith("--sf"):
             sf_dir = a.split("=", 1)[1] if "=" in a else args[(i := i + 1)]
         elif a.startswith("--out"):
             out_path = a.split("=", 1)[1] if "=" in a else args[(i := i + 1)]
@@ -71,6 +86,13 @@ def main() -> None:
         )
 
     queries, oracles = all_queries(), all_oracles()
+    sf_key = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    all_goldens: dict[str, dict[str, str]] = {}
+    if os.path.exists(goldens_path):
+        with open(goldens_path) as f:
+            all_goldens = json.load(f)
+    sf_goldens: dict[str, str] = dict(all_goldens.get(sf_key, {}))
+    fresh_goldens: dict[str, str] = {}  # hashes measured this run (for --regen)
     report: dict[str, dict] = {}
     run_names = sorted(queries)
     if only:
@@ -105,8 +127,21 @@ def main() -> None:
                 else:
                     entry["hash_match"] = False
             else:
-                entry["oracle"] = "none"  # rows-only smoke (driver's weaker check)
-                entry["rows_match"] = entry["schema_match"] = entry["hash_match"] = None
+                # rows-only query: value-checked against the committed
+                # golden hash (deterministic by construction); without a
+                # golden for this sf it stays the driver's weaker
+                # rows-only smoke
+                entry["oracle"] = "golden" if name in sf_goldens else "none"
+                sc = sorted(spark_pdf.columns)
+                sh = _hash_rows(canon_frame(spark_pdf[sc].copy(), presorted=False))
+                entry["value_hash"] = sh
+                fresh_goldens[name] = sh
+                if name in sf_goldens:
+                    entry["golden_hash"] = sf_goldens[name]
+                    entry["hash_match"] = sh == sf_goldens[name]
+                    entry["rows_match"] = entry["schema_match"] = None
+                else:
+                    entry["rows_match"] = entry["schema_match"] = entry["hash_match"] = None
         except Exception as e:  # a query crash is a finding, not a report crash
             entry["err"] = f"{type(e).__name__}: {e}"[:300]
         entry["secs"] = round(time.perf_counter() - t0, 3)
@@ -124,8 +159,23 @@ def main() -> None:
         "generated_unix": int(time.time()),
         "n_queries": len(report),
         "n_with_oracle": sum(1 for n in report if n in oracles),
+        "n_with_golden": sum(
+            1 for n, e in report.items() if e.get("oracle") == "golden"
+        ),
         "n_failures": sum(1 for e in report.values() if not _entry_ok(e)),
     }
+    if regen_goldens:
+        # regenerate-under-review: overwrite this sf's section with the
+        # measured hashes; the git diff IS the review surface
+        all_goldens[sf_key] = {k: fresh_goldens[k] for k in sorted(fresh_goldens)}
+        os.makedirs(os.path.dirname(goldens_path), exist_ok=True)
+        with open(goldens_path, "w") as f:
+            json.dump(all_goldens, f, indent=1, sort_keys=True)
+        print(
+            f"# regenerated {len(fresh_goldens)} golden hashes for {sf_key} "
+            f"in {goldens_path}",
+            file=sys.stderr,
+        )
     with open(out_path, "w") as f:
         json.dump({"meta": meta, "queries": report}, f, indent=1)
     print(json.dumps(meta))
