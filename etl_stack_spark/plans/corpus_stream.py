@@ -180,7 +180,22 @@ def corpus_clean_batch_fn(
                     n_first - n_out
                 )
             t0 = _time.perf_counter()
-            if results.exists():
+            if hasattr(results, "insert_new"):
+                # LSM results (operators/lsm_table.MergeOnReadTable — the
+                # 100 TB shape, r10 task 8): the wash is INSERT-ONLY
+                # (first fp ever seen is immutable), so one anti-join
+                # against the live view + one delta append replaces the
+                # snapshot merge whose per-batch rewrite grew with
+                # accumulated state (2M-row audit: see SCALE.md). Replays
+                # stay free: a replayed fp is already live → anti-joined
+                # away.
+                inserted = results.insert_new(out)
+                if metrics is not None:
+                    metrics["inserted"] = metrics.get("inserted", 0) + inserted
+                    metrics["cross_batch_dups"] = metrics.get("cross_batch_dups", 0) + (
+                        n_out - inserted
+                    )
+            elif results.exists():
                 # keys=fp AND hash_col=fp: a matched row can never have a
                 # differing hash, so matches are always "unchanged" → the
                 # first-ever document with this fingerprint is immutable

@@ -61,7 +61,30 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
                 "content_hash",
                 F.sha2(F.concat_ws("|", "poi_id", "brand", "tier", "distance_km"), 256),
             ).withColumn("status", F.lit("active"))
-            if results.exists():
+            if hasattr(results, "upsert"):
+                # LSM results (operators/lsm_table.MergeOnReadTable — the
+                # 100 TB shape, r10 task 8): last-wins upserts on the
+                # composed (prop_id, category, rnk) key + delete markers
+                # for a re-ranked property's stale higher-rnk rows (the
+                # deletion-vector analog of the merge path's soft
+                # delete). One delta append per batch instead of a
+                # snapshot rewrite that grew with accumulated state
+                # (2M-row audit: see SCALE.md). Stale-row discovery reads
+                # the live view (a scan bounded by the reconcile joins),
+                # never rewrites it.
+                keyed = ranked.withColumn(
+                    "_k", F.concat_ws("|", "prop_id", "category", "rnk")
+                )
+                live = results.read()
+                dels = None
+                if live is not None:
+                    dels = (
+                        live.filter(F.col("prop_id").isin(batch_ids))
+                        .select("_k")
+                        .join(keyed.select("_k"), "_k", "left_anti")
+                    )
+                results.upsert(keyed, delete_keys=dels)
+            elif results.exists():
                 # Scope deletes to this batch's properties: a re-ranked
                 # property that now produces FEWER rows (POI gone, radius
                 # change) must tombstone its stale higher-rnk rows — the

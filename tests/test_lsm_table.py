@@ -1,0 +1,239 @@
+"""MergeOnReadTable (operators/lsm_table.py — VERDICT r9 task 8): the
+generic LSM results table the streaming washes use at scale, where the
+snapshot-merge form's per-batch rewrite grows with accumulated state.
+Pins: last-wins upsert/delete semantics, insert-only fast path,
+compaction invariance, concurrent read-during-fold, and — the load-
+bearing claims — PARITY of both washes' LSM form against their proven
+merge-table form on identical feeds, including replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.lsm_table import MergeOnReadTable
+from etl_stack_spark.operators.merge import ParquetMergeTable
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())
+
+
+def test_merge_on_read_table_semantics(spark, tmp_path):
+    t = MergeOnReadTable(spark, str(tmp_path / "t"), key="k", compact_at=None)
+    assert t.read() is None
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    t.upsert(df)
+    assert _rows(t.read()) == [(1, "a"), (2, "b")]
+    # last-wins update + delete marker in one batch
+    t.upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        delete_keys=spark.createDataFrame([(1,)], "k long"),
+    )
+    assert _rows(t.read()) == [(2, "B"), (3, "c")]
+    # compaction folds without changing the view; delete stays deleted
+    want = _rows(t.read())
+    n = t.compact()
+    assert n == 2 and t.delta_rows() == 0 and _rows(t.read()) == want
+    # post-fold upsert overrides the folded base
+    t.upsert(spark.createDataFrame([(3, "C")], "k long, v string"))
+    assert _rows(t.read()) == [(2, "B"), (3, "C")]
+
+
+def test_insert_only_fast_path_first_wins(spark, tmp_path):
+    t = MergeOnReadTable(spark, str(tmp_path / "t"), key="k", compact_at=None)
+    n1 = t.insert_new(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    assert n1 == 2
+    # replayed + one genuinely new: only the new row lands
+    n2 = t.insert_new(
+        spark.createDataFrame([(1, "REPLAY"), (3, "c")], "k long, v string")
+    )
+    assert n2 == 1
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+    # after compaction the anti-join runs against the base — still first-wins
+    t.compact()
+    assert t.insert_new(spark.createDataFrame([(2, "X")], "k long, v string")) == 0
+    assert _rows(t.read()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_auto_compaction_bootstrap_and_ratio(spark, tmp_path):
+    t = MergeOnReadTable(
+        spark, str(tmp_path / "t"), key="k", compact_at=0.5, compact_min_rows=3
+    )
+    t.insert_new(spark.createDataFrame([(i, "x") for i in range(4)], "k long, v string"))
+    # bootstrap: 4 >= compact_min_rows=3 with no base -> folded
+    assert t.base.exists() and t.delta_rows() == 0 and t.n_compactions == 1
+    # sub-threshold batch stays in the delta (1 <= 0.5 * 4)
+    t.insert_new(spark.createDataFrame([(10, "y")], "k long, v string"))
+    assert t.delta_rows() == 1 and t.n_compactions == 1
+    # crossing the ratio folds again (1+2=3 > 0.5 * 4)
+    t.insert_new(spark.createDataFrame([(11, "y"), (12, "y")], "k long, v string"))
+    assert t.delta_rows() == 0 and t.n_compactions == 2
+    assert t.read().count() == 7
+
+
+def test_read_during_compaction(spark, tmp_path):
+    """The generic table inherits the ANN index's concurrent-fold
+    guarantee: a reader racing compact() sees only the reconciled
+    snapshot (pre == post by construction)."""
+    import threading
+
+    t = MergeOnReadTable(spark, str(tmp_path / "t"), key="k", compact_at=None)
+    t.insert_new(
+        spark.createDataFrame([(i, f"v{i}") for i in range(500)], "k long, v string")
+    )
+    t.upsert(
+        spark.createDataFrame([(i, "UPD") for i in range(0, 100)], "k long, v string"),
+        delete_keys=spark.createDataFrame([(i,) for i in range(400, 450)], "k long"),
+    )
+    want = _rows(t.read())
+    errors, observed, stop = [], [], threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                observed.append(_rows(t.read()))
+            except Exception as e:
+                errors.append(e)
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        t.compact()
+    finally:
+        stop.set()
+        th.join(120)
+    assert not errors and observed
+    assert all(o == want for o in observed)
+    assert _rows(t.read()) == want
+
+
+# ---------------------------------------------------------------------------
+# Wash parity: LSM results == merge-table results on identical feeds
+# ---------------------------------------------------------------------------
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs with the pack "
+    "through the field and the forest and the hills beyond them all"
+)
+
+
+def _doc_feed(spark, feed, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, ts_s string"
+    ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop(
+        "ts_s"
+    ).write.mode("append").parquet(str(feed))
+
+
+def test_corpus_stream_lsm_parity(spark, tmp_path):
+    from etl_stack_spark.plans.corpus_stream import run_corpus_clean_stream
+
+    b1 = [
+        (1, _GOOD, "srcA", "2024-01-01 00:00:00"),
+        (2, "tiny", "srcA", "2024-01-01 00:00:01"),
+        (3, _GOOD + " email me bob@example.com", "srcB", "2024-01-01 00:00:02"),
+    ]
+    b2 = [(10, _GOOD, "srcC", "2024-01-02 00:00:00")]  # cross-batch dup of 1
+
+    states = {}
+    for form in ("merge", "lsm"):
+        feed = tmp_path / f"feed_{form}"
+        if form == "merge":
+            results = ParquetMergeTable(spark, str(tmp_path / "res_merge"))
+        else:
+            results = MergeOnReadTable(
+                spark, str(tmp_path / "res_lsm"), key="fp", compact_at=None
+            )
+        ckpt = str(tmp_path / f"ckpt_{form}")
+        _doc_feed(spark, feed, b1)
+        run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+        _doc_feed(spark, feed, b2)
+        run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+        states[form] = {
+            r["fp"]: (r["doc_id"], r["source"], r["quality"], r["pred_lang"])
+            for r in results.read().collect()
+        }
+        if form == "lsm":
+            # replay idempotence: fresh checkpoint, whole feed redelivers
+            run_corpus_clean_stream(
+                spark, str(feed), results, str(tmp_path / "ckpt_lsm_replay")
+            ).awaitTermination(120)
+            assert {
+                r["fp"]: (r["doc_id"], r["source"], r["quality"], r["pred_lang"])
+                for r in results.read().collect()
+            } == states["lsm"]
+    assert states["lsm"] == states["merge"] and len(states["lsm"]) == 2
+
+
+def test_lead_prep_stream_lsm_parity(spark, tmp_path):
+    """Both forms over the same two-batch feed (including a property
+    re-rank that strands a stale rnk row): the LSM live view must equal
+    the merge form's ACTIVE rows (the soft-deleted tombstone is the
+    merge form's representation of what the LSM expresses as a delete
+    marker)."""
+    from etl_stack_spark.plans.lead_prep_stream import run_lead_prep_stream
+
+    pois = spark.createDataFrame(
+        [
+            (1, "Convenience", "Brand#11", 10, 9.80, -84.10),
+            (2, "Convenience", "Brand#99", 20, 9.801, -84.101),
+            (3, "Education", "Brand#22", 30, 9.81, -84.11),
+        ],
+        "poi_id long, category string, brand string, quality_score int, "
+        "poi_lat double, poi_lon double",
+    )
+    b1 = [(100, 9.80, -84.10, "2024-01-01 00:00:00"),
+          (101, 9.81, -84.11, "2024-01-01 00:00:01")]
+    # property 100 moves far from poi 2: its rnk-2 Convenience row goes stale
+    b2 = [(100, 9.7446, -84.10, "2024-01-01 01:00:00")]
+
+    def feed_write(feed, rows):
+        spark.createDataFrame(
+            rows, "prop_id long, lat double, lon double, ts_s string"
+        ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop(
+            "ts_s"
+        ).write.mode("append").parquet(str(feed))
+
+    states = {}
+    for form in ("merge", "lsm"):
+        feed = tmp_path / f"pfeed_{form}"
+        if form == "merge":
+            results = ParquetMergeTable(spark, str(tmp_path / "lead_merge"))
+        else:
+            results = MergeOnReadTable(
+                spark, str(tmp_path / "lead_lsm"), key="_k", compact_at=None
+            )
+        ckpt = str(tmp_path / f"pckpt_{form}")
+        feed_write(feed, b1)
+        run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+        feed_write(feed, b2)
+        run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+        df = results.read()
+        if form == "merge":
+            df = df.filter(F.col("status") == "active")
+        states[form] = {
+            (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
+            for r in df.collect()
+        }
+        if form == "lsm":
+            # compaction must not change the live view
+            results.compact()
+            assert {
+                (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
+                for r in results.read().collect()
+            } == states["lsm"]
+            # replay idempotence (fresh checkpoint): last-wins re-upserts
+            # of identical rows + re-derived (empty) delete sets
+            run_lead_prep_stream(
+                spark, str(feed), pois, results, str(tmp_path / "pckpt_lsm2")
+            ).awaitTermination(120)
+            assert {
+                (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
+                for r in results.read().collect()
+            } == states["lsm"]
+    assert states["lsm"] == states["merge"] and len(states["lsm"]) > 0
+    # the move really did strand a stale rank in the merge form
+    assert (100, "Convenience", 2) not in states["merge"]

@@ -1,0 +1,206 @@
+"""Volume audit: the streaming washes at the 2M-row class (VERDICT r9
+task 8). Drives a 2M-row change feed in ~200k-row micro-batches through
+lead_prep_stream and corpus_stream and records PER-BATCH wall seconds —
+the signal that per-batch cost tracks the DELTA, not accumulated state.
+
+Two forms per wash:
+  * ``merge``  — ParquetMergeTable results (the proven snapshot-merge
+    form): expected to show per-batch cost GROWING with state (each
+    merge rewrites the whole snapshot) — run at reduced volume to bound
+    audit time, enough batches to expose the slope;
+  * ``lsm``    — MergeOnReadTable results (operators/lsm_table.py): one
+    delta append per batch, bounded by compact_at x base; expected
+    flat-in-state batches with occasional amortized folds.
+
+Usage: python tools/audit_streaming_2m.py [corpus|lead] [merge|lsm]
+(defaults: both washes, lsm form, 2M rows; the merge contrast runs at
+600k). Results are transcribed into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_ROWS = int(os.environ.get("AUDIT_ROWS", 2_000_000))
+N_FILES = int(os.environ.get("AUDIT_FILES", 10))
+MERGE_ROWS = int(os.environ.get("AUDIT_MERGE_ROWS", 600_000))
+
+
+def _spark():
+    from etl_stack_spark.session import get_spark
+
+    spark = get_spark("audit-streaming-2m")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _synth_docs(spark, out_dir: str, n: int, n_files: int) -> None:
+    """Deterministic pseudo-docs ~40 tokens; ~5% exact duplicates via a
+    collapsed content id; EN-shaped text so the language gate keeps most."""
+    words = (
+        "the quick brown fox jumps over lazy dog and runs with pack through "
+        "field forest hills beyond them all while morning light settles on "
+        "river stones near quiet village roads where people walk slowly"
+    ).split()
+    arr = F.array(*[F.lit(w) for w in words])
+    per = n // n_files
+    for i in range(n_files):
+        df = spark.range(i * per, (i + 1) * per).select(
+            F.col("id").alias("doc_id"),
+            # 5% duplicate content: ids sharing (id % (per*20)) collide
+            (F.col("id") % int(n * 0.95)).alias("_cid"),
+        )
+        df = df.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(arr, ((F.col("_cid") * (j + 7) + j * j) % 36 + 1).cast("int"))
+                    for j in range(40)
+                ],
+                F.col("_cid").cast("string"),
+            ).alias("text"),
+            F.concat(F.lit("src"), (F.col("_cid") % 5).cast("string")).alias("source"),
+            F.current_timestamp().alias("ingested_at"),
+        )
+        df.coalesce(4).write.mode("append").parquet(out_dir)
+
+
+def _synth_props(spark, out_dir: str, n: int, n_files: int) -> None:
+    per = n // n_files
+    for i in range(n_files):
+        spark.range(i * per, (i + 1) * per).select(
+            F.col("id").alias("prop_id"),
+            (F.lit(9.70) + (F.col("id") % 20000) / 100000.0).alias("lat"),
+            (F.lit(-84.20) + (F.col("id") % 17000) / 100000.0).alias("lon"),
+            F.current_timestamp().alias("updated_at"),
+        ).coalesce(4).write.mode("append").parquet(out_dir)
+
+
+def _drain(spark, feed, schema, batch_fn, ckpt):
+    """run_stream with maxFilesPerTrigger=1 so each feed file is one
+    micro-batch; wraps batch_fn to record per-batch wall seconds."""
+    per_batch: list[dict] = []
+
+    def timed(df, bid):
+        t0 = time.perf_counter()
+        n = df.count()
+        batch_fn(df, bid)
+        per_batch.append({"rows": n, "secs": round(time.perf_counter() - t0, 2)})
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(3600)
+    return per_batch
+
+
+def audit_corpus(spark, form: str, n_rows: int) -> dict:
+    from etl_stack_spark.operators.lsm_table import MergeOnReadTable
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.corpus_stream import (
+        DOC_FEED_SCHEMA,
+        corpus_clean_batch_fn,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"audit_corpus_{form}_")
+    try:
+        feed = os.path.join(work, "feed")
+        _synth_docs(spark, feed, n_rows, N_FILES)
+        if form == "lsm":
+            results = MergeOnReadTable(spark, os.path.join(work, "res"), key="fp")
+        else:
+            results = ParquetMergeTable(spark, os.path.join(work, "res"))
+        metrics: dict = {}
+        t0 = time.perf_counter()
+        per_batch = _drain(
+            spark, feed, DOC_FEED_SCHEMA,
+            corpus_clean_batch_fn(results, metrics=metrics),
+            os.path.join(work, "ckpt"),
+        )
+        secs = round(time.perf_counter() - t0, 1)
+        out = {
+            "wash": "corpus", "form": form, "rows": n_rows,
+            "total_secs": secs, "docs_per_sec": round(n_rows / secs),
+            "per_batch": per_batch,
+            "result_rows": results.read().count(),
+            "metrics": {k: int(v) for k, v in metrics.items()},
+        }
+        if form == "lsm":
+            out["compactions"] = results.n_compactions
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def audit_lead(spark, form: str, n_rows: int) -> dict:
+    from etl_stack_spark.operators.lsm_table import MergeOnReadTable
+    from etl_stack_spark.operators.merge import ParquetMergeTable
+    from etl_stack_spark.plans.lead_prep_stream import (
+        PROPERTY_FEED_SCHEMA,
+        lead_prep_batch_fn,
+    )
+    from etl_stack_spark.queries.geo import pois_df
+
+    work = tempfile.mkdtemp(prefix=f"audit_lead_{form}_")
+    try:
+        feed = os.path.join(work, "feed")
+        _synth_props(spark, feed, n_rows, N_FILES)
+        pois = pois_df(spark, os.environ.get("AUDIT_SF", "/root/testdata/sf0.1"))
+        if form == "lsm":
+            results = MergeOnReadTable(spark, os.path.join(work, "res"), key="_k")
+        else:
+            results = ParquetMergeTable(spark, os.path.join(work, "res"))
+        t0 = time.perf_counter()
+        per_batch = _drain(
+            spark, feed, PROPERTY_FEED_SCHEMA,
+            lead_prep_batch_fn(pois, results),
+            os.path.join(work, "ckpt"),
+        )
+        secs = round(time.perf_counter() - t0, 1)
+        out = {
+            "wash": "lead_prep", "form": form, "rows": n_rows,
+            "total_secs": secs, "props_per_sec": round(n_rows / secs),
+            "per_batch": per_batch,
+            "result_rows": results.read().count(),
+        }
+        if form == "lsm":
+            out["compactions"] = results.n_compactions
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    washes = [a for a in sys.argv[1:] if a in ("corpus", "lead")] or ["corpus", "lead"]
+    forms = [a for a in sys.argv[1:] if a in ("merge", "lsm")] or ["lsm", "merge"]
+    spark = _spark()
+    results = []
+    for wash in washes:
+        for form in forms:
+            n = N_ROWS if form == "lsm" else MERGE_ROWS
+            fn = audit_corpus if wash == "corpus" else audit_lead
+            r = fn(spark, form, n)
+            results.append(r)
+            print(json.dumps(r))
+    with open("/tmp/audit_streaming_2m.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
