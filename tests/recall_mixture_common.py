@@ -1,0 +1,56 @@
+"""Shared mixture-hardness ANN fixtures (split from test_recall_curves.py
+r10): deterministic clustered-plus-noise corpora at two hardness levels,
+used by test_recall_mixture.py and test_recall_ivfpq.py. Not a test file."""
+
+from __future__ import annotations
+
+import random
+
+
+N_MIX_VECS = 12_000
+N_MIX_QUERIES = 80
+MIX_DIM = 64
+MIX_CLUSTERS = 20
+
+MIX_LEVELS = {
+    "medium": {"signal_dims": 32, "cluster_sigma": 0.35, "seed": 41},
+    "hard": {"signal_dims": 16, "cluster_sigma": 0.6, "seed": 43},
+}
+
+
+def _mixture_corpus(spark, level: str):
+    cfg = MIX_LEVELS[level]
+    rng = random.Random(cfg["seed"])
+    s, sigma = cfg["signal_dims"], cfg["cluster_sigma"]
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(s)] for _ in range(MIX_CLUSTERS)
+    ]
+    vecs = []
+    for i in range(N_MIX_VECS):
+        c = centers[i % MIX_CLUSTERS]
+        v = [x + rng.gauss(0.0, sigma) for x in c] + [
+            rng.gauss(0.0, 1.0) for _ in range(MIX_DIM - s)
+        ]
+        vecs.append((i, v))
+    queries = []
+    for qi in range(N_MIX_QUERIES):
+        base_id, base_v = vecs[rng.randrange(N_MIX_VECS)]
+        queries.append(
+            (qi, base_id, [x + rng.gauss(0.0, 0.05) for x in base_v])
+        )
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(q, v) for q, _, v in queries], "query_id long, embedding array<double>"
+    )
+    return corpus, qdf, {q: b for q, b, _ in queries}
+
+
+def _ann_recalls(df, truth, planted):
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    at10 = sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+    at1 = sum(planted[q] in got.get(q, set()) for q in truth) / len(truth)
+    return at1, at10

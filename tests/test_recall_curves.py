@@ -165,246 +165,3 @@ def test_ann_lsh_recall_curve(spark, ann_corpus, ann_truth, n_planes, multi, flo
     assert at10 >= floor_at10
 
 
-# ---------------------------------------------------------------------------
-# r8 (VERDICT r7 task 7): mixture-with-noise-dims corpora — real embedding
-# spaces have NOISE dimensions and CLUSTER OVERLAP; the planted-perturbation
-# fixtures above are easier than reality. Two hardness levels, deterministic:
-#   medium — 20 clusters on 32 signal dims (sigma 0.35) + 32 pure-noise dims
-#   hard   — 20 clusters on 16 signal dims (sigma 0.6, overlapping) + 48
-#            noise dims (noise energy ~3x signal: cosine is mostly noise)
-# Recall@10 measured for LSH (8 planes, +/- multi-probe) and IVF (learned
-# centroids, n_probe 2/4) against exact brute-force truth. The measured
-# table lives in SCALE.md ("ANN recall at two hardness levels"); floors
-# here are measured-minus-margin so a parameter regression fails loudly.
-# ---------------------------------------------------------------------------
-
-N_MIX_VECS = 12_000
-N_MIX_QUERIES = 80
-MIX_DIM = 64
-MIX_CLUSTERS = 20
-
-MIX_LEVELS = {
-    "medium": {"signal_dims": 32, "cluster_sigma": 0.35, "seed": 41},
-    "hard": {"signal_dims": 16, "cluster_sigma": 0.6, "seed": 43},
-}
-
-
-def _mixture_corpus(spark, level: str):
-    cfg = MIX_LEVELS[level]
-    rng = random.Random(cfg["seed"])
-    s, sigma = cfg["signal_dims"], cfg["cluster_sigma"]
-    centers = [
-        [rng.gauss(0.0, 1.0) for _ in range(s)] for _ in range(MIX_CLUSTERS)
-    ]
-    vecs = []
-    for i in range(N_MIX_VECS):
-        c = centers[i % MIX_CLUSTERS]
-        v = [x + rng.gauss(0.0, sigma) for x in c] + [
-            rng.gauss(0.0, 1.0) for _ in range(MIX_DIM - s)
-        ]
-        vecs.append((i, v))
-    queries = []
-    for qi in range(N_MIX_QUERIES):
-        base_id, base_v = vecs[rng.randrange(N_MIX_VECS)]
-        queries.append(
-            (qi, base_id, [x + rng.gauss(0.0, 0.05) for x in base_v])
-        )
-    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
-    qdf = spark.createDataFrame(
-        [(q, v) for q, _, v in queries], "query_id long, embedding array<double>"
-    )
-    return corpus, qdf, {q: b for q, b, _ in queries}
-
-
-@pytest.fixture(scope="module", params=sorted(MIX_LEVELS))
-def mixture(request, spark):
-    from etl_stack_spark.operators.similarity import brute_force_topk
-
-    corpus, qdf, planted = _mixture_corpus(spark, request.param)
-    corpus = corpus.localCheckpoint(eager=True)  # shared by truth + 6 probes
-    truth = {}
-    for r in brute_force_topk(corpus, qdf, k=10).collect():
-        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
-    return request.param, corpus, qdf, planted, truth
-
-
-# floors: measured on the pinned seeds minus ~0.05 margin. Measured
-# r8 (the SCALE.md table): medium lsh .850/.186, lsh_multi 1.0/.435,
-# lsh6_multi 1.0/.556, ivf_p2 1.0/1.0, ivf_p4 1.0/1.0; hard lsh
-# .863/.144, lsh_multi 1.0/.311, lsh6_multi 1.0/.432, ivf_p2 1.0/.892,
-# ivf_p4 1.0/.939.
-MIX_FLOORS = {
-    # (level, probe_kind): (recall@planted floor, recall@10 floor)
-    ("medium", "lsh"): (0.80, 0.13),
-    ("medium", "lsh_multi"): (0.95, 0.38),
-    ("medium", "lsh6_multi"): (0.95, 0.50),
-    ("medium", "ivf_p2"): (0.95, 0.95),
-    ("medium", "ivf_p4"): (0.95, 0.95),
-    ("hard", "lsh"): (0.80, 0.09),
-    ("hard", "lsh_multi"): (0.95, 0.26),
-    ("hard", "lsh6_multi"): (0.95, 0.38),
-    ("hard", "ivf_p2"): (0.95, 0.84),
-    ("hard", "ivf_p4"): (0.95, 0.89),
-}
-
-
-def test_ann_recall_mixture_hardness(spark, mixture):
-    """Noise dims + cluster overlap: measured recall for every probe
-    strategy at this hardness level, pinned against exact truth. IVF
-    with n_probe=4 must dominate single-shot LSH at both levels (the
-    documented 100 TB dial: data-adaptive cells beat fixed hyperplanes
-    once the space has cluster structure plus noise)."""
-    from etl_stack_spark.operators.similarity import (
-        ivf_topk,
-        ivf_train,
-        lsh_bucketed_topk,
-    )
-
-    level, corpus, qdf, planted, truth = mixture
-    cents = ivf_train(corpus, n_centroids=MIX_CLUSTERS, n_iter=5)
-    runs = {
-        "lsh": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=False, n_planes=8),
-        "lsh_multi": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=True, n_planes=8),
-        "lsh6_multi": lsh_bucketed_topk(corpus, qdf, k=10, multi_probe=True, n_planes=6),
-        "ivf_p2": ivf_topk(corpus, qdf, cents, k=10, n_probe=2),
-        "ivf_p4": ivf_topk(corpus, qdf, cents, k=10, n_probe=4),
-    }
-    measured = {}
-    for kind, df in runs.items():
-        at1, at10 = _ann_recalls(df, truth, planted)
-        measured[kind] = (at1, at10)
-        print(f"mix[{level}] {kind}: recall@planted={at1:.3f} recall@10={at10:.3f}")
-        f1, f10 = MIX_FLOORS[(level, kind)]
-        assert at1 >= f1, f"{level}/{kind} recall@planted {at1:.3f} < floor {f1}"
-        assert at10 >= f10, f"{level}/{kind} recall@10 {at10:.3f} < floor {f10}"
-    assert measured["ivf_p4"][1] >= measured["lsh"][1]
-    assert measured["lsh_multi"][1] >= measured["lsh"][1]
-
-
-def test_pca_reduced_search_recall(spark, mixture):
-    """PCA-reduced brute-force search on the mixture corpora: at 4-8x
-    dimensionality reduction the PLANTED (semantic) neighbor is
-    recovered perfectly at both hardness levels — better than
-    single-shot LSH's ~0.85 — because the top components carry the
-    cluster signal and drop the noise dims. recall@10 against the
-    FULL-space exact list stays low by construction: full-space cosine
-    in this fixture is noise-dominated, so the reduced space
-    legitimately disagrees with it (measured r8: pca8 ~0.12, pca16
-    ~0.18 at both levels). Floors are measured-minus-margin."""
-    from etl_stack_spark.operators.decomp import gram_micro, pca_fit, pca_project
-    from etl_stack_spark.operators.similarity import brute_force_topk
-
-    level, corpus, qdf, planted, truth = mixture
-    model = pca_fit(gram_micro(corpus, "embedding", 64), dim=64, n_components=16)
-    # explained variance must be descending and strictly positive
-    ev = model["explained_variance"]
-    assert all(a >= b for a, b in zip(ev, ev[1:])) and ev[-1] > 0
-    for q, at10_floor in ((8, 0.09), (16, 0.13)):
-        m = {
-            **model,
-            "components": model["components"][:q],
-            "explained_variance": model["explained_variance"][:q],
-        }
-        pc = pca_project(corpus, "embedding", m).select(
-            "vec_id", F.col("pca").alias("embedding")
-        )
-        pq = pca_project(qdf, "embedding", m).select(
-            "query_id", F.col("pca").alias("embedding")
-        )
-        found = {}
-        for r in brute_force_topk(pc, pq, k=10).collect():
-            found.setdefault(r["query_id"], set()).add(r["vec_id"])
-        at_planted = sum(
-            1 for k, v in planted.items() if v in found.get(k, set())
-        ) / len(planted)
-        at10 = sum(len(found.get(k, set()) & v) / 10 for k, v in truth.items()) / len(
-            truth
-        )
-        assert at_planted >= 0.95, (level, q, at_planted)
-        assert at10 >= at10_floor, (level, q, at10)
-
-
-def test_pq_adc_recall(spark, mixture):
-    """IVF+PQ's memory side measured: m=8 subspaces × k=16 codes = 4 B
-    per vector (64× under float32) yet the planted neighbor is always
-    recovered, and recall@10-vs-full-space beats single-shot LSH at
-    both hardness levels (measured r8: m8k16 .263/.250; m8k64 improves
-    to .371/.333 — the k dial, monotonicity pinned cheaply in
-    test_similarity_ops' reconstruction unit). Floors are
-    measured-minus-margin."""
-    from etl_stack_spark.operators.similarity import (
-        l2_normalize,
-        pq_adc_topk,
-        pq_encode,
-        pq_train,
-    )
-
-    level, corpus, qdf, planted, truth = mixture
-    cn = corpus.select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
-    ).localCheckpoint(eager=True)
-    qn = qdf.select(
-        "query_id", l2_normalize(F.col("embedding")).alias("embedding")
-    )
-    books = pq_train(cn, dim=64, m=8, k=16, n_iter=3, sample=2000)
-    codes = pq_encode(cn, books, dim=64)
-    found = {}
-    for r in pq_adc_topk(codes, qn, books, dim=64, k=10).collect():
-        found.setdefault(r["query_id"], set()).add(r["vec_id"])
-    atp = sum(1 for q, b in planted.items() if b in found.get(q, set())) / len(planted)
-    at10 = sum(len(found.get(q, set()) & v) / 10 for q, v in truth.items()) / len(truth)
-    assert atp >= 0.95, (level, atp)
-    assert at10 >= 0.18, (level, at10)
-
-
-# ---------------------------------------------------------------------------
-# ivfpq: IVF routing + PQ residual codes (+ exact refine) vs exact truth.
-# Measured r9 on the pinned seeds: unrefined (m=8, k=16: 4 bytes/vec =
-# 64x memory cut) medium .274@10 / hard .222@10 with @planted 1.0 —
-# quantization orders near-ties wrong but never loses the planted
-# neighbor; ADC-shortlist (refine_factor=25) + exact cosine re-rank
-# recovers medium .941@10, hard .829(p2)/.854(p4)@10 — near exact-IVF
-# levels (1.0/.892-.939) for one keyed join against the vector table.
-# Floors = measured minus ~0.05.
-# ---------------------------------------------------------------------------
-
-IVFPQ_FLOORS = {
-    # (level, kind): (recall@planted floor, recall@10 floor)
-    ("medium", "adc"): (0.95, 0.20),
-    ("medium", "refine"): (0.95, 0.88),
-    ("hard", "adc"): (0.95, 0.16),
-    ("hard", "refine"): (0.95, 0.75),
-}
-
-
-def test_ivfpq_recall_mixture_hardness(spark, mixture):
-    """The composed billion-scale shape (VERDICT r8 task 5): coarse
-    route -> per-cell ADC over residual codes -> optional exact refine.
-    Pins that (a) the planted neighbor always survives compression,
-    (b) the refine step recovers most of the quantization loss, and
-    (c) refined recall strictly dominates raw ADC recall."""
-    from etl_stack_spark.operators.similarity import (
-        ivfpq_encode,
-        ivfpq_topk,
-        ivfpq_train,
-    )
-
-    level, corpus, qdf, planted, truth = mixture
-    cents, books = ivfpq_train(
-        corpus, dim=MIX_DIM, n_cells=MIX_CLUSTERS, m=8, k=16, n_iter=5, sample=4096
-    )
-    index = ivfpq_encode(corpus, cents, books, MIX_DIM).localCheckpoint(eager=True)
-    adc = ivfpq_topk(index, qdf, cents, books, MIX_DIM, k=10, n_probe=2)
-    refined = ivfpq_topk(
-        index, qdf, cents, books, MIX_DIM, k=10, n_probe=2,
-        refine=corpus, refine_factor=25,
-    )
-    measured = {}
-    for kind, df in (("adc", adc), ("refine", refined)):
-        at1, at10 = _ann_recalls(df, truth, planted)
-        measured[kind] = (at1, at10)
-        print(f"mix[{level}] ivfpq_{kind}: recall@planted={at1:.3f} recall@10={at10:.3f}")
-        f1, f10 = IVFPQ_FLOORS[(level, kind)]
-        assert at1 >= f1, f"{level}/ivfpq_{kind} @planted {at1:.3f} < floor {f1}"
-        assert at10 >= f10, f"{level}/ivfpq_{kind} @10 {at10:.3f} < floor {f10}"
-    assert measured["refine"][1] >= measured["adc"][1] + 0.3

@@ -1,0 +1,118 @@
+"""PQ/IVF-PQ recall pins over the shared mixture-hardness corpora
+(split from test_recall_curves.py r10 so the gate's per-file LPT packer
+can spread the recall suite across groups — one 464s file was the
+heaviest single bin; fixtures are rebuilt per file, a measured ~15s/level,
+far below the test time it unblocks). Shared fixture code lives in
+tests/recall_mixture_common.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from tests.recall_mixture_common import (  # noqa: F401
+    MIX_CLUSTERS,
+    MIX_DIM,
+    MIX_LEVELS,
+    N_MIX_QUERIES,
+    N_MIX_VECS,
+    _ann_recalls,
+    _mixture_corpus,
+)
+
+
+@pytest.fixture(scope="module", params=sorted(MIX_LEVELS))
+def mixture(request, spark):
+    from etl_stack_spark.operators.similarity import brute_force_topk
+
+    corpus, qdf, planted = _mixture_corpus(spark, request.param)
+    corpus = corpus.localCheckpoint(eager=True)  # shared by truth + probes
+    truth = {}
+    for r in brute_force_topk(corpus, qdf, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return request.param, corpus, qdf, planted, truth
+
+def test_pq_adc_recall(spark, mixture):
+    """IVF+PQ's memory side measured: m=8 subspaces × k=16 codes = 4 B
+    per vector (64× under float32) yet the planted neighbor is always
+    recovered, and recall@10-vs-full-space beats single-shot LSH at
+    both hardness levels (measured r8: m8k16 .263/.250; m8k64 improves
+    to .371/.333 — the k dial, monotonicity pinned cheaply in
+    test_similarity_ops' reconstruction unit). Floors are
+    measured-minus-margin."""
+    from etl_stack_spark.operators.similarity import (
+        l2_normalize,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    level, corpus, qdf, planted, truth = mixture
+    cn = corpus.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).localCheckpoint(eager=True)
+    qn = qdf.select(
+        "query_id", l2_normalize(F.col("embedding")).alias("embedding")
+    )
+    books = pq_train(cn, dim=64, m=8, k=16, n_iter=3, sample=2000)
+    codes = pq_encode(cn, books, dim=64)
+    found = {}
+    for r in pq_adc_topk(codes, qn, books, dim=64, k=10).collect():
+        found.setdefault(r["query_id"], set()).add(r["vec_id"])
+    atp = sum(1 for q, b in planted.items() if b in found.get(q, set())) / len(planted)
+    at10 = sum(len(found.get(q, set()) & v) / 10 for q, v in truth.items()) / len(truth)
+    assert atp >= 0.95, (level, atp)
+    assert at10 >= 0.18, (level, at10)
+
+
+# ---------------------------------------------------------------------------
+# ivfpq: IVF routing + PQ residual codes (+ exact refine) vs exact truth.
+# Measured r9 on the pinned seeds: unrefined (m=8, k=16: 4 bytes/vec =
+# 64x memory cut) medium .274@10 / hard .222@10 with @planted 1.0 —
+# quantization orders near-ties wrong but never loses the planted
+# neighbor; ADC-shortlist (refine_factor=25) + exact cosine re-rank
+# recovers medium .941@10, hard .829(p2)/.854(p4)@10 — near exact-IVF
+# levels (1.0/.892-.939) for one keyed join against the vector table.
+# Floors = measured minus ~0.05.
+# ---------------------------------------------------------------------------
+
+IVFPQ_FLOORS = {
+    # (level, kind): (recall@planted floor, recall@10 floor)
+    ("medium", "adc"): (0.95, 0.20),
+    ("medium", "refine"): (0.95, 0.88),
+    ("hard", "adc"): (0.95, 0.16),
+    ("hard", "refine"): (0.95, 0.75),
+}
+
+
+def test_ivfpq_recall_mixture_hardness(spark, mixture):
+    """The composed billion-scale shape (VERDICT r8 task 5): coarse
+    route -> per-cell ADC over residual codes -> optional exact refine.
+    Pins that (a) the planted neighbor always survives compression,
+    (b) the refine step recovers most of the quantization loss, and
+    (c) refined recall strictly dominates raw ADC recall."""
+    from etl_stack_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    level, corpus, qdf, planted, truth = mixture
+    cents, books = ivfpq_train(
+        corpus, dim=MIX_DIM, n_cells=MIX_CLUSTERS, m=8, k=16, n_iter=5, sample=4096
+    )
+    index = ivfpq_encode(corpus, cents, books, MIX_DIM).localCheckpoint(eager=True)
+    adc = ivfpq_topk(index, qdf, cents, books, MIX_DIM, k=10, n_probe=2)
+    refined = ivfpq_topk(
+        index, qdf, cents, books, MIX_DIM, k=10, n_probe=2,
+        refine=corpus, refine_factor=25,
+    )
+    measured = {}
+    for kind, df in (("adc", adc), ("refine", refined)):
+        at1, at10 = _ann_recalls(df, truth, planted)
+        measured[kind] = (at1, at10)
+        print(f"mix[{level}] ivfpq_{kind}: recall@planted={at1:.3f} recall@10={at10:.3f}")
+        f1, f10 = IVFPQ_FLOORS[(level, kind)]
+        assert at1 >= f1, f"{level}/ivfpq_{kind} @planted {at1:.3f} < floor {f1}"
+        assert at10 >= f10, f"{level}/ivfpq_{kind} @10 {at10:.3f} < floor {f10}"
+    assert measured["refine"][1] >= measured["adc"][1] + 0.3

@@ -64,7 +64,7 @@ def _synth_docs(spark, out_dir: str, n: int, n_files: int) -> None:
             F.concat_ws(
                 " ",
                 *[
-                    F.element_at(arr, ((F.col("_cid") * (j + 7) + j * j) % 36 + 1).cast("int"))
+                    F.element_at(arr, ((F.col("_cid") * (j + 7) + j * j) % len(words) + 1).cast("int"))
                     for j in range(40)
                 ],
                 F.col("_cid").cast("string"),
