@@ -159,6 +159,8 @@ def _classify_merge(
 
     cols = []
     for c in target.columns:
+        if c == "_scope":  # internal scope-keys marker, never emitted
+            continue
         picked = F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
         if c == status_col and soft_delete_scope is not None:
             picked = F.when(action == "soft_delete", F.lit(deleted_value)).otherwise(picked)
@@ -442,6 +444,7 @@ class ParquetMergeTable:
         hash_col: str = "content_hash",
         update_condition: Column | None = None,
         soft_delete_scope: Column | None = None,
+        soft_delete_scope_keys: DataFrame | None = None,
         status_col: str = "status",
         deleted_value: str = "deleted",
         audit_ts_col: str | None = "updated_at",
@@ -453,6 +456,14 @@ class ParquetMergeTable:
         - not matched → insert
         - ``soft_delete_scope`` (M2): target rows inside the scope but absent
           from source get ``status = deleted`` instead of being kept as-is.
+        - ``soft_delete_scope_keys``: the scope as a key FRAME instead of a
+          Column predicate — target rows matching any row of this frame
+          (on its columns, via a broadcast marker join) are in scope. Use
+          this when the scope is "the batch's N ids": an
+          ``isin([...N ids])`` literal predicate bloats plan compile time
+          and codegen (measured ~2 min/batch at 15k-id batches in the r10
+          streaming audit); the frame form stays a hash join at any N.
+          Mutually exclusive with ``soft_delete_scope``.
 
         Returns counters {inserted, updated, unchanged, soft_deleted}.
 
@@ -494,6 +505,18 @@ class ParquetMergeTable:
         if audit_ts_col and audit_ts_col not in src.columns:
             src = src.withColumn(audit_ts_col, F.current_timestamp())
         target, src = _align_source(target, src, audit_ts_col, on_extra_columns)
+        if soft_delete_scope_keys is not None:
+            if soft_delete_scope is not None:
+                raise ValueError(
+                    "pass soft_delete_scope OR soft_delete_scope_keys, not both"
+                )
+            marker = (
+                soft_delete_scope_keys.distinct().withColumn("_scope", F.lit(True))
+            )
+            target = target.join(
+                F.broadcast(marker), list(soft_delete_scope_keys.columns), "left"
+            )
+            soft_delete_scope = F.col("t._scope").isNotNull()
 
         merged = _classify_merge(
             target, src, keys, hash_col, update_condition,

@@ -78,8 +78,17 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
                 live = results.read()
                 dels = None
                 if live is not None:
+                    # broadcast SEMI-join on the batch's props, not an
+                    # isin(batch_ids) literal list: a 50k-id IN list
+                    # bloats plan compile time and codegen (measured in
+                    # the r10 2M audit); the id frame is already bounded
+                    # by the micro-batch delta
                     dels = (
-                        live.filter(F.col("prop_id").isin(batch_ids))
+                        live.join(
+                            F.broadcast(latest.select("prop_id")),
+                            "prop_id",
+                            "left_semi",
+                        )
                         .select("_k")
                         .join(keyed.select("_k"), "_k", "left_anti")
                     )
@@ -89,11 +98,14 @@ def lead_prep_batch_fn(pois: DataFrame, results: ParquetMergeTable):
                 # property that now produces FEWER rows (POI gone, radius
                 # change) must tombstone its stale higher-rnk rows — the
                 # reference replaces per-property result sets wholesale
-                # (ADVICE r4).
+                # (ADVICE r4). Scope as a key FRAME, not isin(batch_ids):
+                # the literal list bloats plan compile time and codegen
+                # at real batch sizes (r10 audit: ~2 min/batch at 15k
+                # ids); the frame form is one broadcast marker join.
                 results.merge(
                     ranked,
                     keys=RESULT_KEYS,
-                    soft_delete_scope=F.col("t.prop_id").isin(batch_ids),
+                    soft_delete_scope_keys=latest.select("prop_id"),
                 )
             else:
                 results.overwrite(ranked)  # bootstrap on the first micro-batch

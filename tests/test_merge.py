@@ -966,3 +966,32 @@ def test_vacuum_tombstones_reclaims_under_carried_files(spark, tmp_path):
     hist = t._read_manifest()["history"]
     assert old_version not in hist and t.current_version() in hist
     assert {r.pk for r in t.read().collect()} == {"a", "b"}
+
+
+def test_soft_delete_scope_keys_frame_equivalent(spark, table):
+    """soft_delete_scope_keys (r10): the scope as a broadcast key frame
+    must behave exactly like the Column-predicate form — and reject
+    being combined with it. The frame form exists because an
+    isin([...N ids]) literal scope bloats codegen at real micro-batch
+    sizes (measured ~2 min/batch at 15k ids in the r10 audit)."""
+    table.merge(props(spark, BATCH1), keys=["client_id", "external_id"])
+    batch2 = [("c1", "p1", "Casa A", "h1", "active")]
+    scope = spark.createDataFrame([("c1",)], "client_id string")
+    stats = table.merge(
+        props(spark, batch2),
+        keys=["client_id", "external_id"],
+        soft_delete_scope_keys=scope,
+    )
+    assert stats["soft_deleted"] == 1
+    out = {r["external_id"]: r["status"] for r in table.read().collect()}
+    assert out == {"p1": "active", "p2": "deleted", "p9": "active"}
+    # the internal marker column must not leak into the table
+    assert "_scope" not in table.read().columns
+    # mutually exclusive with the Column form
+    with pytest.raises(ValueError):
+        table.merge(
+            props(spark, batch2),
+            keys=["client_id", "external_id"],
+            soft_delete_scope=F.col("t.client_id") == "c1",
+            soft_delete_scope_keys=scope,
+        )
