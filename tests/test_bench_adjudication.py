@@ -105,3 +105,55 @@ def test_headline_flag_suppressed_with_evidence():
     # suppressed/faulted/overridden runs must not clobber the committed
     # baseline sidecar (they carry synthetic evidence by construction)
     assert "headline_resamples" in detail  # BENCH_SUBSET got the detail
+
+
+def test_confirmed_regression_survives_and_record_is_consistent():
+    """The other half of the adjudication matrix (ADVICE r9 min-rule
+    fix): a flag whose resample STAYS above 1.5x baseline is CONFIRMED —
+    strict mode exits 1, the flag survives into the official line, and
+    the regression record's `now` equals the committed per-query timing
+    (the adopted median), so evidence and timing can never disagree.
+    Synthetic near-zero baseline makes confirmation unconditional: any
+    real measurement exceeds every bar."""
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
+    baseline = bench_mod.load_baseline()
+    name = min(
+        (q for q in bench_mod.HEADLINE if baseline.get(q, 0) > 0),
+        key=lambda q: baseline[q],
+    )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_BASELINE_OVERRIDE"] = f"{name}:0.0001"
+    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env.pop("SPARK_GRAFT_BENCH_FAULT", None)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "bench.py"),
+            f"--queries={name}",
+            "--no-sweep",
+            "--no-stream",
+            "--strict",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert out.returncode == 1, out.stderr[-2000:]  # confirmed -> strict fails
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line.get("regression_count") == 1
+    # adjudication happened (resample ran) but suppressed nothing
+    assert line.get("suppressed_regression_count", 0) == 0
+
+    with open(os.path.join(REPO, "BENCH_SUBSET.json")) as f:
+        detail = json.load(f)
+    rs = detail["headline_resamples"][name]
+    assert rs["suppressed"] is False
+    reg = detail["regressions"][name]
+    # self-consistency: the surviving flag's `now` IS the committed timing
+    assert reg["now"] == line["queries"][name]
+    assert reg["now"] == min(rs["resample_median"], rs["original_median"])

@@ -237,3 +237,28 @@ def test_lead_prep_stream_lsm_parity(spark, tmp_path):
     assert states["lsm"] == states["merge"] and len(states["lsm"]) > 0
     # the move really did strand a stale rank in the merge form
     assert (100, "Convenience", 2) not in states["merge"]
+
+
+def test_trained_ann_cache_prevents_retraining(spark, monkeypatch):
+    """VERDICT r9 task 2 regression pin: pq1/ivfpq1 read a session-
+    shared trained index. After the first call, training is forbidden —
+    if the cache silently stops being hit, the second call retrains and
+    this fails loudly (the 9.3s-per-sweep-call class coming back)."""
+    from etl_stack_spark.operators import similarity as sim_ops
+    from etl_stack_spark.queries import similarity as sim_q
+
+    sf = "/root/testdata/sf0.001"
+    sim_q.clear_ann_cache()
+    try:
+        n1 = sim_q.ivfpq1_topk(spark, sf).count()
+        p1 = sim_q.pq1_adc_topk(spark, sf).count()
+
+        def boom(*a, **k):
+            raise AssertionError("trained-ANN cache missed: retraining attempted")
+
+        monkeypatch.setattr(sim_ops, "ivfpq_train", boom)
+        monkeypatch.setattr(sim_ops, "pq_train", boom)
+        assert sim_q.ivfpq1_topk(spark, sf).count() == n1
+        assert sim_q.pq1_adc_topk(spark, sf).count() == p1
+    finally:
+        sim_q.clear_ann_cache()
