@@ -991,6 +991,8 @@ def main() -> None:
         "t2_top5_slice",
         "pq1_adc_topk",
         "ivfpq1_topk",
+        "bpe1_subword_tokenize",
+        "ql2_train_apply",
     ):
         if warm in registry:
             try:
