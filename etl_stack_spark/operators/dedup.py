@@ -108,11 +108,22 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     n_minhash: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for LSH candidates whose signature
     agreement ≥ threshold. est_jaccard = fraction of equal minhash slots.
     ``n_minhash``/``band_size`` are the recall/cost dials; defaults match
-    the dd2 oracle (16 hashes, 8 bands of 2)."""
+    the dd2 oracle (16 hashes, 8 bands of 2).
+
+    ``sigs`` injects a precomputed signature table (``id_col`` +
+    mh0..mh{n_minhash-1}, built by :func:`minhash_signatures` at the SAME
+    (text_col, n, n_minhash)) covering a SUPERSET of ``df``'s ids — it is
+    semi-joined down to ``df``'s rows, so extra ids are harmless and
+    sub-n-token docs (absent from any signature table) stay absent. A
+    doc's signature depends only on its text, never on the candidate set,
+    which is what makes one session/cluster-level signature store servable
+    to every wash (see queries/text_dedup.py::sig_base): production dedup
+    materializes signatures once at ingest and band-joins many times."""
     # sigs feeds the band explode AND both sides of the verification join
     # (three consumers). localCheckpoint, not cache(): the blocks are
     # GC-owned — freed when the returned plan is dropped — instead of
@@ -121,7 +132,14 @@ def minhash_near_duplicates(
     # composition (llm1) keeps its single-job shape. Cluster note: local
     # checkpoints don't survive executor loss; a multi-hour 100 TB run
     # would use reliable checkpointing or a staging table here.
-    sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).localCheckpoint(eager=False)
+    else:
+        # restrict the store to df's ids; the semi-join's small side is
+        # ids-only. At 100 TB both sides are corpus-sized → shuffled hash
+        # join on the id key, still ≪ the shingle explode + 16 min-aggs
+        # it replaces.
+        sigs = sigs.join(df.select(id_col), id_col, "left_semi").localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, id_col, band_size)
     a = sigs.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_minhash)])
     b = sigs.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_minhash)])
@@ -142,9 +160,12 @@ def minhash_cluster_dedup(
     n: int = 3,
     threshold: float = 0.5,
     max_iter: int = 25,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-based near-dup dedup: connected components over the
     confirmed MinHash pair graph, survivor = MIN id per component.
+    ``sigs`` injects a precomputed signature store (see
+    :func:`minhash_near_duplicates`).
 
     Pairwise loser-dropping (llm1's ``doc_b`` drop) can over-delete on
     chains — if A~B and B~C but A≁C, dropping B and C keeps only A even
@@ -163,9 +184,9 @@ def minhash_cluster_dedup(
     # GC-owned lazy checkpoint: the pair list fans out FOUR ways (both
     # sides of the node union, both directions of the symmetrized edge
     # list) — without it the band join + verification re-runs per consumer
-    pairs = minhash_near_duplicates(df, text_col, id_col, n, threshold).localCheckpoint(
-        eager=False
-    )
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, n, threshold, sigs=sigs
+    ).localCheckpoint(eager=False)
     pair_nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))
@@ -570,6 +591,7 @@ def quality_survivor_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup survivorship (round 7): cluster with
     :func:`minhash_cluster_dedup`, then keep the HIGHEST-QUALITY doc per
@@ -584,7 +606,7 @@ def quality_survivor_dedup(
     the LSH band structure long before the window sees it)."""
     from etl_stack_spark.operators.text import quality_score
 
-    clusters = minhash_cluster_dedup(df, text_col, id_col, n, threshold)
+    clusters = minhash_cluster_dedup(df, text_col, id_col, n, threshold, sigs=sigs)
     qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
     # lazy checkpoint: j feeds the survivor window AND the output join —
     # without it the whole cluster pipeline (LSH + CC loop) runs twice

@@ -93,10 +93,13 @@ def clean_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     scored: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the surviving documents with their quality/lang metadata.
     ``scored`` injects a precomputed (usually persisted) score_documents
-    frame; extra columns on it flow through harmlessly."""
+    frame; extra columns on it flow through harmlessly. ``sigs`` injects
+    a session signature store (see minhash_near_duplicates) so the
+    shingle explode + 16 min-aggs run once per session, not per wash."""
     if scored is None:
         scored = score_documents(docs, id_col, text_col)
     kept = quality_lang_filter(scored, min_quality, keep_langs)
@@ -111,7 +114,9 @@ def clean_corpus(
     ).drop("canon", "fp").localCheckpoint(eager=False)
 
     # near-dup removal: for each confirmed pair, the higher id drops
-    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    pairs = minhash_near_duplicates(
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     near = exact.join(losers, id_col, "left_anti")
 
@@ -134,6 +139,7 @@ def clean_corpus_v2(
     text_col: str = "text",
     scored: DataFrame | None = None,
     gate_ids: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """The modern wash: ``clean_corpus`` extended with the curation
     family — Gopher-style repetition filtering and eval-benchmark
@@ -207,7 +213,9 @@ def clean_corpus_v2(
     # ^ lazy checkpoint: `exact` feeds the MinHash pair stream AND the
     # anti-join left side — the llm3 fan-out finding applies here too
 
-    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    pairs = minhash_near_duplicates(
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return exact.join(losers, id_col, "left_anti").select(id_col, "quality", "pred_lang")
 
@@ -230,6 +238,7 @@ def clean_corpus_v3(
     emb_id_col: str = "vec_id",
     scored: DataFrame | None = None,
     gate_ids: DataFrame | None = None,
+    sigs: DataFrame | None = None,
     sem_max_cell_rows: int | None = None,
 ) -> DataFrame:
     """The full modern wash: v2's stages plus the two corpus-level
@@ -304,7 +313,9 @@ def clean_corpus_v3(
         F.col(id_col) == F.col("canon")
     ).drop("canon", "fp")
 
-    pairs = minhash_near_duplicates(exact, text_col, id_col, threshold=near_dup_threshold)
+    pairs = minhash_near_duplicates(
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+    )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     # GC-owned lazy checkpoint: the minhash-survivor set fans out THREE
     # ways (the embedding semi-join, the final anti-join's left side, and

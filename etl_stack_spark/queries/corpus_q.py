@@ -134,8 +134,14 @@ WHERE l.doc_id IS NULL
 
 @register("llm1_corpus_clean", _corpus_oracle())
 def llm1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_stack_spark.queries.text_dedup import sig_base
+
     docs = load_table(spark, sf_dir, "documents")
-    return clean_corpus(docs, scored=corpus_base(spark, sf_dir)["scored"])
+    return clean_corpus(
+        docs,
+        scored=corpus_base(spark, sf_dir)["scored"],
+        sigs=sig_base(spark, sf_dir),
+    )
 
 
 def _corpus_v2_oracle() -> str:
@@ -217,11 +223,14 @@ def llm2_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus_base(spark, sf_dir)
     # fixed-size benchmark slice (= all of src0 at sf0.01) — see _DC1's
     # rationale in curation_q.py: eval benchmarks don't grow with the corpus
+    from etl_stack_spark.queries.text_dedup import sig_base
+
     return clean_corpus_v2(
         docs.filter(F.col("source") != "src0"),
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         scored=base["scored"].filter(F.col("source") != "src0"),
         gate_ids=base["gate_ids"],
+        sigs=sig_base(spark, sf_dir),
     )
 
 
@@ -340,12 +349,15 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     base = corpus_base(spark, sf_dir)
+    from etl_stack_spark.queries.text_dedup import sig_base
+
     return clean_corpus_v3(
         docs.filter(F.col("source") != "src0"),
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         emb,
         scored=base["scored"].filter(F.col("source") != "src0"),
         gate_ids=base["gate_ids"],
+        sigs=sig_base(spark, sf_dir),
     )
 
 

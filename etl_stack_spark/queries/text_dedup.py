@@ -30,6 +30,59 @@ from etl_stack_spark.operators.text import (
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
+# --- session MinHash signature store ---------------------------------------
+# A doc's 16-slot signature depends only on its text — never on which
+# candidate set it is banded against — so every MinHash consumer (dd2,
+# dd6, dd8, split1, and the llm washes' near-dup stages) can read ONE
+# per-(session, sf_dir) persisted signature table instead of re-running
+# the shingle explode + 16 min-aggregations per query. This is the
+# corpus_base / j6_base / trained-ANN precedent applied to the last
+# recompute-per-call family; on a cluster the same role is played by a
+# signatures staging table materialized once at ingest (the Dolma/
+# FineWeb "minhash signatures" intermediate). Store is computed over ALL
+# documents (the superset every consumer needs); subset consumers
+# semi-join it down inside minhash_near_duplicates. The parity suite
+# calls through an 8-thread pool, so build-and-persist is double-checked
+# under a lock (the corpus_q leak rationale).
+import threading as _threading
+
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_LOCK = _threading.Lock()
+
+
+def clear_sig_cache() -> None:
+    """Unpersist and drop the session signature store (test hook)."""
+    with _SIG_LOCK:
+        for sigs in _SIG_CACHE.values():
+            sigs.unpersist()
+        _SIG_CACHE.clear()
+
+
+def sig_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, mh0..mh15) over ALL documents at the registry
+    defaults (n=3 shingles, 16 hashes) — the session signature store."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.dedup import minhash_signatures
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _SIG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _SIG_LOCK:
+        hit = _SIG_CACHE.get(key)
+        if hit is not None:
+            return hit
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        _SIG_CACHE[key] = sigs
+        return sigs
+
+
 # --- shared DuckDB fragments (match operators/text.py semantics) -----------
 
 _TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -215,7 +268,7 @@ WITH {ctes}
 @register("dd2_minhash_lsh", _minhash_oracle())
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5)
+    return minhash_near_duplicates(docs, threshold=0.5, sigs=sig_base(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +300,7 @@ def dd6_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import minhash_cluster_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_cluster_dedup(docs)
+    return minhash_cluster_dedup(docs, sigs=sig_base(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -565,7 +618,9 @@ FROM j JOIN surv s USING (cluster_id)
 def dd8_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import quality_survivor_dedup
 
-    return quality_survivor_dedup(load_table(spark, sf_dir, "documents"))
+    return quality_survivor_dedup(
+        load_table(spark, sf_dir, "documents"), sigs=sig_base(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -608,7 +663,7 @@ def split1_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.text import portable_hash60
 
     docs = load_table(spark, sf_dir, "documents")
-    clusters = minhash_cluster_dedup(docs)
+    clusters = minhash_cluster_dedup(docs, sigs=sig_base(spark, sf_dir))
     fold = (portable_hash60(F.col("cluster_id").cast("string")) % 10).cast("int")
     return clusters.select(
         "doc_id",

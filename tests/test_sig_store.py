@@ -1,0 +1,69 @@
+"""The session MinHash signature store (queries/text_dedup.py::sig_base)
+must be output-invisible: every consumer path produces IDENTICAL rows
+with and without the injected store, because a doc's signature depends
+only on its text. These pins are what let the store be a pure perf
+lever (the corpus_base / trained-ANN precedent) rather than a semantics
+change."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.dedup import (
+    minhash_cluster_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+)
+from etl_stack_spark.session import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+@pytest.fixture(scope="module")
+def store(spark, docs):
+    # a module-local store (not sig_base) so the test controls lifetime
+    # and the session cache state of other tests is untouched
+    sigs = minhash_signatures(docs).persist()
+    yield sigs
+    sigs.unpersist()
+
+
+def test_pairs_identical_with_store(docs, store):
+    direct = _rows(minhash_near_duplicates(docs), "doc_a", "doc_b")
+    stored = _rows(minhash_near_duplicates(docs, sigs=store), "doc_a", "doc_b")
+    assert stored == direct and len(direct) > 0
+
+
+def test_store_semi_joins_down_to_subset(docs, store):
+    """A SUPERSET store must band-join only the subset's rows: pairs from
+    the half-corpus slice equal pairs computed directly on that slice —
+    no pair may leak in from store rows outside the slice."""
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    half = docs.filter(F.col("doc_id") <= ids[len(ids) // 2])
+    direct = _rows(minhash_near_duplicates(half), "doc_a", "doc_b")
+    stored = _rows(minhash_near_duplicates(half, sigs=store), "doc_a", "doc_b")
+    assert stored == direct
+
+
+def test_cluster_dedup_identical_with_store(docs, store):
+    direct = _rows(minhash_cluster_dedup(docs), "doc_id")
+    stored = _rows(minhash_cluster_dedup(docs, sigs=store), "doc_id")
+    assert stored == direct
+
+
+def test_wash_identical_with_store(spark, docs, store):
+    from etl_stack_spark.plans.corpus_clean import clean_corpus
+
+    direct = _rows(clean_corpus(docs), "doc_id")
+    stored = _rows(clean_corpus(docs, sigs=store), "doc_id")
+    assert stored == direct and len(direct) > 0
