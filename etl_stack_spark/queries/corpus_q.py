@@ -42,8 +42,8 @@ def clear_corpus_cache() -> None:
     """Unpersist and drop the shared llm-wash intermediates (test hook)."""
     with _CORPUS_LOCK:
         for entry in _CORPUS_CACHE.values():
-            entry["scored"].unpersist()
-            entry["gate_ids"].unpersist()
+            for df in entry.values():
+                df.unpersist()
         _CORPUS_CACHE.clear()
 
 
@@ -84,6 +84,39 @@ def corpus_base(spark: SparkSession, sf_dir: str) -> dict:
         entry = {"scored": scored, "gate_ids": gate_ids}
         _CORPUS_CACHE[key] = entry
         return entry
+
+
+def xdoc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted v3-only corpus-level intermediate: the ids passing the
+    cross-document 5-gram gate (rep2 constants) over the non-src0 slice.
+    Like gate_ids it is a function of (docs, constants) alone, but only
+    llm3 consumes it — so it is built lazily on the first llm3 call
+    instead of charging llm1/llm2's first call for it."""
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.curation import cross_doc_dup_ngrams
+
+    entry = corpus_base(spark, sf_dir)
+    hit = entry.get("xdoc_ids")
+    if hit is not None:
+        return hit
+    with _CORPUS_LOCK:
+        hit = entry.get("xdoc_ids")
+        if hit is not None:
+            return hit
+        docs_ns = load_table(spark, sf_dir, "documents").filter(
+            F.col("source") != "src0"
+        )
+        ids = (
+            cross_doc_dup_ngrams(
+                docs_ns.select("doc_id", "text"), n=5, max_dup_frac=0.30
+            )
+            .filter(F.col("keep_cross_doc"))
+            .select("doc_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        entry["xdoc_ids"] = ids
+        return ids
 
 
 def _lang_pieces() -> tuple[str, str]:
@@ -134,13 +167,13 @@ WHERE l.doc_id IS NULL
 
 @register("llm1_corpus_clean", _corpus_oracle())
 def llm1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.queries.text_dedup import sig_base
+    from etl_stack_spark.queries.text_dedup import pair_base
 
     docs = load_table(spark, sf_dir, "documents")
     return clean_corpus(
         docs,
         scored=corpus_base(spark, sf_dir)["scored"],
-        sigs=sig_base(spark, sf_dir),
+        pairs=pair_base(spark, sf_dir),
     )
 
 
@@ -223,14 +256,14 @@ def llm2_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus_base(spark, sf_dir)
     # fixed-size benchmark slice (= all of src0 at sf0.01) — see _DC1's
     # rationale in curation_q.py: eval benchmarks don't grow with the corpus
-    from etl_stack_spark.queries.text_dedup import sig_base
+    from etl_stack_spark.queries.text_dedup import pair_base
 
     return clean_corpus_v2(
         docs.filter(F.col("source") != "src0"),
         docs.filter((F.col("source") == "src0") & (F.col("doc_id") < 500)),
         scored=base["scored"].filter(F.col("source") != "src0"),
         gate_ids=base["gate_ids"],
-        sigs=sig_base(spark, sf_dir),
+        pairs=pair_base(spark, sf_dir),
     )
 
 
@@ -349,7 +382,7 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     base = corpus_base(spark, sf_dir)
-    from etl_stack_spark.queries.text_dedup import sig_base
+    from etl_stack_spark.queries.text_dedup import pair_base
 
     return clean_corpus_v3(
         docs.filter(F.col("source") != "src0"),
@@ -357,7 +390,8 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         scored=base["scored"].filter(F.col("source") != "src0"),
         gate_ids=base["gate_ids"],
-        sigs=sig_base(spark, sf_dir),
+        pairs=pair_base(spark, sf_dir),
+        xdoc_ids=xdoc_base(spark, sf_dir),
     )
 
 

@@ -529,13 +529,22 @@ def dsir1_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # committed golden hashes byte-identical cached or fresh.
 _TRAINED_CACHE: dict[tuple, object] = {}
 
+import threading as _threading
+
+_TRAINED_LOCK = _threading.Lock()
+
 
 def _session_trained(spark: SparkSession, sf_dir: str, what: str, builder):
     import os as _os
 
     key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), what)
     if key not in _TRAINED_CACHE:
-        _TRAINED_CACHE[key] = builder()
+        # double-checked: the parity suite calls through an 8-thread pool;
+        # without the lock concurrent first calls each pay the training
+        # pass (no leak — these are driver-side artifacts — but wasted jobs)
+        with _TRAINED_LOCK:
+            if key not in _TRAINED_CACHE:
+                _TRAINED_CACHE[key] = builder()
     return _TRAINED_CACHE[key]
 
 

@@ -41,16 +41,27 @@ _COS = (
 # ---------------------------------------------------------------------------
 _ANN_CACHE: dict[tuple, object] = {}
 
+# The parity suite calls registry entries through an 8-thread pool, and
+# pq1/ivfpq1 share _ann_normalized: without the corpus_q-style
+# double-checked lock, concurrent first calls each persist their own
+# corpus copy and leak the losers (the exact hazard corpus_base
+# documents). One lock serializes builds only; hits stay lock-free.
+import threading as _threading
+
+# RLock: _pq_trained/_ivfpq_trained build _ann_normalized while holding it
+_ANN_LOCK = _threading.RLock()
+
 
 def clear_ann_cache() -> None:
     """Unpersist and drop all cached ANN artifacts (test/debug hook)."""
-    for v in _ANN_CACHE.values():
-        df = v[-1] if isinstance(v, tuple) else v
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _ANN_CACHE.clear()
+    with _ANN_LOCK:
+        for v in _ANN_CACHE.values():
+            df = v[-1] if isinstance(v, tuple) else v
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _ANN_CACHE.clear()
 
 
 def _ann_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
@@ -70,13 +81,17 @@ def _ann_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _ANN_CACHE.get(key)
     if hit is not None:
         return hit
-    cn = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _ANN_CACHE[key] = cn
-    return cn
+    with _ANN_LOCK:
+        hit = _ANN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cn = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _ANN_CACHE[key] = cn
+        return cn
 
 
 def _pq_trained(spark: SparkSession, sf_dir: str):
@@ -89,11 +104,15 @@ def _pq_trained(spark: SparkSession, sf_dir: str):
     hit = _ANN_CACHE.get(key)
     if hit is not None:
         return hit
-    cn = _ann_normalized(spark, sf_dir)
-    books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
-    codes = pq_encode(cn, books, dim=64).localCheckpoint(eager=True)
-    _ANN_CACHE[key] = (books, codes)
-    return books, codes
+    with _ANN_LOCK:
+        hit = _ANN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cn = _ann_normalized(spark, sf_dir)
+        books = pq_train(cn, dim=64, m=4, k=8, n_iter=2, sample=2048)
+        codes = pq_encode(cn, books, dim=64).localCheckpoint(eager=True)
+        _ANN_CACHE[key] = (books, codes)
+        return books, codes
 
 
 def _ivfpq_trained(spark: SparkSession, sf_dir: str):
@@ -106,13 +125,17 @@ def _ivfpq_trained(spark: SparkSession, sf_dir: str):
     hit = _ANN_CACHE.get(key)
     if hit is not None:
         return hit
-    cn = _ann_normalized(spark, sf_dir)
-    cents, books = ivfpq_train(
-        cn, dim=64, n_cells=8, m=4, k=8, n_iter=1, sample=2048
-    )
-    index = ivfpq_encode(cn, cents, books, dim=64).localCheckpoint(eager=True)
-    _ANN_CACHE[key] = (cents, books, index)
-    return cents, books, index
+    with _ANN_LOCK:
+        hit = _ANN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cn = _ann_normalized(spark, sf_dir)
+        cents, books = ivfpq_train(
+            cn, dim=64, n_cells=8, m=4, k=8, n_iter=1, sample=2048
+        )
+        index = ivfpq_encode(cn, cents, books, dim=64).localCheckpoint(eager=True)
+        _ANN_CACHE[key] = (cents, books, index)
+        return cents, books, index
 
 
 # ---------------------------------------------------------------------------

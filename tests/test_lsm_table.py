@@ -41,6 +41,24 @@ def test_merge_on_read_table_semantics(spark, tmp_path):
     assert _rows(t.read()) == [(2, "B"), (3, "C")]
 
 
+def test_same_batch_upsert_plus_delete_tie_breaks_to_delete(spark, tmp_path):
+    """A key passed to BOTH rows and delete_keys in ONE upsert() call
+    shares a version stamp; the reconcile window's (_v desc, _op asc)
+    ordering makes the delete win DETERMINISTICALLY instead of leaving
+    the outcome to row_number's arbitrary tie pick (which would make
+    replays nondeterministic). The washes never construct this collision
+    — this pins the table's own contract."""
+    t = MergeOnReadTable(spark, str(tmp_path / "t"), key="k", compact_at=None)
+    t.upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        delete_keys=spark.createDataFrame([(1,)], "k long"),
+    )
+    assert _rows(t.read()) == [(2, "b")]
+    # and the fold agrees with the read
+    t.compact()
+    assert _rows(t.read()) == [(2, "b")]
+
+
 def test_insert_only_fast_path_first_wins(spark, tmp_path):
     t = MergeOnReadTable(spark, str(tmp_path / "t"), key="k", compact_at=None)
     n1 = t.insert_new(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))

@@ -67,3 +67,47 @@ def test_wash_identical_with_store(spark, docs, store):
     direct = _rows(clean_corpus(docs), "doc_id")
     stored = _rows(clean_corpus(docs, sigs=store), "doc_id")
     assert stored == direct and len(direct) > 0
+
+
+@pytest.fixture(scope="module")
+def pair_store(spark, docs, store):
+    pairs = minhash_near_duplicates(docs, sigs=store).persist()
+    yield pairs
+    pairs.unpersist()
+
+
+def test_pair_store_restricts_exactly(docs, pair_store):
+    """The monotone-restriction claim the pair store rests on:
+    pairs(subset) == pairs(superset) ∩ subset×subset, exactly — banding
+    never splits a bucket when other docs are removed, and est_jaccard
+    is a function of the two signatures alone."""
+    ids = [r[0] for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    half = docs.filter(F.col("doc_id") <= ids[len(ids) // 2])
+    direct = _rows(minhash_near_duplicates(half), "doc_a", "doc_b")
+    stored = _rows(
+        minhash_near_duplicates(half, pairs=pair_store), "doc_a", "doc_b"
+    )
+    assert stored == direct
+
+
+def test_cluster_and_survivor_identical_with_pair_store(docs, pair_store):
+    from etl_stack_spark.operators.dedup import quality_survivor_dedup
+
+    assert _rows(minhash_cluster_dedup(docs, pairs=pair_store), "doc_id") == _rows(
+        minhash_cluster_dedup(docs), "doc_id"
+    )
+    assert _rows(
+        quality_survivor_dedup(docs, pairs=pair_store), "doc_id"
+    ) == _rows(quality_survivor_dedup(docs), "doc_id")
+
+
+def test_wash_identical_with_pair_store(spark, docs, pair_store):
+    """llm1's near-dup stage restricts the store to its survivor set —
+    the full wash output must be byte-identical to the self-banding
+    form (the superset here includes docs the gates drop, the exact
+    shape the session store serves)."""
+    from etl_stack_spark.plans.corpus_clean import clean_corpus
+
+    direct = _rows(clean_corpus(docs), "doc_id")
+    stored = _rows(clean_corpus(docs, pairs=pair_store), "doc_id")
+    assert stored == direct and len(direct) > 0
