@@ -1,0 +1,128 @@
+"""Volume audit: the MinHash staging-table stack at the 2M-doc class
+(round-10 continuation — the sig_base → pair_base → cluster_base store
+rework). Measures, on a synthetic 2M-doc corpus with a planted ~5%
+near-dup rate:
+
+  * build cost of each store (signatures ONE shuffle on doc_id; pairs
+    ONE band self-join + verify; clusters the CC loop over the
+    pair-projected node set);
+  * consumer cost WITH the stores (pair restriction by two semi-joins;
+    cluster read) vs the self-banding form a per-query caller would pay
+    — the claim is store-read ≪ re-band at any corpus size;
+  * plan hygiene of the restriction path: the executed plan must carry
+    no broadcast of a corpus-sized side (the semi-joins' small sides are
+    ids-only but still corpus-scale here → shuffled hash, never
+    broadcast).
+
+Usage: python tools/audit_minhash_stores_2m.py [rows]
+Results are transcribed into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+    os.environ.get("AUDIT_ROWS", 2_000_000)
+)
+
+
+def _spark():
+    from etl_stack_spark.session import get_spark
+
+    spark = get_spark("audit-minhash-stores-2m")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _synth_docs(spark, n: int):
+    """~25-token docs; ~5% of ids collapse onto an earlier id's content
+    with ONE word swapped (a true near-dup, not an exact dup), the rest
+    unique. Tokens are hashed into a 2^20-word vocabulary keyed by the
+    content id, so SHINGLES are effectively unique per content — a
+    small-vocab corpus (the first cut used 59 real words) makes every
+    doc share most shingles and the band self-join goes quadratic,
+    which is a property of that degenerate corpus, not of LSH."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % int(n * 0.95)).alias("_cid"),
+        (F.col("id") == (F.col("id") % int(n * 0.95))).alias("_orig"),
+    )
+    toks = [
+        F.format_string(
+            "w%d", F.pmod(F.xxhash64(F.col("_cid"), F.lit(j)), F.lit(1 << 20))
+        )
+        for j in range(25)
+    ]
+    # near-dup copies differ in token 0 only (still Jaccard >= ~0.8)
+    toks[0] = F.when(F.col("_orig"), toks[0]).otherwise(F.lit("variant"))
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+
+
+def main() -> None:
+    from etl_stack_spark.operators.dedup import (
+        minhash_cluster_dedup,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    spark = _spark()
+    docs = _synth_docs(spark, N_ROWS).localCheckpoint(eager=True)
+    out: dict = {"rows": N_ROWS}
+
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs).persist()
+    n_sigs = sigs.count()
+    out["sig_build_secs"] = round(time.perf_counter() - t0, 1)
+    out["sig_rows"] = n_sigs
+
+    t0 = time.perf_counter()
+    pairs = minhash_near_duplicates(docs, sigs=sigs).persist()
+    n_pairs = pairs.count()
+    out["pair_build_secs"] = round(time.perf_counter() - t0, 1)
+    out["pair_rows"] = n_pairs
+
+    t0 = time.perf_counter()
+    clusters = minhash_cluster_dedup(docs, pairs=pairs).persist()
+    n_clusters = clusters.count()
+    out["cluster_build_secs"] = round(time.perf_counter() - t0, 1)
+    out["cluster_rows"] = n_clusters
+    out["dup_rows"] = clusters.filter("is_duplicate").count()
+
+    # consumer: a wash-shaped subset (half the corpus) through the store
+    # vs self-banding
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    t0 = time.perf_counter()
+    via_store = minhash_near_duplicates(half, pairs=pairs)
+    out["restrict_rows"] = via_store.count()
+    out["restrict_secs"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    self_band = minhash_near_duplicates(half)
+    out["self_band_rows"] = self_band.count()
+    out["self_band_secs"] = round(time.perf_counter() - t0, 1)
+    assert out["restrict_rows"] == out["self_band_rows"], (
+        "restriction diverged from self-banding"
+    )
+
+    # plan hygiene: no corpus-sized broadcast in the restriction path
+    plan = via_store._jdf.queryExecution().executedPlan().toString()
+    out["restrict_broadcast_joins"] = plan.count("BroadcastHashJoin")
+
+    for df in (sigs, pairs, clusters):
+        df.unpersist()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
