@@ -993,6 +993,10 @@ def main() -> None:
     # cluster assignment, and every consumer (dd2/dd6/dd8/split1/llm1-3)
     # reads those tables — timed entries measure what a steady-state
     # pipeline pays, not the per-call re-banding it would never repeat.
+    # On a --queries subset run, only warm entries the subset will time:
+    # warming a session store no requested query reads is pure cost (the
+    # adjudication e2es spawn single-query subset runs — each was paying
+    # the full 9-entry warmup, ~half the test's 100s wall).
     for warm in (
         "t1_lead_prep_topk",
         "a2a3_lead_metrics",
@@ -1004,6 +1008,8 @@ def main() -> None:
         "dd2_minhash_lsh",
         "dd6_cluster_dedup",
     ):
+        if subset and warm not in names:
+            continue
         if warm in registry:
             try:
                 registry[warm](spark, sf_dir).count()
