@@ -417,6 +417,48 @@ def embedding_near_duplicates_lsh(
     )
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """The within-cluster qualifying pair table ``(_ida < _idb)`` with
+    cosine ≥ threshold — :func:`semantic_dedup`'s loser relation,
+    exposed so it can be materialized once and restricted per consumer
+    (the pair_base pattern). Restriction contract: pairs(subset) ==
+    pairs(superset) ∩ subset×subset holds ONLY when ``cluster_col`` is
+    INTRINSIC to each row (a stored label / precomputed cell id), not
+    learned from the candidate corpus — cosine and the threshold test
+    are pairwise, so with fixed clusters removing rows never creates or
+    destroys another pair."""
+    from etl_stack_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        blocked_cell_pairs,
+    )
+
+    v = emb.select(
+        F.col(id_col), F.col(cluster_col).alias("_cl"), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        blocked_cell_pairs(a, b, "_cl", "_ida", "_idb", max_cell_rows)
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            )
+            >= threshold
+        )
+        .select("_ida", "_idb")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     cluster_col: str = "label",
@@ -424,6 +466,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cell_rows: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup scoped to clusters —
     pairwise cosine runs only WITHIN a cluster, which is the paper's
@@ -443,36 +486,30 @@ def semantic_dedup(
     (similarity.blocked_cell_pairs — identical pair stream, per-task
     work capped at ~max_cell_rows² instead of |largest cluster|²).
     """
-    from etl_stack_spark.operators.similarity import (
-        _as_double,
-        _dot,
-        _norm,
-        blocked_cell_pairs,
-    )
-
     # Norms are computed ONCE per vector, before the pair join — the
     # per-pair work is then a single array traversal (the dot product)
     # instead of three. Bit-identical to cosine(a, b): _norm is a
     # deterministic scalar of the vector, so dividing by the carried
-    # value equals dividing by a recomputed one.
-    v = emb.select(
-        F.col(id_col), F.col(cluster_col).alias("_cl"), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_n", _norm(F.col("_v")))
-    a = v.select(F.col(id_col).alias("_ida"), "_cl", F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = v.select(F.col(id_col).alias("_idb"), "_cl", F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    losers = (
-        blocked_cell_pairs(a, b, "_cl", "_ida", "_idb", max_cell_rows)
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            )
-            >= threshold
+    # value equals dividing by a recomputed one. ``pairs`` injects a
+    # precomputed semantic_dup_pairs table over a SUPERSET corpus at the
+    # same (cluster_col semantics, threshold) — restricted here by two
+    # semi-joins; see semantic_dup_pairs for the intrinsic-cluster
+    # restriction contract.
+    if pairs is not None:
+        ids = emb.select(id_col)
+        pairs = pairs.join(
+            ids.withColumnRenamed(id_col, "_ida"), "_ida", "left_semi"
+        ).join(ids.withColumnRenamed(id_col, "_idb"), "_idb", "left_semi")
+    else:
+        pairs = semantic_dup_pairs(
+            emb, cluster_col, threshold, vec_col, id_col, max_cell_rows
         )
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+    losers = pairs.select(F.col("_idb").alias(id_col)).distinct()
+    return (
+        emb.select(id_col, cluster_col)
+        .join(losers, id_col, "left_anti")
+        .select(id_col, cluster_col)
     )
-    return v.join(losers, id_col, "left_anti").select(id_col, F.col("_cl").alias(cluster_col))
 
 
 def incremental_minhash_dedup(

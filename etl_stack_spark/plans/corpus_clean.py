@@ -243,6 +243,7 @@ def clean_corpus_v3(
     sigs: DataFrame | None = None,
     pairs: DataFrame | None = None,
     xdoc_ids: DataFrame | None = None,
+    sem_pairs: DataFrame | None = None,
     sem_max_cell_rows: int | None = None,
 ) -> DataFrame:
     """The full modern wash: v2's stages plus the two corpus-level
@@ -349,6 +350,7 @@ def clean_corpus_v3(
         threshold=sem_threshold,
         id_col=emb_id_col,
         max_cell_rows=sem_max_cell_rows,
+        pairs=sem_pairs,  # superset store restricts to surv_emb's ids
     ).select(emb_id_col)
     sem_losers = surv_emb.select(emb_id_col).join(sem_survivors, emb_id_col, "left_anti")
     return kept.join(

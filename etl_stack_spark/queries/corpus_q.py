@@ -382,7 +382,7 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     base = corpus_base(spark, sf_dir)
-    from etl_stack_spark.queries.text_dedup import pair_base
+    from etl_stack_spark.queries.text_dedup import pair_base, sem_pair_base
 
     return clean_corpus_v3(
         docs.filter(F.col("source") != "src0"),
@@ -392,6 +392,7 @@ def llm3_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate_ids=base["gate_ids"],
         pairs=pair_base(spark, sf_dir),
         xdoc_ids=xdoc_base(spark, sf_dir),
+        sem_pairs=sem_pair_base(spark, sf_dir),
     )
 
 

@@ -58,6 +58,7 @@ import threading as _threading
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SEM_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 # RLock: cluster_base builds pair_base builds sig_base, nested under it
 _SIG_LOCK = _threading.RLock()
 
@@ -72,7 +73,7 @@ def clear_sig_cache() -> None:
     """Unpersist and drop the session signature/pair/cluster stores
     (test hook)."""
     with _SIG_LOCK:
-        for cache in (_SIG_CACHE, _PAIR_CACHE, _CLUSTER_CACHE):
+        for cache in (_SIG_CACHE, _PAIR_CACHE, _CLUSTER_CACHE, _SEM_PAIR_CACHE):
             for df in cache.values():
                 df.unpersist()
             cache.clear()
@@ -156,6 +157,33 @@ def cluster_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         _CLUSTER_CACHE[key] = clusters
         return clusters
+
+
+def sem_pair_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted within-label semantic duplicate pairs (_ida < _idb,
+    cosine ≥ 0.3) over ALL embeddings — the SemDeDup analog of
+    pair_base. Valid for any subset consumer because the cluster column
+    (``label``) is intrinsic to each row, so the pair relation restricts
+    exactly (semantic_dup_pairs' contract). sd1 and llm3's final
+    SemDeDup stage both read it."""
+    key = (spark.sparkContext.applicationId, _os_path(sf_dir))
+    hit = _SEM_PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _SIG_LOCK:
+        hit = _SEM_PAIR_CACHE.get(key)
+        if hit is not None:
+            return hit
+        from pyspark import StorageLevel
+
+        from etl_stack_spark.operators.dedup import semantic_dup_pairs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pairs = semantic_dup_pairs(emb, threshold=0.3).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SEM_PAIR_CACHE[key] = pairs
+        return pairs
 
 
 # --- shared DuckDB fragments (match operators/text.py semantics) -----------
@@ -566,7 +594,11 @@ SELECT vec_id, label FROM v ANTI JOIN losers USING (vec_id)
 def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.dedup import semantic_dedup
 
-    return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.3)
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        pairs=sem_pair_base(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

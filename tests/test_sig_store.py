@@ -101,6 +101,31 @@ def test_cluster_and_survivor_identical_with_pair_store(docs, pair_store):
     ) == _rows(quality_survivor_dedup(docs), "doc_id")
 
 
+def test_semantic_pairs_restrict_exactly(spark):
+    """semantic_dup_pairs' restriction contract: with an INTRINSIC
+    cluster column, sem-dedup over a subset equals sem-dedup with the
+    superset pair store restricted — and the store-less and store-backed
+    survivor sets agree on the full corpus too."""
+    from etl_stack_spark.operators.dedup import semantic_dedup, semantic_dup_pairs
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    store = semantic_dup_pairs(emb, threshold=0.3).persist()
+    try:
+        full_direct = _rows(semantic_dedup(emb, threshold=0.3), "vec_id")
+        full_stored = _rows(
+            semantic_dedup(emb, threshold=0.3, pairs=store), "vec_id"
+        )
+        assert full_stored == full_direct and len(full_direct) > 0
+        half = emb.filter(F.col("vec_id") % 2 == 0)
+        sub_direct = _rows(semantic_dedup(half, threshold=0.3), "vec_id")
+        sub_stored = _rows(
+            semantic_dedup(half, threshold=0.3, pairs=store), "vec_id"
+        )
+        assert sub_stored == sub_direct
+    finally:
+        store.unpersist()
+
+
 def test_wash_identical_with_pair_store(spark, docs, pair_store):
     """llm1's near-dup stage restricts the store to its survivor set —
     the full wash output must be byte-identical to the self-banding
