@@ -101,6 +101,37 @@ def test_cluster_and_survivor_identical_with_pair_store(docs, pair_store):
     ) == _rows(quality_survivor_dedup(docs), "doc_id")
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_pair_restriction_fuzz_random_corpora(spark, seed):
+    """Randomized restriction parity: on corpora with planted near-dups
+    and random subset masks, pairs(subset) computed directly equals the
+    superset store restricted — the monotone-banding claim holds on
+    arbitrary corpora, not just the fixture tables."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(300):
+        if i >= 30 and rng.random() < 0.2:
+            # near-dup of an earlier doc: one token swapped
+            src = rows[rng.randrange(len(rows))][1].split()
+            src[rng.randrange(len(src))] = rng.choice(vocab)
+            rows.append((i, " ".join(src)))
+        else:
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store = minhash_near_duplicates(df).persist()
+    try:
+        keep = [i for i in range(300) if rng.random() < 0.6]
+        sub = df.filter(F.col("doc_id").isin(keep))
+        direct = _rows(minhash_near_duplicates(sub), "doc_a", "doc_b")
+        stored = _rows(minhash_near_duplicates(sub, pairs=store), "doc_a", "doc_b")
+        assert stored == direct
+    finally:
+        store.unpersist()
+
+
 def test_semantic_pairs_restrict_exactly(spark):
     """semantic_dup_pairs' restriction contract: with an INTRINSIC
     cluster column, sem-dedup over a subset equals sem-dedup with the
