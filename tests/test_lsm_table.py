@@ -167,18 +167,18 @@ def test_corpus_stream_lsm_parity(spark, tmp_path):
             )
         ckpt = str(tmp_path / f"ckpt_{form}")
         _doc_feed(spark, feed, b1)
-        run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+        assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
         _doc_feed(spark, feed, b2)
-        run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+        assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
         states[form] = {
             r["fp"]: (r["doc_id"], r["source"], r["quality"], r["pred_lang"])
             for r in results.read().collect()
         }
         if form == "lsm":
             # replay idempotence: fresh checkpoint, whole feed redelivers
-            run_corpus_clean_stream(
+            assert run_corpus_clean_stream(
                 spark, str(feed), results, str(tmp_path / "ckpt_lsm_replay")
-            ).awaitTermination(120)
+            ).awaitTermination(600), "stream did not drain in time"
             assert {
                 r["fp"]: (r["doc_id"], r["source"], r["quality"], r["pred_lang"])
                 for r in results.read().collect()
@@ -226,9 +226,9 @@ def test_lead_prep_stream_lsm_parity(spark, tmp_path):
             )
         ckpt = str(tmp_path / f"pckpt_{form}")
         feed_write(feed, b1)
-        run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+        assert run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(600), "stream did not drain in time"
         feed_write(feed, b2)
-        run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+        assert run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(600), "stream did not drain in time"
         df = results.read()
         if form == "merge":
             df = df.filter(F.col("status") == "active")
@@ -245,9 +245,9 @@ def test_lead_prep_stream_lsm_parity(spark, tmp_path):
             } == states["lsm"]
             # replay idempotence (fresh checkpoint): last-wins re-upserts
             # of identical rows + re-derived (empty) delete sets
-            run_lead_prep_stream(
+            assert run_lead_prep_stream(
                 spark, str(feed), pois, results, str(tmp_path / "pckpt_lsm2")
-            ).awaitTermination(120)
+            ).awaitTermination(600), "stream did not drain in time"
             assert {
                 (r["prop_id"], r["category"], r["rnk"]): (r["poi_id"], r["tier"])
                 for r in results.read().collect()

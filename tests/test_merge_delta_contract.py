@@ -566,7 +566,7 @@ def test_streaming_sink_emits_delta_commit_stream(spark, tmp_path):
 
     results = ParquetMergeTable(spark, str(tmp_path / "corpus"), delta_log=True)
     ckpt = str(tmp_path / "ckpt")
-    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+    assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
 
     log = DeltaLog(results.root)
 
@@ -588,7 +588,7 @@ def test_streaming_sink_emits_delta_commit_stream(spark, tmp_path):
         "doc_id long, text string, source string, ts_s string",
     ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
     b2.write.mode("append").parquet(str(feed))
-    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+    assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
     replay_equals_read()
     assert log.state()["version"] > v_after_1
     assert results.read().count() == 2

@@ -39,7 +39,7 @@ def test_streaming_tumbling_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain in time"
     assert ("2024-01-01T00:00:00", "click", 2) in sink
     assert ("2024-01-01T01:00:00", "view", 1) in sink
 
@@ -130,7 +130,7 @@ def test_stateful_first_seen_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain in time"
     # every (key, hash) exactly once despite duplicates in the second batch
     assert sorted(sink) == [("k1", "h1"), ("k1", "h2"), ("k1", "h3"), ("k2", "h9")]
 
@@ -250,7 +250,7 @@ def test_streaming_lead_prep_e2e_two_batches_idempotent(spark, tmp_path):
         [(101, 9.80, -84.00), (102, 9.795, -84.015)], "prop_id long, lat double, lon double"
     ).write.mode("append").parquet(str(feed))
     q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain in time"
     first = {r["prop_id"]: r["poi_data"] for r in leads.read().collect()}
     assert set(first) == {101, 102}
     assert "EduBrand" in first[101]
@@ -260,7 +260,7 @@ def test_streaming_lead_prep_e2e_two_batches_idempotent(spark, tmp_path):
         [(103, 9.79, -84.02)], "prop_id long, lat double, lon double"
     ).write.mode("append").parquet(str(feed))
     q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain in time"
     assert leads.read().count() == 3
 
     # replay: wipe the checkpoint so the WHOLE feed re-delivers — the
@@ -270,7 +270,7 @@ def test_streaming_lead_prep_e2e_two_batches_idempotent(spark, tmp_path):
     shutil.rmtree(ckpt)
     before = {r["prop_id"]: r["content_hash"] for r in leads.read().collect()}
     q = run_lead_prep_stream(spark, str(feed), pois, cats, leads, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain in time"
     after = {r["prop_id"]: r["content_hash"] for r in leads.read().collect()}
     assert after == before
 
@@ -310,7 +310,7 @@ def test_lead_prep_stream_e2e(spark, tmp_path):
     results = ParquetMergeTable(spark, str(tmp_path / "results"))
     ckpt = str(tmp_path / "ckpt_lead")
     q = run_lead_prep_stream(spark, str(feed), pois, results, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain in time"
 
     # second file arrives: one NEW property and one UPDATE moving 100
     batch2 = spark.createDataFrame(
@@ -320,7 +320,7 @@ def test_lead_prep_stream_e2e(spark, tmp_path):
     ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
     batch2.write.mode("append").parquet(str(feed))
     q2 = run_lead_prep_stream(spark, str(feed), pois, results, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "stream did not drain in time"
 
     latest_props = spark.createDataFrame(
         [(100, 9.79, -84.09), (101, 9.81, -84.11), (102, 9.80, -84.12)],
@@ -345,7 +345,7 @@ def test_lead_prep_stream_e2e(spark, tmp_path):
     # hash gate says unchanged, table version content identical
     before = {r for r in got_df.collect()}
     q3 = run_lead_prep_stream(spark, str(feed), pois, results, str(tmp_path / "ckpt2"))
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(600), "stream did not drain in time"
     after = {r for r in results.read().collect()}
     assert after == before
 
@@ -374,7 +374,7 @@ def test_lead_prep_stream_tombstones_stale_ranks(spark, tmp_path):
         "prop_id long, lat double, lon double, ts_s string",
     ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s") \
         .write.mode("append").parquet(str(feed))
-    run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+    assert run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(600), "stream did not drain in time"
     first = {r["rnk"]: r["status"] for r in results.read().collect()}
     assert first == {1: "active", 2: "active"}
 
@@ -385,7 +385,7 @@ def test_lead_prep_stream_tombstones_stale_ranks(spark, tmp_path):
         "prop_id long, lat double, lon double, ts_s string",
     ).withColumn("updated_at", F.col("ts_s").cast("timestamp")).drop("ts_s") \
         .write.mode("append").parquet(str(feed))
-    run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(120)
+    assert run_lead_prep_stream(spark, str(feed), pois, results, ckpt).awaitTermination(600), "stream did not drain in time"
 
     rows = {r["rnk"]: (r["status"], r["poi_id"]) for r in results.read().collect()}
     assert rows[1] == ("active", 1)
@@ -419,7 +419,7 @@ def test_corpus_clean_stream_first_seen_across_batches(spark, tmp_path):
 
     results = ParquetMergeTable(spark, str(tmp_path / "corpus"))
     ckpt = str(tmp_path / "ckpt_corpus")
-    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+    assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
 
     state1 = {r["fp"]: r for r in results.read().collect()}
     assert len(state1) == 2  # doc 2 gated out; docs 1 and 3 differ in content
@@ -432,7 +432,7 @@ def test_corpus_clean_stream_first_seen_across_batches(spark, tmp_path):
         "doc_id long, text string, source string, ts_s string",
     ).withColumn("ingested_at", F.col("ts_s").cast("timestamp")).drop("ts_s")
     b2.write.mode("append").parquet(str(feed))
-    run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(120)
+    assert run_corpus_clean_stream(spark, str(feed), results, ckpt).awaitTermination(600), "stream did not drain in time"
 
     state2 = {r["fp"]: r for r in results.read().collect()}
     assert len(state2) == 2
@@ -441,9 +441,9 @@ def test_corpus_clean_stream_first_seen_across_batches(spark, tmp_path):
 
     # replay from a fresh checkpoint: the whole feed reprocesses, state
     # is unchanged (hash-gated idempotence)
-    run_corpus_clean_stream(
+    assert run_corpus_clean_stream(
         spark, str(feed), results, str(tmp_path / "ckpt_replay")
-    ).awaitTermination(120)
+    ).awaitTermination(600), "stream did not drain in time"
     state3 = {r["fp"]: (r["doc_id"], r["source"]) for r in results.read().collect()}
     assert state3 == {k: (v["doc_id"], v["source"]) for k, v in state2.items()}
 
@@ -487,7 +487,7 @@ def test_streaming_anomaly_trailing_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain in time"
     rows = {(t, h): (n, a) for t, h, n, a in sink}
     assert len(rows) == 17
     assert all(not rows[("click", h)][1] for h in range(14))  # warm-up calm
@@ -540,7 +540,7 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain in time"
     assert sorted(sink) == [("k1", "h1"), ("k1", "h3"), ("k2", "h9")]
 
 
@@ -590,7 +590,7 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain in time"
     assert sorted(sink) == [("u1", "ad1", "c1")]
 
 
@@ -642,7 +642,7 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(600), "stream did not drain in time"
     assert ("u1", "ad1", None) in sink          # unmatched -> null side emitted
     assert ("u8", "ad9", "c9") in sink          # matched pair still joins
 
@@ -889,13 +889,13 @@ def test_corpus_stream_observe_counters_match_batch_wash(spark, tmp_path):
         ckpt = str(tmp_path / "ckpt")
         metrics: dict = {}
         write(b1)
-        run_corpus_clean_stream(
+        assert run_corpus_clean_stream(
             spark, str(feed), results, ckpt, metrics=metrics
-        ).awaitTermination(120)
+        ).awaitTermination(600), "stream did not drain in time"
         write(b2)
-        run_corpus_clean_stream(
+        assert run_corpus_clean_stream(
             spark, str(feed), results, ckpt, metrics=metrics
-        ).awaitTermination(120)
+        ).awaitTermination(600), "stream did not drain in time"
 
         # ground truth from a BATCH pass of the same gates on the union
         all_rows = spark.createDataFrame(b1 + b2, schema).select(
