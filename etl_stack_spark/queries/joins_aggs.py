@@ -149,12 +149,16 @@ SELECT l_orderkey, l_partkey, l_linenumber FROM (
 
 @register("j9_dedup_check", _J9_ORACLE)
 def j9_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The kept row is the group's MIN l_linenumber and the output carries
+    # no other payload, so the rn=1 window (full shuffle+sort of every
+    # row) collapses to an aggregate with map-side partial min — the
+    # shuffle carries one row per (orderkey, partkey) instead of every
+    # lineitem (guide §2.3 "aggregate before you shuffle"). Same rows,
+    # same types; the general keep-first-by-rank form lives in
+    # operators/rank.py for payloads a min() cannot carry.
     lineitem = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
-    return (
-        lineitem.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_linenumber")
+    return lineitem.groupBy("l_orderkey", "l_partkey").agg(
+        F.min("l_linenumber").alias("l_linenumber")
     )
 
 
