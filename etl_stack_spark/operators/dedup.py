@@ -265,15 +265,23 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    ids = F.col("ids")
-    pair_structs = F.filter(
-        F.flatten(
-            F.transform(
-                ids,
-                lambda x: F.transform(ids, lambda y: F.struct(x.alias("a"), y.alias("b"))),
-            )
-        ),
-        lambda s: s["a"] < s["b"],
+    # Upper triangle directly: sort the group's ids once, then pair each
+    # id only with strictly-later ones via the index-based transform —
+    # n(n-1)/2 structs instead of materializing all n² and filtering
+    # (guide §1.2 step 2, per-task work). Output identical to the a<b
+    # filter because ids within a shingle group are distinct (shingles
+    # are array_distinct per doc), so a<b ⇔ strictly-after in sorted
+    # order; sorting also makes the emitted order deterministic under
+    # task retry.
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     common = (
         sh.groupBy("shingle")
@@ -655,6 +663,7 @@ def quality_survivor_dedup(
     sigs: DataFrame | None = None,
     pairs: DataFrame | None = None,
     qual: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware near-dup survivorship (round 7): cluster with
     :func:`minhash_cluster_dedup`, then keep the HIGHEST-QUALITY doc per
@@ -663,15 +672,26 @@ def quality_survivor_dedup(
     copy of a near-dup pair wastes exactly the data a wash exists to
     keep. Returns (id, cluster_id, quality, survivor_id, keep).
 
+    ``clusters`` injects a finished (id, cluster_id, ...) assignment —
+    the session cluster store / the written clusters staging table in
+    production — skipping the CC loop entirely. Unlike the pair store,
+    a cluster assignment does NOT restrict soundly to a sub-corpus
+    (components can connect through removed docs), so the injected
+    frame must be the assignment FOR EXACTLY this df's corpus; the
+    caller owns that contract (dd8 passes the full-corpus store over
+    the full documents table).
+
     Scale shape: everything dd6 does plus one corpus-keyed quality scan
     and one window over CLUSTER-sized groups (near-dup clusters are
     small by construction; a pathological mega-cluster is bounded by
     the LSH band structure long before the window sees it)."""
     from etl_stack_spark.operators.text import quality_score
 
-    clusters = minhash_cluster_dedup(
-        df, text_col, id_col, n, threshold, sigs=sigs, pairs=pairs
-    )
+    if clusters is None:
+        clusters = minhash_cluster_dedup(
+            df, text_col, id_col, n, threshold, sigs=sigs, pairs=pairs
+        )
+    clusters = clusters.select(id_col, "cluster_id")
     if qual is None:
         qual = df.select(id_col, quality_score(F.col(text_col)).alias("quality"))
     else:

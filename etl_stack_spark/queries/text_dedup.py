@@ -727,9 +727,15 @@ def dd8_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime import: corpus_q imports this module at load time
     from etl_stack_spark.queries.corpus_q import corpus_base
 
+    # clusters= (not pairs=): the session cluster store IS the finished
+    # CC assignment over this full corpus (dd6's output), so dd8 skips
+    # the per-call label-propagation loop outright — the survivorship
+    # window is the only work left (guide §2.4: remove the pass, not
+    # just its shuffles). Full-corpus injection satisfies the exactness
+    # contract in quality_survivor_dedup's docstring.
     return quality_survivor_dedup(
         load_table(spark, sf_dir, "documents"),
-        pairs=pair_base(spark, sf_dir),
+        clusters=cluster_base(spark, sf_dir),
         qual=corpus_base(spark, sf_dir)["scored"],
     )
 

@@ -1,0 +1,90 @@
+"""Round-10 optimization pins: (a) ngram_jaccard_pairs' upper-triangle
+pair generation (sorted ids + index-slice transform, emitting n(n-1)/2
+structs instead of filtering n²) is output-identical to the definition;
+(b) quality_survivor_dedup with an injected finished cluster assignment
+(the session cluster store) matches the self-clustering path exactly.
+Both changes are pure perf levers — these tests make that a contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stack_spark.operators.dedup import (
+    minhash_cluster_dedup,
+    ngram_jaccard_pairs,
+    quality_survivor_dedup,
+)
+from etl_stack_spark.session import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_ngram_pairs_upper_triangle_synthetic(spark):
+    """Hand corpus where the expected pair set is enumerable: three
+    near-identical docs (pairwise Jaccard ≥ 0.4 through shared 3-gram
+    shingles) plus one unrelated doc. Every qualifying pair appears
+    exactly once, ordered doc_a < doc_b, no self-pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (4, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(ngram_jaccard_pairs(docs, threshold=0.1), "doc_a", "doc_b")
+    keys = [(a, b) for a, b, _ in got]
+    assert keys == [(1, 2), (1, 3), (2, 3)]
+    assert all(a < b for a, b, _ in got)
+    # jaccard values: doc1 has 7 shingles, doc2 7, common 6 -> 6/8
+    assert got[0][2] == pytest.approx(0.75, abs=1e-6)
+
+
+def test_ngram_pairs_match_bruteforce_on_corpus(spark, docs):
+    """On the real smoke corpus the pair list equals a brute-force
+    shingle-set comparison computed independently in Python."""
+    from etl_stack_spark.operators.text import shingles_from_tokens, tokens
+
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select(
+            "doc_id",
+            shingles_from_tokens(tokens(F.col("text")), 3).alias("sh"),
+        ).collect()
+    }
+    ids = sorted(sh)
+    expect = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 6) >= 0.4:
+                expect.append((a, b))
+    got = [(a, b) for a, b, _ in _rows(ngram_jaccard_pairs(docs, threshold=0.4), "doc_a", "doc_b")]
+    assert got == expect
+
+
+def test_survivor_identical_with_injected_clusters(spark, docs):
+    """dd8's store path: quality_survivor_dedup(clusters=<finished
+    assignment over the same corpus>) must be row-identical to the
+    self-clustering path (which it replaced for perf)."""
+    clusters = minhash_cluster_dedup(docs).persist()
+    try:
+        direct = _rows(quality_survivor_dedup(docs), "doc_id")
+        injected = _rows(quality_survivor_dedup(docs, clusters=clusters), "doc_id")
+        assert injected == direct and len(direct) > 0
+    finally:
+        clusters.unpersist()
