@@ -79,3 +79,28 @@ def split_latlng(col: Column) -> tuple[Column, Column]:
     lng = F.trim(F.get(parts, 1)).try_cast("double")
     zeroish = lambda c: F.when((c == 0.0), F.lit(None).cast("double")).otherwise(c)  # noqa: E731
     return zeroish(lat), zeroish(lng)
+
+
+def sorted_pair_structs(ids: Column, a: str = "a", b: str = "b") -> Column:
+    """All unordered pairs of a DISTINCT-element array as structs with
+    ``a`` < ``b``: sort the array once, then pair each element only with
+    strictly-later ones via the index-based transform — n(n-1)/2 structs
+    emitted instead of materializing all n² and filtering (guide §1.2
+    step 2, per-task work), with a deterministic emit order under task
+    retry. Requires distinct elements (a<b ⇔ strictly-after in sorted
+    order only then); the call site (shingle groups in
+    ngram_jaccard_pairs) dedupes upstream. Measured note: the same
+    rewrite applied to basket_pair_affinity's basket self-join was a
+    wash in a single-session A/B at sf0.1 (collect_list's aggregate
+    cost ≈ the join savings at ~4-item baskets), so that operator
+    keeps its join form."""
+    s = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            s,
+            lambda x, i: F.transform(
+                F.slice(s, i + F.lit(2), F.size(s)),
+                lambda y: F.struct(x.alias(a), y.alias(b)),
+            ),
+        )
+    )

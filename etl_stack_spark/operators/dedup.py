@@ -265,24 +265,13 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    # Upper triangle directly: sort the group's ids once, then pair each
-    # id only with strictly-later ones via the index-based transform —
-    # n(n-1)/2 structs instead of materializing all n² and filtering
-    # (guide §1.2 step 2, per-task work). Output identical to the a<b
-    # filter because ids within a shingle group are distinct (shingles
-    # are array_distinct per doc), so a<b ⇔ strictly-after in sorted
-    # order; sorting also makes the emitted order deterministic under
-    # task retry.
-    ids = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # Upper triangle directly (sorted-ids index transform, see
+    # sorted_pair_structs): n(n-1)/2 structs instead of n² filtered a<b.
+    # Sound because ids within a shingle group are distinct (shingles
+    # are array_distinct per doc).
+    from etl_stack_spark.functions.misc import sorted_pair_structs
+
+    pair_structs = sorted_pair_structs(F.col("ids"))
     common = (
         sh.groupBy("shingle")
         .agg(F.collect_list(id_col).alias("ids"))
