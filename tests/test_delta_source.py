@@ -36,6 +36,28 @@ def _agg(state):
     return {r.grp: (r.n, r.total) for r in read_aggregate(state).collect()}
 
 
+def _await_drained(start):
+    """Start an availableNow stream (via the ``start`` thunk) and block
+    until it drains, retrying ONCE if the query died in INITIALIZING
+    because the freshly spawned Python planner worker missed Spark's
+    connect-back window. Spark 4.1.2's PythonWorkerFactory gives that
+    worker a HARDCODED 10 s (``ldc2_w 10000L`` in the accept loop — no
+    conf raises it), which a contended box can blow on interpreter spawn
+    alone; the failure precedes any offset commit, so one restart is
+    semantically a no-op. Every other failure re-raises immediately."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    for attempt in (0, 1):
+        q = start()
+        try:
+            assert q.awaitTermination(120)
+            return
+        except StreamingQueryException as e:
+            if attempt == 0 and "Python worker failed to connect back" in str(e):
+                continue
+            raise
+
+
 def test_changes_tail_drives_incremental_aggregate(spark, tmp_path):
     """merge commits → CDF batches → retractable aggregate: after every
     drain the maintained aggregate equals a from-scratch recompute of
@@ -180,8 +202,8 @@ def test_delta_tail_datasource_readstream(spark, tmp_path):
     batches: list[tuple[int, int]] = []
 
     def drain():
-        q = (
-            spark.readStream.format("delta_tail")
+        _await_drained(
+            lambda: spark.readStream.format("delta_tail")
             .option("path", root)
             .load()
             .writeStream.foreachBatch(
@@ -191,7 +213,6 @@ def test_delta_tail_datasource_readstream(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120)
 
     drain()  # bootstrap: the whole initial snapshot
     assert batches == [(0, 4000)]
@@ -258,8 +279,8 @@ def test_delta_tail_schema_evolution_contract(spark, tmp_path):
     collected: list = []
 
     def drain():
-        q = (
-            spark.readStream.format("delta_tail")
+        _await_drained(
+            lambda: spark.readStream.format("delta_tail")
             .option("path", root)
             .load()
             .writeStream.foreachBatch(
@@ -269,7 +290,6 @@ def test_delta_tail_schema_evolution_contract(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120)
 
     drain()  # bootstrap replays v0 (pre-evolution files) + v1
     got = {r.pk: r.extra for r in collected}
@@ -308,14 +328,13 @@ def test_delta_tail_starting_version(spark, tmp_path):
         reader = spark.readStream.format("delta_tail").option("path", root)
         if starting is not None:
             reader = reader.option("starting_version", starting)
-        q = (
-            reader.load()
+        _await_drained(
+            lambda: reader.load()
             .writeStream.foreachBatch(lambda df, bid: rows_seen.append(df.count()))
             .option("checkpointLocation", str(tmp_path / ckpt))
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(120)
 
     # start at version 1: only the second merge's rewritten files
     drain("ck1", "1")
