@@ -250,6 +250,48 @@ def load_baseline_shuffle_probe() -> float | None:
         return None
 
 
+def load_baseline_read_probe() -> float | None:
+    """The committed baseline's disk read probe (MB/s), same precedence
+    as load_baseline_probe(): the reference point for the I/O-health
+    routing rule below."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            data = json.load(f)
+        data = data.get("parsed", data)
+        v = data.get("read_probe_mb_s")
+        return float(v) if v else None
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return None
+
+
+# Floor for a HEALTHY disk read through an evicted page cache, from the
+# round-10 measured band: calm boxes read 201-1427 MB/s depending on
+# cache state; the one I/O-degraded host read 49 MB/s and inflated every
+# query a uniform ~1.3x (session-5 record, OPTIMIZATION_r10.md). 100 is
+# half the worst healthy reading and 2x the degraded one.
+READ_PROBE_FLOOR_MB_S = 100.0
+
+
+def read_probe_contended(rp: float | None, baseline_rp: float | None) -> bool:
+    """Whether the disk read probe marks the run I/O-degraded (routed to
+    BENCH_DETAIL_CONTENDED.json, barred from the committed baseline).
+
+    The probe is cache-state dependent (warm ~1 GB/s, evicted ~200 MB/s),
+    so a pure ratio-to-baseline bar would misroute a cold-cache run
+    measured against a warm-cache baseline (201/956 = 0.21x, healthy).
+    The governing term is therefore the ABSOLUTE floor; the ratio term
+    only tightens the bar further when the committed baseline itself was
+    recorded on a slower disk (keeps the rule meaningful if the baseline
+    box changes class)."""
+    if rp is None:
+        return False
+    bar = READ_PROBE_FLOOR_MB_S
+    if baseline_rp:
+        bar = min(bar, 0.5 * baseline_rp)
+    return rp < bar
+
+
 # Blended speed normalization (VERDICT r9 task 4). The CPU probe alone
 # over-corrects: two calm runs of identical r9 code normalized to 13.806s
 # and 18.573s (±35%) because headline queries are shuffle/IO-bound in a
@@ -1327,6 +1369,21 @@ def main() -> None:
     if rp is not None:
         out["read_probe_mb_s"] = rp
         print(f"# read probe: {rp} MB/s", file=sys.stderr)
+        # I/O-health routing (round-10 session-5 gap): an I/O-degraded
+        # host inflates every query a uniform ~1.3x without moving the
+        # cpu or shuffle probes (observed: 49 MB/s, cpu probe BETTER
+        # than baseline) — such a run must be routed wholesale to the
+        # contended sidecar, not flagged query-by-query
+        baseline_rp = load_baseline_read_probe()
+        if baseline_rp:
+            out["read_ratio"] = round(rp / baseline_rp, 2)
+        if read_probe_contended(rp, baseline_rp):
+            out["contended"] = True
+            print(
+                f"# read probe {rp} MB/s below the I/O-health bar "
+                f"-> run marked contended",
+                file=sys.stderr,
+            )
     if headline_resamples:
         # suppressed count surfaces in the official line so the driver
         # record shows adjudication HAPPENED, not just its outcome

@@ -64,3 +64,40 @@ def test_incomplete_inputs_return_none():
 
 def test_identity_on_baseline_box():
     assert blended_normalized(10.0, 0.9, 1.1, 0.9, 1.1) == 10.0
+
+
+# --- I/O-health routing (round-10 session-5 gap) -----------------------
+# An I/O-degraded host (measured: 49 MB/s read probe, every query a
+# uniform ~1.3x slow while the CPU probe read BETTER than baseline) must
+# route the whole run to the contended sidecar. The rule's governing
+# term is an absolute floor because the probe is cache-state dependent:
+# a cold-cache healthy run (~200 MB/s) measured against a warm-cache
+# baseline (~956 MB/s) is a 0.21x ratio yet perfectly healthy.
+
+from bench import read_probe_contended, READ_PROBE_FLOOR_MB_S  # noqa: E402
+
+
+def test_degraded_disk_routes_contended():
+    # the session-5 observed pair: 49 MB/s vs the committed 956.3
+    assert read_probe_contended(49.0, 956.3) is True
+
+
+def test_cold_cache_healthy_run_not_contended():
+    # the session-3 calm cold-cache reading vs the warm-cache baseline:
+    # ratio 0.21x but above the absolute floor — must NOT be routed
+    assert read_probe_contended(201.0, 956.3) is False
+
+
+def test_slow_baseline_tightens_the_bar():
+    # baseline recorded on a slower-disk box: the ratio term halves the
+    # bar so a same-class reading is not misrouted
+    assert read_probe_contended(60.0, 90.0) is False  # bar = min(100, 45)
+    assert read_probe_contended(40.0, 90.0) is True
+
+
+def test_missing_probe_is_not_contended():
+    assert read_probe_contended(None, 956.3) is False
+    assert read_probe_contended(None, None) is False
+    # missing baseline: the absolute floor alone governs
+    assert read_probe_contended(READ_PROBE_FLOOR_MB_S - 1, None) is True
+    assert read_probe_contended(READ_PROBE_FLOOR_MB_S + 1, None) is False
