@@ -710,13 +710,36 @@ def pq_adc_topk(
             ).alias("d2"),
         )
     )
-    occ = codes.select(
-        F.col(id_col), F.posexplode("codes").alias("sub", "code")
+    # The LUT rows pivot into ONE flat per-query array (sub-major,
+    # lutf[off(s)+code] = that subspace/code's partial d²) and the ADC
+    # sum becomes m element_at lookups in a single map-side projection
+    # on the codes scan. The previous form exploded codes (m× the rows),
+    # hash-joined the LUT on (sub, code), and re-aggregated per
+    # (query, id) — a full shuffle of candidates×m rows whose only
+    # purpose was adding m numbers back together (guide §2.4). The fold
+    # order over subspaces (s = 0..m-1) matches the LUT build's, and
+    # round(·, 9) pins the value as before.
+    lut_flat = lut.groupBy(query_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
+            lambda x: x["d2"],
+        ).alias("lutf")
     )
-    scored = (
-        occ.join(F.broadcast(lut), ["sub", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    offs = [0]
+    for s in range(m):
+        offs.append(offs[-1] + len(codebooks[s]))
+    adc = sum(
+        (
+            F.element_at(
+                F.col("lutf"),
+                F.lit(offs[s] + 1) + F.element_at(F.col("codes"), s + 1),
+            )
+            for s in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = codes.crossJoin(F.broadcast(lut_flat)).select(
+        query_id_col, F.col(id_col), F.round(adc, 9).alias("adc_d2")
     )
     return tiered_top_k(
         scored,
@@ -904,13 +927,34 @@ def ivfpq_topk(
             lambda acc, x: acc + x,
         ).alias("d2"),
     )
-    cand = index.join(
-        qr.select(query_id_col, "cell"), "cell"
-    ).select(query_id_col, "cell", F.col(id_col), F.posexplode("codes").alias("sub", "code"))
-    scored = (
-        cand.join(F.broadcast(lut), [query_id_col, "cell", "sub", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("d2"), 9).alias("adc_d2"))
+    # Same LUT pivot as pq_adc_topk, keyed by (query, probed cell): the
+    # candidate join stays ONE equi-join on cell (now against the
+    # broadcast q·n_probe-row LUT-array frame instead of the bare probe
+    # list), and the ADC sum is m element_at lookups map-side. The old
+    # explode→4-key-join→groupBy cycle shuffled candidates×m rows back
+    # together just to add m numbers (guide §2.4) — at 10^9 vectors that
+    # exchange, not the broadcast, was the search's big cost.
+    lut_flat = lut.groupBy(query_id_col, "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
+            lambda x: x["d2"],
+        ).alias("lutf")
+    )
+    offs = [0]
+    for s in range(m):
+        offs.append(offs[-1] + len(codebooks[s]))
+    adc = sum(
+        (
+            F.element_at(
+                F.col("lutf"),
+                F.lit(offs[s] + 1) + F.element_at(F.col("codes"), s + 1),
+            )
+            for s in range(m)
+        ),
+        start=F.lit(0.0),
+    )
+    scored = index.join(F.broadcast(lut_flat), "cell").select(
+        query_id_col, F.col(id_col), F.round(adc, 9).alias("adc_d2")
     )
     shortlist = tiered_top_k(
         scored,

@@ -136,6 +136,10 @@ def test_no_row_at_a_time_python_anywhere(spark):
     # compile to BroadcastNestedLoopJoin; nothing may CartesianProduct
     nested_loop_allowed = {
         "ss1_bruteforce_topk",   # broadcast query side x corpus, by design
+        "pq1_adc_topk",          # broadcast per-query ADC LUT x codes scan:
+                                 # PQ ADC is definitionally a full scan per
+                                 # query (ss1's class); the LUT-array pivot
+                                 # replaced the explode+join+groupBy cycle
         "hn1_hard_negatives",    # broadcast query side x corpus, label != join
         "rrf1_hybrid_retrieval",  # ss1's 1-row broadcast query-vector side
         "q22_dormant_rich",      # scalar subquery threshold (1-row side)
