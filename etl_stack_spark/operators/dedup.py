@@ -341,6 +341,7 @@ def embedding_near_duplicates_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    bucketed: bool = False,
 ) -> DataFrame:
     """(id_a < id_b, cosine ≥ threshold) near-dup pairs via sign-projection
     LSH — the 100 TB shape: no O(n²) stage.
@@ -353,15 +354,23 @@ def embedding_near_duplicates_lsh(
     rarely are — measure with the exact variant on a sample). Shuffle-
     bounded: 9 probe rows per vector, equi-join on bucket id, AQE splits
     skewed buckets. Deterministic hyperplanes ⇒ SQL-expressible oracle.
+
+    ``bucketed``: ``df`` is already an ``lsh_bucket_frame`` staging frame
+    (id_col, v, n, bucket) — skip the projection; pass a persisted frame
+    when several LSH consumers share one corpus (it is also re-read three
+    times inside this operator: probes + both vector re-attach sides).
     """
     from etl_stack_spark.operators.similarity import N_HYPERPLANES, _dot, _norm, lsh_bucket
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = (
-        df.select(F.col(id_col), v.alias("v"))
-        .withColumn("bucket", lsh_bucket(F.col("v")))
-        .withColumn("n", _norm(F.col("v")))
-    )
+    if bucketed:
+        base = df
+    else:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        base = (
+            df.select(F.col(id_col), v.alias("v"))
+            .withColumn("bucket", lsh_bucket(F.col("v")))
+            .withColumn("n", _norm(F.col("v")))
+        )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << hk)) for hk in range(N_HYPERPLANES)],

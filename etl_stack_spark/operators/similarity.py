@@ -149,6 +149,29 @@ def lsh_bucket(vec_col, dim: int = EMB_DIM, n_planes: int = N_HYPERPLANES):
     return bucket
 
 
+def lsh_bucket_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """Canonical LSH staging frame: (id_col, v double[], n, bucket).
+
+    This is the bucketed-corpus staging table an LSH pipeline
+    materializes once and every consumer (bucket top-k, multi-probe,
+    near-dup pair mining) reads — build it, persist it, and pass it to
+    ``lsh_bucketed_topk(..., bucketed=True)`` /
+    ``embedding_near_duplicates_lsh(..., bucketed=True)`` so the
+    9-hyperplane projection runs once per corpus instead of once per
+    consumer. Values are bit-identical to what each consumer computed
+    inline (same ``_as_double``/``_norm``/``lsh_bucket`` expressions)."""
+    return (
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn("bucket", lsh_bucket(F.col("v"), n_planes=n_planes))
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -158,6 +181,7 @@ def lsh_bucketed_topk(
     query_id_col: str = "query_id",
     multi_probe: bool = False,
     n_planes: int = N_HYPERPLANES,
+    bucketed: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank. The bucket join replaces the cross join — the
@@ -165,15 +189,34 @@ def lsh_bucketed_topk(
 
     ``multi_probe``: the query also probes the ``n_planes`` buckets at
     Hamming distance 1 (one flipped hyperplane sign) — ~(1+H)× candidates
-    for a large recall gain on vectors near a hyperplane boundary."""
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
-    c = c.withColumn("bucket", lsh_bucket(F.col("cv"), n_planes=n_planes))
-    q = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes=n_planes))
+    for a large recall gain on vectors near a hyperplane boundary.
+
+    ``bucketed``: corpus and queries are ``lsh_bucket_frame`` outputs
+    (columns id/query_id, v, n, bucket — built with the same n_planes)
+    and the projection is skipped — pass a persisted staging frame here
+    when several consumers share one corpus."""
+    if bucketed:
+        c = corpus.select(
+            F.col(id_col),
+            F.col("v").alias("cv"),
+            F.col("n").alias("cn"),
+            "bucket",
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            "bucket",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", _norm(F.col("cv")))
+        q = queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", _norm(F.col("qv")))
+        c = c.withColumn("bucket", lsh_bucket(F.col("cv"), n_planes=n_planes))
+        q = q.withColumn("bucket", lsh_bucket(F.col("qv"), n_planes=n_planes))
     if multi_probe:
         probes = F.array(
             F.col("bucket"),

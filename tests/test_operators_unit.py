@@ -702,3 +702,30 @@ def test_ingest_observation_rides_the_same_action(spark):
         1 for r in rows if r["location_lat"] is None or r["location_lng"] is None
     )
     assert m["approx_hashes"] >= 1
+
+
+def test_lsh_bucket_frame_matches_inline_paths(spark):
+    """The shared LSH staging frame (lsh_bucket_frame + bucketed=True)
+    must be a pure refactor: top-k (single and multi-probe) and near-dup
+    pairs are row-identical to the operators' inline projections."""
+    from etl_stack_spark.operators.dedup import embedding_near_duplicates_lsh
+    from etl_stack_spark.operators.similarity import lsh_bucket_frame, lsh_bucketed_topk
+    from etl_stack_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    frame = lsh_bucket_frame(emb)
+    q_frame = frame.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+
+    for multi in (False, True):
+        inline = lsh_bucketed_topk(emb, queries, k=10, multi_probe=multi)
+        stored = lsh_bucketed_topk(frame, q_frame, k=10, multi_probe=multi, bucketed=True)
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert sorted(inline.collect(), key=key) == sorted(stored.collect(), key=key)
+
+    inline_dd = embedding_near_duplicates_lsh(emb, threshold=0.42)
+    stored_dd = embedding_near_duplicates_lsh(frame, threshold=0.42, bucketed=True)
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(inline_dd.collect(), key=key) == sorted(stored_dd.collect(), key=key)
