@@ -100,15 +100,29 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    bucketed: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
-    Self-matches (same id) excluded."""
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm(F.col("qv")))
+    Self-matches (same id) excluded.
+
+    ``bucketed``: corpus and queries are ``lsh_bucket_frame`` staging
+    frames (id/query_id, v, n[, bucket — unused here]); the cast/norm
+    projection is skipped. Same values either way — the frame holds the
+    identical ``_as_double``/``_norm`` columns this operator computes."""
+    if bucketed:
+        c = corpus.select(
+            F.col(id_col), F.col("v").alias("cv"), F.col("n").alias("cn")
+        )
+        q = queries.select(
+            F.col(query_id_col), F.col("v").alias("qv"), F.col("n").alias("qn")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("cv")
+        ).withColumn("cn", _norm(F.col("cv")))
+        q = queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv")
+        ).withColumn("qn", _norm(F.col("qv")))
     # Norms hoisted out of the pair scoring: one traversal per pair
     # (the dot product) instead of three; qn*cn keeps cosine()'s exact
     # association order, so scores are bit-identical.

@@ -98,10 +98,12 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v double[], n, bucket) LSH staging frame over the
     embeddings corpus, persisted once per (session, sf_dir) — the
     bucketed-corpus table a production LSH pipeline materializes once.
-    Three consumers share it (ss2, ss4, dd5 — same deterministic
-    hyperplanes), and dd5 alone re-reads it three times internally, so
-    without the store the 9-hyperplane × 64-dim projection ran five
-    times per bench pass instead of once."""
+    Five consumers share it (ss2, ss4, dd5 on the buckets — same
+    deterministic hyperplanes — plus ss1 and rrf1's vector leg, which
+    read only the v/n columns for exact scans), and dd5 alone re-reads
+    it three times internally, so without the store the cast + norm
+    (+ 9-hyperplane × 64-dim projection) ran seven times per bench pass
+    instead of once."""
     from pyspark import StorageLevel
 
     from etl_stack_spark.operators.similarity import lsh_bucket_frame
@@ -185,11 +187,11 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 
 @register("ss1_bruteforce_topk", _SS1_ORACLE)
 def ss1_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    b = _lsh_bucketed(spark, sf_dir)
+    queries = b.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
     )
-    out = brute_force_topk(emb, queries, k=10)
+    out = brute_force_topk(b, queries, k=10, bucketed=True)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -461,16 +463,14 @@ def rrf1_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.queries.text_dedup import _IR1_TERMS
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
 
     lex = bm25_rank(docs, list(_IR1_TERMS), top_k=50).withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score_millis"), "doc_id")),
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    vec = brute_force_topk(emb, qv, k=50).select(
+    b = _lsh_bucketed(spark, sf_dir)
+    qv = b.filter(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    vec = brute_force_topk(b, qv, k=50, bucketed=True).select(
         F.col("vec_id").alias("doc_id"), "rank"
     )
     fused = rrf_fuse(

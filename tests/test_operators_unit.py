@@ -729,3 +729,10 @@ def test_lsh_bucket_frame_matches_inline_paths(spark):
     stored_dd = embedding_near_duplicates_lsh(frame, threshold=0.42, bucketed=True)
     key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
     assert sorted(inline_dd.collect(), key=key) == sorted(stored_dd.collect(), key=key)
+
+    from etl_stack_spark.operators.similarity import brute_force_topk
+
+    inline_bf = brute_force_topk(emb, queries, k=10)
+    stored_bf = brute_force_topk(frame, q_frame, k=10, bucketed=True)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(inline_bf.collect(), key=key) == sorted(stored_bf.collect(), key=key)
