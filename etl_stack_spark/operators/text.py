@@ -261,7 +261,19 @@ def bm25_rank(docs, query_terms, k1: float = 1.2, b: float = 0.75, top_k: int = 
     """
     spark = docs.sparkSession
     toks = _tokenize_explode(docs, "doc_id", "text")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Per-doc length WITHOUT exploding: size(filter(split(...))) counts
+    # the same non-empty tokens as the exploded groupBy did, as a narrow
+    # projection — the full-corpus token stream no longer crosses an
+    # exchange just to be counted. The dl > 0 filter keeps token-less
+    # docs out of dl/n_docs/t_total exactly as the explode form did
+    # (they contributed no rows there), so every BM25 input integer is
+    # unchanged.
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+        ).alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_total"))
     qt = spark.createDataFrame([(t,) for t in query_terms], "tok string")
     tf = toks.join(F.broadcast(qt), "tok").groupBy("doc_id", "tok").agg(
