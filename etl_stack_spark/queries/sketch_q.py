@@ -121,7 +121,17 @@ _CM1_ORACLE = cm_oracle_sql(
 def cm1_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     sketch = cm_build(orders, F.col("o_custkey").cast("string"))
-    true_cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # true counts are only read for probe keys (c_custkey % 100 = 0), so
+    # filter orders to those keys BEFORE the groupBy: per-key counts are
+    # untouched by dropping other keys, the count shuffle carries 1% of
+    # the fact table, and the broadcast below is size-safe at scale
+    # (the sketch build above still consumes every order row — that is
+    # the sketch's job).
+    true_cnt = (
+        orders.filter(F.col("o_custkey") % 100 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
     probe = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 100 == 0)
