@@ -168,6 +168,7 @@ def lsh_bucket_frame(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = N_HYPERPLANES,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Canonical LSH staging frame: (id_col, v double[], n, bucket).
 
@@ -178,9 +179,16 @@ def lsh_bucket_frame(
     ``embedding_near_duplicates_lsh(..., bucketed=True)`` so the
     9-hyperplane projection runs once per corpus instead of once per
     consumer. Values are bit-identical to what each consumer computed
-    inline (same ``_as_double``/``_norm``/``lsh_bucket`` expressions)."""
+    inline (same ``_as_double``/``_norm``/``lsh_bucket`` expressions).
+
+    ``keep_cols``: extra source columns carried through unchanged (e.g.
+    a class label for hard-negative mining consumers)."""
     return (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            _as_double(F.col(vec_col)).alias("v"),
+        )
         .withColumn("n", _norm(F.col("v")))
         .withColumn("bucket", lsh_bucket(F.col("v"), n_planes=n_planes))
     )
@@ -417,6 +425,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    bucketed: bool = False,
 ) -> DataFrame:
     """Hard-negative mining for contrastive/retrieval training: for each
     query vector, the k most-similar corpus vectors whose LABEL differs
@@ -428,17 +437,35 @@ def hard_negatives(
     per-partition scoring, WindowGroupLimit top-k — plus the label
     inequality pushed below the rank window so mismatched labels never
     reach the shuffle. Returns (query_id, vec_id, cosine, rank).
+
+    ``bucketed``: corpus and queries are ``lsh_bucket_frame`` frames
+    built with ``keep_cols=(label_col,)`` — cast/norm projection skipped
+    (values are the identical v/n columns).
     """
-    c = corpus.select(
-        F.col(id_col),
-        F.col(label_col).alias("_clabel"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(label_col).alias("_qlabel"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    if bucketed:
+        c = corpus.select(
+            F.col(id_col),
+            F.col(label_col).alias("_clabel"),
+            F.col("v").alias("cv"),
+            F.col("n").alias("cn"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(label_col).alias("_qlabel"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col),
+            F.col(label_col).alias("_clabel"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cn", _norm(F.col("cv")))
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(label_col).alias("_qlabel"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qn", _norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), F.col("_clabel") != F.col("_qlabel"))
         .withColumn(

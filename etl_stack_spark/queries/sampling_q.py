@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_stack_spark.operators.similarity import _as_double, cosine
 from etl_stack_spark.operators.text import portable_hash60
 from etl_stack_spark.queries import register
 from etl_stack_spark.session import load_table
@@ -221,17 +220,29 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 
 @register("ss3_ivf_topk", _SS3_ORACLE)
 def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("cv"))
-    q = emb.filter(F.col("vec_id") < 10).select(
+    from etl_stack_spark.operators.similarity import _dot
+    from etl_stack_spark.queries.similarity import _lsh_bucketed
+
+    # corpus/query sides read the shared LSH staging store (v/n/label);
+    # qn*cn is the same product of the same per-vector norms cosine()
+    # computed inline, so the rounded score is bit-identical
+    b = _lsh_bucketed(spark, sf_dir)
+    corpus = b.select(
+        "vec_id", "label", F.col("v").alias("cv"), F.col("n").alias("cn")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        _as_double(F.col("embedding")).alias("qv"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
     )
     scored = (
         corpus.join(F.broadcast(q), corpus.label == q.q_label)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

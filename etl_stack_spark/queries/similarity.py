@@ -98,12 +98,12 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v double[], n, bucket) LSH staging frame over the
     embeddings corpus, persisted once per (session, sf_dir) — the
     bucketed-corpus table a production LSH pipeline materializes once.
-    Five consumers share it (ss2, ss4, dd5 on the buckets — same
-    deterministic hyperplanes — plus ss1 and rrf1's vector leg, which
-    read only the v/n columns for exact scans), and dd5 alone re-reads
-    it three times internally, so without the store the cast + norm
-    (+ 9-hyperplane × 64-dim projection) ran seven times per bench pass
-    instead of once."""
+    Seven consumers share it (ss2, ss4, dd5 on the buckets — same
+    deterministic hyperplanes; ss1, ss3, and rrf1's vector leg read the
+    v/n columns for exact scans; hn1 additionally reads the carried
+    label), and dd5 alone re-reads it three times internally, so
+    without the store the cast + norm (+ 9-hyperplane × 64-dim
+    projection) ran nine times per bench pass instead of once."""
     from pyspark import StorageLevel
 
     from etl_stack_spark.operators.similarity import lsh_bucket_frame
@@ -116,9 +116,9 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = _ANN_CACHE.get(key)
         if hit is not None:
             return hit
-        b = lsh_bucket_frame(load_table(spark, sf_dir, "embeddings")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        b = lsh_bucket_frame(
+            load_table(spark, sf_dir, "embeddings"), keep_cols=("label",)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         _ANN_CACHE[key] = b
         return b
 
@@ -514,11 +514,11 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE ran
 def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stack_spark.operators.similarity import hard_negatives
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "label", "embedding"
+    b = _lsh_bucketed(spark, sf_dir)
+    queries = b.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
     )
-    return hard_negatives(emb, queries, k=5)
+    return hard_negatives(b, queries, k=5, bucketed=True)
 
 
 # ---------------------------------------------------------------------------

@@ -736,3 +736,15 @@ def test_lsh_bucket_frame_matches_inline_paths(spark):
     stored_bf = brute_force_topk(frame, q_frame, k=10, bucketed=True)
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(inline_bf.collect(), key=key) == sorted(stored_bf.collect(), key=key)
+
+    from etl_stack_spark.operators.similarity import hard_negatives
+
+    lframe = lsh_bucket_frame(emb, keep_cols=("label",))
+    lq = lframe.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    inline_hn = hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding"
+        ), k=5,
+    )
+    stored_hn = hard_negatives(lframe, lq, k=5, bucketed=True)
+    assert sorted(inline_hn.collect(), key=key) == sorted(stored_hn.collect(), key=key)
