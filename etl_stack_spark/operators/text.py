@@ -389,12 +389,24 @@ def pmi_collocations(
             ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
         ).alias("p")
     ).select(F.col("p.a").alias("gram_a"), F.col("p.b").alias("gram_b"))
-    big = pairs.groupBy("gram_a", "gram_b").agg(F.count(F.lit(1)).alias("n_pair"))
+    # GC-owned lazy checkpoint: big has three consumers (the scored join
+    # path, the unigram derivation, n_total) — without it the corpus
+    # tokenize + bigram explode re-runs per consumer
+    big = (
+        pairs.groupBy("gram_a", "gram_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    # unigram counts DERIVED from the bigram table, not a second pass
+    # over the exploded corpus: C(t as first) = Σ n_pair where gram_a=t
+    # (and likewise as second) — the same integers the token-stream
+    # groupBy produced, aggregated from a vocabulary²-bounded frame
+    # instead of the full pair stream
     uni = (
-        pairs.select(F.col("gram_a").alias("tok"))
-        .unionAll(pairs.select(F.col("gram_b").alias("tok")))
+        big.select(F.col("gram_a").alias("tok"), "n_pair")
+        .unionAll(big.select(F.col("gram_b").alias("tok"), "n_pair"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .agg(F.sum("n_pair").cast("long").alias("n_tok"))
     )
     n_total = big.agg(F.sum("n_pair").cast("long").alias("n_total"))
     scored = (
