@@ -250,6 +250,26 @@ def load_baseline_shuffle_probe() -> float | None:
         return None
 
 
+def load_baseline_cpus() -> int:
+    """Core count of the committed baseline run (32 for records that
+    predate the field). When a run's $SPARK_GRAFT_CPUS differs, the
+    cpu/shuffle probe RATIOS are core-count artifacts, not contention
+    (an 8-core run's probes read ~4x a 32-core baseline regardless of
+    box health — BENCH_r10_c8's 2.347 cpu probe was exactly this plus
+    real contention, and the PERF scaling block became noise; VERDICT
+    r10 task 8). Such runs skip ratio-based contended marking and the
+    blended normalization; the read-probe floor and steal%, which are
+    core-count independent, still govern."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            data = json.load(f)
+        data = data.get("parsed", data)
+        return int(data.get("cpus", 32))
+    except (OSError, json.JSONDecodeError, TypeError, ValueError):
+        return 32
+
+
 def load_baseline_read_probe() -> float | None:
     """The committed baseline's disk read probe (MB/s), same precedence
     as load_baseline_probe(): the reference point for the I/O-health
@@ -357,6 +377,71 @@ def time_query(fn, spark, sf_dir: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = fn(spark, sf_dir).count()  # full execution, no driver-side data collect
     return time.perf_counter() - t0, n
+
+
+def warm_stores(spark, sf_dir: str, requested: set[str] | None) -> dict[str, float]:
+    """Build + materialize each session store / trained index explicitly,
+    TIMED (VERDICT r10 task 2): the official line carries
+    ``store_build_secs`` so a reader of the record alone can compute
+    (build + N×consumer) vs (N×inline) without opening
+    OPTIMIZATION_r*.md. The stores are keyed per (applicationId, sf_dir)
+    — nothing survives the run; this only makes the build cost the
+    warmup already paid implicitly (inside the first consumer's first
+    sample) explicit and attributable. On a --queries subset run a store
+    is built only when a requested query consumes it (same rationale as
+    the warm-entry subset rule). Zero change to the timed region."""
+    from etl_stack_spark.queries import corpus_q
+    from etl_stack_spark.queries import similarity as sim_q
+    from etl_stack_spark.queries import text_dedup
+
+    lsh_consumers = {
+        "ss1_bruteforce_topk", "ss2_lsh_topk", "ss3_ivf_topk",
+        "ss4_multiprobe_topk", "dd5_embedding_neardup",
+        "rrf1_hybrid_retrieval", "hn1_hard_negatives",
+    }
+    minhash_consumers = {
+        "dd2_minhash_lsh", "dd6_cluster_dedup", "dd8_quality_survivor",
+        "split1_leakage_safe", "llm1_corpus_clean", "llm2_corpus_clean_v2",
+        "llm3_corpus_clean_v3",
+    }
+    corpus_consumers = {
+        "llm1_corpus_clean", "llm2_corpus_clean_v2", "llm3_corpus_clean_v3",
+        "dd8_quality_survivor",
+    }
+    specs: list[tuple[str, set[str], object]] = [
+        ("ann_normalized", {"pq1_adc_topk", "ivfpq1_topk"},
+         lambda: sim_q._ann_normalized(spark, sf_dir).count()),
+        ("lsh_bucket", lsh_consumers,
+         lambda: sim_q._lsh_bucketed(spark, sf_dir).count()),
+        ("pq_train_encode", {"pq1_adc_topk"},
+         lambda: sim_q._pq_trained(spark, sf_dir)),
+        ("ivfpq_train_encode", {"ivfpq1_topk"},
+         lambda: sim_q._ivfpq_trained(spark, sf_dir)),
+        ("minhash_sig", minhash_consumers,
+         lambda: text_dedup.sig_base(spark, sf_dir).count()),
+        ("minhash_pair", minhash_consumers,
+         lambda: text_dedup.pair_base(spark, sf_dir).count()),
+        ("minhash_cluster",
+         {"dd6_cluster_dedup", "dd8_quality_survivor", "split1_leakage_safe"},
+         lambda: text_dedup.cluster_base(spark, sf_dir).count()),
+        ("sem_pair", {"sd1_semantic_dedup", "llm3_corpus_clean_v3"},
+         lambda: text_dedup.sem_pair_base(spark, sf_dir).count()),
+        ("corpus_scored_gate", corpus_consumers,
+         lambda: [v.count() for v in corpus_q.corpus_base(spark, sf_dir).values()]),
+        ("xdoc", {"llm3_corpus_clean_v3"},
+         lambda: corpus_q.xdoc_base(spark, sf_dir).count()),
+    ]
+    out: dict[str, float] = {}
+    for key, consumers, build in specs:
+        if requested is not None and not (requested & consumers):
+            continue
+        try:
+            t0 = time.perf_counter()
+            build()
+            out[key] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # warmup must never fail the bench
+            print(f"# store warm {key} skipped: {e}", file=sys.stderr)
+    return out
 
 
 def bench_streaming(spark, sf_dir: str) -> dict:
@@ -1039,6 +1124,15 @@ def main() -> None:
     # warming a session store no requested query reads is pure cost (the
     # adjudication e2es spawn single-query subset runs — each was paying
     # the full 9-entry warmup, ~half the test's 100s wall).
+    # Since r11 each store build is timed explicitly (warm_stores) and the
+    # official line carries store_build_secs + warmup_total_secs (VERDICT
+    # r10 task 2): the build work was already outside the timed region —
+    # now its cost is part of the record instead of only this comment.
+    warm_t0 = time.perf_counter()
+    store_build_secs = warm_stores(spark, sf_dir, set(names) if subset else None)
+    if store_build_secs:
+        print(f"# store builds: {store_build_secs}", file=sys.stderr)
+    warm_entry_secs: dict[str, float] = {}
     for warm in (
         "t1_lead_prep_topk",
         "a2a3_lead_metrics",
@@ -1054,9 +1148,12 @@ def main() -> None:
             continue
         if warm in registry:
             try:
+                t0 = time.perf_counter()
                 registry[warm](spark, sf_dir).count()
+                warm_entry_secs[warm] = round(time.perf_counter() - t0, 3)
             except Exception as e:  # warmup must never fail the bench
                 print(f"# warmup skipped: {e}", file=sys.stderr)
+    warmup_total_secs = round(time.perf_counter() - warm_t0, 3)
 
     # box-speed calibration (VERDICT r7 task 1): measured AFTER warmup
     # (JVM up, codegen hot) so the probe times the box, not startup
@@ -1306,6 +1403,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "runs_per_query": runs,
+        # warmup accounting (VERDICT r10 task 2): what the session-store /
+        # trained-index builds cost, so (build + N×consumer) vs (N×inline)
+        # is computable from this record alone. Timed entries unchanged.
+        "store_build_secs": store_build_secs,
+        "warmup_total_secs": warmup_total_secs,
+        # core count the run actually used (VERDICT r10 task 8: low-core
+        # scaling records must be self-describing)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
     }
     # raw AND speed-normalized headline: normalized = what this box's
     # total would read on the committed baseline's box (the policy that
@@ -1316,6 +1421,12 @@ def main() -> None:
     # records missing a shuffle probe.
     baseline_probe = load_baseline_probe()
     baseline_shuffle = load_baseline_shuffle_probe()
+    # probe ratios only adjudicate same-core-count runs (see
+    # load_baseline_cpus): a $SPARK_GRAFT_CPUS scaling run keeps its raw
+    # probes in the record but never normalizes with them
+    cpus_match_baseline = out["cpus"] == load_baseline_cpus()
+    if not cpus_match_baseline:
+        out["probe_ratios_suppressed"] = "cpus differ from baseline"
     if probe_secs:
         out["box_speed_probe_secs"] = probe_secs
         if baseline_probe:
@@ -1330,10 +1441,14 @@ def main() -> None:
         if baseline_shuffle:
             out["baseline_shuffle_probe_secs"] = baseline_shuffle
             out["shuffle_ratio"] = round(shuffle_probe_secs / baseline_shuffle, 2)
-            if out["shuffle_ratio"] > 1.5:
+            if out["shuffle_ratio"] > 1.5 and cpus_match_baseline:
                 out["contended"] = True
-    blended = blended_normalized(
-        total, probe_secs, shuffle_probe_secs, baseline_probe, baseline_shuffle
+    blended = (
+        blended_normalized(
+            total, probe_secs, shuffle_probe_secs, baseline_probe, baseline_shuffle
+        )
+        if cpus_match_baseline
+        else None  # probe ratios are core-count artifacts on a low-core run
     )
     if blended is not None:
         out["normalized_value"] = blended
@@ -1349,7 +1464,7 @@ def main() -> None:
             round(total * min(r_cpu, r_sh), 3),
             round(total * max(r_cpu, r_sh), 3),
         ]
-    elif probe_secs and baseline_probe:
+    elif probe_secs and baseline_probe and cpus_match_baseline:
         out["normalized_value"] = round(total * baseline_probe / probe_secs, 3)
         out["normalized_rule"] = "cpu-only-legacy"
     # whole-run CPU steal: the contention the run actually experienced
@@ -1366,6 +1481,15 @@ def main() -> None:
         if cache_end is not None:
             out["cached_gib_end"] = cache_end
     rp = read_probe_mb_s(sf_dir)
+    if rp is not None and rp < READ_PROBE_FLOOR_MB_S:
+        # one calm-window retry (VERDICT r10 task 8): a transient I/O
+        # stall at probe time must not condemn a whole healthy run; a
+        # genuinely degraded disk fails both probes and routes as before
+        time.sleep(20)
+        rp2 = read_probe_mb_s(sf_dir)
+        if rp2 is not None:
+            out["read_probe_retry_mb_s"] = rp2
+            rp = max(rp, rp2)
     if rp is not None:
         out["read_probe_mb_s"] = rp
         print(f"# read probe: {rp} MB/s", file=sys.stderr)
@@ -1399,7 +1523,7 @@ def main() -> None:
         out["fault_injected"] = dict(fault)
     if baseline_override:
         out["baseline_override"] = dict(baseline_override)
-    detail = {**out, "samples": spreads}
+    detail = {**out, "samples": spreads, "warmup_entry_secs": warm_entry_secs}
     if full_sweep_total is not None:
         detail["full_sweep_total"] = full_sweep_total
         detail["full_sweep_queries"] = sweep_timings
