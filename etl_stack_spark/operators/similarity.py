@@ -748,6 +748,40 @@ def pq_encode(
     return corpus.select(F.col(id_col), codes.alias("codes"))
 
 
+def _lut_flat_expr(res_col, codebooks: list[list[list[float]]], w: int):
+    """The flat sub-major ADC LUT (lutf[off(s)+code] = partial d² of the
+    residual's s-th slice against codebook entry code) as ONE map-side
+    expression over the residual/query column — per subspace, transform
+    over the LITERAL codebook array computes all k entries; flatten in
+    subspace order. This replaces the old explode→join(sub)→collect_list
+    pivot (2 jobs + 1 shuffle per search) with zero extra jobs (guide
+    §2.4). The JIT hazard that forced the join-form build (pq_train
+    docstring) was m·k compiled distance aggregates; this form compiles
+    m aggregate lambdas (the codebook entry is the transform argument).
+    Each d2 is the same zip_with/aggregate fold over the same slices as
+    the join form, in the same sub-major code order, so lutf is
+    bit-identical. NB: the per-subspace closure is a def, not a lambda
+    with an ``_s=s`` default — PySpark counts defaulted params, so such
+    a lambda is mis-detected as transform's binary (element, index)
+    form and the index silently shadows the subspace."""
+
+    def sub_lut(s: int):
+        cb = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in codebooks[s]]
+        )
+        qs = F.slice(res_col, s * w + 1, w)
+        return F.transform(
+            cb,
+            lambda cv: F.aggregate(
+                F.zip_with(qs, cv, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.flatten(F.array(*[sub_lut(s) for s in range(len(codebooks))]))
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -767,47 +801,13 @@ def pq_adc_topk(
     m = len(codebooks)
     w = dim // m
     qv = _as_double(F.col(vec_col))
-    # LUT as a JOIN against the (m·k)-row centroid frame (see pq_train:
-    # the expression form compiles m·k distance aggregates and its JIT
-    # cost dominates at sandbox SF; queries × centroids is q·m·k TINY
-    # rows). zip_with+aggregate keeps _sq_dist's exact fold order.
-    cents = queries.sparkSession.createDataFrame(
-        [(s, ci, codebooks[s][ci]) for s in range(m) for ci in range(len(codebooks[s]))],
-        "sub int, code int, cv array<double>",
-    )
-    qsub = queries.select(
-        F.col(query_id_col),
-        F.posexplode(
-            F.array(*[F.slice(qv, s * w + 1, w) for s in range(m)])
-        ).alias("sub", "qs"),
-    )
-    lut = (
-        qsub.join(F.broadcast(cents), "sub")
-        .select(
-            query_id_col,
-            "sub",
-            "code",
-            F.aggregate(
-                F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-    )
-    # The LUT rows pivot into ONE flat per-query array (sub-major,
-    # lutf[off(s)+code] = that subspace/code's partial d²) and the ADC
-    # sum becomes m element_at lookups in a single map-side projection
-    # on the codes scan. The previous form exploded codes (m× the rows),
-    # hash-joined the LUT on (sub, code), and re-aggregated per
-    # (query, id) — a full shuffle of candidates×m rows whose only
-    # purpose was adding m numbers back together (guide §2.4). The fold
-    # order over subspaces (s = 0..m-1) matches the LUT build's, and
-    # round(·, 9) pins the value as before.
-    lut_flat = lut.groupBy(query_id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
-            lambda x: x["d2"],
-        ).alias("lutf")
+    # LUT built MAP-SIDE in one projection on the query frame (r11,
+    # guide §2.4 — _lut_flat_expr): the old explode→join(sub)→
+    # collect_list pivot (2 jobs + 1 shuffle per search) is gone. The
+    # ADC sum stays m element_at lookups in a single map-side projection
+    # on the codes scan, and round(·, 9) pins the value as before.
+    lut_flat = queries.select(
+        F.col(query_id_col), _lut_flat_expr(qv, codebooks, w).alias("lutf")
     )
     offs = [0]
     for s in range(m):
@@ -985,44 +985,14 @@ def ivfpq_topk(
             F.col("qv"), _centroid_at(F.col("cell"), centroids), lambda x, y: x - y
         ).alias("qr"),
     )
-    cents = queries.sparkSession.createDataFrame(
-        [
-            (s, ci, codebooks[s][ci])
-            for s in range(m)
-            for ci in range(len(codebooks[s]))
-        ],
-        "sub int, code int, cv array<double>",
-    )
-    qsub = qr.select(
+    # LUT built MAP-SIDE in one projection on the q·n_probe-row residual
+    # frame (r11, guide §2.4 — _lut_flat_expr): the old explode→
+    # join(sub)→collect_list pivot (2 jobs + 1 shuffle per search) is
+    # gone; lutf is bit-identical.
+    lut_flat = qr.select(
         query_id_col,
         "cell",
-        F.posexplode(
-            F.array(*[F.slice("qr", s * w + 1, w) for s in range(m)])
-        ).alias("sub", "qs"),
-    )
-    lut = qsub.join(F.broadcast(cents), "sub").select(
-        query_id_col,
-        "cell",
-        "sub",
-        "code",
-        F.aggregate(
-            F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("d2"),
-    )
-    # Same LUT pivot as pq_adc_topk, keyed by (query, probed cell): the
-    # candidate join stays ONE equi-join on cell (now against the
-    # broadcast q·n_probe-row LUT-array frame instead of the bare probe
-    # list), and the ADC sum is m element_at lookups map-side. The old
-    # explode→4-key-join→groupBy cycle shuffled candidates×m rows back
-    # together just to add m numbers (guide §2.4) — at 10^9 vectors that
-    # exchange, not the broadcast, was the search's big cost.
-    lut_flat = lut.groupBy(query_id_col, "cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code", "d2"))),
-            lambda x: x["d2"],
-        ).alias("lutf")
+        _lut_flat_expr("qr", codebooks, w).alias("lutf"),
     )
     offs = [0]
     for s in range(m):
