@@ -8,6 +8,10 @@ from __future__ import annotations
 import os
 
 import pytest
+# slow tier (VERDICT r10 task 1): incremental-index drains (streaming, folds, compaction);
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from etl_stack_spark.operators.merge import ParquetMergeTable

@@ -33,6 +33,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+# slow tier (VERDICT r10 task 1): bench-adjudication e2es spawn subprocess bench runs (3+ min each on a loaded box);
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # synthetic committed baseline (secs) for the faulted query: the

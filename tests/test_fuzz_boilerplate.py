@@ -11,6 +11,12 @@ import hashlib
 
 from hypothesis import given, settings, strategies as st
 
+import pytest
+# slow tier (VERDICT r10 task 1): randomized fuzz vs reference model;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 LINE = st.sampled_from(["nav bar", "footer", "alpha", "beta", "gamma", "x y z"])
 
 

@@ -8,6 +8,12 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+import pytest
+# slow tier (VERDICT r10 task 1): randomized fuzz vs reference model;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 K = 3
 VOCAB = ["a", "b", "c", "d", "e", "f"]
 

@@ -10,6 +10,12 @@ from hypothesis import strategies as st
 
 from etl_stack_spark.operators.polygon import point_in_polygon
 
+import pytest
+# slow tier (VERDICT r10 task 1): randomized fuzz vs reference model;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def _pnpoly(ring, px, py):
     inside = False

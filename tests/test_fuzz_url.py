@@ -8,6 +8,12 @@ from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
 
+import pytest
+# slow tier (VERDICT r10 task 1): randomized fuzz vs reference model;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 HOST = st.from_regex(r"(WWW\.)?[A-Za-z][A-Za-z0-9]{0,8}\.(Com|ORG|net)", fullmatch=True)
 PATH = st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}/{0,3}", fullmatch=True)
 PARAM = st.from_regex(r"(utm_[a-z]{1,6}|page|q|id)=[A-Za-z0-9]{0,5}", fullmatch=True)

@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 from etl_stack_spark.operators.lsm_table import MergeOnReadTable
 from etl_stack_spark.operators.merge import ParquetMergeTable
 
+import pytest
+# slow tier (VERDICT r10 task 1): streaming drains + compaction races with multi-minute awaitTermination bounds;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def _rows(df):
     return sorted((r["k"], r["v"]) for r in df.select("k", "v").collect())

@@ -21,6 +21,10 @@ the match condition:
 from __future__ import annotations
 
 import pytest
+# slow tier (VERDICT r10 task 1): delta-log replay / time-travel / checkpoint round-trips;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from etl_stack_spark.operators.merge import ParquetMergeTable, PartitionedMergeTable

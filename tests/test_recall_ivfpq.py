@@ -8,6 +8,10 @@ tests/recall_mixture_common.py."""
 from __future__ import annotations
 
 import pytest
+# slow tier (VERDICT r10 task 1): IVF-PQ recall curves train/search multiple mixtures;
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F  # noqa: F401
 
 from tests.recall_mixture_common import (  # noqa: F401

@@ -9,6 +9,12 @@ from etl_stack_spark.operators.merge import ParquetMergeTable
 from etl_stack_spark.streaming.queue import PENDING, SYNCED, drain_pending, enqueue
 from etl_stack_spark.streaming.windows import streaming_tumbling_counts
 
+import pytest
+# slow tier (VERDICT r10 task 1): structured-streaming drains (watermarks, cross-batch dedup);
+# run via tools/run_gate.py (the gate) or `pytest -m slow`.
+pytestmark = pytest.mark.slow
+
+
 
 def test_streaming_tumbling_watermark(spark, tmp_path):
     src = tmp_path / "stream_in"

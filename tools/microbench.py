@@ -1,0 +1,60 @@
+"""Per-query micro-bench for same-box A/B comparisons (r11).
+
+    python tools/microbench.py [--sf DIR] [-n N] [--cpus C] q1 q2 ...
+
+Times each registered query through the noop sink (guide §1.4), one warm
+pass then N timed samples, prints per-query samples + median as one JSON
+line. Session stores/trained indexes are built by the warm pass, so the
+timed region matches bench.py's (query-only). For a code A/B, run this
+from the two checkouts alternately on the same box and compare medians —
+the tool itself never caches anything across processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("-n", type=int, default=5)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    from etl_stack_spark.queries import all_queries
+    from etl_stack_spark.session import get_spark
+
+    registry = all_queries()
+    unknown = [q for q in args.queries if q not in registry]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    spark = get_spark("microbench", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for name in args.queries:
+        fn = registry[name]
+        spark.sparkContext.setJobDescription(f"microbench warm {name}")
+        fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+        samples = []
+        for i in range(args.n):
+            spark.sparkContext.setJobDescription(f"microbench {name} #{i}")
+            t0 = time.perf_counter()
+            fn(spark, args.sf).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"samples": samples, "median": round(statistics.median(samples), 3)}
+        print(f"# {name}: median {out[name]['median']}s {samples}", file=sys.stderr)
+    print(json.dumps({"sf": args.sf, "cpus": args.cpus, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
